@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C-series: analytics engine
+    "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
+    "q3_topk_join"       -> (Analytics.q3TopkJoin _),
+    "q5_multijoin"       -> (Analytics.q5MultiJoin _),
+    "window_topn"        -> (Analytics.windowTopn _),
+    "events_window_agg"  -> (Analytics.eventsWindowAgg _),
+    "events_sessionize"  -> (Analytics.eventsSessionize _),
+  )
+
+  /** DuckDB-runnable oracle SQL per query key (same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Analytics.q1OracleSql,
+    "q3_topk_join"       -> Analytics.q3OracleSql,
+    "q5_multijoin"       -> Analytics.q5OracleSql,
+    "window_topn"        -> Analytics.windowTopnOracleSql,
+    "events_window_agg"  -> Analytics.eventsWindowAggOracleSql,
+    "events_sessionize"  -> Analytics.eventsSessionizeOracleSql,
+  )
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** C-series: the relational query surface a 100 TB corpus store needs.
+  *
+  * Oracle-parity rules used throughout:
+  *   - money-ish doubles are cast to DECIMAL(12,4) *before* any
+  *     arithmetic. A double that originated from a 2-decimal value can
+  *     never sit exactly on a 4th-decimal rounding boundary, so the
+  *     double→decimal cast is bit-deterministic across engines, and all
+  *     downstream decimal arithmetic is exact (precisions kept < 38 so
+  *     no scale reduction ever kicks in).
+  *   - aggregates stay DECIMAL end-to-end: casting a wide decimal back
+  *     to double is NOT engine-portable (DuckDB converts via
+  *     hugeint/10^scale = two roundings; Spark's BigDecimal.doubleValue
+  *     is correctly rounded — they differ in the last ulp).
+  *   - every query ends in a deterministic ORDER BY (full tie-break).
+  */
+object Analytics {
+
+  /** Money-ish column (< 10^8): DECIMAL(12,4) keeps the three-way
+    * product sum_charge inside precision 38 in BOTH engines (Spark
+    * would silently round the scale past 38; DuckDB degrades to
+    * double — either one breaks bit-parity).
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+  /** Rate column in [0,1]: DECIMAL(6,4). */
+  private def rate(c: Column): Column = c.cast(DecimalType(6, 4))
+  private def oneMinus(c: Column): Column = lit(1).cast(DecimalType(5, 4)) - rate(c)
+  private def onePlus(c: Column): Column  = lit(1).cast(DecimalType(5, 4)) + rate(c)
+
+  /** C1: TPC-H Q1-style pricing summary (multi-aggregate groupBy). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))
+          .cast(DecimalType(38, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def q1OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** C2: shipping-priority style top-k join (customer ⋈ orders ⋈ lineitem).
+    * The two dimension-side inputs are filtered before the join; the
+    * customer side is explicitly broadcast (it is always the small side
+    * after the segment filter, even at SF-100k).
+    */
+  def q3TopkJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3OracleSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** C3: TPC-H Q5-style 6-way join; all dimension tables broadcast. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp   = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def q5OracleSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** C4: top-3 orders per customer (window rank). No arithmetic on
+    * doubles, so o_totalprice passes through bit-exact.
+    */
+  def windowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def windowTopnOracleSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** C5: tumbling 1-hour window aggregation over events (batch twin of
+    * the D1 streaming job).
+    */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DecimalType(38, 4)).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  def eventsWindowAggOracleSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** C6: gap-based sessionization (30-minute inactivity gap) via lag +
+    * running sum — the batch twin of the D3 stateful streaming job.
+    * Gap compared in exact epoch microseconds in both engines.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  def eventsSessionizeOracleSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events)
+      |SELECT user_id,
+      |  sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM lagged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+}
