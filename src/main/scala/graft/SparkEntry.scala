@@ -8,10 +8,19 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    VectorQueries.knnLinearCosine(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-series: vector search core
+    "knn_linear_l2"       -> (VectorQueries.knnLinearL2 _),
+    "knn_linear_cosine"   -> (VectorQueries.knnLinearCosine _),
+    "knn_text_query"      -> (VectorQueries.knnTextQuery _),
+    "knn_metadata_filter" -> (VectorQueries.knnMetadataFilter _),
+    "knn_threshold"       -> (VectorQueries.knnThreshold _),
+    "knn_exact_topk"      -> (VectorQueries.knnExactTopk _),
+    "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
+    "library_stats"       -> (Library.libraryStats _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -23,6 +32,14 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] = Map(
+    "knn_linear_l2"       -> VectorQueries.knnLinearL2OracleSql,
+    "knn_linear_cosine"   -> VectorQueries.knnLinearCosineOracleSql,
+    "knn_text_query"      -> VectorQueries.knnTextQueryOracleSql,
+    "knn_metadata_filter" -> VectorQueries.knnMetadataFilterOracleSql,
+    "knn_threshold"       -> VectorQueries.knnThresholdOracleSql,
+    "knn_exact_topk"      -> VectorQueries.knnExactTopkOracleSql,
+    "index_recommend"     -> Library.indexRecommendOracleSql(),
+    "library_stats"       -> Library.libraryStatsOracleSql,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,
     "q5_multijoin"       -> Analytics.q5OracleSql,

@@ -16,9 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // GRAFT_EXPLAIN=1: dump each physical plan for shuffle/pushdown
+        // audits (SURVEY §6) without touching the driver's output.
+        if (sys.env.contains("GRAFT_EXPLAIN")) {
+          println(s"===== $name ====="); df.explain("formatted")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
