@@ -21,6 +21,22 @@ object SparkEntry {
     "knn_exact_topk"      -> (VectorQueries.knnExactTopk _),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "library_stats"       -> (Library.libraryStats _),
+    // B-series: document/chunk pipeline
+    "chunk_documents"  -> (TextOps.chunkDocuments _),
+    "embed_chunks"     -> ((s, d) => TextOps.embedChunks(s, d)),
+    "doc_stats"        -> (TextOps.docStats _),
+    "chunk_pagination" -> ((s, d) => TextOps.chunkPagination(s, d)),
+    // E-series: LLM-data-pipeline operators
+    "dedup_exact"         -> (Dedup.dedupExact _),
+    "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
+    "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash"       -> (Dedup.dedupSimhash _),
+    "embedding_neardup"   -> (Dedup.embeddingNeardup _),
+    "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
+    "lang_id"         -> (TextOps.langId _),
+    "quality_score"   -> (TextOps.qualityScore _),
+    "token_count"     -> (TextOps.tokenCount _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -40,6 +56,18 @@ object SparkEntry {
     "knn_exact_topk"      -> VectorQueries.knnExactTopkOracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "library_stats"       -> Library.libraryStatsOracleSql,
+    "chunk_documents"  -> TextOps.chunkDocumentsOracleSql,
+    "embed_chunks"     -> TextOps.embedChunksOracleSql(),
+    "doc_stats"        -> TextOps.docStatsOracleSql,
+    "chunk_pagination" -> TextOps.chunkPaginationOracleSql(),
+    "dedup_exact"         -> Dedup.dedupExactOracleSql,
+    "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
+    "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
+    "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
+    "lang_id"         -> TextOps.langIdOracleSql,
+    "quality_score"   -> TextOps.qualityScoreOracleSql,
+    "token_count"     -> TextOps.tokenCountOracleSql,
+    "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,
     "q5_multijoin"       -> Analytics.q5OracleSql,

@@ -20,13 +20,15 @@ object Knn {
     * (query_id, rank<=k): columns (query_id, neighbor_id, rank, dist).
     * Ties broken by neighbor id, matching the reference's stable sort.
     */
-  def knn(queries: DataFrame, corpus: DataFrame, k: Int, metric: Int): DataFrame = {
+  def knn(queries: DataFrame, corpus: DataFrame, k: Int, metric: Int,
+          pairFilter: Column = lit(true)): DataFrame = {
     val dist: Column = metric match {
       case VectorMetric.L2     => VectorFunctions.l2Distance(col("vec"), col("qvec"))
       case VectorMetric.Cosine => VectorFunctions.cosineDistance(col("vec"), col("qvec"))
       case VectorMetric.Dot    => -VectorFunctions.dotProduct(col("vec"), col("qvec"))
     }
     corpus.crossJoin(broadcast(queries))
+      .filter(pairFilter)
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKByDistance(dist, col("neighbor_id"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))

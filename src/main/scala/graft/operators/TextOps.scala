@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** B-series document/chunk pipeline + E7-E10 text analysis.
+  *
+  * Re-expresses the reference's ingest surface (stackai-vector-db
+  * app/services/chunk_service.py fixed-size chunking,
+  * app/clients/embedding.py fake embedding, DocumentMetadata.word_count
+  * in app/domain/entities.py:27-41) as declarative DataFrame pipelines,
+  * plus the text-analysis operators an LLM-data pipeline needs at scale
+  * (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Scale notes: every operator here is a narrow per-row map over the
+  * documents scan (no shuffle at all except the final presentation
+  * ORDER BY, which a 100 TB pipeline would drop). Chunking explodes to
+  * ceil(n_chars/stride) rows per doc — output partitioning follows the
+  * scan, so downstream per-chunk work stays co-partitioned with the
+  * source. All scalar work is Catalyst built-ins (split/transform/
+  * aggregate/regexp) so it runs inside whole-stage codegen.
+  *
+  * Oracle-parity rules: integer arithmetic end-to-end where possible;
+  * double appears only as a final, identically-ordered expression in
+  * both engines (same IEEE ops in the same order ⇒ identical bits).
+  */
+object TextOps {
+
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Fixed-size chunking with overlap (size=200, stride=150), the
+    * reference's chunk entity derived from documents. One output row
+    * per (doc, chunk_idx); start indices 0, 150, 300, … < n_chars.
+    */
+  def chunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("start_idx",
+        explode(sequence(lit(0L), col("n_chars") - 1, lit(ChunkStride.toLong))))
+      .select(
+        col("doc_id"),
+        (col("start_idx") / ChunkStride).cast("int").as("chunk_idx"),
+        col("start_idx"),
+        least(col("start_idx") + ChunkSize, col("n_chars")).as("end_idx"),
+        substring_index_safe(col("text"), col("start_idx")).as("chunk_text"))
+
+  private def substring_index_safe(text: Column, start: Column): Column =
+    text.substr(start.cast("int") + 1, lit(ChunkSize))
+
+  private val chunksCte =
+    s"""WITH starts AS (
+       |  SELECT doc_id, n_chars, text,
+       |    unnest(generate_series(0, n_chars-1, $ChunkStride)) AS start_idx
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, CAST(start_idx/$ChunkStride AS INT) AS chunk_idx, start_idx,
+       |    least(start_idx+$ChunkSize, n_chars) AS end_idx,
+       |    substr(text, CAST(start_idx+1 AS INT), $ChunkSize) AS chunk_text
+       |  FROM starts)""".stripMargin
+
+  /** B1: the chunk table itself. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunks(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_idx")
+
+  def chunkDocumentsOracleSql: String =
+    s"""$chunksCte
+       |SELECT doc_id, chunk_idx, start_idx, end_idx, chunk_text
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** B2: deterministic fake embedding per chunk (reference formula,
+    * app/clients/embedding.py:100-137), dim=8, one row per component so
+    * the oracle compares scalars. All features computed in exact integer
+    * arithmetic; the single double division is ordered identically in
+    * both engines.
+    */
+  def embedChunks(spark: SparkSession, dir: String, dim: Int = 8): DataFrame = {
+    val clean = trim(lower(col("chunk_text")))
+    chunks(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("chunk_idx"), clean.as("clean"))
+      .filter(length(col("clean")) > 0)
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        aggregate(split(col("clean"), ""), lit(0L), (acc, ch) => acc + ascii(ch))
+          .as("char_sum"),
+        length(col("clean")).cast("long").as("len"),
+        size(split(col("clean"), "\\s+")).cast("long").as("words"))
+      .withColumn("comp_idx", explode(sequence(lit(0L), lit(dim - 1L))))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("comp_idx"),
+        (((col("char_sum") * (col("comp_idx") + 1) +
+           col("len") * (col("comp_idx") + 7) +
+           col("words") * (col("comp_idx") + 13)) % 1000) / 1000.0 - 0.5).as("comp"))
+      .orderBy("doc_id", "chunk_idx", "comp_idx")
+  }
+
+  def embedChunksOracleSql(dim: Int = 8): String =
+    s"""$chunksCte,
+       |cleaned AS (
+       |  SELECT doc_id, chunk_idx, trim(lower(chunk_text)) AS clean FROM chunks),
+       |feats AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(list_sum(list_transform(string_split(clean, ''), x -> ord(x))) AS BIGINT) AS char_sum,
+       |    CAST(length(clean) AS BIGINT) AS len,
+       |    CAST(len(string_split_regex(clean, '\\s+')) AS BIGINT) AS words
+       |  FROM cleaned WHERE length(clean) > 0)
+       |SELECT doc_id, chunk_idx, comp_idx,
+       |  ((char_sum*(comp_idx+1) + len*(comp_idx+7) + words*(comp_idx+13)) % 1000)/1000.0 - 0.5 AS comp
+       |FROM feats, range(0, $dim) t(comp_idx)
+       |ORDER BY doc_id, chunk_idx, comp_idx""".stripMargin
+
+  /** B3: per-document stats (DocumentMetadata.word_count surface). */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_count"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("word_count"))
+      .orderBy("doc_id")
+
+  def docStatsOracleSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS char_count,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_count
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** B4: limit/offset pagination as a deterministic ordered page
+    * (repositories' list endpoints). Page 3 of 50 over the chunk table.
+    */
+  def chunkPagination(spark: SparkSession, dir: String,
+                      limit: Int = 50, offset: Int = 120): DataFrame =
+    chunks(Tables.documents(spark, dir))
+      .select("doc_id", "chunk_idx", "start_idx", "end_idx")
+      .orderBy("doc_id", "chunk_idx")
+      .offset(offset)
+      .limit(limit)
+
+  def chunkPaginationOracleSql(limit: Int = 50, offset: Int = 120): String =
+    s"""$chunksCte
+       |SELECT doc_id, chunk_idx, start_idx, end_idx
+       |FROM chunks ORDER BY doc_id, chunk_idx LIMIT $limit OFFSET $offset""".stripMargin
+
+  // ---------------------------------------------------------------- E7
+
+  /** Stopword tables per language. Tiny, inlined as literals — at scale
+    * this is a broadcast-free map-side lookup (the sets live in the
+    * generated code, no join).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def hits(words: Column, lang: String): Column =
+    size(filter(words, w => w.isInCollection(Stopwords(lang))))
+
+  /** E7: n-gram/stopword language ID heuristic: argmax of per-language
+    * stopword hits, alphabetical tie-break, 'und' (undetermined) when no
+    * list hits at all.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(Tables.documents(spark, dir))
+      .select("doc_id", "lang", "predicted")
+      .orderBy("doc_id")
+
+  def langIdOn(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val Seq(de, en, es, fr, zh) =
+      Seq("de", "en", "es", "fr", "zh").map(l => hits(words, l))
+    docs
+      .select(col("doc_id"), col("lang"),
+        de.as("c_de"), en.as("c_en"), es.as("c_es"), fr.as("c_fr"), zh.as("c_zh"))
+      .withColumn("predicted",
+        when(col("c_de") + col("c_en") + col("c_es") + col("c_fr") + col("c_zh") === 0, "und")
+          .when(col("c_de") >= greatest(col("c_en"), col("c_es"), col("c_fr"), col("c_zh")), "de")
+          .when(col("c_en") >= greatest(col("c_es"), col("c_fr"), col("c_zh")), "en")
+          .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")), "es")
+          .when(col("c_fr") >= col("c_zh"), "fr")
+          .otherwise("zh"))
+  }
+
+  def langIdOracleSql: String = {
+    def h(l: String) =
+      Stopwords(l).map(w => s"'$w'").mkString(
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (", ", ", s"))) AS INT)")
+    s"""WITH counts AS (
+       |  SELECT doc_id, lang,
+       |    ${h("de")} AS c_de, ${h("en")} AS c_en, ${h("es")} AS c_es,
+       |    ${h("fr")} AS c_fr, ${h("zh")} AS c_zh
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN c_de + c_en + c_es + c_fr + c_zh = 0 THEN 'und'
+       |       WHEN c_de >= greatest(c_en, c_es, c_fr, c_zh) THEN 'de'
+       |       WHEN c_en >= greatest(c_es, c_fr, c_zh) THEN 'en'
+       |       WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+       |       WHEN c_fr >= c_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted
+       |FROM counts ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E8
+
+  /** E8: composite quality score — doc length, mean word length, and
+    * stopword density, each clamped to [0,1]. Exact integer features;
+    * one identically-ordered double expression at the end.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
+        hits(split(lower(col("text")), " "), "en").cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        (least(col("n_words") / lit(100.0), lit(1.0)) * 0.3 +
+         least(col("sum_wlen").cast("double") / col("n_words") / lit(8.0), lit(1.0)) * 0.3 +
+         (col("stop_hits").cast("double") / col("n_words")) * lit(0.4)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreOracleSql: String =
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w))) AS BIGINT) AS sum_wlen,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |  least(n_words/100.0, 1.0) * 0.3 +
+      |  least(CAST(sum_wlen AS DOUBLE)/n_words/8.0, 1.0) * 0.3 +
+      |  (CAST(stop_hits AS DOUBLE)/n_words) * 0.4 AS score
+      |FROM feats ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E9
+
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** E9: whitespace token count + a BPE-ish regex token count (letters
+    * runs, digit runs, individual symbols).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenPattern), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  def tokenCountOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$BpeTokenPattern')) AS BIGINT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E10
+
+  /** E10: positional rolling-hash fingerprint:
+    * sum over words of (md5-derived 60-bit word hash mod 2^31-1) * (1-based
+    * position), mod 2^60. Order-sensitive (unlike a bag-of-words hash)
+    * and engine-portable (md5 prefix → integer is exact in both).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        ((conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 2147483647L)
+          * (col("pos") + 1)).as("contrib"))
+      .groupBy("doc_id")
+      .agg((sum(col("contrib")) % 1152921504606846976L).as("fp"))
+      .orderBy("doc_id")
+
+  def docFingerprintOracleSql: String =
+    """SELECT doc_id,
+      |  CAST(sum((CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 2147483647) * i) % 1152921504606846976 AS BIGINT) AS fp
+      |FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH recovers the exact jaccard pairs with high recall and exact precision") {
+    val exact = pairs(Dedup.ngramJaccardPairs(spark, sf))
+    val lsh = pairs(Dedup.dedupMinhashLsh(spark, sf))
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // precision is 1.0 by construction: candidates are re-verified exactly
+    assert(lsh.subsetOf(exact), s"LSH reported non-dup pairs: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
+  }
+
+  test("simhash pairs have verified hamming distance <= 3 and are deterministic") {
+    val df = Dedup.dedupSimhash(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 3))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Dedup.dedupSimhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("simhash signature: identical docs collide, near-identical docs are close") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(2L)) <
+      java.lang.Long.bitCount(sig(0L) ^ sig(3L)))
+  }
+
+  test("shingles produces distinct word 3-grams; short docs give empty sets") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val got = df.select(org.apache.spark.sql.functions.col("doc_id"),
+      Dedup.shingles(org.apache.spark.sql.functions.col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+}
