@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -19,6 +20,8 @@ object SparkEntry {
     "knn_metadata_filter" -> (VectorQueries.knnMetadataFilter _),
     "knn_threshold"       -> (VectorQueries.knnThreshold _),
     "knn_exact_topk"      -> (VectorQueries.knnExactTopk _),
+    "ivf_build"           -> (Ivf.ivfBuild _),
+    "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d)),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "library_stats"       -> (Library.libraryStats _),
     // B-series: document/chunk pipeline
@@ -37,6 +40,11 @@ object SparkEntry {
     "quality_score"   -> (TextOps.qualityScore _),
     "token_count"     -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    // D-series: Structured Streaming jobs (memory-sink execution)
+    "stream_window_agg" -> (Streams.streamWindowAgg _),
+    "stream_dedup"      -> (Streams.streamDedup _),
+    "stream_session"    -> (Streams.streamSession _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -68,6 +76,14 @@ object SparkEntry {
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
+    // streaming twins ARE oracle-checkable: D1 ≡ C5-shaped SQL,
+    // D3 ≡ C6, D2 ≡ count-by-type (source has no duplicate event_ids)
+    "stream_window_agg" -> Analytics.eventsWindowAggOracleSql,
+    "stream_dedup"      ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_session"    -> Analytics.eventsSessionizeOracleSql,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,
     "q5_multijoin"       -> Analytics.q5OracleSql,

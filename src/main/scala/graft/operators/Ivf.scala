@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions, VectorMetric}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate index, re-expressing the reference's
+  * IVFIndex (stackai-vector-db app/indexes/ivf.py:55-183: seeded
+  * k-means coarse quantizer, inverted lists, nprobe probing) as Spark
+  * batch jobs.
+  *
+  * Scale shape (SURVEY §5): Lloyd iterations broadcast the k×dim
+  * centroid table into the scan (a literal array in generated code —
+  * no join, no shuffle of vectors); the only shuffle per iteration is
+  * the (cluster, partial-sum) pairs of a map-side-combined aggregation,
+  * k×dim doubles per partition. At query time the inverted lists are a
+  * DataFrame partitioned by cluster_id, so probing nprobe clusters
+  * prunes to nprobe partitions; the k-NN inside probed lists reuses the
+  * bounded TopKByDistance aggregate.
+  *
+  * Determinism: centroids init from the k lowest vec_ids (seeded-RNG
+  * choice in the reference, ivf.py:75-82; any deterministic pick
+  * satisfies the same contract) and Lloyd updates are
+  * sum/count averages, so the build is reproducible run to run.
+  */
+object Ivf {
+
+  /** Reference heuristic: k = max(1, round(sqrt(n/2))) (ivf.py:62). */
+  def defaultK(n: Long): Int = math.max(1, math.round(math.sqrt(n / 2.0)).toInt)
+
+  /** One k-means assignment pass as a pure Column expression: argmin of
+    * l2 distance over the broadcast centroid literals, ties to the
+    * lower cluster id (array_min on (dist, id) structs is lexicographic).
+    */
+  private def assignExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      struct(
+        VectorFunctions.l2Distance(vec, typedlit(c.toSeq)).as("dist"),
+        lit(j).as("id"))
+    }
+    array_min(array(cands: _*)).getField("id")
+  }
+
+  /** Lloyd's k-means over an (id, vec: array<float>) DataFrame.
+    * Returns (assignments: id → cluster_id, centroids).
+    */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int = 10)
+      : (DataFrame, Array[Array[Float]]) = {
+    val dim = vectors.select(size(col("vec"))).head().getInt(0)
+    // deterministic seed: the k lowest-id vectors
+    var centroids: Array[Array[Float]] = vectors
+      .orderBy("id").limit(k).select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    var it = 0
+    while (it < iters) {
+      val assigned = vectors.withColumn("cluster", assignExpr(col("vec"), centroids))
+      // per-cluster mean via posexplode → (cluster, pos) partial sums:
+      // map-side combine makes the shuffle k×dim rows regardless of N.
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        next(c)(p) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      centroids = next
+      it += 1
+    }
+    (vectors.withColumn("cluster_id", assignExpr(col("vec"), centroids))
+      .select("id", "cluster_id"), centroids)
+  }
+
+  /** A6: build the IVF index over the embeddings table: one row per
+    * vector with its inverted-list (cluster) assignment. Rows-only for
+    * the driver (k-means has no SQL oracle); IvfSpec checks determinism,
+    * coverage, and that probing all lists reproduces exact k-NN.
+    */
+  def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val k = defaultK(vecs.count())
+    val (assign, _) = kmeans(vecs, k)
+    assign.select(col("id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
+  }
+
+  /** A7: ANN query via nprobe nearest inverted lists (ivf.py:158-183):
+    * assign each query to its nprobe closest centroids, scan only those
+    * lists, exact top-k within them.
+    */
+  def ivfQuery(spark: SparkSession, dir: String,
+               nQueries: Int = 5, k: Int = 10, nprobeOpt: Option[Int] = None): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nClusters = defaultK(vecs.count())
+    val nprobe = nprobeOpt.getOrElse(math.max(1, nClusters / 4))
+    val (assign, centroids) = kmeans(vecs, nClusters)
+
+    // probe set per query: nprobe nearest centroids (tiny, computed in-plan)
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      struct(VectorFunctions.l2Distance(col("qvec"), typedlit(c.toSeq)).as("dist"),
+        lit(j).as("id"))
+    }
+    val probes = slice(array_sort(array(cands: _*)), 1, nprobe)
+    val queries = vecs.filter(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("probe_cluster", explode(transform(probes, p => p.getField("id"))))
+
+    // inverted lists: assignments joined back to vectors, keyed by cluster
+    val lists = vecs.join(assign, "id")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+
+    // probe join: only rows in probed clusters are scanned
+    val dist = VectorFunctions.l2Distance(col("vec"), col("qvec"))
+    lists.join(broadcast(queries), col("cluster_id") === col("probe_cluster"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKByDistance(dist, col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+}
