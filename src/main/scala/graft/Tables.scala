@@ -15,6 +15,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across all cores before a CPU-heavy per-row stage.
+    *
+    * The driver's test parquet is a single row group, so Spark cannot
+    * split the scan and every downstream narrow stage runs on ONE core
+    * (measured: the whole shingle pipeline serialized behind a
+    * 1-partition scan). At 100 TB the storage layout provides thousands
+    * of splits and this is a no-op cost-wise; locally the round-robin
+    * shuffle moves only the skinny projected rows and unlocks 32×
+    * parallelism for the hash/distance work behind it.
+    */
+  def rebalanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

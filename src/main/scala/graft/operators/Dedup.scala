@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *     self-join on shingle, count shared shingles per pair. The shuffle
   *     is O(docs × shingles), never O(docs²); only pairs sharing ≥1
   *     shingle are ever materialized.
-  *   - MinHash-LSH: 128 minhashes → 32 bands of 4 → bucket join, then
+  *   - MinHash-LSH: 128 minhashes → 16 bands of 8 → bucket join, then
   *     exact verification of candidates only. Shuffle is O(docs × bands)
   *     small ints. Precision 1.0 by construction (candidates re-checked
-  *     exactly); recall at j=0.8 is 1-(1-0.8^4)^32 ≈ 0.9999.
+  *     exactly); recall at j=0.8 is 1-(1-0.8^8)^16 ≈ 0.95, and the
+  *     8-row bands keep vocabulary-skewed corpora from flooding buckets
+  *     with false candidates.
   *   - SimHash: 64-bit signature, hamming ≤ 3 found via 4×16-bit band
   *     buckets (pigeonhole: ≤3 differing bits ⇒ ≥1 band identical).
   *   - embedding near-dup / batch ANN: brute force here (exact
@@ -44,7 +46,11 @@ object Dedup {
 
   val JaccardThreshold = 0.8
 
-  /** Distinct word 3-gram shingles of a text column. */
+  /** Distinct word 3-gram shingles of a text column. NOTE: evaluates
+    * `split` once per element_at under the hood — fine for tests and
+    * small inputs; the hot pipelines use [[shingleHashes]] over a
+    * pre-projected word array instead.
+    */
   def shingles(text: Column): Column = {
     val ws = split(text, " ")
     when(size(ws) >= 3,
@@ -53,32 +59,88 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** doc_id → distinct shingle set, as (doc_id, shingle) rows + sizes. */
-  private def shingleRows(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("g"))
-    val rows = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
-    val sizes = sets.select(col("doc_id"), size(col("g")).cast("long").as("sz"))
-    (rows, sizes)
+  /** Distinct 64-bit hashes of word 3-grams, over an ALREADY-PROJECTED
+    * word-array column (an attribute, so element_at is O(1) array access
+    * — passing `split(...)` directly would re-run the split for every
+    * lambda element, a measured 10× slowdown on the corpus scan).
+    * xxhash64 over the word triple is distinctness-equivalent to the
+    * concatenated shingle string up to a ~4e-11 collision chance.
+    */
+  def shingleHashes(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** doc_id → distinct shingle-hash set (the base of E2/E3 pipelines). */
+  def hashedShingleSets(docs: DataFrame): DataFrame =
+    graft.Tables.rebalanced(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingleHashes(col("ws")).as("g"))
+      .filter(size(col("g")) > 0)
+
+  /** E2: exact 3-gram Jaccard ≥ 0.8 pairs via AllPairs/PPJoin-style
+    * prefix filtering.
+    *
+    * A naive inverted-index self-join fans out quadratically on hot
+    * shingles (with a small vocabulary a popular 3-gram appears in
+    * thousands of docs ⇒ millions of candidate pairs from that one
+    * shingle — measured 235s at sf0.1). Prefix filtering restores the
+    * bound: order each doc's shingles by ascending document frequency,
+    * keep only the first ⌊(1-t)·|A|⌋+1 as its "prefix"; any pair with
+    * jaccard ≥ t MUST share a prefix shingle (pigeonhole on the ≥t·|A∪B|
+    * shared elements), and prefixes hold the RAREST shingles, so hot
+    * shingles never drive the join. Candidates are then verified exactly
+    * against the full sets. Same answer, two orders of magnitude less
+    * join fan-out, and every step is a bounded shuffle at 100 TB.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOn(Tables.documents(spark, dir))
+
+  def jaccardPairsOn(docs: DataFrame, t: Double = JaccardThreshold): DataFrame = {
+    // shingle sets as distinct 64-bit hashes: set cardinalities (and so
+    // jaccard) are preserved up to a ~4e-11 xxhash64 collision chance,
+    // and every downstream compare/intersect runs on longs, not strings
+    val sets = hashedShingleSets(docs)
+    val df = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc shingles ordered by (df asc, shingle) → prefix of rarest
+    val ordered = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
+      .join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
+        s => s.getField("shingle")).as("gs"))
+      .select(col("doc_id"), col("gs"),
+        slice(col("gs"), lit(1),
+          (size(col("gs")).cast("double") * (1.0 - t)).cast("int") + 1).as("prefix"))
+      .cache() // feeds prefix join + verify join-back
+    ordered.count() // materialize once: both consumers would otherwise recompute the chain
+    val prefixRows = ordered.select(col("doc_id"), size(col("gs")).as("sz"),
+      explode(col("prefix")).as("shingle"))
+    // candidate pairs: share a prefix shingle + size-compatibility bound
+    val cand = prefixRows.as("a")
+      .join(prefixRows.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.sz") * lit(t) <= col("a.sz") && col("a.sz") * lit(t) <= col("b.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verification against the full (hashed) sets
+    verifyJaccard(cand, ordered.select(col("doc_id"), col("gs").as("g")), t)
   }
 
-  /** E2: exact 3-gram Jaccard ≥ 0.8 pairs via inverted-index join:
-    * |A∩B| = count of co-occurring shingles, |A∪B| = |A|+|B|-|A∩B|.
+  /** Join candidate (doc_a, doc_b) pairs back to their shingle-hash sets
+    * and keep pairs with exact jaccard ≥ t.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val (rows, sizes) = shingleRows(Tables.documents(spark, dir))
-    val inter = rows.as("a")
-      .join(rows.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          (size(col("ga")) + size(col("gb")) -
+            size(array_intersect(col("ga"), col("gb"))))).as("jaccard"))
+      .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** DuckDB oracle uses the independent all-pairs list-intersect
     * formulation (different algorithm, same answer).
@@ -99,30 +161,32 @@ object Dedup {
   // ---------------------------------------------------------------- E3
 
   val MinhashPerms = 128
-  val LshBands = 32
-  val LshRows = 4 // MinhashPerms / LshBands
-  private val MersennePrime = 2147483647L // 2^31-1; a*x+b stays < 2^63
-
-  /** Seeded permutation parameters (deterministic across runs). */
-  private lazy val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(MinhashPerms)(1L + rnd.nextInt(Int.MaxValue - 1)),
-     Array.fill(MinhashPerms)(rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** doc_id → 128 minhashes over xxhash64 shingle hashes. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("g"))
-      .filter(size(col("g")) > 0)
-      .select(col("doc_id"),
-        transform(col("g"), s => pmod(xxhash64(s), lit(MersennePrime))).as("hs"),
-        col("g"))
-    val mhCols = (0 until MinhashPerms).map { j =>
-      array_min(transform(col("hs"),
-        x => pmod(lit(permA(j)) * x + lit(permB(j)), lit(MersennePrime))))
-    }
-    sets.select(col("doc_id"), col("g"), array(mhCols: _*).as("mh"))
-  }
+  val LshBands = 16
+  val LshRows = 8 // MinhashPerms / LshBands
+  /** Buckets larger than this are dropped before the pair join — the
+    * skew guard from SURVEY §5. With a small vocabulary many unrelated
+    * docs share a band hash (hot shingles dominate the minima); such
+    * mega-buckets contribute O(size²) useless candidates. True
+    * near-dup groups are tiny, so the cap costs no recall in practice
+    * (DedupSpec asserts ≥0.9 vs exact).
+    */
+  val LshBucketCap = 200
+  /** doc_id → 128 minhashes over xxhash64 shingle hashes; `g` is the
+    * distinct 64-bit shingle-hash set used for exact verification.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    // one explode + one aggregate pass computes BOTH the 128-min
+    // signature (custom TypedImperativeAggregate — a declarative
+    // 128-column min would codegen-compile for ~30s) and the shingle
+    // set itself (collect_list over the already-distinct hashes), so
+    // nothing joins back and the corpus is read once.
+    hashedShingleSets(docs)
+      .select(col("doc_id"), explode(col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        graft.functions.MinHashAgg.minhash(col("h"), MinhashPerms).as("mh"),
+        collect_list(col("h")).as("g"))
+      .select(col("doc_id"), col("g"), col("mh"))
 
   /** E3: MinHash-LSH near-dup pairs: band-bucket join proposes
     * candidates, exact Jaccard verifies them — same output contract as
@@ -130,30 +194,33 @@ object Dedup {
     * Rows-only for the driver; DedupSpec asserts recall vs E2.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(Tables.documents(spark, dir))
+    // sig feeds both the bucket join and the verify join-back: persist
+    // it (at scale the signature table is likewise materialized once)
+    val sig = minhashSignatures(Tables.documents(spark, dir)).cache()
+    sig.count() // materialize once for the bucket join + verify join-back
     val bandCols = (0 until LshBands).map { k =>
       struct(lit(k).as("band_id"),
         xxhash64((k * LshRows until (k + 1) * LshRows)
           .map(j => element_at(col("mh"), j + 1)): _*).as("band_hash"))
     }
+    // bucket rows carry only ids — signatures/sets joined back later
     val buckets = sig
-      .select(col("doc_id"), col("g"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("g"), col("band.band_id"), col("band.band_hash"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val capped = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_id", "band_hash")))
+      .filter(col("bucket_n") <= LshBucketCap)
+      .drop("bucket_n")
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.g").as("ga"), col("b.g").as("gb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          (size(col("ga")) + size(col("gb")) -
-            size(array_intersect(col("ga"), col("gb"))))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cand, sig.select(col("doc_id"), col("g")), JaccardThreshold)
   }
 
   // ---------------------------------------------------------------- E4
@@ -166,19 +233,24 @@ object Dedup {
     * the sum of ±1 votes from each word's bit i.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val whs = docs
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), w => xxhash64(w)).as("whs"))
-      .filter(size(col("whs")) > 0)
-    val bitCols = (0 until SimhashBits).map { i =>
-      val votes = aggregate(col("whs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L)).otherwise(lit(0L))
-    }
+    // explode word hashes → 64 codegen'd ±1 vote columns → groupBy sum
+    // (same interpreted-HOF avoidance as minhashSignatures; the shuffle
+    // is 64 longs per doc per partition thanks to partial aggregation).
+    val rows = graft.Tables.rebalanced(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
+      .select(Seq(col("doc_id")) ++ (0 until SimhashBits).map { i =>
+        when(shiftright(col("wh"), i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L).as(s"v$i")
+      }: _*)
+    val votes = rows.groupBy("doc_id")
+      .agg(sum(col("v0")).as("s0"),
+        (1 until SimhashBits).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
     // assemble the signature: sum of bit_i << i (bit 63 may set the sign)
-    whs.select(col("doc_id"),
-      bitCols.zipWithIndex.map { case (b, i) => shiftleft(b, i) }
-        .reduce(_.bitwiseXOR(_)).as("simhash"))
+    votes.select(col("doc_id"),
+      (0 until SimhashBits).map { i =>
+        shiftleft(when(col(s"s$i") > 0, 1L).otherwise(0L), i)
+      }.reduce(_.bitwiseXOR(_)).as("simhash"))
   }
 
   /** E4: simhash near-dup pairs at hamming distance ≤ 3, via 4×16-bit
@@ -218,7 +290,7 @@ object Dedup {
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val sim = lit(1.0) - VectorFunctions.cosineDistance(col("a.embedding"), col("b.embedding"))
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+    Tables.rebalanced(e).as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("sim"))
       .filter(col("sim") >= CosineSimThreshold)
       .select("vec_a", "vec_b")
@@ -241,7 +313,8 @@ object Dedup {
   def annTopkBatch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vec"))
+    val corpus = Tables.rebalanced(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
     Knn.knn(queries, corpus, k, graft.functions.VectorMetric.Cosine,
       pairFilter = col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "rank")

@@ -44,8 +44,8 @@ object Knn {
               corpusFilter: Column = lit(true)): DataFrame = {
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val corpus = embeddings.filter(corpusFilter)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vec"))
+    val corpus = graft.Tables.rebalanced(embeddings.filter(corpusFilter)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
     knn(queries, corpus, k, metric)
   }
 }

@@ -28,7 +28,7 @@ object Multimodal {
     * the ingest shape for opaque media blobs.
     */
   def payloads(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.rebalanced(Tables.documents(spark, dir)).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       (col("doc_id") % 3).cast("int").as("media_kind") // 0=image 1=audio 2=video

@@ -35,8 +35,8 @@ object TextOps {
     * per (doc, chunk_idx); start indices 0, 150, 300, … < n_chars.
     */
   def chunks(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    graft.Tables.rebalanced(docs
+      .select(col("doc_id"), col("text"), col("n_chars")))
       .withColumn("start_idx",
         explode(sequence(lit(0L), col("n_chars") - 1, lit(ChunkStride.toLong))))
       .select(
