@@ -24,6 +24,8 @@ object SparkEntry {
     "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d)),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "library_stats"       -> (Library.libraryStats _),
+    "cascade_delete"      -> (Library.cascadeDelete _),
+    "upsert_latest"       -> (Library.upsertLatest _),
     // B-series: document/chunk pipeline
     "chunk_documents"  -> (TextOps.chunkDocuments _),
     "embed_chunks"     -> ((s, d) => TextOps.embedChunks(s, d)),
@@ -64,6 +66,8 @@ object SparkEntry {
     "knn_exact_topk"      -> VectorQueries.knnExactTopkOracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "library_stats"       -> Library.libraryStatsOracleSql,
+    "cascade_delete"      -> Library.cascadeDeleteOracleSql,
+    "upsert_latest"       -> Library.upsertLatestOracleSql,
     "chunk_documents"  -> TextOps.chunkDocumentsOracleSql,
     "embed_chunks"     -> TextOps.embedChunksOracleSql(),
     "doc_stats"        -> TextOps.docStatsOracleSql,

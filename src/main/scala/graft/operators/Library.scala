@@ -59,4 +59,71 @@ object Library {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** Libraries "deleted" by the cascade-delete query (a fixed tombstone
+    * set so the oracle is deterministic).
+    */
+  val DeletedLibraries: Seq[String] = Seq("src3", "src7")
+
+  /** Cascade delete (library_service → delete_documents_by_library →
+    * delete_chunks_by_library): removing a library removes its documents
+    * and, transitively, their chunks. Spark-first this is an ANTI-JOIN
+    * against the tombstone set — the doc side never collects, the
+    * tombstones broadcast, and the output is the surviving corpus stats
+    * per library. At 100 TB this is exactly how a cascade materializes:
+    * one broadcast anti-join per child table, no point deletes.
+    */
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val deletedDocs = docs
+      .filter(col("source").isInCollection(DeletedLibraries))
+      .select(col("doc_id").as("del_doc_id"))
+    val survivingDocs = docs.join(
+      broadcast(deletedDocs), col("doc_id") === col("del_doc_id"), "left_anti")
+    val chunks = TextOps.chunks(survivingDocs.select("doc_id", "text", "n_chars"))
+    survivingDocs.select("doc_id", "source")
+      .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("n_chunks"))
+      .orderBy("source")
+  }
+
+  def cascadeDeleteOracleSql: String = {
+    val tomb = DeletedLibraries.map(s => s"'$s'").mkString(", ")
+    s"""WITH surviving AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source IN ($tomb))),
+       |ch AS (
+       |  SELECT doc_id, count(*) AS n_chunks FROM (
+       |    SELECT doc_id, unnest(generate_series(0, n_chars-1, 150)) AS s FROM surviving) t
+       |  GROUP BY doc_id)
+       |SELECT source, count(*) AS n_docs, sum(n_chunks) AS n_chunks
+       |FROM surviving JOIN ch USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Update semantics at scale (chunk_service.update_chunk): CRUD
+    * updates arrive as a change log; compaction keeps the last writer
+    * per key. Re-expressed as a window dedup over the events stream
+    * (latest event per user by (ts, event_id)) — one shuffle, map-side
+    * prunable with AQE at scale.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type")
+      .orderBy("user_id")
+  }
+
+  def upsertLatestOracleSql: String =
+    """SELECT user_id, event_id, ts, event_type FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 }
