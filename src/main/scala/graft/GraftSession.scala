@@ -19,6 +19,7 @@ object GraftSession {
   def builder(cores: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

@@ -120,6 +120,45 @@ object Ivf {
     assign.select(col("id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
   }
 
+  /** Persist the inverted lists as parquet PARTITIONED BY cluster_id —
+    * the at-scale index layout (SURVEY §5): a probe filtering on
+    * cluster_id prunes to nprobe directories at planning time, so query
+    * cost is O(probed lists), not O(corpus). IvfSpec asserts the pruned
+    * scan really reads only the probed partitions.
+    */
+  def writeIndex(spark: SparkSession, dir: String, outPath: String): Array[Array[Float]] = {
+    val n = Tables.embeddings(spark, dir).count()
+    val (assign, centroids) = buildIndex(spark, dir, defaultK(n))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    vecs.join(assign, "id")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    centroids
+  }
+
+  /** Query a persisted index: top-k within the nprobe nearest lists,
+    * reading ONLY those lists (partition pruning on cluster_id).
+    */
+  def queryIndex(spark: SparkSession, indexPath: String,
+                 centroids: Array[Array[Float]], queryVec: Array[Float],
+                 k: Int, nprobe: Int): DataFrame = {
+    val probed = centroids.zipWithIndex
+      .map { case (c, j) =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - queryVec(i); acc += d * d; i += 1 }
+        (math.sqrt(acc), j)
+      }
+      .sortBy(identity).take(nprobe).map(_._2)
+    val lists = spark.read.parquet(indexPath)
+      .filter(col("cluster_id").isInCollection(probed.toSeq))
+    val dist = VectorFunctions.l2Distance(col("vec"), typedlit(queryVec.toSeq))
+    lists
+      .select(col("neighbor_id"), dist.as("dist"))
+      .orderBy(col("dist"), col("neighbor_id"))
+      .limit(k)
+  }
+
   /** A7: ANN query via nprobe nearest inverted lists (ivf.py:158-183):
     * assign each query to its nprobe closest centroids, scan only those
     * lists, exact top-k within them.

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch + streaming source/sink surface.
+  *
+  * Rules that matter at 100 TB:
+  *   - ALWAYS pass an explicit schema on read: schema inference is a
+  *     full extra pass over the data (and non-deterministic for JSON).
+  *   - Parquet is the canonical interchange + index format (predicate
+  *     pushdown, column pruning, partitioned layout). CSV/JSON exist
+  *     for interop edges only.
+  *   - CSV cannot carry nested types: embedding arrays round-trip
+  *     through a delimited string column (`packArray`/`unpackArray`),
+  *     lossless for float32 via exact decimal rendering.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** array<float> → '|'-delimited string (CSV-safe, lossless: float32
+    * values survive a round-trip through their shortest decimal form).
+    */
+  def packArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(c, x => x.cast("string")), "|")
+
+  /** '|'-delimited string → array<float>. */
+  def unpackArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(split(c, "\\|"), x => x.cast("float"))
+
+  /** Streaming file source: tail a directory of files with a known
+    * schema (the production shape for landing zones; exactly-once with
+    * checkpointing when a real sink is attached).
+    */
+  def streamDir(spark: SparkSession, path: String, schema: StructType,
+                format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("embeddings round-trip losslessly through CSV via packed arrays") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val path = tmp()
+    Sources.writeCsv(e.select(col("vec_id"), Sources.packArray(col("embedding")).as("emb"),
+      col("label")), path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("emb", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    val back = Sources.readCsv(spark, path, schema)
+      .select(col("vec_id"), Sources.unpackArray(col("emb")).as("embedding"), col("label"))
+    val orig = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rt = back.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rt.keySet == orig.keySet)
+    assert(orig.forall { case (k, v) => rt(k) == v })
+  }
+
+  test("documents round-trip through JSON with explicit schema") {
+    val d = Tables.documents(spark, sf).limit(20)
+    val path = tmp()
+    Sources.writeJson(d, path)
+    val back = Sources.readJson(spark, path, d.schema)
+    assert(back.count() == 20)
+    assert(back.schema == d.schema)
+    val origRows = d.orderBy("doc_id").collect().toSeq
+    assert(back.orderBy("doc_id").collect().toSeq == origRows)
+  }
+
+  test("streaming file source tails a directory with a fixed schema") {
+    val path = tmp()
+    val events = Tables.events(spark, sf).limit(100)
+    events.write.mode("overwrite").parquet(path)
+    val stream = Sources.streamDir(spark, path, events.schema)
+    assert(stream.isStreaming)
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("src_tail").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("src_tail").agg(sum("count")).head().getLong(0)
+    assert(got == 100)
+  }
+}
