@@ -47,6 +47,7 @@ object SparkEntry {
     "stream_window_agg" -> (Streams.streamWindowAgg _),
     "stream_dedup"      -> (Streams.streamDedup _),
     "stream_session"    -> (Streams.streamSession _),
+    "stream_enrich"     -> (Streams.streamEnrich _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -88,6 +89,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_session"    -> Analytics.eventsSessionizeOracleSql,
+    "stream_enrich"     ->
+      """SELECT coalesce(c_mktsegment, 'unknown') AS segment, count(*) AS n_events
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,
     "q5_multijoin"       -> Analytics.q5OracleSql,

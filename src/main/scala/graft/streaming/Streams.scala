@@ -75,6 +75,22 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** D4: stream-static enrichment join — the streaming side joins a
+    * static dimension (customer) per micro-batch; Spark broadcasts the
+    * static side so the stream never shuffles. Output: running event
+    * counts per market segment (events from users without a customer
+    * row fall into the 'unknown' bucket).
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runOnEvents(spark, dir, "complete") { ds =>
+      ds.join(cust, ds("user_id") === cust("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+        .agg(count(lit(1)).as("n_events"))
+    }.orderBy("segment")
+  }
+
   /** D3: gap-based sessionization (30-minute inactivity) via native
     * session_window — streaming twin of C6. The streaming query emits
     * one row per (user, session); the per-user rollup is batch on the
