@@ -15,10 +15,18 @@ import org.apache.spark.sql.types.DecimalType
   *     double→decimal cast is bit-deterministic across engines, and all
   *     downstream decimal arithmetic is exact (precisions kept < 38 so
   *     no scale reduction ever kicks in).
-  *   - aggregates stay DECIMAL end-to-end: casting a wide decimal back
-  *     to double is NOT engine-portable (DuckDB converts via
-  *     hugeint/10^scale = two roundings; Spark's BigDecimal.doubleValue
-  *     is correctly rounded — they differ in the last ulp).
+  *   - aggregates are summed as exact DECIMAL, rounded to the output
+  *     scale as DECIMAL (both engines round half-away-from-zero), and
+  *     only THEN cast to DOUBLE on both engines. The intermediate
+  *     decimal round matters: a sum carries the product scale (8 or 12),
+  *     where value×10^scale exceeds 2^53 and DuckDB's hugeint→double
+  *     conversion double-rounds (observed 1-ulp drift on sum_charge at
+  *     sf0.001); at scale ≤ 6 the scaled integer is < 2^53 for any
+  *     realistic money sum, so both engines' final conversions are
+  *     correctly rounded and bit-equal. Emitting DECIMAL output instead
+  *     is a trap: a DECIMAL column renders with trailing zeros on one
+  *     read path ("x.1840") and without on another ("x.184"), breaking
+  *     value comparison downstream.
   *   - every query ends in a deterministic ORDER BY (full tie-break).
   */
 object Analytics {
@@ -29,6 +37,11 @@ object Analytics {
     * double — either one breaks bit-parity).
     */
   private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+  /** Engine-portable aggregate output: round the exact decimal sum to
+    * `scale`, then correctly-rounded double (see type rules above).
+    */
+  private def toOut(c: Column, scale: Int = 4): Column =
+    c.cast(DecimalType(38, scale)).cast("double")
   /** Rate column in [0,1]: DECIMAL(6,4). */
   private def rate(c: Column): Column = c.cast(DecimalType(6, 4))
   private def oneMinus(c: Column): Column = lit(1).cast(DecimalType(5, 4)) - rate(c)
@@ -40,22 +53,22 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))
-          .cast(DecimalType(38, 6)).as("sum_charge"),
+        toOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+        toOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("sum_disc_price"),
+        toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))), 6)
+          .as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   def q1OracleSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -81,15 +94,15 @@ object Analytics {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+      .agg(toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   def q3OracleSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -122,14 +135,14 @@ object Analytics {
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+      .agg(toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   def q5OracleSql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -171,14 +184,14 @@ object Analytics {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast(DecimalType(38, 4)).as("total_value"))
+        toOut(sum(dec(col("value")))).as("total_value"))
       .orderBy("hour", "event_type")
   }
 
   def eventsWindowAggOracleSql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -208,7 +221,7 @@ object Analytics {
       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events)
       |SELECT user_id,
-      |  sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM lagged
       |GROUP BY user_id

@@ -54,7 +54,7 @@ object Library {
 
   def libraryStatsOracleSql: String =
     """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-      |  sum(n_chars) AS total_chars, min(n_chars) AS min_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars, min(n_chars) AS min_chars,
       |  max(n_chars) AS max_chars
       |FROM documents
       |GROUP BY source
@@ -97,7 +97,7 @@ object Library {
        |  SELECT doc_id, count(*) AS n_chunks FROM (
        |    SELECT doc_id, unnest(generate_series(0, n_chars-1, 150)) AS s FROM surviving) t
        |  GROUP BY doc_id)
-       |SELECT source, count(*) AS n_docs, sum(n_chunks) AS n_chunks
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_chunks) AS BIGINT) AS n_chunks
        |FROM surviving JOIN ch USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
   }

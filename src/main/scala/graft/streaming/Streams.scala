@@ -57,7 +57,8 @@ object Streams {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 4)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("total_value"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+            .cast("double").as("total_value"))
         .select(col("window.start").as("hour"), col("event_type"),
           col("n_events"), col("total_value"))
     }.orderBy("hour", "event_type")
