@@ -21,7 +21,9 @@ object SparkEntry {
     "knn_threshold"       -> (VectorQueries.knnThreshold _),
     "knn_exact_topk"      -> (VectorQueries.knnExactTopk _),
     "ivf_build"           -> (Ivf.ivfBuild _),
-    "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d)),
+    // probe-all: exact k-NN by construction, so it carries the A1 oracle;
+    // the nprobe<k approximate path is spec-covered (IvfSpec recall).
+    "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d, nprobeOpt = Some(Int.MaxValue))),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "library_stats"       -> (Library.libraryStats _),
     "cascade_delete"      -> (Library.cascadeDelete _),
@@ -65,6 +67,8 @@ object SparkEntry {
     "knn_metadata_filter" -> VectorQueries.knnMetadataFilterOracleSql,
     "knn_threshold"       -> VectorQueries.knnThresholdOracleSql,
     "knn_exact_topk"      -> VectorQueries.knnExactTopkOracleSql,
+    // ivf_query probes all lists => exact k-NN, same contract as A1
+    "ivf_query"           -> VectorQueries.knnLinearL2OracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "library_stats"       -> Library.libraryStatsOracleSql,
     "cascade_delete"      -> Library.cascadeDeleteOracleSql,

@@ -307,19 +307,15 @@ object Dedup {
   // ---------------------------------------------------------------- E6
 
   /** E6: batch ANN — every vector's top-5 cosine neighbors (self
-    * excluded). Same bounded-top-k shape as Knn: per-partition partial
-    * top-k, tiny shuffle, no global sort.
+    * excluded), over the IVF cluster layout. The query side is the
+    * whole corpus, so unlike the A-series (small query batch broadcast
+    * into the scan) it shuffle-joins probed lists on cluster_id —
+    * broadcasting a corpus-sized query set is O(N) executor memory and
+    * does not survive a 100× scale-up. Probe-all default keeps the
+    * result exact (oracle-checked); nprobe ≪ k is the at-scale path.
     */
-  def annTopkBatch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val corpus = Tables.rebalanced(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
-    Knn.knn(queries, corpus, k, graft.functions.VectorMetric.Cosine,
-      pairFilter = col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "rank")
-      .orderBy("query_id", "rank")
-  }
+  def annTopkBatch(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine)
 
   def annTopkBatchOracleSql(k: Int = 5): String =
     s"""SELECT query_id, neighbor_id, rank FROM (

@@ -59,18 +59,24 @@ object Ivf {
     array_min(array(cands: _*)).getField("id")
   }
 
-  /** One assignment pass via a BROADCAST centroid table (not literals:
-    * inlining centroids as literals regenerates — and janino-recompiles
-    * — the codegen unit every Lloyd iteration; the join shape keeps the
-    * generated source identical across iterations so it compiles once).
+  /** Centroids as a small broadcastable DataFrame (cid, cvec) — k×dim
+    * rows, MBs even at k=10⁵. Every query/build path joins against this
+    * instead of inlining centroid literals: literals regenerate (and
+    * janino-recompile) the codegen unit per build and grow task
+    * binaries linearly in k (measured 7 MiB at sf0.1), while the join
+    * shape compiles once and scales with k.
+    */
+  private def centroidDf(spark: SparkSession, centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("cid", "cvec")
+  }
+
+  /** One assignment pass via the broadcast centroid table.
     * min(struct(dist, cid, vec)) picks the argmin with ties to the
     * lower cluster id and carries the vector through for the mean step.
     */
   private def assignJoin(vectors: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val cdf = centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
-      .toDF("cid", "cvec")
+    val cdf = centroidDf(vectors.sparkSession, centroids)
     vectors.crossJoin(broadcast(cdf))
       .select(col("id"), col("vec"), col("cid"),
         VectorFunctions.l2Distance(col("vec"), col("cvec")).as("dist"))
@@ -159,9 +165,60 @@ object Ivf {
       .limit(k)
   }
 
+  /** Per-query probe set: the nprobe nearest centroids, via the same
+    * broadcast centroid join as the build path — a bounded top-k
+    * aggregation over queries×k rows, stable codegen at any k.
+    * (query_id, qvec) → (query_id, qvec, probe_cluster).
+    */
+  private def probeSelect(queries: DataFrame, centroids: Array[Array[Float]],
+                          nprobe: Int): DataFrame = {
+    val np = math.min(math.max(1, nprobe), centroids.length)
+    val cdf = centroidDf(queries.sparkSession, centroids)
+    queries.crossJoin(broadcast(cdf))
+      .select(col("query_id"), col("qvec"), col("cid"),
+        VectorFunctions.l2Distance(col("qvec"), col("cvec")).as("cdist"))
+      .groupBy("query_id")
+      .agg(
+        VectorFunctions.topKByDistance(col("cdist"), col("cid").cast("long"), np).as("pc"),
+        first(col("qvec")).as("qvec"))
+      .select(col("query_id"), col("qvec"), explode(col("pc")).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.id").cast("int").as("probe_cluster"))
+  }
+
+  /** Exact top-k within the probed inverted lists. `broadcastProbes`
+    * declares the serving contract: a small query batch broadcasts into
+    * the list scan; a corpus-sized probe set (batch ANN) must instead
+    * shuffle-join on cluster_id — broadcasting it would be the O(N)
+    * memory scale-killer this layout exists to avoid.
+    */
+  private def probedTopK(lists: DataFrame, probes: DataFrame, k: Int, metric: Int,
+                         pairFilter: Column = lit(true),
+                         broadcastProbes: Boolean = true): DataFrame = {
+    val dist = metric match {
+      case VectorMetric.L2     => VectorFunctions.l2Distance(col("vec"), col("qvec"))
+      case VectorMetric.Cosine => VectorFunctions.cosineDistance(col("vec"), col("qvec"))
+      case VectorMetric.Dot    => -VectorFunctions.dotProduct(col("vec"), col("qvec"))
+    }
+    val p = if (broadcastProbes) broadcast(probes) else probes
+    lists.join(p, col("cluster_id") === col("probe_cluster"))
+      .filter(pairFilter)
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKByDistance(dist, col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Inverted lists as a DataFrame: assignments joined back to vectors. */
+  private def invertedLists(vecs: DataFrame, assign: DataFrame): DataFrame =
+    vecs.join(assign, "id")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+
   /** A7: ANN query via nprobe nearest inverted lists (ivf.py:158-183):
     * assign each query to its nprobe closest centroids, scan only those
-    * lists, exact top-k within them.
+    * lists, exact top-k within them. nprobe ≥ nClusters (e.g. the
+    * driver's Int.MaxValue sentinel) probes every list, which is exact
+    * k-NN by construction — that variant carries the A1 oracle.
     */
   def ivfQuery(spark: SparkSession, dir: String,
                nQueries: Int = 5, k: Int = 10, nprobeOpt: Option[Int] = None): DataFrame = {
@@ -170,29 +227,31 @@ object Ivf {
     val nClusters = defaultK(vecs.count())
     val nprobe = nprobeOpt.getOrElse(math.max(1, nClusters / 4))
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
-
-    // probe set per query: nprobe nearest centroids (tiny, computed in-plan)
-    val cands = centroids.zipWithIndex.map { case (c, j) =>
-      struct(VectorFunctions.l2Distance(col("qvec"), typedlit(c.toSeq)).as("dist"),
-        lit(j).as("id"))
-    }
-    val probes = slice(array_sort(array(cands: _*)), 1, nprobe)
     val queries = vecs.filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-      .withColumn("probe_cluster", explode(transform(probes, p => p.getField("id"))))
+    val probes = probeSelect(queries, centroids, nprobe)
+    probedTopK(invertedLists(vecs, assign), probes, k, VectorMetric.L2)
+      .orderBy("query_id", "rank")
+  }
 
-    // inverted lists: assignments joined back to vectors, keyed by cluster
-    val lists = vecs.join(assign, "id")
-      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
-
-    // probe join: only rows in probed clusters are scanned
-    val dist = VectorFunctions.l2Distance(col("vec"), col("qvec"))
-    lists.join(broadcast(queries), col("cluster_id") === col("probe_cluster"))
-      .groupBy(col("query_id"))
-      .agg(VectorFunctions.topKByDistance(dist, col("neighbor_id"), k).as("nn"))
-      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
-      .select(col("query_id"), col("nn.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"))
+  /** E6's engine: batch ANN over the IVF layout — every query vector
+    * probes its nprobe nearest lists and takes an exact top-k within
+    * them. The probe set is corpus-sized, so it shuffle-joins the lists
+    * on cluster_id (never broadcast); with nprobe = all lists the result
+    * is exact (the driver-checked configuration), with nprobe ≪ k it is
+    * the at-scale approximate path.
+    */
+  def annBatch(spark: SparkSession, dir: String, k: Int, metric: Int,
+               nprobeOpt: Option[Int] = None): DataFrame = {
+    val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    val nClusters = defaultK(vecs.count())
+    val (assign, centroids) = buildIndex(spark, dir, nClusters)
+    val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters))
+    probedTopK(invertedLists(vecs, assign), probes, k, metric,
+      pairFilter = col("neighbor_id") =!= col("query_id"),
+      broadcastProbes = false)
       .orderBy("query_id", "rank")
   }
 }
