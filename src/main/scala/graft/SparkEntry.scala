@@ -39,6 +39,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"       -> (Dedup.dedupSimhash _),
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
+    "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),

@@ -282,16 +282,18 @@ object Dedup {
 
   val CosineSimThreshold = 0.4
 
-  /** E5: embedding near-dup pairs: cosine similarity ≥ 0.4 self-join.
-    * Exact baseline — the corpus side is broadcast once and each
-    * partition scans its slice against it; the LSH/IVF path replaces
-    * this at corpus sizes where O(N²/executors) stops being viable.
+  /** E5: embedding near-dup pairs: cosine similarity ≥ 0.4, exact.
+    * Pairs are generated through the IVF cluster layout (probe-all
+    * shuffle join on cluster_id, Ivf.pairStream) rather than
+    * broadcasting the corpus — a full-table broadcast is O(N) executor
+    * memory and dies at 100×. Each unordered pair surfaces once via
+    * query_id < neighbor_id (probe-all sees both orientations).
     */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val sim = lit(1.0) - VectorFunctions.cosineDistance(col("a.embedding"), col("b.embedding"))
-    Tables.rebalanced(e).as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("sim"))
+    val sim = lit(1.0) - VectorFunctions.cosineDistance(col("vec"), col("qvec"))
+    Ivf.pairStream(spark, dir)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), sim.as("sim"))
       .filter(col("sim") >= CosineSimThreshold)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
@@ -303,6 +305,73 @@ object Dedup {
        |WHERE a.vec_id < b.vec_id
        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineSimThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- E5b
+
+  /** Random-hyperplane LSH banding parameters. sign(v·h) bits agree
+    * between two vectors with probability 1 − θ/π (θ = their angle), so
+    * a b-bands × r-bits scheme catches a pair with
+    * p = 1 − (1 − (1−θ/π)^r)^b. Defaults are tuned for the corpus's
+    * similarity regime (pairs of interest at cos ≥ 0.4 ⇒ bit-agreement
+    * ≥ 0.63): 32 bands × 4 bits ⇒ recall ≥ 1−(1−0.63⁴)^32 ≈ 0.995.
+    * Short bands prune weakly on angle-uniform noise (p_noise = 0.5^r);
+    * corpora whose near-dups sit at cos ≥ 0.8 (the common text-embedding
+    * dedup case) should raise bandBits to 8 — p_pair 0.29/band vs
+    * p_noise 0.004/band — which is where hyperplane LSH actually earns
+    * its keep at scale.
+    */
+  val HyperplaneCount = 128
+  val HyperplaneBandBits = 4
+
+  /** Deterministic Gaussian hyperplanes (seeded), as a (pid, pvec)
+    * broadcastable DataFrame.
+    */
+  private def hyperplaneDf(spark: SparkSession, dim: Int, n: Int,
+                           seed: Long = 0x5eedL): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { pid =>
+      (pid, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("pid", "pvec")
+  }
+
+  /** E5b: approximate embedding near-dup via random-hyperplane LSH —
+    * the at-scale replacement for the exact all-pairs E5. Sign bits are
+    * banded directly into (vec_id, band_id, band_val) rows — no wide
+    * signature column, one narrow shuffle of N×planes skinny rows —
+    * then candidates from band-bucket equality are verified exactly, so
+    * precision is 1.0 by construction and only recall is probabilistic
+    * (DedupSpec asserts ≥ 0.9 vs the exact E5 pairs). Rows-only for the
+    * driver.
+    */
+  def embeddingNeardupLsh(spark: SparkSession, dir: String,
+                          threshold: Double = CosineSimThreshold): DataFrame = {
+    val e = Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+    val dim = 64
+    val planes = hyperplaneDf(spark, dim, HyperplaneCount)
+    val bands = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), (col("pid") / HyperplaneBandBits).cast("int").as("band_id"),
+        when(VectorFunctions.dotProduct(col("embedding"), col("pvec")) >= 0,
+          expr(s"shiftleft(1L, pid % $HyperplaneBandBits)")).otherwise(0L).as("bit"))
+      .groupBy("vec_id", "band_id")
+      .agg(sum(col("bit")).as("band_val"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val sim = lit(1.0) - VectorFunctions.cosineDistance(col("ea"), col("eb"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .filter(sim >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
 
   // ---------------------------------------------------------------- E6
 

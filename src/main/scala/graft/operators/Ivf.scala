@@ -234,6 +234,26 @@ object Ivf {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact all-pairs stream in the cluster layout: every (query,
+    * corpus vector) co-occurrence under probe-all, produced by the
+    * cluster_id shuffle join — the no-broadcast twin of a corpus
+    * self-cross-join. Columns: (query_id, qvec, neighbor_id, vec).
+    * With nprobe < nClusters it degrades gracefully to "pairs whose
+    * corpus vector lies in a probed cluster" (the approximate path).
+    */
+  def pairStream(spark: SparkSession, dir: String,
+                 nprobeOpt: Option[Int] = None): DataFrame = {
+    val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    val nClusters = defaultK(vecs.count())
+    val (assign, centroids) = buildIndex(spark, dir, nClusters)
+    val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters))
+    invertedLists(vecs, assign)
+      .join(probes, col("cluster_id") === col("probe_cluster"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("vec"))
+  }
+
   /** E6's engine: batch ANN over the IVF layout — every query vector
     * probes its nprobe nearest lists and takes an exact top-k within
     * them. The probe set is corpus-sized, so it shuffle-joins the lists

@@ -21,6 +21,20 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
   }
 
+  private def vecPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("hyperplane-LSH embedding near-dup: high recall vs exact, exact precision") {
+    val exact = vecPairs(Dedup.embeddingNeardup(spark, sf))
+    val lsh = vecPairs(Dedup.embeddingNeardupLsh(spark, sf))
+    assert(exact.nonEmpty, "test data should contain near-dup embeddings")
+    // candidates are re-verified with the exact cosine => subset of exact
+    assert(lsh.subsetOf(exact), s"LSH reported non-dup pairs: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
+  }
+
   test("simhash pairs have verified hamming distance <= 3 and are deterministic") {
     val df = Dedup.dedupSimhash(spark, sf)
     val rows = df.collect()
