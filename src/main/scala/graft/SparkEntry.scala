@@ -25,6 +25,7 @@ object SparkEntry {
     // the nprobe<k approximate path is spec-covered (IvfSpec recall).
     "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d, nprobeOpt = Some(Int.MaxValue))),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
+    "index_lifecycle"     -> (IndexLifecycle.indexLifecycle _),
     "library_stats"       -> (Library.libraryStats _),
     "cascade_delete"      -> (Library.cascadeDelete _),
     "upsert_latest"       -> (Library.upsertLatest _),
@@ -71,6 +72,7 @@ object SparkEntry {
     // ivf_query probes all lists => exact k-NN, same contract as A1
     "ivf_query"           -> VectorQueries.knnLinearL2OracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
+    "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
     "library_stats"       -> Library.libraryStatsOracleSql,
     "cascade_delete"      -> Library.cascadeDeleteOracleSql,
     "upsert_latest"       -> Library.upsertLatestOracleSql,

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index lifecycle state for a persisted IVF index, mirroring the
+  * reference's IndexService/IndexState (stackai-vector-db
+  * app/services/index_service.py:56-198): version, built_at, size,
+  * dirty tracking, and the `should_rebuild` dirty-ratio policy
+  * (threshold 0.1, app/core/config.py:58).
+  */
+case class IndexStatus(
+    algorithm: String,
+    isBuilt: Boolean,
+    isDirty: Boolean,
+    size: Long,
+    embeddingDim: Int,
+    builtAt: Long,
+    version: Int,
+    dirtyCount: Long,
+    totalVectors: Long) {
+
+  /** index_service.py:88-99: rebuild when unbuilt, empty, or the dirty
+    * ratio reaches the threshold.
+    */
+  def shouldRebuild(threshold: Double): Boolean =
+    !isBuilt || totalVectors == 0 ||
+      dirtyCount.toDouble / math.max(totalVectors, 1L) >= threshold
+}
+
+/** Persisted index lifecycle over the cluster-partitioned IVF layout.
+  *
+  * Layout under `indexPath`:
+  *   - `cluster_id=N` directories: inverted lists (Ivf.writeIndex
+  *     layout — readers of the lists are unaffected by the extras below
+  *     because parquet readers skip underscore-prefixed paths)
+  *   - `_centroids/`  the coarse quantizer as (cid, cvec) parquet, so
+  *     an index outlives the session that built it
+  *   - `_state/state.json` the lifecycle record
+  *
+  * The reference guards its mutable snapshot with an RW-lock; the batch
+  * twin gets the same atomicity from immutable versioned state — every
+  * build swaps in a fresh lists+centroids+state trio, and `markDirty`
+  * only touches the tiny state file. Mutation operators (upsert
+  * compaction, cascade delete) call `markDirty` with the number of
+  * changed rows; `buildIfNeeded` is the lazy-rebuild policy applied at
+  * read time, exactly the reference's serving flow.
+  */
+object IndexLifecycle {
+
+  /** app/core/config.py:58. */
+  val RebuildThreshold = 0.1
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def statePath(indexPath: String) = new Path(s"$indexPath/_state/state.json")
+
+  private def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
+    val p = statePath(indexPath)
+    val f = fs(spark, indexPath)
+    val json =
+      s"""{"algorithm":"${s.algorithm}","is_built":${s.isBuilt},"is_dirty":${s.isDirty},
+         |"size":${s.size},"embedding_dim":${s.embeddingDim},"built_at":${s.builtAt},
+         |"version":${s.version},"dirty_count":${s.dirtyCount},"total_vectors":${s.totalVectors}}"""
+        .stripMargin.replace("\n", "")
+    val out = f.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Unbuilt default state (reference IndexState(): is_dirty=true,
+    * version 0).
+    */
+  private val Unbuilt =
+    IndexStatus("ivf", isBuilt = false, isDirty = true, size = 0L,
+      embeddingDim = 0, builtAt = 0L, version = 0, dirtyCount = 0L, totalVectors = 0L)
+
+  def status(spark: SparkSession, indexPath: String): IndexStatus = {
+    val p = statePath(indexPath)
+    val f = fs(spark, indexPath)
+    if (!f.exists(p)) Unbuilt
+    else {
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): String = {
+        val m = ("\"" + name + "\":\"?([^,}\"]*)").r.findFirstMatchIn(json)
+        m.map(_.group(1)).getOrElse(sys.error(s"bad state file: missing $name"))
+      }
+      IndexStatus(field("algorithm"), field("is_built").toBoolean,
+        field("is_dirty").toBoolean, field("size").toLong,
+        field("embedding_dim").toInt, field("built_at").toLong,
+        field("version").toInt, field("dirty_count").toLong,
+        field("total_vectors").toLong)
+    }
+  }
+
+  /** Record `n` changed rows against the index (index_service.mark_dirty;
+    * the batch analog marks a whole mutation batch at once).
+    */
+  def markDirty(spark: SparkSession, indexPath: String, n: Long = 1L): IndexStatus = {
+    val s = status(spark, indexPath)
+    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n)
+    writeState(spark, indexPath, next)
+    next
+  }
+
+  /** Build (version+1) the index for `vecs` (id, vec) at `indexPath`:
+    * k-means lists partitioned by cluster_id + persisted centroids +
+    * fresh state. The swap is the batch twin of the reference's atomic
+    * snapshot replacement (index_service.py:270-284).
+    */
+  def build(vecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = vecs.sparkSession
+    val prev = status(spark, indexPath)
+    val v = vecs.cache()
+    val n = v.count()
+    val dim = if (n == 0) 0 else v.select(size(col("vec"))).head().getInt(0)
+    val centroids = Ivf.writeIndexFrom(v, indexPath)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_centroids")
+    val next = IndexStatus("ivf", isBuilt = true, isDirty = false, size = n,
+      embeddingDim = dim, builtAt = System.currentTimeMillis(),
+      version = prev.version + 1, dirtyCount = 0L, totalVectors = n)
+    writeState(spark, indexPath, next)
+    v.unpersist()
+    next
+  }
+
+  /** Lazy rebuild policy: rebuild only when `shouldRebuild` says so,
+    * otherwise return the current state untouched.
+    */
+  def buildIfNeeded(vecs: DataFrame, indexPath: String,
+                    threshold: Double = RebuildThreshold): IndexStatus = {
+    val s = status(vecs.sparkSession, indexPath)
+    if (s.shouldRebuild(threshold)) build(vecs, indexPath) else s
+  }
+
+  /** Centroids of a persisted index (the coarse quantizer survives the
+    * building session).
+    */
+  def loadCentroids(spark: SparkSession, indexPath: String): Array[Array[Float]] =
+    spark.read.parquet(s"$indexPath/_centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Query a lifecycle-managed index with partition-pruned probes. */
+  def query(spark: SparkSession, indexPath: String, queryVec: Array[Float],
+            k: Int, nprobe: Int): DataFrame =
+    Ivf.queryIndex(spark, indexPath, loadCentroids(spark, indexPath), queryVec, k, nprobe)
+
+  /** Driver query: the lifecycle state machine over the embeddings
+    * corpus as one deterministic table — build, sub-threshold dirt
+    * (no rebuild), accumulated dirt crossing the threshold, rebuild.
+    * Oracle-checkable because every transition is arithmetic on the
+    * corpus size.
+    */
+  def indexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val s1 = build(vecs, tmp)
+    val d = math.ceil(0.05 * s1.size).toLong
+    val s2 = markDirty(spark, tmp, d)
+    val s3 = buildIfNeeded(vecs, tmp) // below threshold: no-op
+    val s4 = markDirty(spark, tmp, d) // crosses threshold
+    val s5 = buildIfNeeded(vecs, tmp) // rebuilds, version 2
+    import spark.implicits._
+    Seq(s1, s2, s3, s4, s5).zipWithIndex
+      .map { case (s, i) =>
+        (i + 1, s.version, s.isDirty, s.dirtyCount, s.size, s.shouldRebuild(RebuildThreshold)) }
+      .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+      .orderBy("phase")
+  }
+
+  def indexLifecycleOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n, CAST(ceil(0.05*count(*)) AS BIGINT) AS d FROM embeddings)
+      |SELECT 1 AS phase, 1 AS version, false AS is_dirty, CAST(0 AS BIGINT) AS dirty_count,
+      |       n AS size, (1.0*0/n >= 0.1) AS should_rebuild FROM p
+      |UNION ALL SELECT 2, 1, true, d, n, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 3, 1, true, d, n, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 4, 1, true, 2*d, n, (2.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 5, 2, false, CAST(0 AS BIGINT), n, false FROM p
+      |ORDER BY phase""".stripMargin
+}

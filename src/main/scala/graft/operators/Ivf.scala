@@ -46,6 +46,15 @@ object Ivf {
       (assign.cache(), centroids)
     })
 
+  /** Drop the session memo for a corpus — called by the lifecycle
+    * service on rebuild so a data change can never serve a stale
+    * memoized index (the invalidation the bare memo lacked).
+    */
+  def invalidate(dir: String): Unit =
+    built.keys.filter(_._1 == dir).foreach { k =>
+      built.remove(k).foreach { case (assign, _) => assign.unpersist() }
+    }
+
   /** One k-means assignment pass as a pure Column expression: argmin of
     * l2 distance over the broadcast centroid literals, ties to the
     * lower cluster id (array_min on (dist, id) structs is lexicographic).
@@ -138,6 +147,22 @@ object Ivf {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     vecs.join(assign, "id")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    centroids
+  }
+
+  /** Build-and-persist for an arbitrary (id, vec) corpus DataFrame —
+    * the lifecycle service's build step (a rebuild must reflect the
+    * corpus as-of now, so it never touches the session memo; it clears
+    * it instead via [[invalidate]] when the corpus is a known dir).
+    */
+  def writeIndexFrom(vecs: DataFrame, outPath: String,
+                     kOpt: Option[Int] = None): Array[Array[Float]] = {
+    val v = vecs.cache()
+    val k = kOpt.getOrElse(defaultK(v.count()))
+    val (assign, centroids) = kmeans(Tables.rebalanced(v), k)
+    v.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     centroids
