@@ -13,10 +13,6 @@ object VectorQueries {
 
   val TextQuery = "vector database similarity search"
   val Dim = 64
-  /** Cosine-distance cutoff for the similarity_threshold filter (A5):
-    * distance > threshold ⇒ dropped (search_service.py:184-189).
-    */
-  val Threshold = 0.72
 
   private def strip(df: DataFrame): DataFrame =
     df.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
@@ -38,12 +34,26 @@ object VectorQueries {
     strip(Knn.knnSelf(Tables.embeddings(spark, dir), 5, 10, VectorMetric.L2,
       corpusFilter = col("label").isin(2, 5, 7)))
 
-  /** A5: k-NN + similarity-threshold post-filter. */
-  def knnThreshold(spark: SparkSession, dir: String): DataFrame =
-    Knn.knnSelf(Tables.embeddings(spark, dir), 5, 10, VectorMetric.Cosine)
-      .filter(col("dist") <= Threshold)
+  /** A5: k-NN + PER-CHUNK similarity-threshold post-filter
+    * (search_service.py:187-191: each result is dropped iff its
+    * distance exceeds that chunk's own metadata threshold —
+    * ChunkMetadata.similarity_threshold in app/domain/entities.py).
+    * The testdata has no threshold column, so one is derived
+    * deterministically from the chunk's metadata (label), the batch
+    * form of per-chunk metadata: a threshold COLUMN, not a constant.
+    * Both engines compute it with identical double ops so the
+    * comparison is bit-deterministic.
+    */
+  def knnThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val knn = Knn.knnSelf(Tables.embeddings(spark, dir), 5, 10, VectorMetric.Cosine)
+    val thr = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"),
+        (lit(0.70) + (col("label") % 3).cast("double") * lit(0.02)).as("thr"))
+    thr.join(broadcast(knn), "neighbor_id")
+      .filter(col("dist") <= col("thr"))
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
 
   /** A3: text query — fake-embed (reference formula) then cosine k-NN. */
   def knnTextQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -77,14 +87,15 @@ object VectorQueries {
     knnOracle("l2", 5, 10, "c.label IN (2, 5, 7)")
 
   def knnThresholdOracleSql: String =
-    s"""SELECT query_id, neighbor_id, rank FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS dist,
-       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
-       |  FROM embeddings q, embeddings c
-       |  WHERE q.vec_id < 5) t
-       |WHERE rank <= 10 AND dist <= $Threshold
-       |ORDER BY query_id, rank""".stripMargin
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS dist,
+      |    CAST(0.70 AS DOUBLE) + (c.label % 3) * CAST(0.02 AS DOUBLE) AS thr,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 5) t
+      |WHERE rank <= 10 AND dist <= thr
+      |ORDER BY query_id, rank""".stripMargin
 
   def knnTextQueryOracleSql: String = {
     val vec = FakeEmbedding.sqlLiteral(TextQuery, Dim)
