@@ -55,9 +55,11 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** A3: text query — fake-embed (reference formula) then cosine k-NN. */
+  /** A3: text query — embed through the provider seam (deterministic
+    * fake provider; app/clients/embedding.py Protocol) then cosine k-NN.
+    */
   def knnTextQuery(spark: SparkSession, dir: String): DataFrame = {
-    val qvec = FakeEmbedding.embed(TextQuery, Dim).toSeq
+    val qvec = new graft.functions.FakeEmbeddingClient(Dim).embedText(TextQuery).toSeq
     val queries = spark.range(1)
       .select(col("id").as("query_id"), typedlit(qvec).as("qvec"))
     val corpus = Tables.embeddings(spark, dir)
