@@ -49,11 +49,14 @@ object Sources {
   def unpackArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(split(c, "\\|"), x => x.cast("float"))
 
-  /** Streaming file source: tail a directory of files with a known
-    * schema (the production shape for landing zones; exactly-once with
-    * checkpointing when a real sink is attached).
+  /** Streaming file source: tail a directory (or glob) of files with a
+    * known schema (the production shape for landing zones; exactly-once
+    * with checkpointing when a real sink is attached). `options` passes
+    * source options through — e.g. `basePath` when the glob points at
+    * files inside a table directory.
     */
   def streamDir(spark: SparkSession, path: String, schema: StructType,
-                format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(path)
+                format: String = "parquet",
+                options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).format(format).options(options).load(path)
 }

@@ -1,16 +1,23 @@
 package graft.streaming
 
 import graft.Tables
+import graft.sources.Sources
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import java.sql.Timestamp
 
 /** D-series: Structured Streaming jobs over the events stream — the
   * scale path the reference (a point-serving in-memory store) lacks.
-  * Each job is the streaming twin of a batch query (C5/C6 semantics)
-  * so correctness is checked by equivalence: feed the same rows through
-  * a MemoryStream, compare with the batch answer.
+  * Each job is a pure transformation `Dataset[Event] => DataFrame`
+  * shared by two harnesses:
+  *   - the DRIVER path tails the events parquet through a file source
+  *     (`Sources.streamDir`) — the production landing-zone shape; no
+  *     driver-side collect touches the data, so the same code runs
+  *     against a 100 TB directory;
+  *   - the spec path feeds a MemoryStream, asserting batch equivalence
+  *     (StreamsSpec) and file≡memory harness agreement.
   *
   * Scale notes: every job bounds its state with a watermark (late data
   * past 1 hour is dropped, window/session state is purged as the
@@ -27,12 +34,53 @@ object Streams {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run `job` on the sf events fed through a MemoryStream, write to a
-    * memory sink, return the sink contents as a batch DataFrame.
+  /** On-disk schema of the events parquet (ts is TIMESTAMP(NANOS),
+    * which the vectorized reader only accepts as raw longs — same
+    * nanos→micros handling as Tables.events).
     */
-  private def runOnEvents(spark: SparkSession, dir: String,
-                          outputMode: String)
-                         (job: Dataset[Event] => DataFrame): DataFrame = {
+  private val EventsFileSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The events table as a real file-streamed source. */
+  private def eventFileStream(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: the events table is a single file in the sf dir; the
+    // file source wants a directory basePath, the glob selects the file
+    Sources.streamDir(spark, s"$dir/events.parq*", EventsFileSchema,
+      options = Map("basePath" -> dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+  }
+
+  /** Run `job` on a streaming Dataset, write to a memory sink, return
+    * the sink contents once the source is drained.
+    */
+  private def runToSink(job: Dataset[Event] => DataFrame, events: Dataset[Event],
+                        outputMode: String): DataFrame = {
+    val spark = events.sparkSession
+    val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
+    val q = job(events)
+      .writeStream.format("memory").queryName(sink).outputMode(outputMode)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sink)
+  }
+
+  /** Driver harness: file-streamed source (no collect anywhere). */
+  private def runOnFiles(spark: SparkSession, dir: String, outputMode: String)
+                        (job: Dataset[Event] => DataFrame): DataFrame =
+    runToSink(job, eventFileStream(spark, dir), outputMode)
+
+  /** Spec harness: the same rows through a MemoryStream (lets specs
+    * exercise jobs without touching disk, and pins the file harness by
+    * equivalence).
+    */
+  def runOnMemory(spark: SparkSession, dir: String, outputMode: String)
+                 (job: Dataset[Event] => DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.events(spark, dir)
@@ -40,69 +88,71 @@ object Streams {
       .as[Event].collect()
     val stream = MemoryStream[Event]
     stream.addData(rows.toIndexedSeq)
-    val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
-    val q = job(stream.toDS())
-      .writeStream.format("memory").queryName(sink).outputMode(outputMode)
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(sink)
+    runToSink(job, stream.toDS(), outputMode)
   }
 
-  /** D1: tumbling 1-hour window aggregation with a 1-hour watermark
-    * (streaming twin of C5).
-    */
-  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    runOnEvents(spark, dir, "complete") { ds =>
-      ds.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 4)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
-            .cast("double").as("total_value"))
-        .select(col("window.start").as("hour"), col("event_type"),
-          col("n_events"), col("total_value"))
-    }.orderBy("hour", "event_type")
+  // ------------------------------------------------------------- jobs
 
-  /** D2: streaming exact dedup on event_id within the watermark; the
-    * per-type rollup happens batch-side on the sink (a streaming query
-    * allows one stateful op per chain).
+  /** D1 core: tumbling 1-hour window aggregation, 1-hour watermark. */
+  def windowAggJob(ds: Dataset[Event]): DataFrame =
+    ds.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 4)))
+          .cast(DecimalType(38, 4)).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** D2 core: exact dedup on event_id within the watermark. */
+  def dedupJob(ds: Dataset[Event]): DataFrame =
+    ds.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .toDF()
+
+  /** D4 core: stream-static enrichment join — the static dimension is
+    * broadcast per micro-batch, the stream never shuffles.
+    */
+  def enrichJob(cust: DataFrame)(ds: Dataset[Event]): DataFrame =
+    ds.join(cust, ds("user_id") === cust("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** D3 core: gap-based sessionization (30-minute inactivity) via
+    * native session_window.
+    */
+  def sessionJob(ds: Dataset[Event]): DataFrame =
+    ds.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  // ------------------------------------------- driver entries (file-streamed)
+
+  /** D1: streaming twin of C5. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    runOnFiles(spark, dir, "complete")(windowAggJob)
+      .orderBy("hour", "event_type")
+
+  /** D2: dedup within the watermark; the per-type rollup happens
+    * batch-side on the sink (a streaming query allows one stateful op
+    * per chain).
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    runOnEvents(spark, dir, "append") { ds =>
-      ds.withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
-        .toDF()
-    }.groupBy(col("event_type"))
+    runOnFiles(spark, dir, "append")(dedupJob)
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** D4: stream-static enrichment join — the streaming side joins a
-    * static dimension (customer) per micro-batch; Spark broadcasts the
-    * static side so the stream never shuffles. Output: running event
-    * counts per market segment (events from users without a customer
-    * row fall into the 'unknown' bucket).
-    */
+  /** D4: running event counts per market segment. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    runOnEvents(spark, dir, "complete") { ds =>
-      ds.join(cust, ds("user_id") === cust("c_custkey"), "left")
-        .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
-        .agg(count(lit(1)).as("n_events"))
-    }.orderBy("segment")
+    runOnFiles(spark, dir, "complete")(enrichJob(cust)).orderBy("segment")
   }
 
-  /** D3: gap-based sessionization (30-minute inactivity) via native
-    * session_window — streaming twin of C6. The streaming query emits
-    * one row per (user, session); the per-user rollup is batch on the
-    * sink.
-    */
+  /** D3: streaming twin of C6; per-user rollup is batch on the sink. */
   def streamSession(spark: SparkSession, dir: String): DataFrame =
-    runOnEvents(spark, dir, "complete") { ds =>
-      ds.withWatermark("ts", "1 hour")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-    }.groupBy(col("user_id"))
+    runOnFiles(spark, dir, "complete")(sessionJob)
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy("user_id")
 }

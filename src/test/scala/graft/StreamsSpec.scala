@@ -38,4 +38,11 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(stream.select("user_id", "n_sessions", "n_events")) ==
       rows(batch.select("user_id", "n_sessions", "n_events")))
   }
+
+  test("file-streamed harness == MemoryStream harness (same job, same rows)") {
+    val viaFiles = Streams.streamWindowAgg(spark, sf)
+    val viaMemory = Streams.runOnMemory(spark, sf, "complete")(Streams.windowAggJob)
+      .orderBy("hour", "event_type")
+    assert(rows(viaFiles) == rows(viaMemory))
+  }
 }
