@@ -30,7 +30,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
+    // parse in round 1 (BENCH_r01 "parsed": null) — emit to a file too
+    // so the line survives any log wrapping.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

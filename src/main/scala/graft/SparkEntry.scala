@@ -26,6 +26,8 @@ object SparkEntry {
     "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d, nprobeOpt = Some(Int.MaxValue))),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "index_lifecycle"     -> (IndexLifecycle.indexLifecycle _),
+    "index_stats"         -> (Ivf.indexStats _),
+    "validate_chunks"     -> (Validate.validateChunks _),
     "library_stats"       -> (Library.libraryStats _),
     "cascade_delete"      -> (Library.cascadeDelete _),
     "upsert_latest"       -> (Library.upsertLatest _),
@@ -73,6 +75,7 @@ object SparkEntry {
     "ivf_query"           -> VectorQueries.knnLinearL2OracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
+    "validate_chunks"     -> Validate.validateChunksOracleSql,
     "library_stats"       -> Library.libraryStatsOracleSql,
     "cascade_delete"      -> Library.cascadeDeleteOracleSql,
     "upsert_latest"       -> Library.upsertLatestOracleSql,

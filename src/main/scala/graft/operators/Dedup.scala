@@ -255,7 +255,11 @@ object Dedup {
 
   /** E4: simhash near-dup pairs at hamming distance ≤ 3, via 4×16-bit
     * band buckets (pigeonhole guarantees a shared band) + exact hamming
-    * verification with bit_count(xor). Rows-only; DedupSpec checks it.
+    * verification with bit_count(xor). Buckets above the E3 cap are
+    * dropped before the pair join — the same skew guard: a hot band
+    * value (e.g. a boilerplate-dominated corpus slice) would otherwise
+    * fan out O(size²) candidates from one bucket. Rows-only; DedupSpec
+    * checks it.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(Tables.documents(spark, dir))
@@ -266,6 +270,11 @@ object Dedup {
     val buckets = sig.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_bits"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_id", "band_bits")))
+      .filter(col("bucket_n") <= LshBucketCap)
+      .drop("bucket_n")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") &&

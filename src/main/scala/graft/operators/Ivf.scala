@@ -159,12 +159,15 @@ object Ivf {
     */
   def writeIndexFrom(vecs: DataFrame, outPath: String,
                      kOpt: Option[Int] = None): Array[Array[Float]] = {
-    val v = vecs.cache()
+    // cache the REBALANCED frame: every Lloyd iteration re-reads it, so
+    // an uncached rebalance would repeat its shuffle 10×
+    val v = Tables.rebalanced(vecs).cache()
     val k = kOpt.getOrElse(defaultK(v.count()))
-    val (assign, centroids) = kmeans(Tables.rebalanced(v), k)
+    val (assign, centroids) = kmeans(v, k)
     v.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    v.unpersist()
     centroids
   }
 
@@ -257,6 +260,22 @@ object Ivf {
     val probes = probeSelect(queries, centroids, nprobe)
     probedTopK(invertedLists(vecs, assign), probes, k, VectorMetric.L2)
       .orderBy("query_id", "rank")
+  }
+
+  /** Index stats: the per-inverted-list histogram an operator actually
+    * monitors (the reference's manager.get_stats / index status
+    * surface): list sizes and each list's share of the corpus. Skew
+    * here predicts probe latency variance — a mega-list means some
+    * probes scan far more than corpus/k vectors.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val (assign, _) = buildIndex(spark, dir, defaultK(n))
+    assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("list_size"))
+      .select(col("cluster_id"), col("list_size"),
+        (col("list_size") / lit(n.toDouble)).as("corpus_frac"))
+      .orderBy("cluster_id")
   }
 
   /** Exact all-pairs stream in the cluster layout: every (query,

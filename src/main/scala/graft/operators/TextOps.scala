@@ -49,7 +49,9 @@ object TextOps {
   private def substring_index_safe(text: Column, start: Column): Column =
     text.substr(start.cast("int") + 1, lit(ChunkSize))
 
-  private val chunksCte =
+  /** Shared oracle-side chunk derivation (also used by Validate). */
+  private def chunksCte = chunksCteSql
+  val chunksCteSql: String =
     s"""WITH starts AS (
        |  SELECT doc_id, n_chars, text,
        |    unnest(generate_series(0, n_chars-1, $ChunkStride)) AS start_idx

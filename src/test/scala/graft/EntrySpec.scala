@@ -21,8 +21,9 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: every query key has oracle SQL or is documented rows-only") {
-    val rowsOnly = Set("ivf_build", "ivf_query", "dedup_minhash_lsh", "dedup_simhash",
-      "stream_window_agg", "stream_dedup", "stream_session")
+    // spec-covered, no SQL-expressible oracle (k-means / probabilistic LSH)
+    val rowsOnly = Set("ivf_build", "dedup_minhash_lsh", "dedup_simhash",
+      "embedding_neardup_lsh", "index_stats")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

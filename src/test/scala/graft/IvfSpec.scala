@@ -19,6 +19,16 @@ class IvfSpec extends AnyFunSuite {
     assert(a1.map(_._2).distinct.length > k / 2)
   }
 
+  test("index stats histogram covers the corpus exactly once") {
+    val rows = Ivf.indexStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._2).sum == 500L)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(rows.forall(_._2 > 0), "empty lists must not appear")
+    val k = Ivf.defaultK(500)
+    assert(rows.length <= k)
+  }
+
   test("ivf query probing ALL lists reproduces exact k-NN (A1)") {
     val exact = VectorQueries.knnLinearL2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
