@@ -96,32 +96,89 @@ object Ivf {
 
   /** Lloyd's k-means over an (id, vec: array<float>) DataFrame.
     * Returns (assignments: id → cluster_id, centroids).
+    *
+    * Training follows the standard IVF practice (FAISS trains its
+    * coarse quantizer the same way): Lloyd runs on a bounded,
+    * DETERMINISTIC hash-sample of the corpus — 256 vectors per
+    * centroid, the full corpus when smaller — collected to the driver,
+    * so training is O(k·sample·iters) in memory and the cluster does
+    * exactly TWO corpus passes total (one for the sample, one for the
+    * final assignment) instead of one assignment pass per iteration.
+    * The sample filter is a hash of the id, so membership is a pure
+    * function of the data, never of partitioning. Lloyd stops early
+    * when the max centroid shift drops below `tol`.
     */
-  def kmeans(vectors: DataFrame, k: Int, iters: Int = 10)
+  def kmeans(vectors: DataFrame, k: Int, iters: Int = 10, tol: Double = 1e-4)
       : (DataFrame, Array[Array[Float]]) = {
-    // deterministic seed: the k lowest-id vectors
-    var centroids: Array[Array[Float]] = vectors
-      .orderBy("id").limit(k).select("vec").collect()
-      .map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(vectors, k, iters, tol)
+    (assignJoin(vectors, centroids).select("id", "cluster_id"), centroids)
+  }
 
+  /** Per-centroid sample budget for quantizer training (the usual
+    * IVF training ratio).
+    */
+  val TrainPointsPerCentroid = 256L
+
+  private def trainCentroids(vectors: DataFrame, k: Int, iters: Int, tol: Double)
+      : Array[Array[Float]] = {
+    val n = vectors.count()
+    val target = math.max(TrainPointsPerCentroid * k, 4096L)
+    val sampled =
+      if (n <= target) vectors
+      else vectors.filter(
+        pmod(xxhash64(col("id")), lit(math.max(1L, n / target))) === 0)
+    val train: Array[Array[Float]] = sampled.select(col("id"), col("vec"))
+      .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+    require(train.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dim = train(0).length
+
+    // init: the k lowest-id vectors (the reference's seeded-choice
+    // contract, ivf.py:75-82 — any deterministic pick qualifies)
+    var centroids = train.take(k).map(_.clone())
     var it = 0
-    while (it < iters) {
-      // per-cluster mean via posexplode → (cluster, pos) partial sums:
-      // map-side combine makes the shuffle k×dim rows regardless of N.
-      val sums = assignJoin(vectors, centroids)
-        .select(col("cluster_id"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy("cluster_id", "pos")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
+    var converged = false
+    while (it < iters && !converged) {
+      val sums = Array.ofDim[Double](centroids.length, dim)
+      val counts = new Array[Long](centroids.length)
+      var i = 0
+      while (i < train.length) {
+        val v = train(i)
+        // argmin over centroids, ties to the lower cluster id
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var acc = 0.0; var p = 0
+          val cc = centroids(c)
+          while (p < dim) { val d = v(p) - cc(p); acc += d * d; p += 1 }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        var p = 0
+        while (p < dim) { sums(best)(p) += v(p); p += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var maxShift = 0.0
       val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        next(c)(p) = (r.getDouble(2) / r.getLong(3)).toFloat
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var acc = 0.0; var p = 0
+          while (p < dim) {
+            val m = (sums(c)(p) / counts(c)).toFloat
+            val d = m.toDouble - next(c)(p).toDouble
+            acc += d * d
+            next(c)(p) = m; p += 1
+          }
+          maxShift = math.max(maxShift, math.sqrt(acc))
+        }
+        c += 1
       }
       centroids = next
+      converged = maxShift < tol
       it += 1
     }
-    (assignJoin(vectors, centroids).select("id", "cluster_id"), centroids)
+    centroids
   }
 
   /** A6: build the IVF index over the embeddings table: one row per
