@@ -79,6 +79,22 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(col("ws")).as("g"))
       .filter(size(col("g")) > 0)
 
+  /** Session-cached shingle sets per corpus dir: E2 consumes the frame
+    * twice (document frequencies + prefix ordering) and E3 consumes it
+    * again for signatures, so one materialized pass serves them all —
+    * the same serve-many-queries memo shape as Ivf.built. At scale the
+    * shingle-set table is likewise computed once and persisted.
+    */
+  private val shingleSets =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def shingleSetsFor(spark: SparkSession, dir: String): DataFrame =
+    shingleSets.getOrElseUpdate(dir, {
+      val s = hashedShingleSets(Tables.documents(spark, dir)).cache()
+      s.count()
+      s
+    })
+
   /** E2: exact 3-gram Jaccard ≥ 0.8 pairs via AllPairs/PPJoin-style
     * prefix filtering.
     *
@@ -95,13 +111,15 @@ object Dedup {
     * join fan-out, and every step is a bounded shuffle at 100 TB.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairsOn(Tables.documents(spark, dir))
+    jaccardPairsFromSets(shingleSetsFor(spark, dir))
 
-  def jaccardPairsOn(docs: DataFrame, t: Double = JaccardThreshold): DataFrame = {
+  def jaccardPairsOn(docs: DataFrame, t: Double = JaccardThreshold): DataFrame =
+    jaccardPairsFromSets(hashedShingleSets(docs), t)
+
+  def jaccardPairsFromSets(sets: DataFrame, t: Double = JaccardThreshold): DataFrame = {
     // shingle sets as distinct 64-bit hashes: set cardinalities (and so
     // jaccard) are preserved up to a ~4e-11 xxhash64 collision chance,
     // and every downstream compare/intersect runs on longs, not strings
-    val sets = hashedShingleSets(docs)
     val df = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc shingles ordered by (df asc, shingle) → prefix of rarest
@@ -175,12 +193,15 @@ object Dedup {
     * distinct 64-bit shingle-hash set used for exact verification.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashFromSets(hashedShingleSets(docs))
+
+  private def minhashFromSets(sets: DataFrame): DataFrame =
     // one explode + one aggregate pass computes BOTH the 128-min
     // signature (custom TypedImperativeAggregate — a declarative
     // 128-column min would codegen-compile for ~30s) and the shingle
     // set itself (collect_list over the already-distinct hashes), so
     // nothing joins back and the corpus is read once.
-    hashedShingleSets(docs)
+    sets
       .select(col("doc_id"), explode(col("g")).as("h"))
       .groupBy("doc_id")
       .agg(
@@ -196,7 +217,7 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // sig feeds both the bucket join and the verify join-back: persist
     // it (at scale the signature table is likewise materialized once)
-    val sig = minhashSignatures(Tables.documents(spark, dir)).cache()
+    val sig = minhashFromSets(shingleSetsFor(spark, dir)).cache()
     sig.count() // materialize once for the bucket join + verify join-back
     val bandCols = (0 until LshBands).map { k =>
       struct(lit(k).as("band_id"),
