@@ -59,4 +59,20 @@ object Sources {
                 format: String = "parquet",
                 options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.schema(schema).format(format).options(options).load(path)
+
+  /** Streaming parquet sink with checkpointing — the exactly-once
+    * landing path: the checkpoint's WAL + file-sink manifest make
+    * restarts idempotent (a re-processed batch overwrites its own
+    * manifest entry instead of duplicating data). Blocks until the
+    * currently-available input is drained, then stops — callers that
+    * want a long-running query manage the handle themselves.
+    */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }
