@@ -130,6 +130,28 @@ object IndexLifecycle {
     next
   }
 
+  /** Incremental update: assign `newVecs` (id, vec) to the EXISTING
+    * quantizer and append them to the cluster-partitioned lists — no
+    * retrain, queries see the new vectors immediately (the reference's
+    * incremental add, tests/test_indexes.py
+    * test_incremental_updates_efficient). The growth is recorded as
+    * dirt against the as-of-build total, so the dirty-ratio policy
+    * decides when the quantizer itself is retrained.
+    */
+  def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = newVecs.sparkSession
+    val s = status(spark, indexPath)
+    require(s.isBuilt, "append requires a built index (build first)")
+    val v = newVecs.cache()
+    val n = v.count()
+    Ivf.assignTo(v, loadCentroids(spark, indexPath))
+      .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
+    v.unpersist()
+    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)
+    writeState(spark, indexPath, next)
+    next
+  }
+
   /** Lazy rebuild policy: rebuild only when `shouldRebuild` says so,
     * otherwise return the current state untouched.
     */

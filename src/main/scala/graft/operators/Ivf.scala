@@ -319,6 +319,15 @@ object Ivf {
       .orderBy("query_id", "rank")
   }
 
+  /** Assign vectors to an EXISTING quantizer (no retrain) — the
+    * incremental-update path (ivf.py add: new vectors go to their
+    * nearest current centroid). Output matches the persisted list
+    * layout (cluster_id, neighbor_id, vec).
+    */
+  def assignTo(vecs: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    assignJoin(vecs, centroids)
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+
   /** Index stats: the per-inverted-list histogram an operator actually
     * monitors (the reference's manager.get_stats / index status
     * surface): list sizes and each list's share of the corpus. Skew

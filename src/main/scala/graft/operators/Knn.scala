@@ -22,11 +22,21 @@ object Knn {
     */
   def knn(queries: DataFrame, corpus: DataFrame, k: Int, metric: Int,
           pairFilter: Column = lit(true)): DataFrame = {
-    val dist: Column = metric match {
+    val raw: Column = metric match {
       case VectorMetric.L2     => VectorFunctions.l2Distance(col("vec"), col("qvec"))
       case VectorMetric.Cosine => VectorFunctions.cosineDistance(col("vec"), col("qvec"))
       case VectorMetric.Dot    => -VectorFunctions.dotProduct(col("vec"), col("qvec"))
     }
+    // The reference REJECTS dimension-mismatched queries
+    // (EmbeddingDimensionMismatchError in VectorIndex.query) — the batch
+    // twin must fail the job too, not silently truncate to the shorter
+    // vector. The guard is an in-plan codegen'd length compare, so it
+    // costs one int comparison per pair and no extra Spark job.
+    val dist = when(size(col("vec")) =!= size(col("qvec")),
+      raise_error(concat(lit("embedding dimension mismatch: corpus dim="),
+        size(col("vec")).cast("string"), lit(", query dim="),
+        size(col("qvec")).cast("string"))).cast("double"))
+      .otherwise(raw)
     corpus.crossJoin(broadcast(queries))
       .filter(pairFilter)
       .groupBy(col("query_id"))

@@ -56,6 +56,37 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(after == 0L, "rebuilt index must surface the new exact match")
   }
 
+  test("incremental append: new vectors are queryable without a rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    val s1 = IndexLifecycle.build(corpus(col("vec_id") > 0), path)
+    val qvec = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(IndexLifecycle.query(spark, path, qvec, k = 1, nprobe = 64)
+      .head().getLong(0) != 0L)
+    val s2 = IndexLifecycle.append(corpus(col("vec_id") === 0), path)
+    assert(s2.version == s1.version, "append must not retrain")
+    assert(s2.size == s1.size + 1 && s2.isDirty && s2.dirtyCount == 1)
+    assert(IndexLifecycle.query(spark, path, qvec, k = 1, nprobe = 64)
+      .head().getLong(0) == 0L, "appended vector must be queryable immediately")
+    // growth counts as dirt: enough appends trip the rebuild policy
+    assert(!s2.shouldRebuild(0.1))
+    val s3 = IndexLifecycle.markDirty(spark, path, s1.size / 10)
+    assert(s3.shouldRebuild(0.1))
+  }
+
+  test("dimension-mismatched queries fail the job instead of truncating") {
+    import spark.implicits._
+    val corpus3 = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(4f, 5f, 6f)))
+      .toDF("neighbor_id", "vec")
+    val queries2 = Seq((0L, Seq(1f, 2f))).toDF("query_id", "qvec")
+    val e = intercept[Exception](
+      graft.operators.Knn.knn(queries2, corpus3, 1, 0).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")), e.toString)
+  }
+
   test("session memo invalidation keeps ivfBuild usable and fresh") {
     val a1 = Ivf.ivfBuild(spark, sf).collect()
     Ivf.invalidate(sf)
