@@ -61,6 +61,7 @@ object SparkEntry {
     "window_topn"        -> (Analytics.windowTopn _),
     "events_window_agg"  -> (Analytics.eventsWindowAgg _),
     "events_sessionize"  -> (Analytics.eventsSessionize _),
+    "events_json_extract" -> (Analytics.eventsJsonExtract _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -109,5 +110,6 @@ object SparkEntry {
     "window_topn"        -> Analytics.windowTopnOracleSql,
     "events_window_agg"  -> Analytics.eventsWindowAggOracleSql,
     "events_sessionize"  -> Analytics.eventsSessionizeOracleSql,
+    "events_json_extract" -> Analytics.eventsJsonExtractOracleSql,
   )
 }

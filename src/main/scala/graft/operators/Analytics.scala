@@ -215,6 +215,36 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** C7: typed extraction from the semi-structured props column.
+    * `from_json` with an explicit schema is the scale shape: one
+    * codegen'd parse per row into typed fields (no repeated string
+    * probing per key, no schema inference pass), then ordinary
+    * relational aggregation.
+    */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  def eventsJsonExtractOracleSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(props->>'k' AS BIGINT)) AS INT) AS min_k,
+      |  CAST(max(CAST(props->>'k' AS BIGINT)) AS INT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def eventsSessionizeOracleSql: String =
     """WITH lagged AS (
       |  SELECT user_id, ts, event_id,

@@ -39,6 +39,57 @@ class StreamsSpec extends AnyFunSuite {
       rows(batch.select("user_id", "n_sessions", "n_events")))
   }
 
+  test("watermark drops late data across micro-batches (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    def write(name: String, stamp: Long,
+              rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+      // the file source orders files by modification time — stamp the
+      // PART FILES (what it lists), not the directory
+      new java.io.File(s"$dir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(stamp))
+    }
+    // batch 1: two on-time events in the 00:00 window, one at 02:30 that
+    // pushes the watermark to 01:30 (> the 00:00 window's end)
+    write("f1", 1000000L, Seq(
+      (1L, "2026-01-01 00:10:00", 1L, "A", 1.0),
+      (2L, "2026-01-01 00:20:00", 1L, "A", 1.0),
+      (3L, "2026-01-01 02:30:00", 1L, "B", 1.0)))
+    // batch 2: watermark 01:30 is now active — its commit EVICTS and
+    // emits the finalized 00:00 window (count 2)
+    write("f2", 2000000L, Seq((4L, "2026-01-01 04:00:00", 1L, "B", 1.0)))
+    // batch 3: a LATE event for the already-evicted 00:00 window — the
+    // engine must drop it, not resurrect the window (eviction is
+    // batch-end, so a guaranteed drop needs the row to arrive AFTER the
+    // evicting batch, per the one-directional watermark guarantee)
+    write("f3", 3000000L, Seq(
+      (5L, "2026-01-01 00:15:00", 1L, "A", 1.0),
+      (6L, "2026-01-01 06:00:00", 1L, "B", 1.0)))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .as[Streams.Event]
+    val sink = "graft_wm_sink"
+    val q = Streams.windowAggJob(stream)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table(sink)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toList
+    // exactly one 00:00/A row with the 2 on-time events: the late
+    // event_id=5 (a full batch after the window's eviction) must
+    // neither bump the count nor resurrect the window
+    val w0 = emitted.filter { case (h, _, _) => h.startsWith("2026-01-01 00:00") }
+    assert(w0.map(_._3) == List(2L), s"late row not dropped (or window unemitted): $emitted")
+  }
+
   test("file-streamed harness == MemoryStream harness (same job, same rows)") {
     val viaFiles = Streams.streamWindowAgg(spark, sf)
     val viaMemory = Streams.runOnMemory(spark, sf, "complete")(Streams.windowAggJob)
