@@ -62,6 +62,9 @@ object SparkEntry {
     "events_window_agg"  -> (Analytics.eventsWindowAgg _),
     "events_sessionize"  -> (Analytics.eventsSessionize _),
     "events_json_extract" -> (Analytics.eventsJsonExtract _),
+    "q4_semijoin"         -> (Analytics.q4SemiJoin _),
+    "part_type_revenue"   -> (Analytics.partTypeRevenue _),
+    "rollup_revenue"      -> (Analytics.rollupRevenue _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -111,5 +114,8 @@ object SparkEntry {
     "events_window_agg"  -> Analytics.eventsWindowAggOracleSql,
     "events_sessionize"  -> Analytics.eventsSessionizeOracleSql,
     "events_json_extract" -> Analytics.eventsJsonExtractOracleSql,
+    "q4_semijoin"         -> Analytics.q4SemiJoinOracleSql,
+    "part_type_revenue"   -> Analytics.partTypeRevenueOracleSql,
+    "rollup_revenue"      -> Analytics.rollupRevenueOracleSql,
   )
 }

@@ -215,6 +215,82 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** C8: TPC-H Q4-style EXISTS — orders with at least one line shipped
+    * more than 60 days after the order date, counted per priority. The
+    * semi-join shape matters at scale: the probe side streams, each
+    * order emits at most once, and no lineitem columns survive the
+    * join (no fan-out, no dedup pass).
+    */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q4SemiJoinOracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** C9: revenue by part type — the broadcast-dimension join pattern
+    * over the one table the suite didn't touch yet (part is MBs even at
+    * SF-100k: always the build side).
+    */
+  def partTypeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_type")
+  }
+
+  def partTypeRevenueOracleSql: String =
+    """SELECT p_type,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type
+      |ORDER BY p_type""".stripMargin
+
+  /** C10: multi-level aggregation via ROLLUP — per (flag, status),
+    * per flag, and grand total in ONE pass (Catalyst expands the
+    * grouping sets into a single shuffle, vs three jobs for three
+    * group-bys).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        toOut(sum(dec(col("l_extendedprice")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  def rollupRevenueOracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** C7: typed extraction from the semi-structured props column.
     * `from_json` with an explicit schema is the scale shape: one
     * codegen'd parse per row into typed fields (no repeated string
