@@ -1,74 +1,141 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** E11: multimodal columns — image/audio/video payloads carried as
   * opaque binary columns with typed metadata, plus a batched
   * decode/feature-extract stage.
   *
-  * The codec libraries are absent in this environment, so `decode` is a
-  * DETERMINISTIC STUB (header-derived fake dimensions); everything
-  * around it — the binary column, the metadata schema, the partition-
-  * preserving batched map, the feature schema — is the real plumbing a
-  * production pipeline would keep, with only the stub body swapped for
-  * a real codec call.
+  * The payload column holds WELL-FORMED containers (BMP image header,
+  * RIFF/WAVE audio header, a compact custom video header) wrapped
+  * around the document bytes, built entirely in-plan from byte
+  * arithmetic; the metadata operator then genuinely PARSES those
+  * headers back (magic dispatch + little-endian field extraction, all
+  * codegen'd Catalyst expressions over the binary column). The DuckDB
+  * oracle computes the expected field values independently from the
+  * source columns, so the driver check proves parse∘synthesize = id —
+  * a real container decode, not a length-derived fake. Only the
+  * pixel/sample DECODE (the codec body in decodeFeatures) remains a
+  * deterministic stub, because the codec libraries are absent here.
   *
   * Scale notes: payloads never leave their scan partition (narrow map,
   * no shuffle); the batched decoder processes a whole partition
   * iterator at a time, which is where a real implementation amortizes
   * codec/model setup per-partition (the JVM analog of a Pandas-UDF
-  * batch). Metadata extraction is pure Catalyst built-ins over the
-  * binary column, so it codegens into the scan.
+  * batch). Header parsing is pure Catalyst built-ins over the binary
+  * column, so it codegens into the scan.
   */
 object Multimodal {
 
-  /** documents.text encoded as a binary payload column + media-type tag —
-    * the ingest shape for opaque media blobs.
-    */
-  def payloads(spark: SparkSession, dir: String): DataFrame =
-    Tables.rebalanced(Tables.documents(spark, dir)).select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (col("doc_id") % 3).cast("int").as("media_kind") // 0=image 1=audio 2=video
-    )
+  // ---- little-endian byte plumbing (Column-level, codegen'd) ----
 
-  /** E11 driver query: typed metadata extracted from the binary payload
-    * in-plan: byte length, 4-byte header hex, a 16-byte prefix checksum,
-    * and stub-decoded dimensions derived from them.
+  /** Low byte `i` of an int column as 2 hex chars. */
+  private def hexByte(c: Column, i: Int): Column =
+    lpad(hex(shiftright(c.cast("int"), 8 * i).bitwiseAND(0xFF)), 2, "0")
+
+  /** Int column → n-byte little-endian binary. */
+  private def le(c: Column, nBytes: Int): Column =
+    unhex(concat((0 until nBytes).map(i => hexByte(c, i)): _*))
+
+  /** Parse an n-byte little-endian field at 1-based `offset`. */
+  private def leParse(payload: Column, offset: Int, nBytes: Int): Column =
+    conv(concat(((nBytes - 1) to 0 by -1)
+      .map(i => hex(substring(payload, offset + i, 1))): _*), 16, 10)
+      .cast("long")
+
+  private def ascii4(s: String): Column = lit(s).cast("binary")
+
+  // ---- container synthesis (the ingest side) ----
+
+  /** documents.text wrapped in a well-formed media container chosen by
+    * doc_id % 3: BMP (54-byte header), WAVE (44-byte canonical PCM
+    * header), or a compact custom video container GV01 (12 bytes).
+    * Header fields derive deterministically from document columns —
+    * the same formulas the oracle recomputes independently.
     */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+  def payloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"), encode(col("text"), "UTF-8").as("body"))
+    val bodyLen = octet_length(col("body"))
+    val width = (col("n_chars") % 64 + 16).cast("int")
+    val height = (col("doc_id") % 48 + 16).cast("int")
+    val sampleRate = (lit(8000) + (col("doc_id") % 5) * 2000).cast("int")
+    val nChannels = (col("doc_id") % 2 + 1).cast("int")
+    val vWidth = (col("n_chars") % 128 + 32).cast("int")
+    val nFrames = (col("doc_id") % 24 + 1).cast("int")
+
+    // BMP: "BM" + file size + reserved + pixel offset (54) + DIB size
+    // (40) + width + height + planes/bpp; pixel "data" = document bytes
+    val bmp = concat(ascii4("BM"), le(bodyLen + 54, 4), le(lit(0), 4),
+      le(lit(54), 4), le(lit(40), 4), le(width, 4), le(height, 4),
+      le(lit(1), 2), le(lit(24), 2), le(lit(0), 24), col("body"))
+    // canonical 44-byte PCM WAVE header
+    val byteRate = sampleRate * nChannels * 2
+    val wav = concat(ascii4("RIFF"), le(bodyLen + 36, 4), ascii4("WAVE"),
+      ascii4("fmt "), le(lit(16), 4), le(lit(1), 2), le(nChannels, 2),
+      le(sampleRate, 4), le(byteRate, 4), le(nChannels * 2, 2),
+      le(lit(16), 2), ascii4("data"), le(bodyLen, 4), col("body"))
+    // compact custom video container: magic + width + frame count
+    val gvid = concat(ascii4("GV01"), le(vWidth, 4), le(nFrames, 4), col("body"))
+
+    d.select(col("doc_id"), (col("doc_id") % 3).cast("int").as("media_kind"),
+      when(col("doc_id") % 3 === 0, bmp)
+        .when(col("doc_id") % 3 === 1, wav)
+        .otherwise(gvid).as("payload"))
+  }
+
+  // ---- the E11 driver query: parse the containers back ----
+
+  /** Typed metadata parsed FROM THE BYTES: container dispatch on the
+    * magic, then little-endian header fields at the format's offsets
+    * (BMP width/height at 19/23, WAV sample_rate/channels at 25/23,
+    * GV01 width/frames at 5/9 — 1-based). dim1/dim2 are the two
+    * format-defining fields of each container.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val magic2 = decode(substring(p, 1, 2), "UTF-8")
+    val magic4 = decode(substring(p, 1, 4), "UTF-8")
     payloads(spark, dir)
-      .select(col("doc_id"), col("media_kind"), col("payload"),
-        octet_length(col("payload")).cast("long").as("byte_len"),
-        lower(hex(substring(col("payload"), 1, 4))).as("header_hex"),
-        (aggregate(
-          transform(sequence(lit(1), least(octet_length(col("payload")), lit(16))),
-            i => ascii(col("payload").substr(i, lit(1)).cast("string"))),
-          lit(0L), (acc, b) => acc + b) % 256).as("checksum"))
-      .select(col("doc_id"), col("media_kind"), col("byte_len"),
-        col("header_hex"), col("checksum"),
-        ((col("byte_len") % 64) + 16).as("width"),
-        ((col("checksum") % 64) + 16).as("height"),
-        (expr("byte_len div 1000") + 1).as("n_frames"))
+      .select(col("doc_id"), col("media_kind"), p,
+        when(magic2 === "BM", "bmp")
+          .when(magic4 === "RIFF", "wav")
+          .when(magic4 === "GV01", "gvid")
+          .otherwise("unknown").as("container"),
+        octet_length(p).cast("long").as("byte_len"))
+      .select(col("doc_id"), col("media_kind"), col("container"), col("byte_len"),
+        when(col("container") === "bmp", leParse(p, 19, 4))
+          .when(col("container") === "wav", leParse(p, 25, 4))
+          .otherwise(leParse(p, 5, 4)).as("dim1"),
+        when(col("container") === "bmp", leParse(p, 23, 4))
+          .when(col("container") === "wav", leParse(p, 23, 2))
+          .otherwise(leParse(p, 9, 4)).as("dim2"),
+        when(col("container") === "bmp", leParse(p, 3, 4) - 54)
+          .when(col("container") === "wav", leParse(p, 41, 4))
+          .otherwise(col("byte_len") - 12).as("body_len"))
       .orderBy("doc_id")
+  }
 
+  /** The oracle recomputes every parsed field independently from the
+    * source columns — if synthesis or parsing misplace a single byte,
+    * the values diverge.
+    */
   def multimodalMetaOracleSql: String =
-    """WITH p AS (
-      |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS media_kind, encode(text) AS payload, text
-      |  FROM documents),
-      |meta AS (
-      |  SELECT doc_id, media_kind,
-      |    octet_length(payload) AS byte_len,
-      |    lower(hex(substr(text, 1, 4))) AS header_hex,
-      |    CAST(list_sum([ord(substr(text, i, 1)) for i in range(1, least(octet_length(payload), 16)+1)]) AS BIGINT) % 256 AS checksum
-      |  FROM p)
-      |SELECT doc_id, media_kind, byte_len, header_hex, checksum,
-      |  (byte_len % 64) + 16 AS width,
-      |  (checksum % 64) + 16 AS height,
-      |  (byte_len//1000) + 1 AS n_frames
-      |FROM meta ORDER BY doc_id""".stripMargin
+    """SELECT doc_id, CAST(doc_id % 3 AS INT) AS media_kind,
+      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'gvid' END AS container,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN octet_length(encode(text)) + 54
+      |                       WHEN 1 THEN octet_length(encode(text)) + 44
+      |                       ELSE octet_length(encode(text)) + 12 END AS BIGINT) AS byte_len,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN (n_chars % 64) + 16
+      |                       WHEN 1 THEN 8000 + (doc_id % 5) * 2000
+      |                       ELSE (n_chars % 128) + 32 END AS BIGINT) AS dim1,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 48) + 16
+      |                       WHEN 1 THEN (doc_id % 2) + 1
+      |                       ELSE (doc_id % 24) + 1 END AS BIGINT) AS dim2,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------- decode
 
@@ -76,9 +143,9 @@ object Multimodal {
                           width: Int, height: Int, feature: Array[Float])
 
   /** Batched decode + feature-extract over payload partitions. The stub
-    * "codec" derives dimensions and an 8-dim feature vector from payload
-    * bytes; a real build replaces ONLY the `decodeOne` body with an
-    * actual image/audio decode + model call, keeping the per-partition
+    * "codec" derives an 8-dim feature vector from payload bytes; a real
+    * build replaces ONLY the `decodeOne` body with an actual
+    * image/audio decode + model call, keeping the per-partition
     * batching (setup is amortized across the iterator, exactly like a
     * Pandas-UDF batch).
     */
@@ -93,14 +160,22 @@ object Multimodal {
       }
   }
 
-  /** STUB codec: deterministic pseudo-decode from payload bytes. */
+  /** STUB codec body: real header parse (BMP dims little-endian at
+    * byte offsets 18/22), deterministic pseudo-features from the body.
+    */
   private def decodeOne(id: Long, kind: Int, bytes: Array[Byte]): MediaFeature = {
-    val len = bytes.length.toLong
-    val checksum = bytes.take(16).foldLeft(0L)((a, b) => a + (b & 0xFF)) % 256
+    def le4(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    val (w, h) = kind match {
+      case 0 => (le4(18), le4(22))                      // BMP DIB dims
+      case 1 => (le4(24), (bytes(22) & 0xFF))           // WAV rate/channels
+      case _ => (le4(4), le4(8))                        // GV01 width/frames
+    }
     val feature = Array.tabulate(8) { i =>
       val slice = bytes.drop(i * 4).take(4).foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))
       ((slice % 1000L) / 1000.0f) - 0.5f
     }
-    MediaFeature(id, kind, len, ((len % 64) + 16).toInt, ((checksum % 64) + 16).toInt, feature)
+    MediaFeature(id, kind, bytes.length.toLong, w, h, feature)
   }
 }
