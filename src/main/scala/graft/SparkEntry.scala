@@ -65,6 +65,7 @@ object SparkEntry {
     "q4_semijoin"         -> (Analytics.q4SemiJoin _),
     "part_type_revenue"   -> (Analytics.partTypeRevenue _),
     "rollup_revenue"      -> (Analytics.rollupRevenue _),
+    "events_sketch"       -> (Analytics.eventsSketch _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */

@@ -291,6 +291,25 @@ object Analytics {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** C11: sketch aggregates — the approximate forms that replace exact
+    * ones at 100 TB: HyperLogLog++ distinct users (fixed-size sketch vs
+    * an unbounded distinct hash table) and approximate quantiles
+    * (Greenwald-Khanna, bounded memory vs a full sort). Rows-only for
+    * the driver (sketches are engine-specific); AnalyticsSpec pins the
+    * estimates to the exact answers within the algorithms' error
+    * bounds.
+    */
+  def eventsSketch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** C7: typed extraction from the semi-structured props column.
     * `from_json` with an explicit schema is the scale shape: one
     * codegen'd parse per row into typed fields (no repeated string

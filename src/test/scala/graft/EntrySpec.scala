@@ -23,7 +23,7 @@ class EntrySpec extends AnyFunSuite {
   test("oracle coverage: every query key has oracle SQL or is documented rows-only") {
     // spec-covered, no SQL-expressible oracle (k-means / probabilistic LSH)
     val rowsOnly = Set("ivf_build", "dedup_minhash_lsh", "dedup_simhash",
-      "embedding_neardup_lsh", "index_stats")
+      "embedding_neardup_lsh", "index_stats", "events_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
