@@ -60,6 +60,43 @@ object Sources {
                 options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.schema(schema).format(format).options(options).load(path)
 
+  /** Bucketed table write: co-locates rows by join key so a fact-fact
+    * join between tables bucketed the same way needs NO shuffle on
+    * either side (the scan itself provides the hash partitioning, and
+    * sortBy provides the sort order for a zero-exchange sort-merge
+    * join). At 100 TB this turns the biggest recurring join from a
+    * full-network shuffle into a local merge — the single largest
+    * cost lever for repeated fact-fact joins. SourcesSpec asserts the
+    * exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * size-targeted files. Landing zones and streaming sinks accrete
+    * thousands of tiny files; scans then pay one task + one open per
+    * file. One pass, round-robin repartition (no semantic key needed),
+    * byte-targeted output count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytesPerFile: Long = 128L * 1024 * 1024): Long = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, (bytes / BigInt(targetBytesPerFile)).toLong +
+      (if (bytes % BigInt(targetBytesPerFile) > 0) 1 else 0))
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: the rewrite lands fully before the rename
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    nFiles
+  }
+
   /** Streaming parquet sink with checkpointing — the exactly-once
     * landing path: the checkpoint's WAL + file-sink manifest make
     * restarts idempotent (a re-processed batch overwrites its own

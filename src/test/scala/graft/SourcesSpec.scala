@@ -38,6 +38,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.orderBy("doc_id").collect().toSeq == origRows)
   }
 
+  test("bucketed fact-fact join plans with NO shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sources.writeBucketed(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice"), "b_ord", 8, "o_orderkey")
+      Sources.writeBucketed(Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice"), "b_li", 8, "l_orderkey")
+      val joined = spark.table("b_li").join(spark.table("b_ord"),
+        col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case other => other.children.map(shuffles).sum
+      }
+      assert(shuffles(joined.queryExecution.executedPlan) == 0,
+        s"bucketed join still shuffled:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() ==
+        Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_ord")
+      spark.sql("DROP TABLE IF EXISTS b_li")
+    }
+  }
+
+  test("compaction rewrites many small files into size-targeted few, same data") {
+    val path = tmp() + "/frag"
+    val e = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    e.repartition(64).write.parquet(path)
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected fragmentation, got $before files")
+    // order-independent content checksum (double sums reorder under
+    // repartition; xor of row hashes does not)
+    def checksum() = spark.read.parquet(path)
+      .agg(expr("bit_xor(xxhash64(event_id, event_type, value))")).head().getLong(0)
+    val sum0 = checksum()
+    Sources.compact(spark, path)
+    val after = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before / 4, s"compaction left $after files (was $before)")
+    assert(checksum() == sum0)
+    assert(spark.read.parquet(path).count() == e.count())
+  }
+
   test("streaming parquet sink lands exactly-once across a restart") {
     val src = tmp(); val out = tmp(); val ckpt = tmp()
     val events = Tables.events(spark, sf).limit(100)
