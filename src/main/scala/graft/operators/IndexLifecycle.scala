@@ -145,6 +145,7 @@ object IndexLifecycle {
     val v = newVecs.cache()
     val n = v.count()
     Ivf.assignTo(v, loadCentroids(spark, indexPath))
+      .repartition(org.apache.spark.sql.functions.col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
     v.unpersist()
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)

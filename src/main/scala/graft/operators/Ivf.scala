@@ -205,6 +205,10 @@ object Ivf {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     vecs.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+      // cluster-align tasks before the partitioned write: an unaligned
+      // frame writes one file per (task × cluster) — O(tasks·k) tiny
+      // files; aligned, each list is one file
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     centroids
   }
@@ -223,6 +227,7 @@ object Ivf {
     val (assign, centroids) = kmeans(v, k)
     v.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+      .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     v.unpersist()
     centroids
