@@ -37,7 +37,11 @@ object Bench {
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: java.io.IOException =>
+      // loud, not fatal: a silently-failed write would leave a PREVIOUS
+      // run's numbers in the file masquerading as this run's
+      System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

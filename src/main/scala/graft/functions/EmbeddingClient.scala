@@ -67,9 +67,15 @@ final class FakeEmbeddingClient(val embeddingDim: Int = EmbeddingClient.DefaultD
     val charSum = aggregate(split(clean, ""), lit(0L), (acc, ch) => acc + ascii(ch))
     val len = length(clean).cast("long")
     val words = size(split(clean, "\\s+")).cast("long")
-    transform(sequence(lit(0), lit(embeddingDim - 1)), i =>
-      ((charSum * (i + 1) + len * (i + 7) + words * (i + 13)) % 1000L) / lit(1000.0)
-        - 0.5)
+    // empty/whitespace text: embedText THROWS (the reference's
+    // min_length rejection); the bulk path's analog is NULL, so a
+    // pipeline quarantines those rows instead of embedding nonsense
+    when(length(clean) === 0,
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+      .otherwise(transform(sequence(lit(0), lit(embeddingDim - 1)), i =>
+        ((charSum * (i + 1) + len * (i + 7) + words * (i + 13)) % 1000L) / lit(1000.0)
+          - 0.5))
   }
 }
 

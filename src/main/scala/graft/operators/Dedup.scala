@@ -89,11 +89,22 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def shingleSetsFor(spark: SparkSession, dir: String): DataFrame =
-    shingleSets.getOrElseUpdate(dir, {
-      val s = hashedShingleSets(Tables.documents(spark, dir)).cache()
-      s.count()
-      s
+    // synchronized build on miss: TrieMap.getOrElseUpdate may evaluate
+    // the thunk twice under a concurrent first use — the loser's full
+    // corpus pass and cached partitions would leak
+    shingleSets.get(dir).getOrElse(synchronized {
+      shingleSets.getOrElseUpdate(dir, {
+        val s = hashedShingleSets(Tables.documents(spark, dir)).cache()
+        s.count()
+        s
+      })
     })
+
+  /** Drop the memo for a corpus — call when documents at `dir` change
+    * (IndexLifecycle.build does, via its corpusDir hook).
+    */
+  def invalidate(dir: String): Unit =
+    shingleSets.remove(dir).foreach(_.unpersist())
 
   /** E2: exact 3-gram Jaccard ≥ 0.8 pairs via AllPairs/PPJoin-style
     * prefix filtering.
@@ -378,7 +389,9 @@ object Dedup {
                           threshold: Double = CosineSimThreshold): DataFrame = {
     val e = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")))
-    val dim = 64
+    // hyperplanes must match the corpus dim — a hardcoded dim would
+    // silently project onto a truncated subspace and degrade recall
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplaneDf(spark, dim, HyperplaneCount)
     val bands = e.crossJoin(broadcast(planes))
       .select(col("vec_id"), (col("pid") / HyperplaneBandBits).cast("int").as("band_id"),

@@ -43,10 +43,12 @@ case class IndexStatus(
   * The reference guards its mutable snapshot with an RW-lock; the batch
   * twin gets the same atomicity from immutable versioned state — every
   * build swaps in a fresh lists+centroids+state trio, and `markDirty`
-  * only touches the tiny state file. Mutation operators (upsert
-  * compaction, cascade delete) call `markDirty` with the number of
-  * changed rows; `buildIfNeeded` is the lazy-rebuild policy applied at
-  * read time, exactly the reference's serving flow.
+  * only touches the tiny state file. The contract for mutation
+  * pipelines (upsert compaction, cascade delete): call `markDirty`
+  * with the number of changed rows after landing the change;
+  * `buildIfNeeded` is the lazy-rebuild policy applied at read time,
+  * exactly the reference's serving flow (IndexLifecycleSpec exercises
+  * the full sequence).
   */
 object IndexLifecycle {
 
@@ -109,10 +111,15 @@ object IndexLifecycle {
   /** Build (version+1) the index for `vecs` (id, vec) at `indexPath`:
     * k-means lists partitioned by cluster_id + persisted centroids +
     * fresh state. The swap is the batch twin of the reference's atomic
-    * snapshot replacement (index_service.py:270-284).
+    * snapshot replacement (index_service.py:270-284). Pass `corpusDir`
+    * when `vecs` came from a testdata/sf dir: the rebuild then drops
+    * the session memos (Ivf.built, Dedup.shingleSets) for that dir, so
+    * a data change can never serve stale memoized results afterwards.
     */
-  def build(vecs: DataFrame, indexPath: String): IndexStatus = {
+  def build(vecs: DataFrame, indexPath: String,
+            corpusDir: Option[String] = None): IndexStatus = {
     val spark = vecs.sparkSession
+    corpusDir.foreach { d => Ivf.invalidate(d); Dedup.invalidate(d) }
     val prev = status(spark, indexPath)
     val v = vecs.cache()
     val n = v.count()
@@ -157,9 +164,10 @@ object IndexLifecycle {
     * otherwise return the current state untouched.
     */
   def buildIfNeeded(vecs: DataFrame, indexPath: String,
-                    threshold: Double = RebuildThreshold): IndexStatus = {
+                    threshold: Double = RebuildThreshold,
+                    corpusDir: Option[String] = None): IndexStatus = {
     val s = status(vecs.sparkSession, indexPath)
-    if (s.shouldRebuild(threshold)) build(vecs, indexPath) else s
+    if (s.shouldRebuild(threshold)) build(vecs, indexPath, corpusDir) else s
   }
 
   /** Centroids of a persisted index (the coarse quantizer survives the
@@ -182,21 +190,33 @@ object IndexLifecycle {
     * corpus size.
     */
   def indexLifecycle(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val s1 = build(vecs, tmp)
-    val d = math.ceil(0.05 * s1.size).toLong
-    val s2 = markDirty(spark, tmp, d)
-    val s3 = buildIfNeeded(vecs, tmp) // below threshold: no-op
-    val s4 = markDirty(spark, tmp, d) // crosses threshold
-    val s5 = buildIfNeeded(vecs, tmp) // rebuilds, version 2
-    import spark.implicits._
-    Seq(s1, s2, s3, s4, s5).zipWithIndex
-      .map { case (s, i) =>
-        (i + 1, s.version, s.isDirty, s.dirtyCount, s.size, s.shouldRebuild(RebuildThreshold)) }
-      .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
-      .orderBy("phase")
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_lifecycle")
+    val tmp = tmpDir.toString
+    try {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s1 = build(vecs, tmp, corpusDir = Some(dir))
+      val d = math.ceil(0.05 * s1.size).toLong
+      val s2 = markDirty(spark, tmp, d)
+      val s3 = buildIfNeeded(vecs, tmp) // below threshold: no-op
+      val s4 = markDirty(spark, tmp, d) // crosses threshold
+      val s5 = buildIfNeeded(vecs, tmp) // rebuilds, version 2
+      import spark.implicits._
+      Seq(s1, s2, s3, s4, s5).zipWithIndex
+        .map { case (s, i) =>
+          (i + 1, s.version, s.isDirty, s.dirtyCount, s.size, s.shouldRebuild(RebuildThreshold)) }
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        .cache() // materialize before the temp index is deleted below
+        .localCheckpoint()
+    } finally {
+      // the state table is tiny and checkpointed; the two full index
+      // copies under /tmp must not outlive the query (repeated bench
+      // runs would otherwise fill the disk)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   def indexLifecycleOracleSql: String =

@@ -39,16 +39,21 @@ object Ivf {
 
   private def buildIndex(spark: SparkSession, dir: String, k: Int)
       : (DataFrame, Array[Array[Float]]) =
-    built.getOrElseUpdate((dir, k), {
-      val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))).cache()
-      val (assign, centroids) = kmeans(vecs, k)
-      (assign.cache(), centroids)
+    // synchronized build on miss: TrieMap.getOrElseUpdate may run the
+    // thunk twice under concurrent first use, wasting a k-means build
+    // and leaking the loser's cached assignment
+    built.get((dir, k)).getOrElse(synchronized {
+      built.getOrElseUpdate((dir, k), {
+        val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))).cache()
+        val (assign, centroids) = kmeans(vecs, k)
+        (assign.cache(), centroids)
+      })
     })
 
-  /** Drop the session memo for a corpus — called by the lifecycle
-    * service on rebuild so a data change can never serve a stale
-    * memoized index (the invalidation the bare memo lacked).
+  /** Drop the session memo for a corpus — IndexLifecycle.build calls
+    * this (via its corpusDir hook) so a rebuild after a data change
+    * can never serve a stale memoized index.
     */
   def invalidate(dir: String): Unit =
     built.keys.filter(_._1 == dir).foreach { k =>

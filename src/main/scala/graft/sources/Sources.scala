@@ -89,11 +89,16 @@ object Sources {
       (if (bytes % BigInt(targetBytesPerFile) > 0) 1 else 0))
     val tmp = path.stripSuffix("/") + "__compacting"
     df.repartition(nFiles.toInt).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: the rewrite lands fully before the rename
+    // swap only after the rewrite fully landed — and FAIL LOUDLY if the
+    // swap does not complete: Hadoop FileSystems report most rename
+    // failures by returning false, and ignoring that after the delete
+    // would silently orphan the data at the __compacting path
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    if (!fs.delete(new org.apache.hadoop.fs.Path(path), true))
+      sys.error(s"compact: could not remove $path; rewritten data is at $tmp")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)))
+      sys.error(s"compact: rename $tmp -> $path failed; recover data from $tmp")
     nFiles
   }
 

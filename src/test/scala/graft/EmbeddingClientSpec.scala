@@ -39,4 +39,13 @@ class EmbeddingClientSpec extends AnyFunSuite {
     intercept[EmbeddingError](remote.embedText("hi"))
     intercept[EmbeddingError](remote.embedColumn(col("text")))
   }
+
+  test("in-plan path quarantines empty text as NULL (bulk analog of the rejection)") {
+    import spark.implicits._
+    val got = Seq("  ", "ok text").toDF("text")
+      .select(new FakeEmbeddingClient(4).embedColumn(col("text")).as("e"))
+      .collect()
+    assert(got.count(_.isNullAt(0)) == 1)
+    assert(got.count(!_.isNullAt(0)) == 1)
+  }
 }
