@@ -54,6 +54,7 @@ object SparkEntry {
     "stream_dedup"      -> (Streams.streamDedup _),
     "stream_session"    -> (Streams.streamSession _),
     "stream_enrich"     -> (Streams.streamEnrich _),
+    "stream_join"       -> (Streams.streamJoin _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -107,6 +108,12 @@ object SparkEntry {
     "stream_enrich"     ->
       """SELECT coalesce(c_mktsegment, 'unknown') AS segment, count(*) AS n_events
         |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_join"       ->
+      """SELECT c.user_id AS user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,

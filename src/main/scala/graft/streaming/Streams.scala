@@ -56,19 +56,25 @@ object Streams {
       .as[Event]
   }
 
-  /** Run `job` on a streaming Dataset, write to a memory sink, return
-    * the sink contents once the source is drained.
+  /** Drive a streaming frame into a memory sink, return the sink
+    * contents once the source is drained.
     */
-  private def runToSink(job: Dataset[Event] => DataFrame, events: Dataset[Event],
-                        outputMode: String): DataFrame = {
-    val spark = events.sparkSession
+  private def sinkOf(streamDf: DataFrame, outputMode: String): DataFrame = {
+    val spark = streamDf.sparkSession
     val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
-    val q = job(events)
+    val q = streamDf
       .writeStream.format("memory").queryName(sink).outputMode(outputMode)
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(sink)
   }
+
+  /** Run `job` on a streaming Dataset, write to a memory sink, return
+    * the sink contents once the source is drained.
+    */
+  private def runToSink(job: Dataset[Event] => DataFrame, events: Dataset[Event],
+                        outputMode: String): DataFrame =
+    sinkOf(job(events), outputMode)
 
   /** Driver harness: file-streamed source (no collect anywhere). */
   private def runOnFiles(spark: SparkSession, dir: String, outputMode: String)
@@ -147,6 +153,33 @@ object Streams {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     runOnFiles(spark, dir, "complete")(enrichJob(cust)).orderBy("segment")
+  }
+
+  /** D5: stream-stream interval join — each user's purchase events
+    * joined to the click that preceded them by ≤ 30 minutes. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so the state store holds only a sliding ~30-minute
+    * band of each side (unbounded state otherwise — a stream-stream
+    * join without a time bound cannot run forever). Per-user pair
+    * counts roll up batch-side on the sink.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventFileStream(spark, dir).toDF()
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventFileStream(spark, dir).toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val pairs = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    sinkOf(pairs, "append")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
   }
 
   /** D3: streaming twin of C6; per-user rollup is batch on the sink. */
