@@ -55,6 +55,7 @@ object SparkEntry {
     "stream_session"    -> (Streams.streamSession _),
     "stream_enrich"     -> (Streams.streamEnrich _),
     "stream_join"       -> (Streams.streamJoin _),
+    "stream_anomaly"    -> (Streams.streamAnomaly _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -115,6 +116,22 @@ object SparkEntry {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-integer twin of the running-mean anomaly rule:
+    // cents*n_prior > 2*sum_prior_cents, prior rows in (ts, event_id) order
+    "stream_anomaly"    ->
+      """WITH w AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents,
+        |    sum(CAST(round(value*100) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sum_prior,
+        |    count(*) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior
+        |  FROM events)
+        |SELECT user_id, event_id FROM w
+        |WHERE n_prior >= 3 AND cents * n_prior > 2 * sum_prior
+        |ORDER BY user_id, event_id""".stripMargin,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,
     "q5_multijoin"       -> Analytics.q5OracleSql,

@@ -182,6 +182,48 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Per-user running state for D6: exact integer cents so the
+    * threshold comparison is bit-deterministic across engines
+    * (incremental double sums would differ from the oracle's
+    * aggregation order in the last ulp).
+    */
+  case class RunningStats(sumCents: Long, n: Long)
+
+  /** D6: custom stateful processing via flatMapGroupsWithState — the
+    * arbitrary-state API for logic no built-in stateful operator
+    * expresses: flag each event whose value exceeds 2× the user's
+    * running mean over ALL prior events (state crosses micro-batch
+    * boundaries; within a batch the group iterator is unordered, so
+    * the function orders its slice by event time before folding).
+    * Condition evaluated in exact integer arithmetic:
+    * cents·n > 2·sumCents.
+    */
+  def anomalyJob(ds: Dataset[Event]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningStats, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, events, state) =>
+          var s = state.getOption.getOrElse(RunningStats(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val cents = math.round(e.value * 100)
+            if (s.n >= 3 && cents * s.n > 2 * s.sumCents) out += ((user, e.event_id))
+            s = RunningStats(s.sumCents + cents, s.n + 1)
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF("user_id", "event_id")
+  }
+
+  /** D6 driver entry. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame =
+    runOnFiles(spark, dir, "append")(anomalyJob)
+      .orderBy("user_id", "event_id")
+
   /** D3: streaming twin of C6; per-user rollup is batch on the sink. */
   def streamSession(spark: SparkSession, dir: String): DataFrame =
     runOnFiles(spark, dir, "complete")(sessionJob)

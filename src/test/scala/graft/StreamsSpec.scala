@@ -90,6 +90,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(w0.map(_._3) == List(2L), s"late row not dropped (or window unemitted): $emitted")
   }
 
+  test("flatMapGroupsWithState anomaly state survives micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    // one user, values 10,10,10 then (next batch) 10, 100: only the 100
+    // exceeds 2x the running mean, and ONLY if the mean carried over
+    // from the first batch (prior count 3 is reached there)
+    def write(name: String, stamp: Long, rows: Seq[(Long, String, Double)]): Unit = {
+      rows.map { case (id, t, v) => (id, t, 7L, "click", v) }
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(stamp))
+    }
+    write("f1", 1000000L, Seq(
+      (1L, "2026-01-01 00:01:00", 10.0), (2L, "2026-01-01 00:02:00", 10.0),
+      (3L, "2026-01-01 00:03:00", 10.0)))
+    write("f2", 2000000L, Seq(
+      (4L, "2026-01-01 00:04:00", 10.0), (5L, "2026-01-01 00:05:00", 100.0)))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .as[Streams.Event]
+    val sink = "graft_state_sink"
+    val q = Streams.anomalyJob(stream)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val flagged = spark.table(sink).collect().map(_.getLong(1)).toSet
+    assert(flagged == Set(5L),
+      s"expected only event 5 flagged (state must carry sum=30,n=3 into batch 2): $flagged")
+  }
+
   test("file-streamed harness == MemoryStream harness (same job, same rows)") {
     val viaFiles = Streams.streamWindowAgg(spark, sf)
     val viaMemory = Streams.runOnMemory(spark, sf, "complete")(Streams.windowAggJob)
