@@ -56,16 +56,31 @@ object Streams {
       .as[Event]
   }
 
+  /** Stateful-op parallelism for the local harness. Each shuffle
+    * partition materializes its own state store instance (per join
+    * side, per operator) with per-batch checkpoint deltas — at local
+    * event volumes the job cost is store/checkpoint I/O, not data, so
+    * 32 partitions quadruple the overhead for nothing. A production
+    * deployment sizes this to sustained input rate; the state
+    * partition count is fixed at the first checkpoint, so it is a
+    * per-query deployment decision either way.
+    */
+  val StreamShufflePartitions = "8"
+
   /** Drive a streaming frame into a memory sink, return the sink
     * contents once the source is drained.
     */
   private def sinkOf(streamDf: DataFrame, outputMode: String): DataFrame = {
     val spark = streamDf.sparkSession
     val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
-    val q = streamDf
-      .writeStream.format("memory").queryName(sink).outputMode(outputMode)
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = streamDf
+        .writeStream.format("memory").queryName(sink).outputMode(outputMode)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sink)
   }
 
