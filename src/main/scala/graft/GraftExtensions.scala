@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "aggregate: n-permutation minhash signature of a hash column") { args =>
       MinHashAgg(args(0), intArg(args(1), "nPerms")).toAggregateExpression()
     }
+    register(ext, "shingle_hashes", 2,
+      "distinct 64-bit hashes of word n-grams over array<string>") { args =>
+      graft.functions.ShingleHashes(args(0), intArg(args(1), "n"))
+    }
   }
 }

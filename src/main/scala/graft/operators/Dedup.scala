@@ -59,18 +59,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct 64-bit hashes of word 3-grams, over an ALREADY-PROJECTED
-    * word-array column (an attribute, so element_at is O(1) array access
-    * — passing `split(...)` directly would re-run the split for every
-    * lambda element, a measured 10× slowdown on the corpus scan).
+  /** Distinct 64-bit hashes of word 3-grams — the native ShingleHashes
+    * expression (one compiled window loop inside whole-stage codegen;
+    * the equivalent sequence/transform/xxhash64/array_distinct HOF
+    * chain evaluates interpreted, a measured drag on the corpus scan).
     * xxhash64 over the word triple is distinctness-equivalent to the
     * concatenated shingle string up to a ~4e-11 collision chance.
     */
   def shingleHashes(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(0), size(ws) - 3),
-        i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-      .otherwise(array().cast("array<bigint>"))
+    graft.functions.ShingleHashes.shingleHashes(ws, 3)
 
   /** doc_id → distinct shingle-hash set (the base of E2/E3 pipelines). */
   def hashedShingleSets(docs: DataFrame): DataFrame =

@@ -59,6 +59,30 @@ class DedupSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sig(0L) ^ sig(3L)))
   }
 
+  test("native shingle_hashes matches the HOF xxhash64 formulation, set-for-set") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val hof = when(size(col("ws")) >= 3,
+      array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+        i => xxhash64(element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3)))))
+      .otherwise(array().cast("array<bigint>"))
+    val both = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes.shingleHashes(col("ws")).as("native"), hof.as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1).toSet == r.getSeq[Long](2).toSet,
+        s"doc ${r.getLong(0)} diverged")
+    }
+    // SQL registration round-trip
+    docs.createOrReplaceTempView("shingle_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, shingle_hashes(ws, 3) AS g FROM shingle_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    both.foreach(r => assert(viaSql(r.getLong(0)) == r.getSeq[Long](1).toSet))
+  }
+
   test("shingles produces distinct word 3-grams; short docs give empty sets") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
