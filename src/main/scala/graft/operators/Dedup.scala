@@ -396,13 +396,16 @@ object Dedup {
           expr(s"shiftleft(1L, pid % $HyperplaneBandBits)")).otherwise(0L).as("bit"))
       .groupBy("vec_id", "band_id")
       .agg(sum(col("bit")).as("band_val"))
+    // candidates stay DUPLICATED through verification: a pair colliding
+    // in several bands costs a few extra codegen'd cosine evals, which
+    // is far cheaper than a full shuffle of the candidate stream to
+    // dedup it up front — only the (tiny) verified output is deduped
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
     val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val sim = lit(1.0) - VectorFunctions.cosineDistance(col("ea"), col("eb"))
     cand
@@ -410,6 +413,7 @@ object Dedup {
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .filter(sim >= threshold)
       .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
 
