@@ -311,8 +311,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // verify BEFORE the dedup shuffle: the hamming check is a single
+      // xor+popcount, so only the (tiny) surviving pairs get shuffled
       .filter(col("hamming") <= HammingMax)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
