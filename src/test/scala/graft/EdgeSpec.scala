@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.VectorMetric
+import graft.operators.{Dedup, IndexLifecycle, Knn}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge contracts mirrored from the reference's index tests
+  * (tests/test_indexes.py): empty builds fail, k larger than the
+  * corpus returns min(k, n), empty inputs flow through as empty.
+  */
+class EdgeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("building an index over an empty corpus fails loudly (not silently empty)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    val empty = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    intercept[Exception](IndexLifecycle.build(empty, path))
+  }
+
+  test("k larger than the corpus returns min(k, n) neighbors (test_query_k_larger_than_dataset)") {
+    val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 7)
+    val res = Knn.knnSelf(tiny, nQueries = 1, k = 100, VectorMetric.L2)
+    assert(res.count() == 7, "one query over 7 vectors must yield exactly 7 neighbors")
+  }
+
+  test("empty corpora flow through the pipelines as empty results") {
+    val noDocs = Tables.documents(spark, sf).filter(col("doc_id") < 0)
+    assert(Dedup.jaccardPairsOn(noDocs).count() == 0)
+    assert(Dedup.dedupExact(spark, sf).filter(lit(false)).count() == 0)
+    val noVecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+    assert(Knn.knnSelf(noVecs, 1, 5, VectorMetric.Cosine).count() == 0)
+  }
+}
