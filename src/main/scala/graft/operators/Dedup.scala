@@ -130,7 +130,17 @@ object Dedup {
     // and every downstream compare/intersect runs on longs, not strings
     val df = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
-    // per-doc shingles ordered by (df asc, shingle) → prefix of rarest
+    // EXACT decimal threshold for the combinatorial bounds: computing
+    // prefix length as size*(1.0-t) in doubles truncates one short
+    // whenever t*size is integral (t=0.8, |A|=55: 55*0.19999…996 →
+    // 10.99…8 → prefix 11 instead of the required 12), and the size
+    // bound sz*0.8 rounds just above the integer, rejecting boundary
+    // pairs with jaccard exactly t — a measured missed pair at sf0.1.
+    // BigDecimal.valueOf(t) is the exact decimal the caller wrote, so
+    // t·size is exact integer arithmetic underneath.
+    val decT = lit(BigDecimal.valueOf(t))
+    // per-doc shingles ordered by (df asc, shingle) → prefix of rarest;
+    // required overlap is ⌈t·|A|⌉, so the prefix is |A|−⌈t·|A|⌉+1
     val ordered = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
       .join(df, "shingle")
       .groupBy("doc_id")
@@ -138,7 +148,7 @@ object Dedup {
         s => s.getField("shingle")).as("gs"))
       .select(col("doc_id"), col("gs"),
         slice(col("gs"), lit(1),
-          (size(col("gs")).cast("double") * (1.0 - t)).cast("int") + 1).as("prefix"))
+          (size(col("gs")) - ceil(size(col("gs")) * decT) + 1).cast("int")).as("prefix"))
       .cache() // feeds prefix join + verify join-back
     ordered.count() // materialize once: both consumers would otherwise recompute the chain
     val prefixRows = ordered.select(col("doc_id"), size(col("gs")).as("sz"),
@@ -147,7 +157,7 @@ object Dedup {
     val cand = prefixRows.as("a")
       .join(prefixRows.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id") &&
-        col("b.sz") * lit(t) <= col("a.sz") && col("a.sz") * lit(t) <= col("b.sz"))
+        col("b.sz") * decT <= col("a.sz") && col("a.sz") * decT <= col("b.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification against the full (hashed) sets
