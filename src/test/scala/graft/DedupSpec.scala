@@ -59,6 +59,20 @@ class DedupSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sig(0L) ^ sig(3L)))
   }
 
+  test("prefix filter keeps boundary pairs with jaccard exactly t (regression)") {
+    // |A|=44 ⊂ |B|=55 ⇒ jaccard = 44/55 = 0.8 exactly. Under double
+    // arithmetic the prefix length (55·(1−0.8) → 10.99…8 → one short)
+    // and the size bound (55·0.8 rounding above 44) both dropped this
+    // pair; the exact-decimal bounds must keep it.
+    import spark.implicits._
+    val a = (1L to 44L).toArray
+    val b = (1L to 44L).toArray ++ (101L to 111L).toArray
+    val sets = Seq((1L, a), (2L, b)).toDF("doc_id", "g")
+    val pairs = Dedup.jaccardPairsFromSets(sets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.8)), s"boundary pair lost: ${pairs.toSeq}")
+  }
+
   test("native shingle_hashes matches the HOF xxhash64 formulation, set-for-set") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).limit(100)
