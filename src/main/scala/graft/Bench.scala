@@ -4,38 +4,65 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line of per-query seconds at
   * SPARK_GRAFT_SF_DIR.
   *
-  * A warmup pass at sf0.001 runs every query first so the timed pass
-  * measures engine throughput, not one-time JVM/janino compilation of
-  * the generated code (Spark's codegen cache is keyed by source text,
-  * so the tiny-SF warmup compiles exactly the fragments the timed run
-  * reuses). Set SPARK_GRAFT_WARMUP=0 to measure cold.
+  * Measurement hygiene (the round-2 lesson):
+  *   - Queries run in DETERMINISTIC (sorted-key) order. `SparkEntry
+  *     .queries` is an unordered Map, so adding a key used to reshuffle
+  *     execution order — and silently reassign which query paid for the
+  *     shared session memos (a measured 11× "regression" on ivf_query
+  *     was the memo bill landing on a different key).
+  *   - Shared memos (the shingle-set table, the IVF index) are
+  *     materialized FIRST as their own timed line items
+  *     (memo_shingle_sets, memo_ivf_index), so every query number
+  *     measures that query.
+  *   - A warmup pass at sf0.001 runs every query first so the timed
+  *     pass measures engine throughput, not one-time JVM/janino
+  *     compilation (Spark's codegen cache is keyed by generated source,
+  *     which the tiny-SF pass compiles exactly). SPARK_GRAFT_WARMUP=0
+  *     measures cold.
   */
 object Bench {
+  private def timed(f: () => Unit): Double = {
+    val t0 = System.nanoTime()
+    try f() catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Shared session memos as named warmers — timed line items in the
+    * bench, plain warmers in the warmup pass.
+    */
+  private def memoWarmers(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "memo_shingle_sets" -> (() => operators.Dedup.warmShingles(spark, dir)),
+    "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     if (warmup != "0") {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      memoWarmers(spark, warmup).foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+      ordered.foreach { case (_, fn) =>
         try { fn(spark, warmup).count() } catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val memoResults = memoWarmers(spark, sfDir).map { case (name, f) => name -> timed(f) }
+    val queryResults = ordered.map { case (name, fn) =>
+      name -> timed(() => { fn(spark, sfDir).count(); () })
     }
+    val results = memoResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
     // parse in round 1 (BENCH_r01 "parsed": null) — emit to a file too
     // so the line survives any log wrapping.
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    // cwd-relative default so a checkout elsewhere never writes into an
+    // unrelated absolute path; env var overrides either way
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: java.io.IOException =>
       // loud, not fatal: a silently-failed write would leave a PREVIOUS

@@ -22,13 +22,19 @@ object SparkEntry {
     "knn_exact_topk"      -> (VectorQueries.knnExactTopk _),
     "ivf_build"           -> (Ivf.ivfBuild _),
     // probe-all: exact k-NN by construction, so it carries the A1 oracle;
-    // the nprobe<k approximate path is spec-covered (IvfSpec recall).
+    // the nprobe<k approximate serving path is benched as its own key
+    // below and spec-covered (IvfSpec recall).
     "ivf_query"           -> ((s, d) => Ivf.ivfQuery(s, d, nprobeOpt = Some(Int.MaxValue))),
+    "ivf_query_nprobe"    -> ((s, d) => Ivf.ivfQuery(s, d)),
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "index_lifecycle"     -> (IndexLifecycle.indexLifecycle _),
+    "index_delete"        -> (IndexLifecycle.indexDelete _),
     "index_stats"         -> (Ivf.indexStats _),
     "validate_chunks"     -> (Validate.validateChunks _),
+    "validate_documents"  -> (Validate.validateDocuments _),
+    "validate_libraries"  -> (Validate.validateLibraries _),
     "library_stats"       -> (Library.libraryStats _),
+    "library_pagination"  -> ((s, d) => Library.libraryPagination(s, d)),
     "cascade_delete"      -> (Library.cascadeDelete _),
     "upsert_latest"       -> (Library.upsertLatest _),
     // B-series: document/chunk pipeline
@@ -36,11 +42,12 @@ object SparkEntry {
     "embed_chunks"     -> ((s, d) => TextOps.embedChunks(s, d)),
     "doc_stats"        -> (TextOps.docStats _),
     "chunk_pagination" -> ((s, d) => TextOps.chunkPagination(s, d)),
+    "doc_pagination"   -> ((s, d) => TextOps.docPagination(s, d)),
     // E-series: LLM-data-pipeline operators
     "dedup_exact"         -> (Dedup.dedupExact _),
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
-    "dedup_simhash"       -> (Dedup.dedupSimhash _),
+    "dedup_simhash"       -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
@@ -79,17 +86,24 @@ object SparkEntry {
     "knn_threshold"       -> VectorQueries.knnThresholdOracleSql,
     "knn_exact_topk"      -> VectorQueries.knnExactTopkOracleSql,
     // ivf_query probes all lists => exact k-NN, same contract as A1
+    // (ivf_query_nprobe is rows-only: approximate by design, recall
+    // pinned in IvfSpec)
     "ivf_query"           -> VectorQueries.knnLinearL2OracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
+    "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
     "validate_chunks"     -> Validate.validateChunksOracleSql,
+    "validate_documents"  -> Validate.validateDocumentsOracleSql,
+    "validate_libraries"  -> Validate.validateLibrariesOracleSql,
     "library_stats"       -> Library.libraryStatsOracleSql,
+    "library_pagination"  -> Library.libraryPaginationOracleSql(),
     "cascade_delete"      -> Library.cascadeDeleteOracleSql,
     "upsert_latest"       -> Library.upsertLatestOracleSql,
     "chunk_documents"  -> TextOps.chunkDocumentsOracleSql,
     "embed_chunks"     -> TextOps.embedChunksOracleSql(),
     "doc_stats"        -> TextOps.docStatsOracleSql,
     "chunk_pagination" -> TextOps.chunkPaginationOracleSql(),
+    "doc_pagination"   -> TextOps.docPaginationOracleSql(),
     "dedup_exact"         -> Dedup.dedupExactOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,

@@ -103,6 +103,30 @@ object Dedup {
   def invalidate(dir: String): Unit =
     shingleSets.remove(dir).foreach(_.unpersist())
 
+  /** Materialize the shingle-set memo for `dir` — Bench times this as
+    * its own line item so E2/E3 numbers measure the pair pipelines, not
+    * whichever of them touched the shared memo first.
+    */
+  def warmShingles(spark: SparkSession, dir: String): Unit = {
+    shingleSetsFor(spark, dir)
+    ()
+  }
+
+  /** Persist the shingle-set table — the at-scale form of the session
+    * memo (SURVEY §5: shared intermediates are computed once and land
+    * as tables; a TrieMap cache only serves one driver). Downstream
+    * pair pipelines read it back with [[jaccardPairsFromParquet]] and
+    * produce byte-identical output to the memo path (DedupSpec).
+    */
+  def writeShingleSets(spark: SparkSession, dir: String, path: String): Unit =
+    graft.sources.Sources.writeParquet(
+      hashedShingleSets(Tables.documents(spark, dir)), path)
+
+  /** E2 over a persisted shingle table (written by [[writeShingleSets]]). */
+  def jaccardPairsFromParquet(spark: SparkSession, path: String,
+                              t: Double = JaccardThreshold): DataFrame =
+    jaccardPairsFromSets(graft.sources.Sources.readParquet(spark, path), t)
+
   /** E2: exact 3-gram Jaccard ≥ 0.8 pairs via AllPairs/PPJoin-style
     * prefix filtering.
     *
@@ -293,27 +317,35 @@ object Dedup {
   }
 
   /** E4: simhash near-dup pairs at hamming distance ≤ 3, via 4×16-bit
-    * band buckets (pigeonhole guarantees a shared band) + exact hamming
-    * verification with bit_count(xor). Buckets above the E3 cap are
-    * dropped before the pair join — the same skew guard: a hot band
-    * value (e.g. a boilerplate-dominated corpus slice) would otherwise
-    * fan out O(size²) candidates from one bucket. Rows-only; DedupSpec
-    * checks it.
+    * band buckets + exact hamming verification with bit_count(xor).
+    * Pigeonhole (≤3 differing bits ⇒ ≥1 identical band) makes the
+    * UNCAPPED banding lossless; the bucket cap (the E3 skew guard,
+    * applied by default) trades the tail of that guarantee for bounded
+    * join fan-out — a pair whose every shared band lands in a hot
+    * bucket is lost. On corpora where near-dup groups are small the cap
+    * drops nothing (DedupSpec asserts capped ≡ uncapped on the test
+    * corpus); a caller who needs the full pigeonhole contract passes
+    * `capOpt = None` and accepts O(size²) candidates from hot buckets.
+    * Rows-only; DedupSpec checks it.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String,
+                   capOpt: Option[Int] = Some(LshBucketCap)): DataFrame = {
     val sig = simhashSignatures(Tables.documents(spark, dir))
     val bandCols = (0 until SimhashBands).map { k =>
       struct(lit(k).as("band_id"),
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("band_bits"))
     }
-    val buckets = sig.select(col("doc_id"), col("simhash"),
+    val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_bits"))
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_id", "band_bits")))
-      .filter(col("bucket_n") <= LshBucketCap)
-      .drop("bucket_n")
+    val buckets = capOpt.fold(banded) { cap =>
+      banded
+        .withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band_id", "band_bits")))
+        .filter(col("bucket_n") <= cap)
+        .drop("bucket_n")
+    }
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -395,17 +427,32 @@ object Dedup {
     * driver.
     */
   def embeddingNeardupLsh(spark: SparkSession, dir: String,
-                          threshold: Double = CosineSimThreshold): DataFrame = {
-    val e = Tables.rebalanced(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding")))
+                          threshold: Double = CosineSimThreshold,
+                          bandBits: Int = HyperplaneBandBits): DataFrame =
+    embeddingNeardupLshOn(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      threshold, bandBits)
+
+  /** E5b over an arbitrary (vec_id, embedding) corpus. `bandBits` sets
+    * the band width: the scaladoc above derives why cos≥0.4 regimes run
+    * at 4 and cos≥0.8 text-dedup regimes should run at 8 — DedupSpec
+    * exercises BOTH configurations against exact pairs.
+    */
+  def embeddingNeardupLshOn(spark: SparkSession, embeddings: DataFrame,
+                            threshold: Double, bandBits: Int): DataFrame = {
+    import spark.implicits._
+    val e = Tables.rebalanced(embeddings)
     // hyperplanes must match the corpus dim — a hardcoded dim would
-    // silently project onto a truncated subspace and degrade recall
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // silently project onto a truncated subspace and degrade recall.
+    // Empty corpus ⇒ empty pair set (the edge contract), not a crash.
+    val dim = e.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) return Seq.empty[(Long, Long)].toDF("vec_a", "vec_b")
     val planes = hyperplaneDf(spark, dim, HyperplaneCount)
     val bands = e.crossJoin(broadcast(planes))
-      .select(col("vec_id"), (col("pid") / HyperplaneBandBits).cast("int").as("band_id"),
+      .select(col("vec_id"), (col("pid") / bandBits).cast("int").as("band_id"),
         when(VectorFunctions.dotProduct(col("embedding"), col("pvec")) >= 0,
-          expr(s"shiftleft(1L, pid % $HyperplaneBandBits)")).otherwise(0L).as("bit"))
+          expr(s"shiftleft(1L, pid % $bandBits)")).otherwise(0L).as("bit"))
       .groupBy("vec_id", "band_id")
       .agg(sum(col("bit")).as("band_val"))
     // candidates stay DUPLICATED through verification: a pair colliding
@@ -418,7 +465,7 @@ object Dedup {
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val vecs = embeddings.select("vec_id", "embedding")
     val sim = lit(1.0) - VectorFunctions.cosineDistance(col("ea"), col("eb"))
     cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")

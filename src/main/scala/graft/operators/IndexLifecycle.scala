@@ -115,16 +115,20 @@ object IndexLifecycle {
     * when `vecs` came from a testdata/sf dir: the rebuild then drops
     * the session memos (Ivf.built, Dedup.shingleSets) for that dir, so
     * a data change can never serve stale memoized results afterwards.
+    * `kOpt` overrides the √(n/2) cluster-count heuristic — the state
+    * machine itself is k-independent, so demo/driver flows use a small
+    * fixed k rather than paying two full-k builds.
     */
   def build(vecs: DataFrame, indexPath: String,
-            corpusDir: Option[String] = None): IndexStatus = {
+            corpusDir: Option[String] = None,
+            kOpt: Option[Int] = None): IndexStatus = {
     val spark = vecs.sparkSession
     corpusDir.foreach { d => Ivf.invalidate(d); Dedup.invalidate(d) }
     val prev = status(spark, indexPath)
     val v = vecs.cache()
     val n = v.count()
     val dim = if (n == 0) 0 else v.select(size(col("vec"))).head().getInt(0)
-    val centroids = Ivf.writeIndexFrom(v, indexPath)
+    val centroids = Ivf.writeIndexFrom(v, indexPath, kOpt)
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cid", "cvec")
@@ -165,9 +169,56 @@ object IndexLifecycle {
     */
   def buildIfNeeded(vecs: DataFrame, indexPath: String,
                     threshold: Double = RebuildThreshold,
-                    corpusDir: Option[String] = None): IndexStatus = {
+                    corpusDir: Option[String] = None,
+                    kOpt: Option[Int] = None): IndexStatus = {
     val s = status(vecs.sparkSession, indexPath)
-    if (s.shouldRebuild(threshold)) build(vecs, indexPath, corpusDir) else s
+    if (s.shouldRebuild(threshold)) build(vecs, indexPath, corpusDir, kOpt) else s
+  }
+
+  /** Point delete (the reference's remove_vector, app/indexes/base.py:46
+    * and ivf.py:198-212: drop the vector from every inverted list, keep
+    * serving without a rebuild). The batch twin is a broadcast anti-join
+    * that REWRITES ONLY THE AFFECTED cluster partitions: one bounded
+    * aggregation finds which lists contain a deleted id (partition-
+    * pruned scan), only those partitions are rewritten into a temp area
+    * and directory-swapped in, and the removals are recorded as dirt so
+    * the dirty-ratio policy eventually retrains the quantizer around
+    * the holes. Ids not present in the index are a no-op (the
+    * reference's `return False`). At 100 TB this touches
+    * O(deleted-clusters) data, never the corpus.
+    */
+  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    val spark = deleteIds.sparkSession
+    val s = status(spark, indexPath)
+    require(s.isBuilt, "delete requires a built index (build first)")
+    val ids = broadcast(deleteIds.select(col("id").as("del_id")))
+    val lists = spark.read.parquet(indexPath)
+    val hits = lists.join(ids, col("neighbor_id") === col("del_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .collect()
+    if (hits.isEmpty) return s
+    val affected = hits.map(_.get(0))
+    val removed = hits.map(_.getLong(1)).sum
+    val tmp = s"$indexPath/_delete_rewrite"
+    lists.filter(col("cluster_id").isInCollection(affected.toSeq))
+      .join(ids, col("neighbor_id") === col("del_id"), "left_anti")
+      .repartition(col("cluster_id")) // one file per rewritten list
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    val f = fs(spark, indexPath)
+    affected.foreach { cid =>
+      val dst = new Path(s"$indexPath/cluster_id=$cid")
+      val src = new Path(s"$tmp/cluster_id=$cid")
+      if (f.exists(dst) && !f.delete(dst, true))
+        sys.error(s"delete: could not remove stale list $dst")
+      // a fully-deleted list simply disappears (no src dir to swap in)
+      if (f.exists(src) && !f.rename(src, dst))
+        sys.error(s"delete: rename $src -> $dst failed; index needs a rebuild")
+    }
+    f.delete(new Path(tmp), true)
+    val next = s.copy(isDirty = true,
+      dirtyCount = s.dirtyCount + removed, size = s.size - removed)
+    writeState(spark, indexPath, next)
+    next
   }
 
   /** Centroids of a persisted index (the coarse quantizer survives the
@@ -183,6 +234,13 @@ object IndexLifecycle {
             k: Int, nprobe: Int): DataFrame =
     Ivf.queryIndex(spark, indexPath, loadCentroids(spark, indexPath), queryVec, k, nprobe)
 
+  /** Cluster count for the driver's lifecycle/delete state-machine
+    * queries. The transitions are k-independent (pure arithmetic on the
+    * corpus size), so the demo runs its builds at a small fixed k
+    * instead of paying two full √(n/2)-cluster k-means per bench pass.
+    */
+  val DemoK = 8
+
   /** Driver query: the lifecycle state machine over the embeddings
     * corpus as one deterministic table — build, sub-threshold dirt
     * (no rebuild), accumulated dirt crossing the threshold, rebuild.
@@ -195,12 +253,12 @@ object IndexLifecycle {
     try {
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = build(vecs, tmp, corpusDir = Some(dir))
+      val s1 = build(vecs, tmp, corpusDir = Some(dir), kOpt = Some(DemoK))
       val d = math.ceil(0.05 * s1.size).toLong
       val s2 = markDirty(spark, tmp, d)
       val s3 = buildIfNeeded(vecs, tmp) // below threshold: no-op
       val s4 = markDirty(spark, tmp, d) // crosses threshold
-      val s5 = buildIfNeeded(vecs, tmp) // rebuilds, version 2
+      val s5 = buildIfNeeded(vecs, tmp, kOpt = Some(DemoK)) // rebuilds, version 2
       import spark.implicits._
       Seq(s1, s2, s3, s4, s5).zipWithIndex
         .map { case (s, i) =>
@@ -218,6 +276,50 @@ object IndexLifecycle {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  /** Driver query: the point-delete path end-to-end — build, anti-join
+    * delete of every 7th vector (rewriting only the affected cluster
+    * partitions), then a read-back of the persisted lists proving they
+    * really shrank. Phase 3's `size` column comes from scanning the
+    * on-disk index, not from the state file, so a delete that failed to
+    * rewrite the lists cannot pass the oracle.
+    */
+  def indexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_delete")
+    val tmp = tmpDir.toString
+    try {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s1 = build(vecs, tmp, corpusDir = Some(dir), kOpt = Some(DemoK))
+      val s2 = delete(vecs.filter(col("id") % 7 === 0).select("id"), tmp)
+      val survivors = spark.read.parquet(tmp).count()
+      val s3 = s2.copy(size = survivors)
+      import spark.implicits._
+      Seq(s1, s2, s3).zipWithIndex
+        .map { case (s, i) =>
+          (i + 1, s.version, s.isDirty, s.dirtyCount, s.size, s.shouldRebuild(RebuildThreshold)) }
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        .cache() // materialize before the temp index is deleted below
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Every 7th vec_id is deleted; dirty ratio d/n = ~1/7 crosses the
+    * 0.1 rebuild threshold, so phases 2-3 report should_rebuild.
+    */
+  def indexDeleteOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE vec_id % 7 = 0) AS BIGINT) AS d FROM embeddings)
+      |SELECT 1 AS phase, 1 AS version, false AS is_dirty, CAST(0 AS BIGINT) AS dirty_count,
+      |       n AS size, false AS should_rebuild FROM p
+      |UNION ALL SELECT 2, 1, true, d, n - d, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 3, 1, true, d, n - d, (1.0*d/n >= 0.1) FROM p
+      |ORDER BY phase""".stripMargin
 
   def indexLifecycleOracleSql: String =
     """WITH p AS (SELECT count(*) AS n, CAST(ceil(0.05*count(*)) AS BIGINT) AS d FROM embeddings)

@@ -60,6 +60,19 @@ object Ivf {
       built.remove(k).foreach { case (assign, _) => assign.unpersist() }
     }
 
+  /** Materialize the session index memo for `dir` (build + cache fill).
+    * Bench times this as its own line item: the memo is shared by every
+    * ivf-backed query, so whichever query touched it first used to
+    * absorb the whole build cost into its own number (the round-2
+    * ivf_query "regression" was exactly this attribution artifact).
+    */
+  def warmIndex(spark: SparkSession, dir: String): Unit = {
+    val n = Tables.embeddings(spark, dir).count()
+    val (assign, _) = buildIndex(spark, dir, defaultK(n))
+    assign.count()
+    ()
+  }
+
   /** One k-means assignment pass as a pure Column expression: argmin of
     * l2 distance over the broadcast centroid literals, ties to the
     * lower cluster id (array_min on (dist, id) structs is lexicographic).
@@ -260,18 +273,27 @@ object Ivf {
       .limit(k)
   }
 
-  /** Per-query probe set: the nprobe nearest centroids, via the same
-    * broadcast centroid join as the build path — a bounded top-k
-    * aggregation over queries×k rows, stable codegen at any k.
+  /** Distance column for a metric (Dot negated so smaller = closer). */
+  private def distCol(metric: Int, a: Column, b: Column): Column = metric match {
+    case VectorMetric.L2     => VectorFunctions.l2Distance(a, b)
+    case VectorMetric.Cosine => VectorFunctions.cosineDistance(a, b)
+    case VectorMetric.Dot    => -VectorFunctions.dotProduct(a, b)
+  }
+
+  /** Per-query probe set: the nprobe nearest centroids UNDER THE QUERY
+    * METRIC (probing with a different metric than the final ranking
+    * would select the wrong lists), via the same broadcast centroid
+    * join as the build path — a bounded top-k aggregation over
+    * queries×k rows, stable codegen at any k.
     * (query_id, qvec) → (query_id, qvec, probe_cluster).
     */
   private def probeSelect(queries: DataFrame, centroids: Array[Array[Float]],
-                          nprobe: Int): DataFrame = {
+                          nprobe: Int, metric: Int = VectorMetric.L2): DataFrame = {
     val np = math.min(math.max(1, nprobe), centroids.length)
     val cdf = centroidDf(queries.sparkSession, centroids)
     queries.crossJoin(broadcast(cdf))
       .select(col("query_id"), col("qvec"), col("cid"),
-        VectorFunctions.l2Distance(col("qvec"), col("cvec")).as("cdist"))
+        distCol(metric, col("qvec"), col("cvec")).as("cdist"))
       .groupBy("query_id")
       .agg(
         VectorFunctions.topKByDistance(col("cdist"), col("cid").cast("long"), np).as("pc"),
@@ -289,11 +311,7 @@ object Ivf {
   private def probedTopK(lists: DataFrame, probes: DataFrame, k: Int, metric: Int,
                          pairFilter: Column = lit(true),
                          broadcastProbes: Boolean = true): DataFrame = {
-    val dist = metric match {
-      case VectorMetric.L2     => VectorFunctions.l2Distance(col("vec"), col("qvec"))
-      case VectorMetric.Cosine => VectorFunctions.cosineDistance(col("vec"), col("qvec"))
-      case VectorMetric.Dot    => -VectorFunctions.dotProduct(col("vec"), col("qvec"))
-    }
+    val dist = distCol(metric, col("vec"), col("qvec"))
     val p = if (broadcastProbes) broadcast(probes) else probes
     lists.join(p, col("cluster_id") === col("probe_cluster"))
       .filter(pairFilter)
@@ -313,10 +331,15 @@ object Ivf {
     * assign each query to its nprobe closest centroids, scan only those
     * lists, exact top-k within them. nprobe ≥ nClusters (e.g. the
     * driver's Int.MaxValue sentinel) probes every list, which is exact
-    * k-NN by construction — that variant carries the A1 oracle.
+    * k-NN by construction — that variant carries the A1 oracle; the
+    * nprobe<k default is the benched approximate path (recall pinned by
+    * IvfSpec). `metric` matches the reference's per-index metric
+    * parameter (indexes take euclidean|cosine|dot, manager.py) — both
+    * probe selection and the final ranking use it.
     */
   def ivfQuery(spark: SparkSession, dir: String,
-               nQueries: Int = 5, k: Int = 10, nprobeOpt: Option[Int] = None): DataFrame = {
+               nQueries: Int = 5, k: Int = 10, nprobeOpt: Option[Int] = None,
+               metric: Int = VectorMetric.L2): DataFrame = {
     val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
     val nClusters = defaultK(vecs.count())
@@ -324,8 +347,8 @@ object Ivf {
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    val probes = probeSelect(queries, centroids, nprobe)
-    probedTopK(invertedLists(vecs, assign), probes, k, VectorMetric.L2)
+    val probes = probeSelect(queries, centroids, nprobe, metric)
+    probedTopK(invertedLists(vecs, assign), probes, k, metric)
       .orderBy("query_id", "rank")
   }
 
@@ -388,7 +411,7 @@ object Ivf {
     val nClusters = defaultK(vecs.count())
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters))
+    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters), metric)
     probedTopK(invertedLists(vecs, assign), probes, k, metric,
       pairFilter = col("neighbor_id") =!= col("query_id"),
       broadcastProbes = false)

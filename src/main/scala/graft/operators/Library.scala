@@ -60,6 +60,27 @@ object Library {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** A10b: library-level pagination — the reference lists libraries
+    * sorted by name.casefold() (app/repositories/in_memory/
+    * library_repository.py:21-26) then slices [offset, offset+limit).
+    * lower(source) plays casefold (identical on this namespace); the
+    * page carries each library's doc count.
+    */
+  def libraryPagination(spark: SparkSession, dir: String,
+                        limit: Int = 8, offset: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"), lower(col("source")).as("name_lower"))
+      .orderBy(col("name_lower"))
+      .offset(offset)
+      .limit(limit)
+
+  def libraryPaginationOracleSql(limit: Int = 8, offset: Int = 5): String =
+    s"""SELECT source, count(*) AS n_docs, lower(source) AS name_lower
+       |FROM documents GROUP BY source
+       |ORDER BY name_lower LIMIT $limit OFFSET $offset""".stripMargin
+
   /** Libraries "deleted" by the cascade-delete query (a fixed tombstone
     * set so the oracle is deterministic).
     */

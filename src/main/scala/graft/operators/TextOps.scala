@@ -143,6 +143,28 @@ object TextOps {
        |SELECT doc_id, chunk_idx, start_idx, end_idx
        |FROM chunks ORDER BY doc_id, chunk_idx LIMIT $limit OFFSET $offset""".stripMargin
 
+  /** B4b: document-level pagination — the reference lists documents
+    * sorted by title.lower() (app/repositories/in_memory/
+    * document_repository.py:19-28) then slices [offset, offset+limit).
+    * The title analog is the lowercased text prefix; doc_id breaks ties
+    * deterministically. Only the page crosses the network: the sort is
+    * a TakeOrdered-style bounded operation, never a full result
+    * materialization.
+    */
+  def docPagination(spark: SparkSession, dir: String,
+                    limit: Int = 25, offset: Int = 40): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(substring(col("text"), 1, 24)).as("title_lower"), col("source"))
+      .orderBy(col("title_lower"), col("doc_id"))
+      .offset(offset)
+      .limit(limit)
+
+  def docPaginationOracleSql(limit: Int = 25, offset: Int = 40): String =
+    s"""SELECT doc_id, lower(substr(text, 1, 24)) AS title_lower, source
+       |FROM documents ORDER BY title_lower, doc_id
+       |LIMIT $limit OFFSET $offset""".stripMargin
+
   // ---------------------------------------------------------------- E7
 
   /** Stopword tables per language. Tiny, inlined as literals — at scale

@@ -66,6 +66,154 @@ object Validate {
       .orderBy("rule")
   }
 
+  /** Document-level constraints (app/schemas/document.py:1-168 +
+    * app/core/config.py:53-54): title required, non-whitespace, ≤ 255;
+    * metadata string bounds (author ≤ 255, source ≤ 500, language ≤ 50,
+    * category ≤ 100); word_count ≥ 0.
+    */
+  def documentViolations(title: Column, author: Column, source: Column,
+                         language: Column, category: Column,
+                         wordCount: Column): Column =
+    array_compact(array(
+      when(title.isNull || length(trim(title)) === 0, "empty_title"),
+      when(length(title) > 255, "title_too_long"),
+      when(length(author) > 255, "author_too_long"),
+      when(length(source) > 500, "source_too_long"),
+      when(length(language) > 50, "language_too_long"),
+      when(length(category) > 100, "category_too_long"),
+      when(wordCount < 0, "neg_word_count")))
+
+  /** Library-level constraints (app/schemas/library.py + config.py:53):
+    * name required, non-whitespace, ≤ 255; description ≤ 1000;
+    * metadata bounds (version ≤ 50, workflow ≤ 100, created_by ≤ 255).
+    */
+  def libraryViolations(name: Column, description: Column, version: Column,
+                        workflow: Column, createdBy: Column): Column =
+    array_compact(array(
+      when(name.isNull || length(trim(name)) === 0, "empty_name"),
+      when(length(name) > 255, "name_too_long"),
+      when(length(description) > 1000, "description_too_long"),
+      when(length(version) > 50, "version_too_long"),
+      when(length(workflow) > 100, "workflow_too_long"),
+      when(length(createdBy) > 255, "created_by_too_long")))
+
+  /** Rule-count rollup shared by the three validate_* driver queries:
+    * every row contributes its violation labels or 'valid_rows'.
+    */
+  private def ruleCounts(df: DataFrame): DataFrame =
+    df.select(when(size(col("violations")) === 0, array(lit("valid_rows")))
+        .otherwise(col("violations")).as("v"))
+      .select(explode(col("v")).as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n"))
+      .orderBy("rule")
+
+  /** Driver query: document-entity validation — same
+    * perturb-then-quarantine shape as validateChunks, one level up the
+    * entity hierarchy. Title/author/etc. are synthesized from the
+    * documents table with fixed modular arithmetic on doc_id.
+    */
+  def validateDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val perturbed = Tables.documents(spark, dir)
+      .select(
+        when(id % 11 === 0, lit("   "))
+          .when(id % 13 === 0, repeat(lit("t"), 300))
+          .otherwise(substring(col("text"), 1, 40)).as("title"),
+        when(id % 17 === 0, repeat(lit("a"), 256))
+          .otherwise(concat(lit("author_"), id % 7)).as("author"),
+        when(id % 19 === 0, repeat(lit("s"), 501)).otherwise(col("source")).as("src"),
+        when(id % 23 === 0, repeat(lit("l"), 51)).otherwise(col("lang")).as("language"),
+        when(id % 29 === 0, repeat(lit("c"), 101)).otherwise(lit("general")).as("category"),
+        when(id % 31 === 0, lit(-1L)).otherwise(col("n_chars")).as("word_count"))
+      .withColumn("violations",
+        documentViolations(col("title"), col("author"), col("src"),
+          col("language"), col("category"), col("word_count")))
+    ruleCounts(perturbed)
+  }
+
+  def validateDocumentsOracleSql: String =
+    """WITH perturbed AS (
+      |  SELECT
+      |    CASE WHEN doc_id % 11 = 0 THEN '   '
+      |         WHEN doc_id % 13 = 0 THEN repeat('t', 300)
+      |         ELSE substr(text, 1, 40) END AS title,
+      |    CASE WHEN doc_id % 17 = 0 THEN repeat('a', 256)
+      |         ELSE 'author_' || (doc_id % 7) END AS author,
+      |    CASE WHEN doc_id % 19 = 0 THEN repeat('s', 501) ELSE source END AS src,
+      |    CASE WHEN doc_id % 23 = 0 THEN repeat('l', 51) ELSE lang END AS language,
+      |    CASE WHEN doc_id % 29 = 0 THEN repeat('c', 101) ELSE 'general' END AS category,
+      |    CASE WHEN doc_id % 31 = 0 THEN -1 ELSE n_chars END AS word_count
+      |  FROM documents),
+      |v AS (
+      |  SELECT list_filter([
+      |    CASE WHEN title IS NULL OR length(trim(title)) = 0 THEN 'empty_title' END,
+      |    CASE WHEN length(title) > 255 THEN 'title_too_long' END,
+      |    CASE WHEN length(author) > 255 THEN 'author_too_long' END,
+      |    CASE WHEN length(src) > 500 THEN 'source_too_long' END,
+      |    CASE WHEN length(language) > 50 THEN 'language_too_long' END,
+      |    CASE WHEN length(category) > 100 THEN 'category_too_long' END,
+      |    CASE WHEN word_count < 0 THEN 'neg_word_count' END],
+      |    x -> x IS NOT NULL) AS vs
+      |  FROM perturbed)
+      |SELECT rule, count(*) AS n FROM (
+      |  SELECT unnest(CASE WHEN len(vs) = 0 THEN ['valid_rows'] ELSE vs END) AS rule
+      |  FROM v) t
+      |GROUP BY rule ORDER BY rule""".stripMargin
+
+  /** Driver query: library-entity validation over the 20 `source`
+    * libraries (source plays Library — SURVEY §3); name/description/
+    * metadata synthesized per library from its numeric suffix.
+    */
+  def validateLibraries(spark: SparkSession, dir: String): DataFrame = {
+    val ln = substring(col("source"), 4, 10).cast("int")
+    val perturbed = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), ln.as("ln"))
+      .select(
+        when(col("ln") % 5 === 0, lit("  "))
+          .when(col("ln") % 5 === 1, repeat(lit("n"), 256))
+          .otherwise(col("source")).as("name"),
+        when(col("ln") % 4 === 2, repeat(lit("d"), 1001))
+          .otherwise(concat(lit("library "), col("source"))).as("description"),
+        when(col("ln") % 3 === 0, repeat(lit("v"), 51)).otherwise(lit("1.0.0")).as("version"),
+        when(col("ln") % 7 === 3, repeat(lit("w"), 101)).otherwise(lit("ingest")).as("workflow"),
+        when(col("ln") % 6 === 5, repeat(lit("c"), 256)).otherwise(lit("ops")).as("created_by"))
+      .withColumn("violations",
+        libraryViolations(col("name"), col("description"), col("version"),
+          col("workflow"), col("created_by")))
+    ruleCounts(perturbed)
+  }
+
+  def validateLibrariesOracleSql: String =
+    """WITH libs AS (
+      |  SELECT source, CAST(substr(source, 4) AS INT) AS ln
+      |  FROM documents GROUP BY source),
+      |perturbed AS (
+      |  SELECT
+      |    CASE WHEN ln % 5 = 0 THEN '  '
+      |         WHEN ln % 5 = 1 THEN repeat('n', 256)
+      |         ELSE source END AS name,
+      |    CASE WHEN ln % 4 = 2 THEN repeat('d', 1001)
+      |         ELSE 'library ' || source END AS description,
+      |    CASE WHEN ln % 3 = 0 THEN repeat('v', 51) ELSE '1.0.0' END AS version,
+      |    CASE WHEN ln % 7 = 3 THEN repeat('w', 101) ELSE 'ingest' END AS workflow,
+      |    CASE WHEN ln % 6 = 5 THEN repeat('c', 256) ELSE 'ops' END AS created_by
+      |  FROM libs),
+      |v AS (
+      |  SELECT list_filter([
+      |    CASE WHEN name IS NULL OR length(trim(name)) = 0 THEN 'empty_name' END,
+      |    CASE WHEN length(name) > 255 THEN 'name_too_long' END,
+      |    CASE WHEN length(description) > 1000 THEN 'description_too_long' END,
+      |    CASE WHEN length(version) > 50 THEN 'version_too_long' END,
+      |    CASE WHEN length(workflow) > 100 THEN 'workflow_too_long' END,
+      |    CASE WHEN length(created_by) > 255 THEN 'created_by_too_long' END],
+      |    x -> x IS NOT NULL) AS vs
+      |  FROM perturbed)
+      |SELECT rule, count(*) AS n FROM (
+      |  SELECT unnest(CASE WHEN len(vs) = 0 THEN ['valid_rows'] ELSE vs END) AS rule
+      |  FROM v) t
+      |GROUP BY rule ORDER BY rule""".stripMargin
+
   def validateChunksOracleSql: String =
     s"""${TextOps.chunksCteSql},
        |perturbed AS (

@@ -43,10 +43,12 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** The events table as a real file-streamed source. */
+  /** The events table as a real file-streamed source. Callers pass the
+    * scoped streaming session from [[streamingSession]] — this function
+    * mutates no conf.
+    */
   private def eventFileStream(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob form: the events table is a single file in the sf dir; the
     // file source wants a directory basePath, the glob selects the file
     Sources.streamDir(spark, s"$dir/events.parq*", EventsFileSchema,
@@ -54,6 +56,20 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
+  }
+
+  /** A child session scoped to one streaming run. Streaming wants its
+    * own conf (state-partition count, nanos-as-long parquet reads) —
+    * setting those on the shared session would silently apply them to
+    * any concurrently running batch query, so each run gets a
+    * newSession() (same SparkContext + cached data, separate conf and
+    * temp-view catalog) and the parent session is never touched.
+    */
+  private def streamingSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
   }
 
   /** Stateful-op parallelism for the local harness. Each shuffle
@@ -68,19 +84,17 @@ object Streams {
   val StreamShufflePartitions = "8"
 
   /** Drive a streaming frame into a memory sink, return the sink
-    * contents once the source is drained.
+    * contents once the source is drained. The frame's session is the
+    * scoped child from [[streamingSession]], so no shared conf is
+    * touched here.
     */
   private def sinkOf(streamDf: DataFrame, outputMode: String): DataFrame = {
     val spark = streamDf.sparkSession
     val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    try {
-      val q = streamDf
-        .writeStream.format("memory").queryName(sink).outputMode(outputMode)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = streamDf
+      .writeStream.format("memory").queryName(sink).outputMode(outputMode)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
     spark.table(sink)
   }
 
@@ -91,10 +105,12 @@ object Streams {
                         outputMode: String): DataFrame =
     sinkOf(job(events), outputMode)
 
-  /** Driver harness: file-streamed source (no collect anywhere). */
+  /** Driver harness: file-streamed source (no collect anywhere) in a
+    * scoped child session.
+    */
   private def runOnFiles(spark: SparkSession, dir: String, outputMode: String)
                         (job: Dataset[Event] => DataFrame): DataFrame =
-    runToSink(job, eventFileStream(spark, dir), outputMode)
+    runToSink(job, eventFileStream(streamingSession(spark), dir), outputMode)
 
   /** Spec harness: the same rows through a MemoryStream (lets specs
     * exercise jobs without touching disk, and pins the file harness by
@@ -102,9 +118,10 @@ object Streams {
     */
   def runOnMemory(spark: SparkSession, dir: String, outputMode: String)
                  (job: Dataset[Event] => DataFrame): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = Tables.events(spark, dir)
+    val ss = streamingSession(spark)
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val rows = Tables.events(ss, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event].collect()
     val stream = MemoryStream[Event]
@@ -163,11 +180,16 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** D4: running event counts per market segment. */
+  /** D4: running event counts per market segment. The static dim is
+    * read in the same scoped session as the stream so the whole query
+    * resolves under one conf.
+    */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
+    val ss = streamingSession(spark)
+    val cust = Tables.customer(ss, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    runOnFiles(spark, dir, "complete")(enrichJob(cust)).orderBy("segment")
+    runToSink(enrichJob(cust), eventFileStream(ss, dir), "complete")
+      .orderBy("segment")
   }
 
   /** D5: stream-stream interval join — each user's purchase events
@@ -179,11 +201,12 @@ object Streams {
     * counts roll up batch-side on the sink.
     */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventFileStream(spark, dir).toDF()
+    val ss = streamingSession(spark)
+    val clicks = eventFileStream(ss, dir).toDF()
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val purchases = eventFileStream(spark, dir).toDF()
+    val purchases = eventFileStream(ss, dir).toDF()
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")

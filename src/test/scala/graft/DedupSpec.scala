@@ -35,6 +35,55 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
   }
 
+  test("hyperplane-LSH at the text-dedup regime (threshold 0.8, 8-bit bands)") {
+    // planted corpus: 60 seeded random base vectors + 20 perturbed
+    // copies at cos ≈ 0.97 — the regime the E5b scaladoc documents
+    // (near-dups at cos ≥ 0.8, where 8-bit bands prune noise hard)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)) }
+    val dups = (0 until 20).map { i =>
+      val b = base(i)._2
+      (1000L + i, b.map(x => x + 0.12f * rnd.nextGaussian().toFloat)) }
+    val all = base ++ dups
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val exact = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.8
+    } yield (ia, ib)).toSet
+    assert(exact.size >= 15, s"plant failed: only ${exact.size} true pairs")
+    val df = all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val lsh = vecPairs(Dedup.embeddingNeardupLshOn(spark, df,
+      threshold = 0.8, bandBits = 8))
+    assert(lsh.subsetOf(exact), s"non-dup pairs reported: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 at the documented 8-bit config")
+  }
+
+  test("simhash bucket cap drops nothing on the test corpus (capped == uncapped)") {
+    val capped = pairs(Dedup.dedupSimhash(spark, sf))
+    val uncapped = pairs(Dedup.dedupSimhash(spark, sf, capOpt = None))
+    assert(capped == uncapped,
+      s"cap lost pairs: ${uncapped -- capped}; cap invented pairs: ${capped -- uncapped}")
+  }
+
+  test("persisted shingle table reproduces the memo-path jaccard pairs exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shingles").toString
+    Dedup.writeShingleSets(spark, sf, s"$tmp/shingles")
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromTable = triples(Dedup.jaccardPairsFromParquet(spark, s"$tmp/shingles"))
+    val fromMemo = triples(Dedup.ngramJaccardPairs(spark, sf))
+    assert(fromTable == fromMemo)
+  }
+
   test("simhash pairs have verified hamming distance <= 3 and are deterministic") {
     val df = Dedup.dedupSimhash(spark, sf)
     val rows = df.collect()

@@ -32,5 +32,10 @@ class EdgeSpec extends AnyFunSuite {
     assert(Dedup.dedupExact(spark, sf).filter(lit(false)).count() == 0)
     val noVecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
     assert(Knn.knnSelf(noVecs, 1, 5, VectorMetric.Cosine).count() == 0)
+    // E5b: an empty corpus has no dimension to probe — must yield an
+    // empty pair frame, not a head() crash
+    assert(Dedup.embeddingNeardupLshOn(spark,
+      noVecs.select(col("vec_id"), col("embedding")),
+      threshold = 0.4, bandBits = 4).count() == 0)
   }
 }

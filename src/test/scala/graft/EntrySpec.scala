@@ -21,9 +21,11 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: every query key has oracle SQL or is documented rows-only") {
-    // spec-covered, no SQL-expressible oracle (k-means / probabilistic LSH)
+    // spec-covered, no SQL-expressible oracle (k-means / probabilistic
+    // LSH / approximate-by-design serving path)
     val rowsOnly = Set("ivf_build", "dedup_minhash_lsh", "dedup_simhash",
-      "embedding_neardup_lsh", "index_stats", "events_sketch")
+      "embedding_neardup_lsh", "index_stats", "events_sketch",
+      "ivf_query_nprobe")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

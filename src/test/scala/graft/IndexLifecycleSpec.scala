@@ -75,6 +75,57 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(s3.shouldRebuild(0.1))
   }
 
+  test("point delete: vector disappears from queries; only affected partitions rewritten") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    IndexLifecycle.build(corpus(col("vec_id") >= 0), path)
+    val qvec = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // vector 0 is in the corpus: its own NN is itself
+    assert(IndexLifecycle.query(spark, path, qvec, k = 1, nprobe = 64)
+      .head().getLong(0) == 0L)
+
+    // which cluster holds vector 0 (the only partition a delete may touch)
+    val lists = spark.read.parquet(path)
+    val hitCluster = lists.filter(col("neighbor_id") === 0L)
+      .select("cluster_id").head().getInt(0)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitionFiles(): Map[String, Seq[(String, Long)]] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+        .map { d =>
+          d.getPath.getName ->
+            fsys.listStatus(d.getPath).toSeq
+              .map(f => (f.getPath.getName, f.getModificationTime))
+              .sortBy(_._1)
+        }.toMap
+    val before = partitionFiles()
+
+    import spark.implicits._
+    val s0 = IndexLifecycle.status(spark, path)
+    val s1 = IndexLifecycle.delete(Seq(0L).toDF("id"), path)
+    assert(s1.size == s0.size - 1 && s1.isDirty && s1.dirtyCount == 1,
+      "remove_vector semantics: size shrinks, removal recorded as dirt")
+    assert(s1.version == s0.version, "delete must not retrain")
+    // the deleted vector is gone from the persisted lists and from queries
+    assert(spark.read.parquet(path).filter(col("neighbor_id") === 0L).count() == 0)
+    assert(IndexLifecycle.query(spark, path, qvec, k = 1, nprobe = 64)
+      .head().getLong(0) != 0L)
+    // untouched cluster partitions are byte-identical (same files, same mtimes)
+    val after = partitionFiles()
+    val untouched = before.keys.filterNot(_ == s"cluster_id=$hitCluster")
+    assert(untouched.nonEmpty, "test needs more than one cluster to be meaningful")
+    untouched.foreach { p =>
+      assert(after(p) == before(p), s"partition $p was rewritten by an unrelated delete")
+    }
+
+    // deleting an id that is not in the index is a no-op (reference
+    // remove_vector returns False)
+    val s2 = IndexLifecycle.delete(Seq(999999L).toDF("id"), path)
+    assert(s2 == s1, "deleting a missing id must change nothing")
+  }
+
   test("dimension-mismatched queries fail the job instead of truncating") {
     import spark.implicits._
     val corpus3 = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(4f, 5f, 6f)))

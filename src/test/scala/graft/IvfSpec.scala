@@ -38,6 +38,15 @@ class IvfSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("ivf cosine query probing ALL lists matches the exact cosine contract (A2)") {
+    val exact = VectorQueries.knnLinearCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Ivf.ivfQuery(spark, sf, nQueries = 5, k = 10,
+      nprobeOpt = Some(Int.MaxValue), metric = graft.functions.VectorMetric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact, "metric plumb-through must rank by cosine end-to-end")
+  }
+
   test("ivf query with nprobe=k/4 keeps useful recall at a quarter of the scan") {
     val exact = VectorQueries.knnLinearL2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
