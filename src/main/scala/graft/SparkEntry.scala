@@ -34,6 +34,7 @@ object SparkEntry {
     "validate_documents"  -> (Validate.validateDocuments _),
     "validate_libraries"  -> (Validate.validateLibraries _),
     "library_stats"       -> (Library.libraryStats _),
+    "index_memory_stats"  -> ((s, d) => Library.indexMemoryStats(s, d)),
     "library_pagination"  -> ((s, d) => Library.libraryPagination(s, d)),
     "cascade_delete"      -> (Library.cascadeDelete _),
     "upsert_latest"       -> (Library.upsertLatest _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "validate_documents"  -> Validate.validateDocumentsOracleSql,
     "validate_libraries"  -> Validate.validateLibrariesOracleSql,
     "library_stats"       -> Library.libraryStatsOracleSql,
+    "index_memory_stats"  -> Library.indexMemoryStatsOracleSql(),
     "library_pagination"  -> Library.libraryPaginationOracleSql(),
     "cascade_delete"      -> Library.cascadeDeleteOracleSql,
     "upsert_latest"       -> Library.upsertLatestOracleSql,

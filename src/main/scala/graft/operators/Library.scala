@@ -60,6 +60,58 @@ object Library {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** A16: per-library memory-usage estimate for the RECOMMENDED index —
+    * the reference's get_memory_usage/get_stats monitoring surface
+    * (app/indexes/linear.py:76-112, kdtree.py:177-192, ivf.py:226-242,
+    * manager.py:237-250). Byte accounting mirrors the reference:
+    * float64 vectors (n·dim·8), kd-tree node overhead 64 B/node, IVF
+    * centroid table k·dim·8 + 64 B/inverted-list with
+    * k = max(1, min(1000, ⌊√(n/2)⌋)) (ivf.py:42-52); query_complexity
+    * carries each algorithm's documented complexity string. Pure
+    * arithmetic over the A9 rollup — one shuffle, broadcast-free.
+    */
+  def indexMemoryStats(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val n = col("n_vectors")
+    val k = greatest(lit(1L), least(lit(1000L), floor(sqrt(n / lit(2.0)))))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("algorithm",
+        explode(array(lit("ivf"), lit("kdtree"), lit("linear"))))
+      .withColumn("vectors_bytes", n * dim * 8L)
+      .withColumn("overhead_bytes",
+        when(col("algorithm") === "kdtree", n * 64L)
+          .when(col("algorithm") === "ivf", k * dim * 8L + k * 64L)
+          .otherwise(lit(0L)))
+      .withColumn("total_bytes", col("vectors_bytes") + col("overhead_bytes"))
+      .withColumn("query_complexity",
+        when(col("algorithm") === "linear", "O(N * D)")
+          .when(col("algorithm") === "kdtree", "O(log N) average, O(N) worst case")
+          .otherwise("O(P * M + k)"))
+      .orderBy("source", "algorithm")
+  }
+
+  def indexMemoryStatsOracleSql(dim: Int = 64): String =
+    s"""WITH r AS (
+       |  SELECT source, count(*) AS n_vectors FROM documents GROUP BY source),
+       |m AS (
+       |  SELECT r.*, t.algorithm,
+       |    greatest(1, least(1000, CAST(floor(sqrt(n_vectors/2.0)) AS BIGINT))) AS k
+       |  FROM r CROSS JOIN (VALUES ('ivf'), ('kdtree'), ('linear')) t(algorithm))
+       |SELECT source, n_vectors, algorithm,
+       |  CAST(n_vectors * $dim * 8 AS BIGINT) AS vectors_bytes,
+       |  CAST(CASE WHEN algorithm = 'kdtree' THEN n_vectors * 64
+       |            WHEN algorithm = 'ivf' THEN k * $dim * 8 + k * 64
+       |            ELSE 0 END AS BIGINT) AS overhead_bytes,
+       |  CAST(n_vectors * $dim * 8 +
+       |       CASE WHEN algorithm = 'kdtree' THEN n_vectors * 64
+       |            WHEN algorithm = 'ivf' THEN k * $dim * 8 + k * 64
+       |            ELSE 0 END AS BIGINT) AS total_bytes,
+       |  CASE WHEN algorithm = 'linear' THEN 'O(N * D)'
+       |       WHEN algorithm = 'kdtree' THEN 'O(log N) average, O(N) worst case'
+       |       ELSE 'O(P * M + k)' END AS query_complexity
+       |FROM m ORDER BY source, algorithm""".stripMargin
+
   /** A10b: library-level pagination — the reference lists libraries
     * sorted by name.casefold() (app/repositories/in_memory/
     * library_repository.py:21-26) then slices [offset, offset+limit).

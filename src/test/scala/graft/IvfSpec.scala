@@ -47,6 +47,18 @@ class IvfSpec extends AnyFunSuite {
     assert(full == exact, "metric plumb-through must rank by cosine end-to-end")
   }
 
+  test("nprobe clamps to [1, nClusters] (set_nprobe semantics, ivf.py:214-224)") {
+    // nprobe=0 clamps to 1: still a valid query, k results per query
+    val low = Ivf.ivfQuery(spark, sf, nQueries = 2, k = 5, nprobeOpt = Some(0))
+    assert(low.count() == 10, "nprobe=0 must clamp to probing one list")
+    // nprobe far above nClusters clamps to all lists = exact
+    val exact = VectorQueries.knnLinearL2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val high = Ivf.ivfQuery(spark, sf, nQueries = 5, k = 10, nprobeOpt = Some(1 << 30))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(high == exact)
+  }
+
   test("ivf query with nprobe=k/4 keeps useful recall at a quarter of the scan") {
     val exact = VectorQueries.knnLinearL2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
