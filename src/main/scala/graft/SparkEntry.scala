@@ -57,6 +57,8 @@ object SparkEntry {
     "token_count"     -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
+    "multimodal_resize"       -> ((s, d) => Multimodal.multimodalResize(s, d)),
     // D-series: Structured Streaming jobs (memory-sink execution)
     "stream_window_agg" -> (Streams.streamWindowAgg _),
     "stream_dedup"      -> (Streams.streamDedup _),
@@ -115,6 +117,8 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
+    "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
+    "multimodal_resize"       -> Multimodal.multimodalResizeOracleSql(),
     // streaming twins ARE oracle-checkable: D1 ≡ C5-shaped SQL,
     // D3 ≡ C6, D2 ≡ count-by-type (source has no duplicate event_ids)
     "stream_window_agg" -> Analytics.eventsWindowAggOracleSql,

@@ -137,6 +137,93 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** E11b: frame sampling over the video containers — every `every`-th
+    * frame's (offset, length, first byte) FROM THE BYTES: frame count
+    * and width parsed from the GV01 header, the body sliced into
+    * n_frames equal strides, sampled offsets read back out of the
+    * payload column. This is the Spark-side shape of a real
+    * frame-sampler (explode to one row per sampled frame, byte access
+    * into the container, no shuffle); only the per-frame pixel decode
+    * stays with the stubbed codec. The oracle recomputes offsets AND
+    * the first payload byte independently from the source text.
+    */
+  def multimodalFrameSample(spark: SparkSession, dir: String,
+                            every: Int = 4): DataFrame = {
+    val p = col("payload")
+    payloads(spark, dir)
+      .filter(col("media_kind") === 2)
+      .select(col("doc_id"), p,
+        leParse(p, 9, 4).as("n_frames"),
+        (octet_length(p).cast("long") - 12).as("body_len"))
+      .withColumn("frame_len", floor(col("body_len") / col("n_frames")))
+      .filter(col("frame_len") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))))
+      .withColumn("frame_off", col("frame_idx") * col("frame_len"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"), col("frame_len"),
+        conv(hex(p.substr((col("frame_off") + 13).cast("int"), lit(1))), 16, 10)
+          .cast("long").as("first_byte"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  def multimodalFrameSampleOracleSql(every: Int = 4): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, encode(text) AS body,
+       |    CAST(doc_id % 24 + 1 AS BIGINT) AS n_frames,
+       |    CAST(octet_length(encode(text)) // (doc_id % 24 + 1) AS BIGINT) AS frame_len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |s AS (
+       |  SELECT doc_id, body, frame_len,
+       |    CAST(unnest(range(0, n_frames, $every)) AS BIGINT) AS frame_idx
+       |  FROM f WHERE frame_len > 0)
+       |SELECT doc_id, frame_idx,
+       |  CAST(frame_idx * frame_len AS BIGINT) AS frame_off, frame_len,
+       |  CAST(('0x' || substr(hex(body), CAST(frame_idx * frame_len * 2 + 1 AS INT), 2)) AS BIGINT) AS first_byte
+       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** E11c: thumbnail-resize planning over the image containers — target
+    * dims fit the parsed BMP width/height into a `maxSide` box
+    * preserving aspect ratio (integer arithmetic, floor semantics
+    * identical in both engines), plus the resized buffer size a decode
+    * stage would allocate (24bpp). Dims come from parsing the payload
+    * header, not from the source columns — the oracle recomputes them
+    * from the source, so a misparsed header diverges.
+    */
+  def multimodalResize(spark: SparkSession, dir: String,
+                       maxSide: Int = 64): DataFrame = {
+    val p = col("payload")
+    payloads(spark, dir)
+      .filter(col("media_kind") === 0)
+      .select(col("doc_id"),
+        leParse(p, 19, 4).as("width"), leParse(p, 23, 4).as("height"))
+      .withColumn("out_w",
+        when(col("width") >= col("height"), lit(maxSide.toLong))
+          .otherwise(floor(col("width") * maxSide / col("height"))))
+      .withColumn("out_h",
+        when(col("width") >= col("height"),
+          floor(col("height") * maxSide / col("width")))
+          .otherwise(lit(maxSide.toLong)))
+      .withColumn("thumb_bytes", col("out_w") * col("out_h") * 3L)
+      .orderBy("doc_id")
+  }
+
+  def multimodalResizeOracleSql(maxSide: Int = 64): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(n_chars % 64 + 16 AS BIGINT) AS width,
+       |    CAST(doc_id % 48 + 16 AS BIGINT) AS height
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |r AS (
+       |  SELECT doc_id, width, height,
+       |    CAST(CASE WHEN width >= height THEN $maxSide
+       |              ELSE width * $maxSide // height END AS BIGINT) AS out_w,
+       |    CAST(CASE WHEN width >= height THEN height * $maxSide // width
+       |              ELSE $maxSide END AS BIGINT) AS out_h
+       |  FROM dims)
+       |SELECT doc_id, width, height, out_w, out_h,
+       |  CAST(out_w * out_h * 3 AS BIGINT) AS thumb_bytes
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- decode
 
   case class MediaFeature(doc_id: Long, media_kind: Int, byte_len: Long,
