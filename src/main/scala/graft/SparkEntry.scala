@@ -52,6 +52,7 @@ object SparkEntry {
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
+    "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
     "token_count"     -> (TextOps.tokenCount _),

@@ -148,10 +148,19 @@ object Ivf {
     val train: Array[Array[Float]] = sampled.select(col("id"), col("vec"))
       .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
     require(train.nonEmpty, "cannot train a quantizer on an empty corpus")
-    val dim = train(0).length
+    lloyd(train, k, iters, tol)
+  }
 
-    // init: the k lowest-id vectors (the reference's seeded-choice
-    // contract, ivf.py:75-82 — any deterministic pick qualifies)
+  /** Driver-local Lloyd over a bounded training sample — the shared
+    * quantizer trainer (IVF coarse quantizer here; Pq sub-quantizers
+    * reuse it per subspace). Deterministic: init from the first k
+    * sample vectors (the reference's seeded-choice contract,
+    * ivf.py:75-82 — any deterministic pick qualifies), ties to the
+    * lower cluster id, sum/count mean updates.
+    */
+  private[operators] def lloyd(train: Array[Array[Float]], k: Int,
+                               iters: Int, tol: Double): Array[Array[Float]] = {
+    val dim = train(0).length
     var centroids = train.take(k).map(_.clone())
     var it = 0
     var converged = false

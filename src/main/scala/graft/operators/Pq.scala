@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-compression path a 100 TB
+  * embedding corpus actually requires (the FAISS IVF-PQ design; the
+  * reference's IVFIndex keeps raw float vectors in its inverted lists,
+  * which at 100 TB cannot be held or scanned economically).
+  *
+  * The vector space is split into M subspaces; each subspace gets its
+  * own 256-centroid codebook (driver-local Lloyd on a bounded sample,
+  * shared trainer with the IVF coarse quantizer); every vector encodes
+  * to M one-byte codes. A 64-dim float32 vector (256 B) becomes 8 B —
+  * 32× — while queries run Asymmetric Distance Computation: one
+  * M×256 lookup table per query (exact query-to-centroid distances),
+  * then each candidate's distance is M table lookups + adds, no float
+  * vector ever touched.
+  *
+  * Scale shape: the codebook is KBs (broadcast); encoding is a
+  * broadcast join + two skinny shuffles of (id, subspace, code) rows —
+  * O(n·M) small ints, the same banding cost model as minhash-LSH; the
+  * ADC scan is a narrow codegen'd map over the code table with a
+  * bounded top-k, no shuffle of distances. At 100 TB the encoded table
+  * is what sits in storage (optionally inside the IVF cluster layout —
+  * IVF-PQ — so probes prune partitions AND read 32× fewer bytes).
+  *
+  * Approximate by construction (quantization error), so the driver key
+  * is rows-only; PqSpec pins recall vs exact k-NN, encoding bounds,
+  * and train determinism.
+  */
+object Pq {
+
+  val SubspaceCount = 8
+  val CodebookSize = 256
+  /** Sample budget for codebook training (FAISS-style bounded train). */
+  val TrainSampleCap = 65536L
+
+  /** codebooks(m)(code) = sub-centroid vector of length subDim. */
+  case class Model(dim: Int, m: Int, subDim: Int,
+                   codebooks: Array[Array[Array[Float]]])
+
+  private val models =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Model]
+  private val encoded =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  /** Drop the session memos for a corpus (data-change hook, same
+    * contract as Ivf.invalidate / Dedup.invalidate).
+    */
+  def invalidate(dir: String): Unit = {
+    models.keys.filter(_._1 == dir).foreach(models.remove)
+    encoded.keys.filter(_._1 == dir)
+      .foreach(k => encoded.remove(k).foreach(_.unpersist()))
+  }
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+
+  /** Train M per-subspace codebooks on a deterministic hash-sample. */
+  def train(spark: SparkSession, dir: String,
+            m: Int = SubspaceCount): Model =
+    models.get((dir, m)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, m), {
+        val vecs = corpus(spark, dir)
+        val n = vecs.count()
+        require(n > 0, "cannot train a product quantizer on an empty corpus")
+        val sampled =
+          if (n <= TrainSampleCap) vecs
+          else vecs.filter(
+            pmod(xxhash64(col("id")), lit(math.max(1L, n / TrainSampleCap))) === 0)
+        val train = sampled.select(col("id"), col("vec"))
+          .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+        val dim = train(0).length
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val subDim = dim / m
+        val codebooks = (0 until m).map { mi =>
+          val sub = train.map(_.slice(mi * subDim, (mi + 1) * subDim))
+          Ivf.lloyd(sub, math.min(CodebookSize, sub.length), iters = 10, tol = 1e-4)
+        }.toArray
+        Model(dim, m, subDim, codebooks)
+      })
+    })
+
+  /** Codebook as a broadcastable (m_idx, code, cvec) table — M×256
+    * rows, KBs. Joined, never inlined as literals (the r1
+    * centroid-literal codegen lesson).
+    */
+  private def codebookDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    (for {
+      mi <- model.codebooks.indices
+      c <- model.codebooks(mi).indices
+    } yield (mi, c, model.codebooks(mi)(c).toSeq)).toDF("m_idx", "code", "cvec")
+  }
+
+  /** Encode the corpus: (id, codes array<int> of length M). Argmin per
+    * (vector, subspace) over the broadcast codebook, then codes
+    * reassembled in subspace order.
+    */
+  def encode(spark: SparkSession, dir: String,
+             m: Int = SubspaceCount): DataFrame =
+    encoded.get((dir, m)).getOrElse(synchronized {
+      encoded.getOrElseUpdate((dir, m), {
+        val model = train(spark, dir, m)
+        val cb = codebookDf(spark, model)
+        val sub = slice(col("vec"), col("m_idx") * model.subDim + 1, lit(model.subDim))
+        val df = corpus(spark, dir)
+          .crossJoin(broadcast(cb))
+          .select(col("id"), col("m_idx"), col("code"),
+            graft.functions.VectorFunctions.l2Distance(sub, col("cvec")).as("d"))
+          .groupBy("id", "m_idx")
+          .agg(min(struct(col("d"), col("code"))).as("mc"))
+          .groupBy("id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("m_idx"), col("mc.code").as("code")))),
+            s => s.getField("code")).as("codes"))
+          .cache()
+        df.count()
+        df
+      })
+    })
+
+  /** ADC top-k for one query vector with an exact refine step (the
+    * FAISS refine pattern). The per-query M×256 distance table is
+    * computed exactly on the driver (M·256 small l2s) and enters the
+    * plan as ONE literal; each encoded row's approximate distance is M
+    * element_at lookups + adds inside whole-stage codegen. The ADC
+    * pass shortlists `k·refine` candidates from the compressed table
+    * alone; only the shortlist joins back to raw vectors for an exact
+    * re-rank — at 100 TB that is k·refine point reads instead of a
+    * corpus scan of float vectors, which is the whole point of PQ.
+    * `refine = 1` is pure ADC (no raw-vector access at all).
+    */
+  def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
+           k: Int, m: Int = SubspaceCount, refine: Int = 4): DataFrame = {
+    val model = train(spark, dir, m)
+    require(queryVec.length == model.dim,
+      s"query dim ${queryVec.length} != corpus dim ${model.dim}")
+    val table: Seq[Seq[Double]] = (0 until m).map { mi =>
+      val q = queryVec.slice(mi * model.subDim, (mi + 1) * model.subDim)
+      model.codebooks(mi).toSeq.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+    val tlit = typedlit(table)
+    val adist = (0 until m).map { mi =>
+      element_at(element_at(tlit, mi + 1),
+        element_at(col("codes"), mi + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val shortlist = encode(spark, dir, m)
+      .select(col("id").as("neighbor_id"), sqrt(adist).as("dist"))
+      .orderBy(col("dist"), col("neighbor_id"))
+      .limit(k * math.max(1, refine))
+    if (refine <= 1) shortlist.limit(k)
+    else {
+      val exact = graft.functions.VectorFunctions
+        .l2Distance(col("vec"), typedlit(queryVec.toSeq))
+      shortlist.select(col("neighbor_id"))
+        .join(corpus(spark, dir).withColumnRenamed("id", "neighbor_id"),
+          "neighbor_id")
+        .select(col("neighbor_id"), exact.as("dist"))
+        .orderBy(col("dist"), col("neighbor_id"))
+        .limit(k)
+    }
+  }
+
+  /** Driver query: PQ ADC top-10 for the vec_id=0 query (rows-only —
+    * approximate by construction; PqSpec pins recall vs exact), plus
+    * the per-vector byte footprint columns that tell the compression
+    * story.
+    */
+  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val model = train(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    topK(spark, dir, q, k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"),
+        lit(model.dim * 4).as("raw_bytes_per_vec"),
+        lit(model.m).as("pq_bytes_per_vec"))
+  }
+}

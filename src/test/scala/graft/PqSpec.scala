@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization contracts: encoding shape, train determinism,
+  * and ADC recall vs exact k-NN (the approximate path's quality pin).
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val all: Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def exactTopK(q: Array[Float], k: Int): Seq[Long] =
+    all.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - q(i); acc += d * d; i += 1 }
+      (acc, id)
+    }.sortBy(identity).take(k).map(_._2).toSeq
+
+  test("encoding: M codes per vector, every code within the codebook") {
+    val model = Pq.train(spark, sf)
+    assert(model.m == Pq.SubspaceCount && model.subDim * model.m == model.dim)
+    val rows = Pq.encode(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == model.m)
+      assert(codes.forall(c => c >= 0 && c < Pq.CodebookSize))
+    }
+  }
+
+  test("ADC shortlist + exact refine recalls the exact neighbors (32x compression)") {
+    val k = 10
+    def recallOf(refine: Int): Double = {
+      val recalls = (0L until 5L).map { qid =>
+        val q = all.find(_._1 == qid).get._2
+        val exact = exactTopK(q, k).toSet
+        val pq = Pq.topK(spark, sf, q, k, refine = refine)
+          .collect().map(_.getLong(0)).toSet
+        (exact & pq).size.toDouble / k
+      }
+      recalls.sum / recalls.length
+    }
+    // pure ADC: compressed-domain quality floor (quantization error only)
+    assert(recallOf(1) >= 0.4, "pure-ADC recall collapsed")
+    // shortlist 4k + exact re-rank: the production configuration
+    val refined = recallOf(4)
+    assert(refined >= 0.8, s"refined recall $refined < 0.8")
+  }
+
+  test("training is deterministic across memo invalidation") {
+    val a = Pq.train(spark, sf).codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    Pq.invalidate(sf)
+    val b = Pq.train(spark, sf).codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("driver query returns k ranked rows with the compression columns") {
+    val rows = Pq.pqTopk(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(1)).toSeq == (1 to 10))
+    assert(rows.head.getInt(2) == 256 && rows.head.getInt(3) == 8)
+    // the query IS corpus vector 0: ADC should still rank it first
+    // (quantization error is small relative to inter-vector distances)
+    assert(rows.head.getLong(0) == 0L)
+  }
+}
