@@ -79,6 +79,9 @@ object SparkEntry {
     "part_type_revenue"   -> (Analytics.partTypeRevenue _),
     "rollup_revenue"      -> (Analytics.rollupRevenue _),
     "events_sketch"       -> (Analytics.eventsSketch _),
+    "q17_small_qty_revenue"    -> (Analytics.q17SmallQtyRevenue _),
+    "customers_without_orders" -> (Analytics.customersWithoutOrders _),
+    "events_moving_avg"        -> (Analytics.eventsMovingAvg _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -163,5 +166,8 @@ object SparkEntry {
     "q4_semijoin"         -> Analytics.q4SemiJoinOracleSql,
     "part_type_revenue"   -> Analytics.partTypeRevenueOracleSql,
     "rollup_revenue"      -> Analytics.rollupRevenueOracleSql,
+    "q17_small_qty_revenue"    -> Analytics.q17OracleSql,
+    "customers_without_orders" -> Analytics.customersWithoutOrdersOracleSql,
+    "events_moving_avg"        -> Analytics.eventsMovingAvgOracleSql,
   )
 }

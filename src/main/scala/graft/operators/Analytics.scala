@@ -351,4 +351,104 @@ object Analytics {
       |FROM lagged
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** C12: TPC-H Q17 shape — revenue from "small-quantity" lineitems
+    * (quantity below 0.2× the part's average), per brand. The
+    * correlated scalar subquery re-expresses as a per-part aggregate
+    * joined back to the fact: two passes over lineitem, one bounded
+    * shuffle each, part dim broadcast. The 0.2·avg boundary runs in
+    * EXACT integer arithmetic (5·qty·n < Σqty — quantities are
+    * whole numbers) so the filter is bit-deterministic across engines.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+    val brands = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(toOut(sum(dec(col("l_extendedprice")))).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  def q17OracleSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+      |  FROM lineitem),
+      |per_part AS (
+      |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n_li
+      |  FROM li GROUP BY l_partkey)
+      |SELECT p_brand,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS small_qty_revenue,
+      |  count(*) AS n_items
+      |FROM li
+      |JOIN per_part USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE qty * 5 * n_li < sum_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** C13: lapsed customers — no orders after the cutoff, per market
+    * segment: the NOT EXISTS surface as a left-anti join. The order
+    * side filters on the pushed-down date THEN pre-aggregates to
+    * DISTINCT customer keys (map-side combinable), so the anti-join
+    * shuffles each distinct key once instead of every order row — the
+    * difference between shuffling |orders| and |customers| at 100 TB.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2001-06-01").cast("timestamp")
+    val buyers = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= cutoff)
+      .select("o_custkey").distinct()
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  def customersWithoutOrdersOracleSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** C14: per-user 3-event moving sum over the event stream — the
+    * sliding-frame window surface (ROWS BETWEEN 2 PRECEDING AND
+    * CURRENT ROW). Exact integer cents end-to-end; one shuffle on
+    * user_id, frame evaluated in a single sorted pass per partition.
+    */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("cents")).over(w).as("mov_sum_cents"),
+        count(lit(1)).over(w).as("n_window"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def eventsMovingAvgOracleSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents,
+      |  CAST(count(*) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
 }
