@@ -53,10 +53,12 @@ object SparkEntry {
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
+    "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
     "token_count"     -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "multimodal_resize"       -> ((s, d) => Multimodal.multimodalResize(s, d)),
@@ -120,6 +122,7 @@ object SparkEntry {
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
+    "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
     "multimodal_resize"       -> Multimodal.multimodalResizeOracleSql(),

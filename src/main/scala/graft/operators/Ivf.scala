@@ -60,6 +60,16 @@ object Ivf {
       built.remove(k).foreach { case (assign, _) => assign.unpersist() }
     }
 
+  /** The session index for `dir` at the default cluster count —
+    * (assignments, centroids) — for operators that compose with the
+    * IVF layout (Pq's IVF-PQ path).
+    */
+  private[operators] def indexFor(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Float]]) = {
+    val n = Tables.embeddings(spark, dir).count()
+    buildIndex(spark, dir, defaultK(n))
+  }
+
   /** Materialize the session index memo for `dir` (build + cache fill).
     * Bench times this as its own line item: the memo is shared by every
     * ivf-backed query, so whichever query touched it first used to

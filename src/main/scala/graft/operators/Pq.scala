@@ -135,7 +135,40 @@ object Pq {
     * `refine = 1` is pure ADC (no raw-vector access at all).
     */
   def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
-           k: Int, m: Int = SubspaceCount, refine: Int = 4): DataFrame = {
+           k: Int, m: Int = SubspaceCount, refine: Int = 4): DataFrame =
+    adcTopK(spark, dir, encode(spark, dir, m), queryVec, k, m, refine)
+
+  /** IVF-PQ: ADC search INSIDE the IVF cluster layout — the composed
+    * 100 TB design. The query selects its nprobe nearest coarse
+    * centroids (driver math over the KB-sized centroid table), the
+    * candidate set narrows to those clusters' members via the
+    * assignment join (partition pruning when the codes land on disk
+    * partitioned by cluster_id), and only then does ADC + exact refine
+    * run. Cost per query: nprobe/k of the corpus, at M bytes per
+    * candidate instead of 4·dim — pruning and compression multiply.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
+                k: Int, nprobe: Int, m: Int = SubspaceCount,
+                refine: Int = 4): DataFrame = {
+    val (assign, centroids) = Ivf.indexFor(spark, dir)
+    val probed = centroids.zipWithIndex
+      .map { case (c, j) =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - queryVec(i); acc += d * d; i += 1 }
+        (acc, j)
+      }
+      .sortBy(identity)
+      .take(math.min(math.max(1, nprobe), centroids.length))
+      .map(_._2)
+    val cand = assign.filter(col("cluster_id").isInCollection(probed.toSeq))
+      .select("id").join(encode(spark, dir, m), "id")
+    adcTopK(spark, dir, cand, queryVec, k, m, refine)
+  }
+
+  /** Shared ADC core over any (id, codes) candidate frame. */
+  private def adcTopK(spark: SparkSession, dir: String, codesDf: DataFrame,
+                      queryVec: Array[Float], k: Int, m: Int,
+                      refine: Int): DataFrame = {
     val model = train(spark, dir, m)
     require(queryVec.length == model.dim,
       s"query dim ${queryVec.length} != corpus dim ${model.dim}")
@@ -152,7 +185,7 @@ object Pq {
       element_at(element_at(tlit, mi + 1),
         element_at(col("codes"), mi + 1).cast("int") + 1)
     }.reduce(_ + _)
-    val shortlist = encode(spark, dir, m)
+    val shortlist = codesDf
       .select(col("id").as("neighbor_id"), sqrt(adist).as("dist"))
       .orderBy(col("dist"), col("neighbor_id"))
       .limit(k * math.max(1, refine))
@@ -186,5 +219,21 @@ object Pq {
       .select(col("neighbor_id"), col("rank"),
         lit(model.dim * 4).as("raw_bytes_per_vec"),
         lit(model.m).as("pq_bytes_per_vec"))
+  }
+
+  /** Driver query: IVF-PQ top-10 at nprobe = nClusters/4 for the
+    * vec_id=0 query (rows-only; PqSpec pins probe-all ≡ flat-PQ and
+    * nprobe recall).
+    */
+  def ivfpqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val (_, centroids) = Ivf.indexFor(spark, dir)
+    ivfPqTopK(spark, dir, q, k, nprobe = math.max(1, centroids.length / 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"))
   }
 }

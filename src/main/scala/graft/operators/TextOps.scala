@@ -279,6 +279,52 @@ object TextOps {
        |  CAST(len(regexp_extract_all(lower(text), '$BpeTokenPattern')) AS BIGINT) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** E12: the composed cleaning pipeline a training-data run actually
+    * executes — language filter (E7) → quality floor (E8) → exact
+    * dedup (E1, canonical = min doc_id) → per-source survivor stats.
+    * One declarative plan: the scalar stages fuse into the document
+    * scan under whole-stage codegen, and the only shuffles are the
+    * doc_id co-joins, the dedup groupBy, and the final rollup. The
+    * threshold compare is bit-deterministic because the score
+    * expression is evaluated in the same IEEE order in both engines
+    * (the E8 oracle already pins that).
+    */
+  def pipelineCleanCorpus(spark: SparkSession, dir: String,
+                          lang: String = "en",
+                          minScore: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val predicted = langIdOn(docs).select(col("doc_id"), col("predicted"))
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val clean = docs.select("doc_id", "source", "text")
+      .join(predicted, "doc_id")
+      .join(quality, "doc_id")
+      .filter(col("predicted") === lang && col("score") >= minScore)
+    val canonical = clean
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    clean.join(canonical, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_clean"))
+      .orderBy("source")
+  }
+
+  def pipelineCleanCorpusOracleSql(lang: String = "en",
+                                   minScore: Double = 0.3): String =
+    s"""WITH lang_pred AS (${langIdOracleSql}),
+       |qual AS (${qualityScoreOracleSql}),
+       |clean AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d
+       |  JOIN lang_pred ON d.doc_id = lang_pred.doc_id
+       |  JOIN qual ON d.doc_id = qual.doc_id
+       |  WHERE lang_pred.predicted = '$lang' AND qual.score >= $minScore),
+       |canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
+       |SELECT source, count(*) AS n_docs_clean
+       |FROM clean JOIN canon USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- E10
 
   /** E10: positional rolling-hash fingerprint:

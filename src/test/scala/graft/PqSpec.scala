@@ -53,6 +53,27 @@ class PqSpec extends AnyFunSuite {
     assert(refined >= 0.8, s"refined recall $refined < 0.8")
   }
 
+  test("IVF-PQ probing all lists reproduces flat PQ; nprobe<k keeps useful recall") {
+    val k = 10
+    val q = all.find(_._1 == 0L).get._2
+    val flat = Pq.topK(spark, sf, q, k).collect().map(_.getLong(0)).toSeq
+    val probeAll = Pq.ivfPqTopK(spark, sf, q, k, nprobe = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probeAll == flat,
+      "probe-all IVF-PQ must equal flat PQ (same codes, same ADC, same refine)")
+    // a quarter of the lists: k results, meaningful overlap with exact
+    val recalls = (0L until 5L).map { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val exact = exactTopK(qv, k).toSet
+      val got = Pq.ivfPqTopK(spark, sf, qv, k, nprobe = 4)
+        .collect().map(_.getLong(0))
+      assert(got.length == k)
+      (exact & got.toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"IVF-PQ nprobe recall $mean unreasonably low")
+  }
+
   test("training is deterministic across memo invalidation") {
     val a = Pq.train(spark, sf).codebooks.map(_.map(_.toSeq).toSeq).toSeq
     Pq.invalidate(sf)
