@@ -202,6 +202,94 @@ object Pq {
     }
   }
 
+  /** Persist the IVF-PQ index: codes partitioned by cluster_id (probe
+    * pruning happens at planning time, same layout contract as
+    * Ivf.writeIndex), plus the coarse centroids and PQ codebooks as
+    * underscore-prefixed sidecar tables so the index outlives the
+    * session that built it.
+    */
+  def writeIvfPq(spark: SparkSession, dir: String, outPath: String,
+                 m: Int = SubspaceCount): Unit = {
+    import spark.implicits._
+    val (assign, centroids) = Ivf.indexFor(spark, dir)
+    val model = train(spark, dir, m)
+    assign.join(encode(spark, dir, m), "id")
+      .select(col("cluster_id"), col("id"), col("codes"))
+      .repartition(col("cluster_id")) // one file per list, not per task×list
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_centroids")
+    (for {
+      mi <- model.codebooks.indices
+      c <- model.codebooks(mi).indices
+    } yield (mi, c, model.codebooks(mi)(c).toSeq))
+      .toDF("m_idx", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_codebooks")
+  }
+
+  /** Query a persisted IVF-PQ index: probe selection over the loaded
+    * centroids (driver math, KBs), partition-pruned read of ONLY the
+    * probed code lists, ADC ranking from the loaded codebooks. Pure
+    * compressed-domain search — no raw vector is read; callers that
+    * want the exact refine re-rank pass the vector table (at scale:
+    * k·refine point lookups against the primary store).
+    */
+  def queryIvfPq(spark: SparkSession, indexPath: String,
+                 queryVec: Array[Float], k: Int, nprobe: Int,
+                 refineWith: Option[DataFrame] = None,
+                 refine: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+      .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
+    val cbRows = spark.read.parquet(s"$indexPath/_codebooks")
+      .orderBy("m_idx", "code").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)).toArray
+    val subDim = codebooks(0)(0).length
+    require(queryVec.length == m * subDim,
+      s"query dim ${queryVec.length} != index dim ${m * subDim}")
+    val probed = centroids.zipWithIndex
+      .map { case (c, j) =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - queryVec(i); acc += d * d; i += 1 }
+        (acc, j)
+      }
+      .sortBy(identity)
+      .take(math.min(math.max(1, nprobe), centroids.length))
+      .map(_._2)
+    val table: Seq[Seq[Double]] = (0 until m).map { mi =>
+      val q = queryVec.slice(mi * subDim, (mi + 1) * subDim)
+      codebooks(mi).toSeq.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+    val tlit = typedlit(table)
+    val adist = (0 until m).map { mi =>
+      element_at(element_at(tlit, mi + 1),
+        element_at(col("codes"), mi + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val shortlist = spark.read.parquet(indexPath)
+      .filter(col("cluster_id").isInCollection(probed.toSeq))
+      .select(col("id").as("neighbor_id"), sqrt(adist).as("dist"))
+      .orderBy(col("dist"), col("neighbor_id"))
+      .limit(k * math.max(1, refine))
+    refineWith match {
+      case None => shortlist.limit(k)
+      case Some(vecs) =>
+        val exact = graft.functions.VectorFunctions
+          .l2Distance(col("vec"), typedlit(queryVec.toSeq))
+        shortlist.select(col("neighbor_id"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("vec")), "neighbor_id")
+          .select(col("neighbor_id"), exact.as("dist"))
+          .orderBy(col("dist"), col("neighbor_id"))
+          .limit(k)
+    }
+  }
+
   /** Driver query: PQ ADC top-10 for the vec_id=0 query (rows-only —
     * approximate by construction; PqSpec pins recall vs exact), plus
     * the per-vector byte footprint columns that tell the compression

@@ -74,6 +74,34 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"IVF-PQ nprobe recall $mean unreasonably low")
   }
 
+  test("persisted IVF-PQ index: pruned probe reads, session-equivalent results") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.writeIvfPq(spark, sf, path)
+    val q = all.find(_._1 == 0L).get._2
+    val nprobe = 4
+    // pure compressed-domain (refine off) equals the in-session path
+    // with the same probes and refine=1 — same codes, same ADC
+    val inSession = Pq.ivfPqTopK(spark, sf, q, 10, nprobe, refine = 1)
+      .collect().map(_.getLong(0)).toSeq
+    val persisted = Pq.queryIvfPq(spark, path, q, 10, nprobe, refineWith = None)
+      .collect().map(_.getLong(0)).toSeq
+    assert(persisted == inSession)
+    // refine via the vector table re-ranks exactly
+    val refined = Pq.queryIvfPq(spark, path, q, 10, nprobe,
+      refineWith = Some(Tables.embeddings(spark, sf)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(refined.length == 10)
+    // the probe scan is partition-pruned to the probed cluster dirs
+    val res = Pq.queryIvfPq(spark, path, q, 10, nprobe, refineWith = None)
+    res.collect()
+    val scans = res.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PartitionFilters")
+      .exists(_.contains("cluster_id"))),
+      "no cluster_id partition filter in the persisted IVF-PQ probe scan")
+  }
+
   test("training is deterministic across memo invalidation") {
     val a = Pq.train(spark, sf).codebooks.map(_.map(_.toSeq).toSeq).toSeq
     Pq.invalidate(sf)
