@@ -83,19 +83,6 @@ object Ivf {
     ()
   }
 
-  /** One k-means assignment pass as a pure Column expression: argmin of
-    * l2 distance over the broadcast centroid literals, ties to the
-    * lower cluster id (array_min on (dist, id) structs is lexicographic).
-    */
-  private def assignExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val cands = centroids.zipWithIndex.map { case (c, j) =>
-      struct(
-        VectorFunctions.l2Distance(vec, typedlit(c.toSeq)).as("dist"),
-        lit(j).as("id"))
-    }
-    array_min(array(cands: _*)).getField("id")
-  }
-
   /** Centroids as a small broadcastable DataFrame (cid, cvec) — k×dim
     * rows, MBs even at k=10⁵. Every query/build path joins against this
     * instead of inlining centroid literals: literals regenerate (and
