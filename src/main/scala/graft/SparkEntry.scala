@@ -52,6 +52,7 @@ object SparkEntry {
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
+    "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
     "lang_id"         -> (TextOps.langId _),

@@ -489,6 +489,18 @@ object Dedup {
   def annTopkBatch(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine)
 
+  /** E6b: the approximate SERVING configuration of batch ANN —
+    * nprobe = nClusters/4, a quarter of the list scans per query. This
+    * is the shape that actually runs at 100 TB (probe-all is the
+    * oracle contract); benched as its own key, recall pinned in
+    * DedupSpec.
+    */
+  def annTopkBatchNprobe(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine,
+      nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)))
+  }
+
   def annTopkBatchOracleSql(k: Int = 5): String =
     s"""SELECT query_id, neighbor_id, rank FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

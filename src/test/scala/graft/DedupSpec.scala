@@ -84,6 +84,16 @@ class DedupSpec extends AnyFunSuite {
     assert(fromTable == fromMemo)
   }
 
+  test("batch-ANN nprobe serving config: k rows per query, useful recall vs exact") {
+    val exact = Dedup.annTopkBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.annTopkBatchNprobe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.length == 500 * 5, "every query must still get k neighbors")
+    val recall = (exact & approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"batch-ANN nprobe recall $recall unreasonably low")
+  }
+
   test("simhash pairs have verified hamming distance <= 3 and are deterministic") {
     val df = Dedup.dedupSimhash(spark, sf)
     val rows = df.collect()

