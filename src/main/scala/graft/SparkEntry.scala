@@ -70,6 +70,7 @@ object SparkEntry {
     "stream_enrich"     -> (Streams.streamEnrich _),
     "stream_join"       -> (Streams.streamJoin _),
     "stream_anomaly"    -> (Streams.streamAnomaly _),
+    "stream_knn"        -> (Streams.streamKnn _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -160,6 +161,33 @@ object SparkEntry {
         |SELECT user_id, event_id FROM w
         |WHERE n_prior >= 3 AND cents * n_prior > 2 * sum_prior
         |ORDER BY user_id, event_id""".stripMargin,
+    // D7: batch twin of the streaming vector search — the fake
+    // embedding formula is SQL-expressible (same parity contract as
+    // embed_chunks/knn_text_query), nearest neighbor by cosine with
+    // vec_id tie-break, then the per-label rollup
+    "stream_knn" ->
+      """WITH t AS (SELECT DISTINCT event_type FROM events),
+        |f AS (SELECT event_type, trim(lower(event_type)) AS clean FROM t),
+        |feats AS (
+        |  SELECT event_type,
+        |    CAST(list_sum(list_transform(string_split(clean, ''), x -> ord(x))) AS BIGINT) AS char_sum,
+        |    CAST(length(clean) AS BIGINT) AS len,
+        |    CAST(len(string_split_regex(clean, '\s+')) AS BIGINT) AS words
+        |  FROM f),
+        |qv AS (
+        |  SELECT event_type,
+        |    list_transform(range(0, 64), i ->
+        |      ((char_sum*(i+1) + len*(i+7) + words*(i+13)) % 1000)/1000.0 - 0.5) AS qvec
+        |  FROM feats),
+        |best AS (
+        |  SELECT event_type, label FROM (
+        |    SELECT qv.event_type, e.label,
+        |      row_number() OVER (PARTITION BY qv.event_type
+        |        ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), e.vec_id) AS rn
+        |    FROM qv CROSS JOIN embeddings e) WHERE rn = 1)
+        |SELECT label, count(*) AS n_events
+        |FROM events JOIN best USING (event_type)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q1_pricing_summary" -> Analytics.q1OracleSql,
     "q3_topk_join"       -> Analytics.q3OracleSql,
     "q5_multijoin"       -> Analytics.q5OracleSql,

@@ -220,6 +220,42 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** D7 core: streaming vector search — each event fake-embeds its
+    * type text IN-PLAN (the provider seam's bulk column, no driver
+    * round-trip) and takes its nearest corpus neighbor via a broadcast
+    * stream-static join + per-event argmin aggregation. This is the
+    * semantic-enrichment serving pattern: a stream annotated against a
+    * static vector index with no external service call. Complete mode
+    * keeps the demo finalization-free (a drained file source never
+    * advances the watermark past a last batch); a production deployment
+    * windows the aggregation to bound state.
+    */
+  def knnJob(corpus: DataFrame)(ds: Dataset[Event]): DataFrame = {
+    val client = new graft.functions.FakeEmbeddingClient(64)
+    val dist = graft.functions.VectorFunctions
+      .cosineDistance(col("embedding"), col("qvec"))
+    ds.toDF()
+      .select(col("event_id"),
+        client.embedColumn(col("event_type")).as("qvec"), lit(1).as("one"))
+      .join(broadcast(corpus.withColumn("one", lit(1))), "one")
+      .select(col("event_id"), dist.as("dist"), col("vec_id"), col("label"))
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("dist"), col("vec_id"), col("label"))).as("m"))
+      .select(col("event_id"), col("m.label").as("label"))
+  }
+
+  /** D7 driver entry: per-label event counts after nearest-neighbor
+    * enrichment (rollup batch-side on the sink).
+    */
+  def streamKnn(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val corpus = Tables.embeddings(ss, dir).select("vec_id", "embedding", "label")
+    runToSink(knnJob(corpus), eventFileStream(ss, dir), "complete")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("label")
+  }
+
   /** Per-user running state for D6: exact integer cents so the
     * threshold comparison is bit-deterministic across engines
     * (incremental double sums would differ from the oracle's

@@ -133,4 +133,26 @@ class StreamsSpec extends AnyFunSuite {
       .orderBy("hour", "event_type")
     assert(rows(viaFiles) == rows(viaMemory))
   }
+
+  test("D7 streaming knn enrichment == batch argmin over the same corpus") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    val viaStream = Streams.streamKnn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // batch twin: same embed column, same broadcast argmin, no stream
+    val client = new graft.functions.FakeEmbeddingClient(64)
+    val dist = graft.functions.VectorFunctions
+      .cosineDistance(col("embedding"), col("qvec"))
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), client.embedColumn(col("event_type")).as("qvec"))
+      .crossJoin(broadcast(corpus))
+      .select(col("event_id"), dist.as("dist"), col("vec_id"), col("label"))
+      .groupBy("event_id")
+      .agg(min(struct(col("dist"), col("vec_id"), col("label"))).as("m"))
+      .groupBy(col("m.label").as("label"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(viaStream == batch)
+  }
 }
