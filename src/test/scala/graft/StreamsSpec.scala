@@ -134,12 +134,14 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(viaFiles) == rows(viaMemory))
   }
 
-  test("D7 streaming knn enrichment == batch argmin over the same corpus") {
+  test("D7 streaming knn enrichment == per-event batch argmin over the same corpus") {
     import org.apache.spark.sql.functions._
     val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
     val viaStream = Streams.streamKnn(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
-    // batch twin: same embed column, same broadcast argmin, no stream
+    // batch twin computed the EXPENSIVE way — per event, not per
+    // distinct text — proving the lookup-table optimization preserves
+    // per-event semantics exactly
     val client = new graft.functions.FakeEmbeddingClient(64)
     val dist = graft.functions.VectorFunctions
       .cosineDistance(col("embedding"), col("qvec"))
