@@ -329,8 +329,13 @@ object Dedup {
     * Rows-only; DedupSpec checks it.
     */
   def dedupSimhash(spark: SparkSession, dir: String,
-                   capOpt: Option[Int] = Some(LshBucketCap)): DataFrame = {
-    val sig = simhashSignatures(Tables.documents(spark, dir))
+                   capOpt: Option[Int] = Some(LshBucketCap)): DataFrame =
+    simhashPairsOn(Tables.documents(spark, dir), capOpt)
+
+  /** E4 over an arbitrary (doc_id, text) frame (spec seam). */
+  def simhashPairsOn(docs: DataFrame,
+                     capOpt: Option[Int] = Some(LshBucketCap)): DataFrame = {
+    val sig = simhashSignatures(docs)
     val bandCols = (0 until SimhashBands).map { k =>
       struct(lit(k).as("band_id"),
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("band_bits"))

@@ -126,6 +126,13 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(s2 == s1, "deleting a missing id must change nothing")
   }
 
+  test("delete against an unbuilt index fails loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    intercept[IllegalArgumentException](
+      IndexLifecycle.delete(Seq(1L).toDF("id"), path))
+  }
+
   test("dimension-mismatched queries fail the job instead of truncating") {
     import spark.implicits._
     val corpus3 = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(4f, 5f, 6f)))

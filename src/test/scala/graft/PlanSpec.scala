@@ -51,4 +51,24 @@ class PlanSpec extends AnyFunSuite {
     assert(all.exists(_.metadata("PushedFilters").contains("label")),
       "label filter did not reach the parquet scan")
   }
+
+  test("anti-join query: date filter pushed to the orders scan, LeftAnti in plan") {
+    val df = Analytics.customersWithoutOrders(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    val s = scans(df)
+    assert(s.exists(_.metadata("PushedFilters").contains("o_orderdate")),
+      "order-date filter did not reach the orders scan")
+  }
+
+  test("q17: correlated-subquery shape prunes both lineitem read schemas") {
+    val all = scans(Analytics.q17SmallQtyRevenue(spark, sf))
+    assert(all.nonEmpty)
+    all.filter(_.metadata("ReadSchema").contains("l_partkey")).foreach { s =>
+      val read = s.metadata("ReadSchema")
+      assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+        s"unpruned lineitem read schema: $read")
+    }
+  }
 }
