@@ -55,6 +55,7 @@ object SparkEntry {
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
+    "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
     "token_count"     -> (TextOps.tokenCount _),

@@ -293,8 +293,8 @@ object Ivf {
     * queries×k rows, stable codegen at any k.
     * (query_id, qvec) → (query_id, qvec, probe_cluster).
     */
-  private def probeSelect(queries: DataFrame, centroids: Array[Array[Float]],
-                          nprobe: Int, metric: Int = VectorMetric.L2): DataFrame = {
+  private[operators] def probeSelect(queries: DataFrame, centroids: Array[Array[Float]],
+                                     nprobe: Int, metric: Int = VectorMetric.L2): DataFrame = {
     val np = math.min(math.max(1, nprobe), centroids.length)
     val cdf = centroidDf(queries.sparkSession, centroids)
     queries.crossJoin(broadcast(cdf))

@@ -202,6 +202,57 @@ object Pq {
     }
   }
 
+  /** M inter-centroid squared-l2 tables for symmetric PQ distance. */
+  private def sdcTable(model: Model): Array[Array[Array[Double]]] =
+    model.codebooks.map { cb =>
+      cb.map { a =>
+        cb.map { b =>
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+          acc
+        }
+      }
+    }
+
+  /** Batch ANN entirely in the compressed domain (SDC): every corpus
+    * vector's top-k neighbors from codes alone. Same probe/shuffle
+    * skeleton as Ivf.annBatch (probe set shuffle-joins cluster members,
+    * never broadcast), but pair rows carry M-byte codes instead of
+    * 4·dim-byte vectors and each pair costs M table lookups via the
+    * SdcDistance expression (codebook distance table as a codegen
+    * reference object — see PqExprs for why literals would be a
+    * disaster here) instead of a full-dim cosine. Both sides quantized
+    * ⇒ coarser than ADC: the compressed-domain recall floor is pinned
+    * in PqSpec; serving stacks an exact refine on the survivors
+    * exactly as topK/queryIvfPq do.
+    */
+  def sdcBatch(spark: SparkSession, dir: String, k: Int,
+               nprobeOpt: Option[Int] = None, m: Int = SubspaceCount): DataFrame = {
+    val model = train(spark, dir, m)
+    val (assign, centroids) = Ivf.indexFor(spark, dir)
+    val queries = corpus(spark, dir)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val codes = encode(spark, dir, m)
+    val probes = Ivf.probeSelect(queries, centroids,
+      nprobeOpt.getOrElse(centroids.length))
+      .select(col("query_id"), col("probe_cluster"))
+      .join(codes.select(col("id").as("query_id"), col("codes").as("qcodes")),
+        "query_id")
+    val codeLists = assign.join(codes, "id")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("codes"))
+    val dist = graft.functions.PqFunctions
+      .sdcDistance(col("qcodes"), col("codes"), sdcTable(model))
+    codeLists.join(probes, col("cluster_id") === col("probe_cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions
+        .topKByDistance(dist, col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persist the IVF-PQ index: codes partitioned by cluster_id (probe
     * pruning happens at planning time, same layout contract as
     * Ivf.writeIndex), plus the coarse centroids and PQ codebooks as
@@ -307,6 +358,15 @@ object Pq {
       .select(col("neighbor_id"), col("rank"),
         lit(model.dim * 4).as("raw_bytes_per_vec"),
         lit(model.m).as("pq_bytes_per_vec"))
+  }
+
+  /** Driver query: compressed-domain batch ANN at the quarter-scan
+    * serving configuration (rows-only; PqSpec pins the SDC recall
+    * floor vs exact).
+    */
+  def sdcBatchQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    sdcBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)))
   }
 
   /** Driver query: IVF-PQ top-10 at nprobe = nClusters/4 for the

@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe: 25× scale stress for the vector-side operators.
+  * Synthesizes a deterministic 50k×64 embedding corpus (hash-derived
+  * components, no RNG state) into a temp dir shaped like the testdata
+  * layout, then drives the SERVING configurations — IVF build,
+  * nprobe batch ANN, PQ encode, IVF-PQ query, hyperplane LSH at the
+  * 8-bit band setting the scaladoc prescribes for big corpora — and
+  * prints wall seconds. The point is shape evidence: no OOM, no
+  * corpus broadcast, costs that scale with probes/bands rather than
+  * N².
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val spark = GraftSession.builder("32", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    spark.range(n.toLong)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => (pmod(xxhash64(col("id"), i), lit(2000L)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def timed(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    println(s"[scale] corpus n=$n dim=64 at $dir")
+    timed("ivf_build+assign (memo)") { graft.operators.Ivf.warmIndex(spark, dir) }
+    timed("ann_batch nprobe=8 k=5") {
+      graft.operators.Ivf.annBatch(spark, dir, 5,
+        graft.functions.VectorMetric.Cosine, nprobeOpt = Some(8)).count()
+    }
+    timed("pq train+encode (memo)") { graft.operators.Pq.encode(spark, dir).count() }
+    timed("ivfpq query nprobe=8") {
+      val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
+      graft.operators.Pq.ivfPqTopK(spark, dir, q, 10, nprobe = 8).count()
+    }
+    timed("ann_batch SDC nprobe=8 k=5") {
+      graft.operators.Pq.sdcBatch(spark, dir, 5, nprobeOpt = Some(8)).count()
+    }
+    timed("hyperplane LSH bandBits=8") {
+      graft.operators.Dedup.embeddingNeardupLshOn(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
+        threshold = 0.9, bandBits = 8).count()
+    }
+    // cleanup
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.stop()
+  }
+}

@@ -102,6 +102,21 @@ class PqSpec extends AnyFunSuite {
       "no cluster_id partition filter in the persisted IVF-PQ probe scan")
   }
 
+  test("SDC batch ANN: k rows per query, compressed-domain recall floor vs exact") {
+    val k = 10
+    val batch = Pq.sdcBatch(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(batch.size == 500 && batch.values.forall(_.size == k))
+    val recalls = (0L until 10L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = exactTopK(q, k + 1).filter(_ != qid).take(k).toSet
+      (exact & batch(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"SDC recall $mean collapsed (per-query $recalls)")
+  }
+
   test("training is deterministic across memo invalidation") {
     val a = Pq.train(spark, sf).codebooks.map(_.map(_.toSeq).toSeq).toSeq
     Pq.invalidate(sf)
