@@ -56,6 +56,7 @@ object SparkEntry {
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
     "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
+    "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
     "token_count"     -> (TextOps.tokenCount _),

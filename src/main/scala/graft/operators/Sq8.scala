@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) quantization — the 4× compression tier between raw
+  * float32 and PQ's 32× (the standard FAISS SQ8 design): each dimension
+  * linearly quantizes to one byte against per-dimension (min, max)
+  * trained from the corpus. Ranking error is per-dimension rounding
+  * only, so recall stays near-exact where PQ trades more — the tier a
+  * pipeline picks when 4× memory is enough.
+  *
+  * Scale shape: training is ONE aggregation (per-dimension min/max via
+  * posexplode + groupBy(pos) — n×dim skinny rows, map-side combined);
+  * encoding and distance are native codegen'd expressions with the
+  * parameter arrays as reference objects (functions/Sq8Exprs); the
+  * query is the same scan + bounded top-k as exact k-NN, at a quarter
+  * of the bytes.
+  */
+object Sq8 {
+
+  case class Model(mins: Array[Double], scales: Array[Double])
+
+  private val models = scala.collection.concurrent.TrieMap.empty[String, Model]
+  private val encoded = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def invalidate(dir: String): Unit = {
+    models.remove(dir)
+    encoded.remove(dir).foreach(_.unpersist())
+  }
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+
+  /** Per-dimension (min, scale) from one corpus aggregation. */
+  def train(spark: SparkSession, dir: String): Model =
+    models.get(dir).getOrElse(synchronized {
+      models.getOrElseUpdate(dir, {
+        val rows = corpus(spark, dir)
+          .select(posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+          .orderBy("pos")
+          .collect()
+        require(rows.nonEmpty, "cannot train SQ8 on an empty corpus")
+        val mins = rows.map(_.getFloat(1).toDouble)
+        val scales = rows.map { r =>
+          val span = r.getFloat(2).toDouble - r.getFloat(1).toDouble
+          if (span <= 0.0) 1.0 else 255.0 / span
+        }
+        Model(mins, scales)
+      })
+    })
+
+  /** Corpus as (id, codes array<int> — one byte of information per
+    * dimension).
+    */
+  def encode(spark: SparkSession, dir: String): DataFrame =
+    encoded.get(dir).getOrElse(synchronized {
+      encoded.getOrElseUpdate(dir, {
+        val m = train(spark, dir)
+        val df = corpus(spark, dir)
+          .select(col("id"),
+            graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
+              .as("codes"))
+          .cache()
+        df.count()
+        df
+      })
+    })
+
+  /** Top-k for one query vector, entirely over SQ8 codes (the query
+    * quantizes through the same model).
+    */
+  def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
+           k: Int): DataFrame = {
+    val m = train(spark, dir)
+    require(queryVec.length == m.mins.length,
+      s"query dim ${queryVec.length} != corpus dim ${m.mins.length}")
+    val qCodes: Seq[Int] = queryVec.indices.map { i =>
+      val q = Math.round((queryVec(i) - m.mins(i)) * m.scales(i)).toInt
+      Math.max(0, Math.min(255, q))
+    }
+    val dist = graft.functions.Sq8Functions
+      .sq8Distance(typedlit(qCodes), col("codes"), m.scales)
+    encode(spark, dir)
+      .select(col("id").as("neighbor_id"), dist.as("dist"))
+      .orderBy(col("dist"), col("neighbor_id"))
+      .limit(k)
+  }
+
+  /** Driver query: SQ8 top-10 for the vec_id=0 query (rows-only —
+    * quantized ranking; Sq8Spec pins near-exact recall), with the
+    * compression columns.
+    */
+  def sq8Topk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val m = train(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    topK(spark, dir, q, k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"),
+        lit(m.mins.length * 4).as("raw_bytes_per_vec"),
+        lit(m.mins.length).as("sq8_bytes_per_vec"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Sq8
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQ8 contracts: code bounds, near-exact recall (per-dimension
+  * rounding is the only error source), determinism.
+  */
+class Sq8Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val all: Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def exactTopK(q: Array[Float], k: Int): Seq[Long] =
+    all.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - q(i); acc += d * d; i += 1 }
+      (acc, id)
+    }.sortBy(identity).take(k).map(_._2).toSeq
+
+  test("codes are one byte per dimension, full corpus encoded") {
+    val rows = Sq8.encode(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 64)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+    }
+  }
+
+  test("SQ8 ranking is near-exact at 4x compression (recall@10 >= 0.9)") {
+    val k = 10
+    val recalls = (0L until 5L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = exactTopK(q, k).toSet
+      val got = Sq8.topK(spark, sf, q, k).collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"SQ8 recall $mean < 0.9 (per-query $recalls)")
+  }
+
+  test("training is deterministic across invalidation; driver query shape") {
+    val a = (Sq8.train(spark, sf).mins.toSeq, Sq8.train(spark, sf).scales.toSeq)
+    Sq8.invalidate(sf)
+    val b = (Sq8.train(spark, sf).mins.toSeq, Sq8.train(spark, sf).scales.toSeq)
+    assert(a == b)
+    val rows = Sq8.sq8Topk(spark, sf).collect()
+    assert(rows.length == 10 && rows.map(_.getInt(1)).toSeq == (1 to 10))
+    assert(rows.head.getInt(2) == 256 && rows.head.getInt(3) == 64)
+    assert(rows.head.getLong(0) == 0L, "self should rank first under SQ8")
+  }
+}
