@@ -42,9 +42,9 @@ object Pq {
                    codebooks: Array[Array[Array[Float]]])
 
   private val models =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Model]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
   private val encoded =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
 
   /** Drop the session memos for a corpus (data-change hook, same
     * contract as Ivf.invalidate / Dedup.invalidate).
@@ -55,16 +55,38 @@ object Pq {
       .foreach(k => encoded.remove(k).foreach(_.unpersist()))
   }
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.rebalanced(Tables.embeddings(spark, dir)
+  import graft.functions.VectorMetric
+
+  /** Corpus for a metric. Cosine routes through the normalize-then-L2
+    * identity (‖a−b‖² = 2(1−cosθ) on unit vectors), so every L2
+    * kernel downstream — codebook Lloyd, ADC tables, SDC tables —
+    * ranks by cosine without a second code path. Zero-norm vectors
+    * stay as-is (the reference pins their cosine distance to 1.0;
+    * quantized ranking of an all-zero vector is degenerate either
+    * way). The norm is the codegen'd dot-product kernel; the division
+    * is a one-time encode-path transform, memoized like everything
+    * else on this path.
+    */
+  private def corpus(spark: SparkSession, dir: String,
+                     metric: Int = VectorMetric.L2): DataFrame = {
+    val raw = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    if (metric != VectorMetric.Cosine) raw
+    else {
+      val n2 = sqrt(graft.functions.VectorFunctions.dotProduct(col("vec"), col("vec")))
+      raw.select(col("id"),
+        when(n2 === 0.0, col("vec"))
+          .otherwise(transform(col("vec"), x => (x / n2).cast("float")))
+          .as("vec"))
+    }
+  }
 
   /** Train M per-subspace codebooks on a deterministic hash-sample. */
   def train(spark: SparkSession, dir: String,
-            m: Int = SubspaceCount): Model =
-    models.get((dir, m)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, m), {
-        val vecs = corpus(spark, dir)
+            m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
+    models.get((dir, m, metric)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, m, metric), {
+        val vecs = corpus(spark, dir, metric)
         val n = vecs.count()
         require(n > 0, "cannot train a product quantizer on an empty corpus")
         val sampled =
@@ -101,13 +123,13 @@ object Pq {
     * reassembled in subspace order.
     */
   def encode(spark: SparkSession, dir: String,
-             m: Int = SubspaceCount): DataFrame =
-    encoded.get((dir, m)).getOrElse(synchronized {
-      encoded.getOrElseUpdate((dir, m), {
-        val model = train(spark, dir, m)
+             m: Int = SubspaceCount, metric: Int = VectorMetric.L2): DataFrame =
+    encoded.get((dir, m, metric)).getOrElse(synchronized {
+      encoded.getOrElseUpdate((dir, m, metric), {
+        val model = train(spark, dir, m, metric)
         val cb = codebookDf(spark, model)
         val sub = slice(col("vec"), col("m_idx") * model.subDim + 1, lit(model.subDim))
-        val df = corpus(spark, dir)
+        val df = corpus(spark, dir, metric)
           .crossJoin(broadcast(cb))
           .select(col("id"), col("m_idx"), col("code"),
             graft.functions.VectorFunctions.l2Distance(sub, col("cvec")).as("d"))
@@ -135,8 +157,9 @@ object Pq {
     * `refine = 1` is pure ADC (no raw-vector access at all).
     */
   def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
-           k: Int, m: Int = SubspaceCount, refine: Int = 4): DataFrame =
-    adcTopK(spark, dir, encode(spark, dir, m), queryVec, k, m, refine)
+           k: Int, m: Int = SubspaceCount, refine: Int = 4,
+           metric: Int = VectorMetric.L2): DataFrame =
+    adcTopK(spark, dir, encode(spark, dir, m, metric), queryVec, k, m, refine, metric)
 
   /** IVF-PQ: ADC search INSIDE the IVF cluster layout — the composed
     * 100 TB design. The query selects its nprobe nearest coarse
@@ -165,15 +188,25 @@ object Pq {
     adcTopK(spark, dir, cand, queryVec, k, m, refine)
   }
 
-  /** Shared ADC core over any (id, codes) candidate frame. */
+  /** Shared ADC core over any (id, codes) candidate frame. For Cosine
+    * the ADC table is built from the NORMALIZED query (matching the
+    * normalized codebooks) while the exact refine re-ranks with true
+    * cosine distance on the raw vectors.
+    */
   private def adcTopK(spark: SparkSession, dir: String, codesDf: DataFrame,
                       queryVec: Array[Float], k: Int, m: Int,
-                      refine: Int): DataFrame = {
-    val model = train(spark, dir, m)
+                      refine: Int, metric: Int = VectorMetric.L2): DataFrame = {
+    val model = train(spark, dir, m, metric)
     require(queryVec.length == model.dim,
       s"query dim ${queryVec.length} != corpus dim ${model.dim}")
+    val q0 =
+      if (metric != VectorMetric.Cosine) queryVec
+      else {
+        val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+        if (n == 0.0) queryVec else queryVec.map(x => (x / n).toFloat)
+      }
     val table: Seq[Seq[Double]] = (0 until m).map { mi =>
-      val q = queryVec.slice(mi * model.subDim, (mi + 1) * model.subDim)
+      val q = q0.slice(mi * model.subDim, (mi + 1) * model.subDim)
       model.codebooks(mi).toSeq.map { c =>
         var acc = 0.0; var i = 0
         while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
@@ -191,8 +224,12 @@ object Pq {
       .limit(k * math.max(1, refine))
     if (refine <= 1) shortlist.limit(k)
     else {
-      val exact = graft.functions.VectorFunctions
-        .l2Distance(col("vec"), typedlit(queryVec.toSeq))
+      val exact = metric match {
+        case VectorMetric.Cosine => graft.functions.VectorFunctions
+          .cosineDistance(col("vec"), typedlit(queryVec.toSeq))
+        case _ => graft.functions.VectorFunctions
+          .l2Distance(col("vec"), typedlit(queryVec.toSeq))
+      }
       shortlist.select(col("neighbor_id"))
         .join(corpus(spark, dir).withColumnRenamed("id", "neighbor_id"),
           "neighbor_id")

@@ -117,6 +117,27 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"SDC recall $mean collapsed (per-query $recalls)")
   }
 
+  test("cosine PQ via normalize-then-L2: refined recall vs exact cosine >= 0.8") {
+    val k = 10
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val recalls = (0L until 5L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.map { case (id, v) => (1.0 - cos(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      val got = Pq.topK(spark, sf, q, k,
+        metric = graft.functions.VectorMetric.Cosine)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"cosine PQ recall $mean < 0.8 (per-query $recalls)")
+  }
+
   test("training is deterministic across memo invalidation") {
     val a = Pq.train(spark, sf).codebooks.map(_.map(_.toSeq).toSeq).toSeq
     Pq.invalidate(sf)
