@@ -126,6 +126,41 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(s2 == s1, "deleting a missing id must change nothing")
   }
 
+  test("streaming ingest appends into the persisted index via foreachBatch") {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lc_ckpt").toString
+    // index over the first 400 vectors; the remaining 100 arrive as a
+    // file stream and append incrementally (no retrain) — the
+    // landing-zone -> index composition a production ingest runs
+    val s0 = IndexLifecycle.build(corpus(col("vec_id") < 400), path)
+    assert(s0.size == 400)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = graft.sources.Sources
+      .streamDir(spark, s"$sf/embeddings.parq*", schema,
+        options = Map("basePath" -> sf))
+      .filter(col("vec_id") >= 400)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { IndexLifecycle.append(batch, path); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val s1 = IndexLifecycle.status(spark, path)
+    assert(s1.size == 500 && s1.dirtyCount == 100 && s1.version == s0.version,
+      s"ingest must append all 100 late vectors without a retrain: $s1")
+    // an appended vector is immediately queryable
+    val qvec = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 450).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(IndexLifecycle.query(spark, path, qvec, k = 1, nprobe = 64)
+      .head().getLong(0) == 450L)
+  }
+
   test("delete against an unbuilt index fails loudly") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_lc").toString
