@@ -22,23 +22,38 @@ object Sq8 {
 
   case class Model(mins: Array[Double], scales: Array[Double])
 
-  private val models = scala.collection.concurrent.TrieMap.empty[String, Model]
-  private val encoded = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  import graft.functions.VectorMetric
+
+  private val models = scala.collection.concurrent.TrieMap.empty[(String, Int), Model]
+  private val encoded = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
   def invalidate(dir: String): Unit = {
-    models.remove(dir)
-    encoded.remove(dir).foreach(_.unpersist())
+    models.keys.filter(_._1 == dir).foreach(models.remove)
+    encoded.keys.filter(_._1 == dir)
+      .foreach(k => encoded.remove(k).foreach(_.unpersist()))
   }
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.rebalanced(Tables.embeddings(spark, dir)
+  /** Cosine routes through normalize-then-L2 exactly as in Pq. */
+  private def corpus(spark: SparkSession, dir: String,
+                     metric: Int = VectorMetric.L2): DataFrame = {
+    val raw = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    if (metric != VectorMetric.Cosine) raw
+    else {
+      val n2 = sqrt(graft.functions.VectorFunctions.dotProduct(col("vec"), col("vec")))
+      raw.select(col("id"),
+        when(n2 === 0.0, col("vec"))
+          .otherwise(transform(col("vec"), x => (x / n2).cast("float")))
+          .as("vec"))
+    }
+  }
 
   /** Per-dimension (min, scale) from one corpus aggregation. */
-  def train(spark: SparkSession, dir: String): Model =
-    models.get(dir).getOrElse(synchronized {
-      models.getOrElseUpdate(dir, {
-        val rows = corpus(spark, dir)
+  def train(spark: SparkSession, dir: String,
+            metric: Int = VectorMetric.L2): Model =
+    models.get((dir, metric)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, metric), {
+        val rows = corpus(spark, dir, metric)
           .select(posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy("pos")
           .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
@@ -57,11 +72,12 @@ object Sq8 {
   /** Corpus as (id, codes array<int> — one byte of information per
     * dimension).
     */
-  def encode(spark: SparkSession, dir: String): DataFrame =
-    encoded.get(dir).getOrElse(synchronized {
-      encoded.getOrElseUpdate(dir, {
-        val m = train(spark, dir)
-        val df = corpus(spark, dir)
+  def encode(spark: SparkSession, dir: String,
+             metric: Int = VectorMetric.L2): DataFrame =
+    encoded.get((dir, metric)).getOrElse(synchronized {
+      encoded.getOrElseUpdate((dir, metric), {
+        val m = train(spark, dir, metric)
+        val df = corpus(spark, dir, metric)
           .select(col("id"),
             graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
               .as("codes"))
@@ -72,20 +88,27 @@ object Sq8 {
     })
 
   /** Top-k for one query vector, entirely over SQ8 codes (the query
-    * quantizes through the same model).
+    * quantizes through the same model; Cosine normalizes the query
+    * against the normalized-corpus model).
     */
   def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
-           k: Int): DataFrame = {
-    val m = train(spark, dir)
+           k: Int, metric: Int = VectorMetric.L2): DataFrame = {
+    val m = train(spark, dir, metric)
     require(queryVec.length == m.mins.length,
       s"query dim ${queryVec.length} != corpus dim ${m.mins.length}")
-    val qCodes: Seq[Int] = queryVec.indices.map { i =>
-      val q = Math.round((queryVec(i) - m.mins(i)) * m.scales(i)).toInt
+    val q0 =
+      if (metric != VectorMetric.Cosine) queryVec
+      else {
+        val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+        if (n == 0.0) queryVec else queryVec.map(x => (x / n).toFloat)
+      }
+    val qCodes: Seq[Int] = q0.indices.map { i =>
+      val q = Math.round((q0(i) - m.mins(i)) * m.scales(i)).toInt
       Math.max(0, Math.min(255, q))
     }
     val dist = graft.functions.Sq8Functions
       .sq8Distance(typedlit(qCodes), col("codes"), m.scales)
-    encode(spark, dir)
+    encode(spark, dir, metric)
       .select(col("id").as("neighbor_id"), dist.as("dist"))
       .orderBy(col("dist"), col("neighbor_id"))
       .limit(k)

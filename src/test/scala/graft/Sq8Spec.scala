@@ -43,6 +43,27 @@ class Sq8Spec extends AnyFunSuite {
     assert(mean >= 0.9, s"SQ8 recall $mean < 0.9 (per-query $recalls)")
   }
 
+  test("cosine SQ8 via normalize-then-L2: recall@10 >= 0.9 vs exact cosine") {
+    val k = 10
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val recalls = (0L until 5L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.map { case (id, v) => (1.0 - cos(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      val got = Sq8.topK(spark, sf, q, k,
+        metric = graft.functions.VectorMetric.Cosine)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"cosine SQ8 recall $mean < 0.9 (per-query $recalls)")
+  }
+
   test("training is deterministic across invalidation; driver query shape") {
     val a = (Sq8.train(spark, sf).mins.toSeq, Sq8.train(spark, sf).scales.toSeq)
     Sq8.invalidate(sf)
