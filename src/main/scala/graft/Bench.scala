@@ -33,7 +33,8 @@ object Bench {
   private def memoWarmers(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "memo_shingle_sets" -> (() => operators.Dedup.warmShingles(spark, dir)),
     "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)),
-    "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }))
+    "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
+    "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
