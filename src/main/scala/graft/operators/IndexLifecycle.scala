@@ -123,7 +123,12 @@ object IndexLifecycle {
             corpusDir: Option[String] = None,
             kOpt: Option[Int] = None): IndexStatus = {
     val spark = vecs.sparkSession
-    corpusDir.foreach { d => Ivf.invalidate(d); Dedup.invalidate(d) }
+    // every per-corpus session memo must drop on a data change — a new
+    // memoized operator family MUST be added here (the full set:
+    // IVF assignments, shingle sets, PQ models/codes, SQ8 models/codes)
+    corpusDir.foreach { d =>
+      Ivf.invalidate(d); Dedup.invalidate(d); Pq.invalidate(d); Sq8.invalidate(d)
+    }
     val prev = status(spark, indexPath)
     val v = vecs.cache()
     val n = v.count()

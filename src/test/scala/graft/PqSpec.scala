@@ -145,6 +145,20 @@ class PqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("a corpus-dir rebuild drops the PQ and SQ8 memos (stale-code guard)") {
+    import org.apache.spark.sql.functions.col
+    Pq.encode(spark, sf).count()
+    graft.operators.Sq8.encode(spark, sf).count()
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_inval").toString
+    graft.operators.IndexLifecycle.build(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      path, corpusDir = Some(sf), kOpt = Some(4))
+    // memos rebuilt on next use, identical content (data unchanged)
+    assert(Pq.encode(spark, sf).count() == 500)
+    assert(graft.operators.Sq8.encode(spark, sf).count() == 500)
+  }
+
   test("driver query returns k ranked rows with the compression columns") {
     val rows = Pq.pqTopk(spark, sf).collect()
     assert(rows.length == 10)
