@@ -38,10 +38,15 @@ case class RotateVector(child: Expression, matrix: Array[Array[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), matrix.length)
-    val out = new Array[Float](matrix.length)
+    // a rotation is square: a dim-mismatched input must fail the job
+    // (the repo-wide EdgeSpec contract), not rotate a zero-padded prefix
+    if (a.numElements() != matrix.length)
+      throw new IllegalArgumentException(
+        s"rotate_vector: vector dim ${a.numElements()} != matrix dim ${matrix.length}")
+    val n = matrix.length
+    val out = new Array[Float](n)
     var i = 0
-    while (i < matrix.length) {
+    while (i < n) {
       val row = matrix(i)
       var acc = 0.0
       var j = 0
@@ -61,14 +66,17 @@ case class RotateVector(child: Expression, matrix: Array[Array[Double]])
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val out = ctx.freshName("out")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $mRef.length);
+         |if ($a.numElements() != $mRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "rotate_vector: vector dim " + $a.numElements() + " != matrix dim " + $mRef.length);
+         |}
          |float[] $out = new float[$mRef.length];
          |for (int $i = 0; $i < $mRef.length; $i++) {
          |  double $acc = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
+         |  for (int $j = 0; $j < $mRef.length; $j++) {
          |    $acc += $mRef[$i][$j] * (double) $a.$get($j);
          |  }
          |  $out[$i] = (float) $acc;

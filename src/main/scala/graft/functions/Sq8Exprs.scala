@@ -36,7 +36,14 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), mins.length)
+    // dimension-mismatched vectors FAIL the job (the repo-wide contract
+    // pinned by EdgeSpec — the reference rejects them with
+    // EmbeddingDimensionMismatchError); silently quantizing a prefix
+    // would rank garbage
+    if (a.numElements() != mins.length)
+      throw new IllegalArgumentException(
+        s"sq8_encode: vector dim ${a.numElements()} != trained dim ${mins.length}")
+    val n = mins.length
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -56,7 +63,11 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val out = ctx.freshName("out"); val q = ctx.freshName("q")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $minsRef.length);
+         |int $n = $a.numElements();
+         |if ($n != $minsRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_encode: vector dim " + $n + " != trained dim " + $minsRef.length);
+         |}
          |int[] $out = new int[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  int $q = (int) java.lang.Math.round(((double) $a.$get($i) - $minsRef[$i]) * $scalesRef[$i]);
@@ -95,7 +106,13 @@ case class Sq8Distance(left: Expression, right: Expression, scales: Array[Double
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(math.min(a.numElements(), b.numElements()), scales.length)
+    // code arrays shorter/longer than the trained model mean a
+    // different encoder produced them — fail, never rank on a prefix
+    if (a.numElements() != scales.length || b.numElements() != scales.length)
+      throw new IllegalArgumentException(
+        s"sq8_distance: code dims ${a.numElements()}/${b.numElements()} " +
+          s"!= trained dim ${scales.length}")
+    val n = scales.length
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -109,13 +126,16 @@ case class Sq8Distance(left: Expression, right: Expression, scales: Array[Double
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val scalesRef = ctx.addReferenceObj("sq8Scales", scales, "double[]")
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min(
-         |  java.lang.Math.min($a.numElements(), $b.numElements()), $scalesRef.length);
+         |if ($a.numElements() != $scalesRef.length || $b.numElements() != $scalesRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_distance: code dims " + $a.numElements() + "/" + $b.numElements()
+         |      + " != trained dim " + $scalesRef.length);
+         |}
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $scalesRef.length; $i++) {
          |  double $d = ($a.getInt($i) - $b.getInt($i)) / $scalesRef[$i];
          |  $acc += $d * $d;
          |}

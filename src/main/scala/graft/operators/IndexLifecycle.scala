@@ -196,7 +196,11 @@ object IndexLifecycle {
     val spark = deleteIds.sparkSession
     val s = status(spark, indexPath)
     require(s.isBuilt, "delete requires a built index (build first)")
-    val ids = broadcast(deleteIds.select(col("id").as("del_id")))
+    checkNoHalfAppliedDelete(spark, indexPath)
+    // distinct: duplicate ids in the delete batch must not inflate the
+    // removed count (the anti-join itself is idempotent, but size/
+    // dirtyCount would silently drift — even below zero on repeats)
+    val ids = broadcast(deleteIds.select(col("id").as("del_id")).distinct())
     val lists = spark.read.parquet(indexPath)
     val hits = lists.join(ids, col("neighbor_id") === col("del_id"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n"))
@@ -213,17 +217,43 @@ object IndexLifecycle {
     affected.foreach { cid =>
       val dst = new Path(s"$indexPath/cluster_id=$cid")
       val src = new Path(s"$tmp/cluster_id=$cid")
-      if (f.exists(dst) && !f.delete(dst, true))
-        sys.error(s"delete: could not remove stale list $dst")
+      // swap via rename-aside, never delete-then-rename: a crash between
+      // the two steps must leave a loud marker (_old_cluster_id=N, which
+      // parquet readers skip as an underscore path), not a silently
+      // missing inverted list. checkNoHalfAppliedDelete refuses to serve
+      // or re-mutate an index with such a marker present.
+      val aside = new Path(s"$indexPath/_old_cluster_id=$cid")
+      if (f.exists(dst) && !f.rename(dst, aside))
+        sys.error(s"delete: could not move stale list $dst aside")
       // a fully-deleted list simply disappears (no src dir to swap in)
       if (f.exists(src) && !f.rename(src, dst))
-        sys.error(s"delete: rename $src -> $dst failed; index needs a rebuild")
+        sys.error(s"delete: rename $src -> $dst failed; stale list kept at $aside")
+      if (f.exists(aside) && !f.delete(aside, true))
+        sys.error(s"delete: could not clean up $aside")
     }
     f.delete(new Path(tmp), true)
     val next = s.copy(isDirty = true,
       dirtyCount = s.dirtyCount + removed, size = s.size - removed)
     writeState(spark, indexPath, next)
     next
+  }
+
+  /** Refuse to operate on an index carrying a half-applied delete
+    * marker (`_old_cluster_id=N` left by a crash between the two swap
+    * renames): the on-disk lists are inconsistent with the state file,
+    * and the only safe recovery is a rebuild. Called by delete() and by
+    * status-sensitive callers that want the guarantee.
+    */
+  def checkNoHalfAppliedDelete(spark: SparkSession, indexPath: String): Unit = {
+    val f = fs(spark, indexPath)
+    val p = new Path(indexPath)
+    if (f.exists(p)) {
+      val leftover = f.listStatus(p)
+        .map(_.getPath.getName).filter(_.startsWith("_old_cluster_id="))
+      require(leftover.isEmpty,
+        s"index at $indexPath has a half-applied delete (${leftover.mkString(", ")}); " +
+          "a crash interrupted a partition swap — rebuild the index")
+    }
   }
 
   /** Centroids of a persisted index (the coarse quantizer survives the

@@ -138,12 +138,16 @@ object Ivf {
       : Array[Array[Float]] = {
     val n = vectors.count()
     val target = math.max(TrainPointsPerCentroid * k, 4096L)
+    // ceiling-division modulus + hard limit: floor(n/target) keeps up
+    // to ~2× the budget (and the WHOLE corpus for target < n < 2·target),
+    // and the training collect must stay bounded at any corpus size
     val sampled =
       if (n <= target) vectors
       else vectors.filter(
-        pmod(xxhash64(col("id")), lit(math.max(1L, n / target))) === 0)
+        pmod(xxhash64(col("id")), lit((n + target - 1) / target)) === 0)
     val train: Array[Array[Float]] = sampled.select(col("id"), col("vec"))
-      .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      .orderBy("id").limit(target.toInt)
+      .collect().map(_.getSeq[Float](1).toArray)
     require(train.nonEmpty, "cannot train a quantizer on an empty corpus")
     lloyd(train, k, iters, tol)
   }

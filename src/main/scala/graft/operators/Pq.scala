@@ -89,12 +89,18 @@ object Pq {
         val vecs = corpus(spark, dir, metric)
         val n = vecs.count()
         require(n > 0, "cannot train a product quantizer on an empty corpus")
+        // ceiling-division modulus: floor (n / cap) under-thins — for
+        // cap < n < 2·cap it is 1 (the filter keeps the WHOLE corpus)
+        // and in general retains up to ~2× the cap; the orderBy.limit
+        // (a bounded TakeOrdered, deterministic under the id order)
+        // hard-caps what reaches the driver either way
         val sampled =
           if (n <= TrainSampleCap) vecs
           else vecs.filter(
-            pmod(xxhash64(col("id")), lit(math.max(1L, n / TrainSampleCap))) === 0)
+            pmod(xxhash64(col("id")), lit((n + TrainSampleCap - 1) / TrainSampleCap)) === 0)
         val train = sampled.select(col("id"), col("vec"))
-          .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+          .orderBy("id").limit(TrainSampleCap.toInt)
+          .collect().map(_.getSeq[Float](1).toArray)
         val dim = train(0).length
         require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
         val subDim = dim / m

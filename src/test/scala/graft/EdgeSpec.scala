@@ -36,6 +36,62 @@ class EdgeSpec extends AnyFunSuite {
     assert(res.count() == 7, "one query over 7 vectors must yield exactly 7 neighbors")
   }
 
+  /** Codegen'd kernel failures surface wrapped in SparkException — the
+    * contract is that SOME cause in the chain carries the typed message.
+    */
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("k-NN entry points reject dimension-mismatched queries with a typed error") {
+    import org.apache.spark.sql.functions.typedlit
+    val queries = spark.range(1)
+      .select(col("id").as("query_id"), typedlit(Seq(1f, 2f, 3f)).as("qvec"))
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vec"))
+    val e = intercept[Exception](
+      Knn.knn(queries, corpus, 5, VectorMetric.L2).collect())
+    assert(causeChain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("dimension mismatch")),
+      s"expected a typed dimension-mismatch error, got $e")
+  }
+
+  test("SQ8 encode kernel fails loudly on a dim-mismatched vector (no prefix truncation)") {
+    import graft.operators.Sq8
+    import org.apache.spark.sql.functions.typedlit
+    val m = Sq8.train(spark, sf)
+    val bad = spark.range(1).select(typedlit(Seq(1f, 2f, 3f)).as("vec"))
+    val e = intercept[Exception](
+      bad.select(graft.functions.Sq8Functions
+        .sq8Encode(col("vec"), m.mins, m.scales).as("codes")).collect())
+    assert(causeChain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("sq8_encode")),
+      s"expected the sq8_encode dim guard, got $e")
+  }
+
+  test("rotation kernel fails loudly on a dim-mismatched vector") {
+    import org.apache.spark.sql.functions.typedlit
+    val r = graft.functions.RotateFunctions.randomRotation(8)
+    val bad = spark.range(1).select(typedlit(Seq(1f, 2f, 3f)).as("vec"))
+    val e = intercept[Exception](
+      bad.select(graft.functions.RotateFunctions
+        .rotateVector(col("vec"), r).as("out")).collect())
+    assert(causeChain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("rotate_vector")),
+      s"expected the rotate_vector dim guard, got $e")
+  }
+
+  test("delete with duplicate ids counts each vector once (no metadata drift)") {
+    import org.apache.spark.sql.functions.lit
+    val path = java.nio.file.Files.createTempDirectory("graft_edge_dupdel").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val s1 = IndexLifecycle.build(vecs, path, kOpt = Some(4))
+    val dels = spark.range(3).select(lit(3L).as("id")) // id 3, three times
+    val s2 = IndexLifecycle.delete(dels, path)
+    assert(s2.size == s1.size - 1, s"duplicate delete ids inflated size: $s2")
+    assert(s2.dirtyCount == 1L, s"duplicate delete ids inflated dirt: $s2")
+  }
+
   test("empty corpora flow through the pipelines as empty results") {
     val noDocs = Tables.documents(spark, sf).filter(col("doc_id") < 0)
     assert(Dedup.jaccardPairsOn(noDocs).count() == 0)
