@@ -34,7 +34,12 @@ object Bench {
     "memo_shingle_sets" -> (() => operators.Dedup.warmShingles(spark, dir)),
     "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)),
     "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
-    "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }))
+    "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),
+    // the cosine (normalized-corpus) variants behind ann_topk_batch_pq_cos
+    "memo_ivf_index_cos" -> (() =>
+      operators.Ivf.warmIndex(spark, dir, functions.VectorMetric.Cosine)),
+    "memo_pq_codes_cos"  -> (() =>
+      { operators.Pq.encode(spark, dir, metric = functions.VectorMetric.Cosine); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

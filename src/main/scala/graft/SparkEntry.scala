@@ -56,6 +56,12 @@ object SparkEntry {
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
     "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
+    // cosine SDC over the normalized-corpus index (the metric plumbed
+    // through the compressed-domain BATCH path, not just point queries)
+    "ann_topk_batch_pq_cos" -> ((s, d) =>
+      Pq.sdcBatchQuery(s, d, metric = graft.functions.VectorMetric.Cosine)),
+    // SDC shortlist + exact re-rank of k*4 survivors (the serving stack)
+    "ann_topk_batch_pq_refined" -> ((s, d) => Pq.sdcBatchQuery(s, d, refine = 4)),
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),

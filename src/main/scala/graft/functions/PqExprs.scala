@@ -7,49 +7,216 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
+/** Product-quantization kernels. All three carry their parameter tables
+  * as CODEGEN REFERENCE OBJECTS (`ctx.addReferenceObj`), never as
+  * source-embedded literals: an equivalent element_at(literal)
+  * expression tree measured 429s where the reference-object expression
+  * runs the same batch in seconds — nested multi-KB literals blow the
+  * janino method-size limit and drop the whole stage to interpreted
+  * evaluation, the same failure mode as the r1 centroid-literal bombs
+  * but quadratically worse when it sits on a pair stream.
+  *
+  * Codes are BINARY — one byte per subspace code, exactly the
+  * 1-byte-per-code budget PQ advertises (an array<int> rendering of the
+  * same codes costs 4× in the cache and in every shuffle; parquet
+  * bit-packing only hides that on disk).
+  */
+
+/** Encode a float/double vector to M one-byte PQ codes: per subspace,
+  * the argmin over that subspace's 256 codebook centroids (squared l2,
+  * ties to the lower code — the shared Lloyd trainer's tie rule).
+  * A pure map inside whole-stage codegen: the encode path needs NO
+  * shuffle at all (the previous formulation — codebook crossJoin +
+  * two groupBys — shuffled O(n·M) rows twice).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${a.numElements()} != trained dim ${m * subDim}")
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = codebooks(mi)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var acc = 0.0
+        var p = 0
+        while (p < subDim) {
+          val x = if (isFloat) a.getFloat(mi * subDim + p).toDouble
+                  else a.getDouble(mi * subDim + p)
+          val d = x - cc(p)
+          acc += d * d
+          p += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val mi = ctx.freshName("mi"); val c = ctx.freshName("c")
+      val p = ctx.freshName("p"); val out = ctx.freshName("out")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val cb = ctx.freshName("cb"); val cc = ctx.freshName("cc")
+      s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector dim " + $a.numElements() + " != trained dim ${m * subDim}");
+         |}
+         |byte[] $out = new byte[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  float[][] $cb = $cbRef[$mi];
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cb.length; $c++) {
+         |    float[] $cc = $cb[$c];
+         |    double $acc = 0.0;
+         |    for (int $p = 0; $p < $subDim; $p++) {
+         |      double $d = (double) $a.$get($mi * $subDim + $p) - (double) $cc[$p];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |  }
+         |  $out[$mi] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric distance (ADC): the per-query M×256 exact
+  * query-to-centroid distance table rides as a reference object; each
+  * encoded row costs M lookups + adds. `takeSqrt` distinguishes the
+  * l2-family tables (entries are squared distances, result is a
+  * distance) from dot-product tables (entries are negated partial dots,
+  * the sum is already the ranking score and may be negative).
+  */
+case class AdcDistance(child: Expression, table: Array[Array[Double]],
+                       takeSqrt: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_distance expects a binary code column, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[Array[Byte]]
+    if (a.length != table.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_distance: code length ${a.length} != trained M ${table.length}")
+    var acc = 0.0
+    var mi = 0
+    while (mi < table.length) {
+      acc += table(mi)(a(mi) & 0xFF)
+      mi += 1
+    }
+    if (takeSqrt) math.sqrt(acc) else acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("adcTable", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc")
+      val mi = ctx.freshName("mi")
+      val finish = if (takeSqrt) s"Math.sqrt($acc)" else acc
+      s"""
+         |if ($a.length != $tbl.length) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_distance: code length " + $a.length + " != trained M " + $tbl.length);
+         |}
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $tbl.length; $mi++) {
+         |  $acc += $tbl[$mi][$a[$mi] & 0xFF];
+         |}
+         |${ev.value} = $finish;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Symmetric PQ distance (SDC): approximate distance between two
   * PQ-encoded vectors as M table lookups —
-  * dist²(a,b) ≈ Σ_m T[m][a_m][b_m], T[m] the inter-centroid squared-l2
-  * table of subspace m's codebook.
-  *
-  * The table (M×256×256 doubles, ~4 MB at M=8) rides as a CODEGEN
-  * REFERENCE OBJECT (`ctx.addReferenceObj`), never as source-embedded
-  * literals: an equivalent element_at(literal) expression tree measured
-  * 429s where this expression runs the same batch in seconds — nested
-  * multi-KB literals blow the janino method-size limit and drop the
-  * whole stage to interpreted evaluation, the same failure mode as the
-  * r1 centroid-literal bombs but quadratically worse because it sits on
-  * the pair stream.
+  * dist²(a,b) ≈ Σ_m T[m][a_m][b_m], T[m] the inter-centroid table of
+  * subspace m's codebook (squared l2 for the l2 family, negated partial
+  * dots for dot — see `takeSqrt`). The table is M×256×256 doubles
+  * (~4 MB at M=8): reference object or bust (429s vs 8.6s, above).
   */
 case class SdcDistance(left: Expression, right: Expression,
-                       table: Array[Array[Array[Double]]])
+                       table: Array[Array[Array[Double]]],
+                       takeSqrt: Boolean = true)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_sdc_distance"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(IntegerType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"pq_sdc_distance expects array<int> code columns, got ${left.dataType} / ${right.dataType}")
-  }
+        s"pq_sdc_distance expects binary code columns, got ${left.dataType} / ${right.dataType}")
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    if (a.length != table.length || b.length != table.length)
+      throw new IllegalArgumentException(
+        s"pq_sdc_distance: code lengths ${a.length}/${b.length} != trained M ${table.length}")
     var acc = 0.0
     var m = 0
     while (m < table.length) {
-      acc += table(m)(a.getInt(m))(b.getInt(m))
+      acc += table(m)(a(m) & 0xFF)(b(m) & 0xFF)
       m += 1
     }
-    math.sqrt(acc)
+    if (takeSqrt) math.sqrt(acc) else acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -57,12 +224,18 @@ case class SdcDistance(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val acc = ctx.freshName("acc")
       val m = ctx.freshName("m")
+      val finish = if (takeSqrt) s"Math.sqrt($acc)" else acc
       s"""
-         |double $acc = 0.0;
-         |for (int $m = 0; $m < ${table.length}; $m++) {
-         |  $acc += $tbl[$m][$a.getInt($m)][$b.getInt($m)];
+         |if ($a.length != $tbl.length || $b.length != $tbl.length) {
+         |  throw new IllegalArgumentException(
+         |    "pq_sdc_distance: code lengths " + $a.length + "/" + $b.length
+         |      + " != trained M " + $tbl.length);
          |}
-         |${ev.value} = Math.sqrt($acc);
+         |double $acc = 0.0;
+         |for (int $m = 0; $m < $tbl.length; $m++) {
+         |  $acc += $tbl[$m][$a[$m] & 0xFF][$b[$m] & 0xFF];
+         |}
+         |${ev.value} = $finish;
        """.stripMargin
     })
   }
@@ -75,7 +248,14 @@ object PqFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
-  def sdcDistance(a: Column, b: Column,
-                  table: Array[Array[Array[Double]]]): Column =
-    c(SdcDistance(e(a), e(b), table))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqEncode(e(v), codebooks))
+
+  def adcDistance(codes: Column, table: Array[Array[Double]],
+                  takeSqrt: Boolean = true): Column =
+    c(AdcDistance(e(codes), table, takeSqrt))
+
+  def sdcDistance(a: Column, b: Column, table: Array[Array[Array[Double]]],
+                  takeSqrt: Boolean = true): Column =
+    c(SdcDistance(e(a), e(b), table, takeSqrt))
 }

@@ -3,14 +3,16 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Scalar (int8) quantization kernels — the 4× compression tier of the
   * quantization family (PQ is the 32× tier): each dimension linearly
   * quantizes to [0,255] against per-dimension (min, scale) trained from
-  * the corpus. Both kernels carry their parameter arrays as codegen
+  * the corpus. Codes are BINARY — one byte per dimension, the exact
+  * byte budget SQ8 advertises (array<int> would cost 4× in cache and
+  * shuffle). Both kernels carry their parameter arrays as codegen
   * REFERENCE OBJECTS (the PqExprs lesson: multi-KB literals kill
   * whole-stage codegen), and an equivalent zip_with/transform HOF chain
   * would evaluate interpreted on every row (the r1 HOF lesson).
@@ -18,7 +20,7 @@ import org.apache.spark.sql.types._
 case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Double])
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "sq8_encode"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -30,9 +32,10 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
           s"sq8_encode expects array<float|double>, got $other")
     }
 
-  private def isFloat: Boolean =
-    child.dataType == ArrayType(FloatType, containsNull = false) ||
-      child.dataType == ArrayType(FloatType, containsNull = true)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -44,15 +47,15 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
       throw new IllegalArgumentException(
         s"sq8_encode: vector dim ${a.numElements()} != trained dim ${mins.length}")
     val n = mins.length
-    val out = new Array[Int](n)
+    val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val q = Math.round((x - mins(i)) * scales(i)).toInt
-      out(i) = Math.max(0, Math.min(255, q))
+      out(i) = Math.max(0, Math.min(255, q)).toByte
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -68,12 +71,12 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
          |  throw new IllegalArgumentException(
          |    "sq8_encode: vector dim " + $n + " != trained dim " + $minsRef.length);
          |}
-         |int[] $out = new int[$n];
+         |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  int $q = (int) java.lang.Math.round(((double) $a.$get($i) - $minsRef[$i]) * $scalesRef[$i]);
-         |  $out[$i] = java.lang.Math.max(0, java.lang.Math.min(255, $q));
+         |  $out[$i] = (byte) java.lang.Math.max(0, java.lang.Math.min(255, $q));
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |${ev.value} = $out;
        """.stripMargin
     })
   }
@@ -81,9 +84,10 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Symmetric l2 distance between two SQ8 code arrays on the dequantized
-  * values: sqrt(Σ ((a_i − b_i) / scale_i)²). Exact for the quantized
-  * representatives, so ranking error comes only from quantization.
+/** Symmetric l2 distance between two SQ8 code buffers on the
+  * dequantized values: sqrt(Σ ((a_i − b_i) / scale_i)²). Exact for the
+  * quantized representatives, so ranking error comes only from
+  * quantization.
   */
 case class Sq8Distance(left: Expression, right: Expression, scales: Array[Double])
     extends BinaryExpression {
@@ -91,32 +95,26 @@ case class Sq8Distance(left: Expression, right: Expression, scales: Array[Double
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq8_distance"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(IntegerType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sq8_distance expects array<int> code columns, got ${left.dataType} / ${right.dataType}")
-  }
+        s"sq8_distance expects binary code columns, got ${left.dataType} / ${right.dataType}")
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    // code arrays shorter/longer than the trained model mean a
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    // code buffers shorter/longer than the trained model mean a
     // different encoder produced them — fail, never rank on a prefix
-    if (a.numElements() != scales.length || b.numElements() != scales.length)
+    if (a.length != scales.length || b.length != scales.length)
       throw new IllegalArgumentException(
-        s"sq8_distance: code dims ${a.numElements()}/${b.numElements()} " +
-          s"!= trained dim ${scales.length}")
+        s"sq8_distance: code dims ${a.length}/${b.length} != trained dim ${scales.length}")
     val n = scales.length
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = (a.getInt(i) - b.getInt(i)) / scales(i)
+      val d = ((a(i) & 0xFF) - (b(i) & 0xFF)) / scales(i)
       acc += d * d
       i += 1
     }
@@ -129,14 +127,14 @@ case class Sq8Distance(left: Expression, right: Expression, scales: Array[Double
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |if ($a.numElements() != $scalesRef.length || $b.numElements() != $scalesRef.length) {
+         |if ($a.length != $scalesRef.length || $b.length != $scalesRef.length) {
          |  throw new IllegalArgumentException(
-         |    "sq8_distance: code dims " + $a.numElements() + "/" + $b.numElements()
+         |    "sq8_distance: code dims " + $a.length + "/" + $b.length
          |      + " != trained dim " + $scalesRef.length);
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $scalesRef.length; $i++) {
-         |  double $d = ($a.getInt($i) - $b.getInt($i)) / $scalesRef[$i];
+         |  double $d = (($a[$i] & 0xFF) - ($b[$i] & 0xFF)) / $scalesRef[$i];
          |  $acc += $d * $d;
          |}
          |${ev.value} = Math.sqrt($acc);

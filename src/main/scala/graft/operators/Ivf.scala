@@ -29,23 +29,51 @@ object Ivf {
   /** Reference heuristic: k = max(1, round(sqrt(n/2))) (ivf.py:62). */
   def defaultK(n: Long): Int = math.max(1, math.round(math.sqrt(n / 2.0)).toInt)
 
-  /** Built indexes, keyed by (corpus dir, k): the reference builds an
-    * index once and serves many queries from it (manager.py's lazy
-    * rebuild); the Spark twin memoizes the assignment DataFrame
-    * (cached) + centroids per corpus within a session.
+  /** The (id, vec) corpus under a metric. Cosine routes through the
+    * normalize-then-L2 identity (‖a−b‖² = 2(1−cosθ) on unit vectors),
+    * so every L2 kernel downstream — Lloyd, probe selection, ADC/SDC
+    * tables — ranks by cosine without a second code path. Zero-norm
+    * vectors stay as-is (the reference pins their cosine distance to
+    * 1.0; quantized ranking of an all-zero vector is degenerate either
+    * way). Dot keeps the raw corpus: an L2-trained quantizer still
+    * reconstructs vectors, and dot is estimated from the
+    * reconstructions. Shared by the IVF memo and the Pq/Sq8 encoders so
+    * the quantizers and the coarse index always train on the SAME
+    * representation.
+    */
+  private[operators] def metricCorpus(spark: SparkSession, dir: String,
+                                      metric: Int = VectorMetric.L2): DataFrame = {
+    val raw = Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    if (metric != VectorMetric.Cosine) raw
+    else {
+      val n2 = sqrt(VectorFunctions.dotProduct(col("vec"), col("vec")))
+      raw.select(col("id"),
+        when(n2 === 0.0, col("vec"))
+          .otherwise(transform(col("vec"), x => (x / n2).cast("float")))
+          .as("vec"))
+    }
+  }
+
+  /** Built indexes, keyed by (corpus dir, k, metric): the reference
+    * builds an index once and serves many queries from it (manager.py's
+    * lazy rebuild); the Spark twin memoizes the assignment DataFrame
+    * (cached) + centroids per corpus within a session. The Cosine
+    * variant is the NORMALIZED-corpus index (unit-vector k-means) that
+    * the compressed-domain batch paths probe.
     */
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (DataFrame, Array[Array[Float]])]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), (DataFrame, Array[Array[Float]])]
 
-  private def buildIndex(spark: SparkSession, dir: String, k: Int)
+  private def buildIndex(spark: SparkSession, dir: String, k: Int,
+                         metric: Int = VectorMetric.L2)
       : (DataFrame, Array[Array[Float]]) =
     // synchronized build on miss: TrieMap.getOrElseUpdate may run the
     // thunk twice under concurrent first use, wasting a k-means build
     // and leaking the loser's cached assignment
-    built.get((dir, k)).getOrElse(synchronized {
-      built.getOrElseUpdate((dir, k), {
-        val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
-          .select(col("vec_id").as("id"), col("embedding").as("vec"))).cache()
+    built.get((dir, k, metric)).getOrElse(synchronized {
+      built.getOrElseUpdate((dir, k, metric), {
+        val vecs = metricCorpus(spark, dir, metric).cache()
         val (assign, centroids) = kmeans(vecs, k)
         (assign.cache(), centroids)
       })
@@ -64,10 +92,11 @@ object Ivf {
     * (assignments, centroids) — for operators that compose with the
     * IVF layout (Pq's IVF-PQ path).
     */
-  private[operators] def indexFor(spark: SparkSession, dir: String)
+  private[operators] def indexFor(spark: SparkSession, dir: String,
+                                  metric: Int = VectorMetric.L2)
       : (DataFrame, Array[Array[Float]]) = {
     val n = Tables.embeddings(spark, dir).count()
-    buildIndex(spark, dir, defaultK(n))
+    buildIndex(spark, dir, defaultK(n), metric)
   }
 
   /** Materialize the session index memo for `dir` (build + cache fill).
@@ -76,9 +105,10 @@ object Ivf {
     * absorb the whole build cost into its own number (the round-2
     * ivf_query "regression" was exactly this attribution artifact).
     */
-  def warmIndex(spark: SparkSession, dir: String): Unit = {
+  def warmIndex(spark: SparkSession, dir: String,
+                metric: Int = VectorMetric.L2): Unit = {
     val n = Tables.embeddings(spark, dir).count()
-    val (assign, _) = buildIndex(spark, dir, defaultK(n))
+    val (assign, _) = buildIndex(spark, dir, defaultK(n), metric)
     assign.count()
     ()
   }
@@ -284,7 +314,7 @@ object Ivf {
   }
 
   /** Distance column for a metric (Dot negated so smaller = closer). */
-  private def distCol(metric: Int, a: Column, b: Column): Column = metric match {
+  private[operators] def distCol(metric: Int, a: Column, b: Column): Column = metric match {
     case VectorMetric.L2     => VectorFunctions.l2Distance(a, b)
     case VectorMetric.Cosine => VectorFunctions.cosineDistance(a, b)
     case VectorMetric.Dot    => -VectorFunctions.dotProduct(a, b)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.{PqFunctions, VectorFunctions, VectorMetric}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,23 +13,32 @@ import org.apache.spark.sql.functions._
   * The vector space is split into M subspaces; each subspace gets its
   * own 256-centroid codebook (driver-local Lloyd on a bounded sample,
   * shared trainer with the IVF coarse quantizer); every vector encodes
-  * to M one-byte codes. A 64-dim float32 vector (256 B) becomes 8 B —
-  * 32× — while queries run Asymmetric Distance Computation: one
-  * M×256 lookup table per query (exact query-to-centroid distances),
-  * then each candidate's distance is M table lookups + adds, no float
-  * vector ever touched.
+  * to M one-byte codes stored as ONE BINARY VALUE — a 64-dim float32
+  * vector (256 B) becomes 8 B, and the 32× budget holds in cache and
+  * shuffle, not just on disk. Queries run Asymmetric Distance
+  * Computation: one M×256 lookup table per query (exact
+  * query-to-centroid distances), then each candidate's distance is M
+  * table lookups + adds, no float vector ever touched.
   *
-  * Scale shape: the codebook is KBs (broadcast); encoding is a
-  * broadcast join + two skinny shuffles of (id, subspace, code) rows —
-  * O(n·M) small ints, the same banding cost model as minhash-LSH; the
-  * ADC scan is a narrow codegen'd map over the code table with a
-  * bounded top-k, no shuffle of distances. At 100 TB the encoded table
-  * is what sits in storage (optionally inside the IVF cluster layout —
-  * IVF-PQ — so probes prune partitions AND read 32× fewer bytes).
+  * Metric contract (the reference plumbs its metric into every index,
+  * app/indexes/base.py:207-219, ivf.py:158-183): every path here —
+  * point ADC, IVF-PQ, persisted IVF-PQ, SDC batch — takes the metric.
+  * Cosine routes through the normalize-then-L2 identity on a
+  * normalized-corpus model (coarse quantizer, codebooks and codes all
+  * train on unit vectors — Ivf.metricCorpus); Dot builds
+  * inner-product ADC/SDC tables over the L2-trained codebooks
+  * (negated partial dots, no sqrt).
   *
-  * Approximate by construction (quantization error), so the driver key
-  * is rows-only; PqSpec pins recall vs exact k-NN, encoding bounds,
-  * and train determinism.
+  * Scale shape: the codebook is KBs (a codegen reference object);
+  * encoding is a PURE MAP (the PqEncode expression — no codebook join,
+  * no shuffle); the ADC scan is a narrow codegen'd map over the code
+  * table with a bounded top-k. At 100 TB the encoded table is what
+  * sits in storage (optionally inside the IVF cluster layout — IVF-PQ —
+  * so probes prune partitions AND read 32× fewer bytes).
+  *
+  * Approximate by construction (quantization error), so the driver
+  * keys are rows-only; PqSpec pins recall vs exact k-NN per metric,
+  * encoding bounds, and train determinism.
   */
 object Pq {
 
@@ -55,31 +65,23 @@ object Pq {
       .foreach(k => encoded.remove(k).foreach(_.unpersist()))
   }
 
-  import graft.functions.VectorMetric
-
-  /** Corpus for a metric. Cosine routes through the normalize-then-L2
-    * identity (‖a−b‖² = 2(1−cosθ) on unit vectors), so every L2
-    * kernel downstream — codebook Lloyd, ADC tables, SDC tables —
-    * ranks by cosine without a second code path. Zero-norm vectors
-    * stay as-is (the reference pins their cosine distance to 1.0;
-    * quantized ranking of an all-zero vector is degenerate either
-    * way). The norm is the codegen'd dot-product kernel; the division
-    * is a one-time encode-path transform, memoized like everything
-    * else on this path.
+  /** Metric-transformed corpus — one definition for the whole
+    * quantization family (Ivf.metricCorpus), so the coarse index and
+    * the codebooks always train on the same representation.
     */
   private def corpus(spark: SparkSession, dir: String,
-                     metric: Int = VectorMetric.L2): DataFrame = {
-    val raw = Tables.rebalanced(Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    if (metric != VectorMetric.Cosine) raw
+                     metric: Int = VectorMetric.L2): DataFrame =
+    Ivf.metricCorpus(spark, dir, metric)
+
+  /** Metric-transform a single query vector (driver-side twin of
+    * metricCorpus: cosine normalizes, zero-norm stays as-is).
+    */
+  private[operators] def metricQuery(q: Array[Float], metric: Int): Array[Float] =
+    if (metric != VectorMetric.Cosine) q
     else {
-      val n2 = sqrt(graft.functions.VectorFunctions.dotProduct(col("vec"), col("vec")))
-      raw.select(col("id"),
-        when(n2 === 0.0, col("vec"))
-          .otherwise(transform(col("vec"), x => (x / n2).cast("float")))
-          .as("vec"))
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (n == 0.0) q else q.map(x => (x / n).toFloat)
     }
-  }
 
   /** Train M per-subspace codebooks on a deterministic hash-sample. */
   def train(spark: SparkSession, dir: String,
@@ -112,147 +114,171 @@ object Pq {
       })
     })
 
-  /** Codebook as a broadcastable (m_idx, code, cvec) table — M×256
-    * rows, KBs. Joined, never inlined as literals (the r1
-    * centroid-literal codegen lesson).
+  /** Encode an arbitrary (id, vec) frame against a trained model:
+    * (id, codes binary). A pure map — the PqEncode expression runs the
+    * per-subspace argmin inside whole-stage codegen with the codebooks
+    * as a reference object, so encoding needs NO shuffle (the previous
+    * codebook-crossJoin formulation shuffled O(n·M) rows twice). The
+    * lifecycle append path reuses this against frozen codebooks.
     */
-  private def codebookDf(spark: SparkSession, model: Model): DataFrame = {
-    import spark.implicits._
-    (for {
-      mi <- model.codebooks.indices
-      c <- model.codebooks(mi).indices
-    } yield (mi, c, model.codebooks(mi)(c).toSeq)).toDF("m_idx", "code", "cvec")
-  }
+  private[operators] def encodeWith(vecs: DataFrame, model: Model): DataFrame =
+    vecs.select(col("id"),
+      PqFunctions.pqEncode(col("vec"), model.codebooks).as("codes"))
 
-  /** Encode the corpus: (id, codes array<int> of length M). Argmin per
-    * (vector, subspace) over the broadcast codebook, then codes
-    * reassembled in subspace order.
-    */
+  /** Encode the corpus: (id, codes binary of length M), memoized. */
   def encode(spark: SparkSession, dir: String,
              m: Int = SubspaceCount, metric: Int = VectorMetric.L2): DataFrame =
     encoded.get((dir, m, metric)).getOrElse(synchronized {
       encoded.getOrElseUpdate((dir, m, metric), {
         val model = train(spark, dir, m, metric)
-        val cb = codebookDf(spark, model)
-        val sub = slice(col("vec"), col("m_idx") * model.subDim + 1, lit(model.subDim))
-        val df = corpus(spark, dir, metric)
-          .crossJoin(broadcast(cb))
-          .select(col("id"), col("m_idx"), col("code"),
-            graft.functions.VectorFunctions.l2Distance(sub, col("cvec")).as("d"))
-          .groupBy("id", "m_idx")
-          .agg(min(struct(col("d"), col("code"))).as("mc"))
-          .groupBy("id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("m_idx"), col("mc.code").as("code")))),
-            s => s.getField("code")).as("codes"))
-          .cache()
+        val df = encodeWith(corpus(spark, dir, metric), model).cache()
         df.count()
         df
       })
     })
 
-  /** ADC top-k for one query vector with an exact refine step (the
-    * FAISS refine pattern). The per-query M×256 distance table is
-    * computed exactly on the driver (M·256 small l2s) and enters the
-    * plan as ONE literal; each encoded row's approximate distance is M
-    * element_at lookups + adds inside whole-stage codegen. The ADC
-    * pass shortlists `k·refine` candidates from the compressed table
-    * alone; only the shortlist joins back to raw vectors for an exact
-    * re-rank — at 100 TB that is k·refine point reads instead of a
-    * corpus scan of float vectors, which is the whole point of PQ.
-    * `refine = 1` is pure ADC (no raw-vector access at all).
+  /** Per-query ADC table under a metric: table(m)(c) is subspace m's
+    * exact query-to-centroid contribution — squared l2 for the l2
+    * family (cosine arrives pre-normalized), NEGATED partial dot for
+    * dot (so the ascending sum ranks by descending inner product).
     */
-  def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
-           k: Int, m: Int = SubspaceCount, refine: Int = 4,
-           metric: Int = VectorMetric.L2): DataFrame =
-    adcTopK(spark, dir, encode(spark, dir, m, metric), queryVec, k, m, refine, metric)
+  private def adcTable(codebooks: Array[Array[Array[Float]]], q0: Array[Float],
+                       metric: Int): Array[Array[Double]] = {
+    val subDim = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      val q = q0.slice(mi * subDim, (mi + 1) * subDim)
+      cb.map { c =>
+        var acc = 0.0; var i = 0
+        if (metric == VectorMetric.Dot) {
+          while (i < q.length) { acc += q(i).toDouble * c(i); i += 1 }
+          -acc
+        } else {
+          while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
+          acc
+        }
+      }
+    }
+  }
 
-  /** IVF-PQ: ADC search INSIDE the IVF cluster layout — the composed
-    * 100 TB design. The query selects its nprobe nearest coarse
-    * centroids (driver math over the KB-sized centroid table), the
-    * candidate set narrows to those clusters' members via the
-    * assignment join (partition pruning when the codes land on disk
-    * partitioned by cluster_id), and only then does ADC + exact refine
-    * run. Cost per query: nprobe/k of the corpus, at M bytes per
-    * candidate instead of 4·dim — pruning and compression multiply.
+  /** Driver-side probe selection over a KB-sized centroid table: the
+    * nprobe nearest coarse centroids under the (transformed) query's
+    * metric — l2 for the l2 family (cosine queries and centroids are
+    * both unit vectors), descending dot for dot.
     */
-  def ivfPqTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
-                k: Int, nprobe: Int, m: Int = SubspaceCount,
-                refine: Int = 4): DataFrame = {
-    val (assign, centroids) = Ivf.indexFor(spark, dir)
-    val probed = centroids.zipWithIndex
+  private[operators] def probeIds(centroids: Array[Array[Float]], q0: Array[Float],
+                                  nprobe: Int, metric: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (c, j) =>
         var acc = 0.0; var i = 0
-        while (i < c.length) { val d = c(i) - queryVec(i); acc += d * d; i += 1 }
-        (acc, j)
+        if (metric == VectorMetric.Dot) {
+          while (i < c.length) { acc += c(i).toDouble * q0(i); i += 1 }
+          (-acc, j)
+        } else {
+          while (i < c.length) { val d = c(i) - q0(i); acc += d * d; i += 1 }
+          (acc, j)
+        }
       }
       .sortBy(identity)
       .take(math.min(math.max(1, nprobe), centroids.length))
-      .map(_._2)
-    val cand = assign.filter(col("cluster_id").isInCollection(probed.toSeq))
-      .select("id").join(encode(spark, dir, m), "id")
-    adcTopK(spark, dir, cand, queryVec, k, m, refine)
-  }
+      .map(_._2).toSeq
 
-  /** Shared ADC core over any (id, codes) candidate frame. For Cosine
-    * the ADC table is built from the NORMALIZED query (matching the
-    * normalized codebooks) while the exact refine re-ranks with true
-    * cosine distance on the raw vectors.
+  /** THE one ADC implementation — every PQ point-query path (flat ADC,
+    * in-session IVF-PQ, persisted IVF-PQ) funnels here so metric
+    * handling exists exactly once. The shortlist pass scans only codes
+    * (M bytes/candidate, bounded top-k·refine as TakeOrdered); the
+    * optional refine re-ranks the shortlist with the TRUE metric
+    * distance over raw vectors — at 100 TB that is k·refine point
+    * reads against the primary store instead of a float-vector scan.
+    * `refine <= 1` (or refineWith = None) is pure compressed-domain.
     */
-  private def adcTopK(spark: SparkSession, dir: String, codesDf: DataFrame,
-                      queryVec: Array[Float], k: Int, m: Int,
-                      refine: Int, metric: Int = VectorMetric.L2): DataFrame = {
-    val model = train(spark, dir, m, metric)
-    require(queryVec.length == model.dim,
-      s"query dim ${queryVec.length} != corpus dim ${model.dim}")
-    val q0 =
-      if (metric != VectorMetric.Cosine) queryVec
-      else {
-        val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
-        if (n == 0.0) queryVec else queryVec.map(x => (x / n).toFloat)
-      }
-    val table: Seq[Seq[Double]] = (0 until m).map { mi =>
-      val q = q0.slice(mi * model.subDim, (mi + 1) * model.subDim)
-      model.codebooks(mi).toSeq.map { c =>
-        var acc = 0.0; var i = 0
-        while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
-        acc
-      }
-    }
-    val tlit = typedlit(table)
-    val adist = (0 until m).map { mi =>
-      element_at(element_at(tlit, mi + 1),
-        element_at(col("codes"), mi + 1).cast("int") + 1)
-    }.reduce(_ + _)
+  private def adcCore(codesDf: DataFrame, codebooks: Array[Array[Array[Float]]],
+                      rawQuery: Array[Float], k: Int, refine: Int, metric: Int,
+                      refineWith: Option[DataFrame]): DataFrame = {
+    val dim = codebooks.length * codebooks(0)(0).length
+    require(rawQuery.length == dim,
+      s"query dim ${rawQuery.length} != corpus dim $dim")
+    val q0 = metricQuery(rawQuery, metric)
+    val table = adcTable(codebooks, q0, metric)
+    val adist = PqFunctions.adcDistance(col("codes"), table,
+      takeSqrt = metric != VectorMetric.Dot)
     val shortlist = codesDf
-      .select(col("id").as("neighbor_id"), sqrt(adist).as("dist"))
+      .select(col("neighbor_id"), adist.as("dist"))
       .orderBy(col("dist"), col("neighbor_id"))
       .limit(k * math.max(1, refine))
-    if (refine <= 1) shortlist.limit(k)
-    else {
-      val exact = metric match {
-        case VectorMetric.Cosine => graft.functions.VectorFunctions
-          .cosineDistance(col("vec"), typedlit(queryVec.toSeq))
-        case _ => graft.functions.VectorFunctions
-          .l2Distance(col("vec"), typedlit(queryVec.toSeq))
-      }
-      shortlist.select(col("neighbor_id"))
-        .join(corpus(spark, dir).withColumnRenamed("id", "neighbor_id"),
-          "neighbor_id")
-        .select(col("neighbor_id"), exact.as("dist"))
-        .orderBy(col("dist"), col("neighbor_id"))
-        .limit(k)
+    refineWith match {
+      case None => shortlist.limit(k)
+      case Some(vecs) if refine > 1 =>
+        val exact = Ivf.distCol(metric, col("vec"), typedlit(rawQuery.toSeq))
+        shortlist.select(col("neighbor_id"))
+          .join(vecs, "neighbor_id")
+          .select(col("neighbor_id"), exact.as("dist"))
+          .orderBy(col("dist"), col("neighbor_id"))
+          .limit(k)
+      case Some(_) => shortlist.limit(k)
     }
   }
 
-  /** M inter-centroid squared-l2 tables for symmetric PQ distance. */
-  private def sdcTable(model: Model): Array[Array[Array[Double]]] =
+  /** Raw (untransformed) corpus as a refine source (neighbor_id, vec):
+    * the exact re-rank always runs the true metric on original floats.
+    */
+  private def refineSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vec"))
+
+  /** ADC top-k for one query vector with an exact refine step (the
+    * FAISS refine pattern): the ADC pass shortlists `k·refine`
+    * candidates from the compressed table alone; only the shortlist
+    * joins back to raw vectors for an exact re-rank. `refine = 1` is
+    * pure ADC (no raw-vector access at all).
+    */
+  def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
+           k: Int, m: Int = SubspaceCount, refine: Int = 4,
+           metric: Int = VectorMetric.L2): DataFrame = {
+    val model = train(spark, dir, m, metric)
+    adcCore(
+      encode(spark, dir, m, metric).withColumnRenamed("id", "neighbor_id"),
+      model.codebooks, queryVec, k, refine, metric,
+      refineWith = Some(refineSource(spark, dir)))
+  }
+
+  /** IVF-PQ: ADC search INSIDE the IVF cluster layout — the composed
+    * 100 TB design. The query selects its nprobe nearest coarse
+    * centroids (driver math over the KB-sized centroid table; for
+    * cosine the index IS the normalized-corpus variant), the candidate
+    * set narrows to those clusters' members via the assignment join
+    * (partition pruning when the codes land on disk partitioned by
+    * cluster_id), and only then does ADC + exact refine run. Cost per
+    * query: nprobe/k of the corpus, at M bytes per candidate instead
+    * of 4·dim — pruning and compression multiply.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
+                k: Int, nprobe: Int, m: Int = SubspaceCount,
+                refine: Int = 4, metric: Int = VectorMetric.L2): DataFrame = {
+    val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
+    val model = train(spark, dir, m, metric)
+    val probed = probeIds(centroids, metricQuery(queryVec, metric), nprobe, metric)
+    val cand = assign.filter(col("cluster_id").isInCollection(probed))
+      .select("id").join(encode(spark, dir, m, metric), "id")
+      .withColumnRenamed("id", "neighbor_id")
+    adcCore(cand, model.codebooks, queryVec, k, refine, metric,
+      refineWith = Some(refineSource(spark, dir)))
+  }
+
+  /** M inter-centroid tables for symmetric PQ distance under a metric
+    * (squared l2, or negated partial dots for dot).
+    */
+  private def sdcTable(model: Model, metric: Int): Array[Array[Array[Double]]] =
     model.codebooks.map { cb =>
       cb.map { a =>
         cb.map { b =>
           var acc = 0.0; var i = 0
-          while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
-          acc
+          if (metric == VectorMetric.Dot) {
+            while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+            -acc
+          } else {
+            while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+            acc
+          }
         }
       }
     }
@@ -260,54 +286,82 @@ object Pq {
   /** Batch ANN entirely in the compressed domain (SDC): every corpus
     * vector's top-k neighbors from codes alone. Same probe/shuffle
     * skeleton as Ivf.annBatch (probe set shuffle-joins cluster members,
-    * never broadcast), but pair rows carry M-byte codes instead of
-    * 4·dim-byte vectors and each pair costs M table lookups via the
+    * never broadcast), but pair rows carry M-BYTE binary codes instead
+    * of 4·dim-byte vectors and each pair costs M table lookups via the
     * SdcDistance expression (codebook distance table as a codegen
     * reference object — see PqExprs for why literals would be a
     * disaster here) instead of a full-dim cosine. Both sides quantized
     * ⇒ coarser than ADC: the compressed-domain recall floor is pinned
-    * in PqSpec; serving stacks an exact refine on the survivors
-    * exactly as topK/queryIvfPq do.
+    * in PqSpec per metric.
+    *
+    * `refine > 1` stacks the exact re-rank the serving stack wants:
+    * the SDC pass keeps k·refine survivors per query (still codes
+    * only), and ONLY those pairs join back to full-precision vectors —
+    * O(N·k·refine) skinny rows, two shuffle joins — for a true-metric
+    * top-k (PqSpec pins refined recall ≈ 1 at refine = 4).
     */
   def sdcBatch(spark: SparkSession, dir: String, k: Int,
-               nprobeOpt: Option[Int] = None, m: Int = SubspaceCount): DataFrame = {
-    val model = train(spark, dir, m)
-    val (assign, centroids) = Ivf.indexFor(spark, dir)
-    val queries = corpus(spark, dir)
-      .select(col("id").as("query_id"), col("vec").as("qvec"))
-    val codes = encode(spark, dir, m)
+               nprobeOpt: Option[Int] = None, m: Int = SubspaceCount,
+               metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
+    val model = train(spark, dir, m, metric)
+    val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
+    val vecs = corpus(spark, dir, metric)
+    val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val codes = encode(spark, dir, m, metric)
+    val probeMetric =
+      if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
     val probes = Ivf.probeSelect(queries, centroids,
-      nprobeOpt.getOrElse(centroids.length))
+      nprobeOpt.getOrElse(centroids.length), probeMetric)
       .select(col("query_id"), col("probe_cluster"))
       .join(codes.select(col("id").as("query_id"), col("codes").as("qcodes")),
         "query_id")
     val codeLists = assign.join(codes, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("codes"))
-    val dist = graft.functions.PqFunctions
-      .sdcDistance(col("qcodes"), col("codes"), sdcTable(model))
-    codeLists.join(probes, col("cluster_id") === col("probe_cluster"))
+    val dist = PqFunctions.sdcDistance(col("qcodes"), col("codes"),
+      sdcTable(model, metric), takeSqrt = metric != VectorMetric.Dot)
+    val shortlist = codeLists
+      .join(probes, col("cluster_id") === col("probe_cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"))
-      .agg(graft.functions.VectorFunctions
-        .topKByDistance(dist, col("neighbor_id"), k).as("nn"))
+      .agg(VectorFunctions
+        .topKByDistance(dist, col("neighbor_id"), k * math.max(1, refine)).as("nn"))
+    val ranked =
+      if (refine <= 1) shortlist
+      else {
+        // exact re-rank on full-precision vectors: metric-transformed
+        // corpus + the l2 kernel ranks identically to the true metric
+        // (cosine ≡ l2 on unit vectors; dot keeps the raw corpus)
+        val exactMetric =
+          if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
+        val exact = Ivf.distCol(exactMetric, col("vec"), col("qvec"))
+        shortlist
+          .select(col("query_id"), explode(col("nn")).as("cand"))
+          .select(col("query_id"), col("cand.id").as("neighbor_id"))
+          .join(queries, "query_id")
+          .join(vecs.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+          .groupBy(col("query_id"))
+          .agg(VectorFunctions.topKByDistance(exact, col("neighbor_id"), k).as("nn"))
+      }
+    ranked
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("query_id"), col("nn.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 
-  /** Persist the IVF-PQ index: codes partitioned by cluster_id (probe
-    * pruning happens at planning time, same layout contract as
-    * Ivf.writeIndex), plus the coarse centroids and PQ codebooks as
-    * underscore-prefixed sidecar tables so the index outlives the
-    * session that built it.
+  /** Persist the IVF-PQ index: binary codes partitioned by cluster_id
+    * (probe pruning happens at planning time, same layout contract as
+    * Ivf.writeIndex), plus the coarse centroids, the PQ codebooks and a
+    * `_meta` record (m, metric) as underscore-prefixed sidecar tables —
+    * the index outlives the session that built it AND carries its own
+    * metric, exactly the reference's per-index metric field.
     */
   def writeIvfPq(spark: SparkSession, dir: String, outPath: String,
-                 m: Int = SubspaceCount): Unit = {
+                 m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Unit = {
     import spark.implicits._
-    val (assign, centroids) = Ivf.indexFor(spark, dir)
-    val model = train(spark, dir, m)
-    assign.join(encode(spark, dir, m), "id")
+    val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
+    val model = train(spark, dir, m, metric)
+    assign.join(encode(spark, dir, m, metric), "id")
       .select(col("cluster_id"), col("id"), col("codes"))
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
@@ -320,14 +374,36 @@ object Pq {
     } yield (mi, c, model.codebooks(mi)(c).toSeq))
       .toDF("m_idx", "code", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_codebooks")
+    Seq((m, metric)).toDF("m", "metric")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_meta")
+  }
+
+  /** Codebooks of a persisted IVF-PQ index. */
+  private[operators] def loadCodebooks(spark: SparkSession,
+                                       indexPath: String): Array[Array[Array[Float]]] = {
+    val cbRows = spark.read.parquet(s"$indexPath/_codebooks")
+      .orderBy("m_idx", "code").collect()
+    cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)).toArray
+  }
+
+  /** The persisted index's own metric (from `_meta`; indexes written
+    * before the metric sidecar existed default to L2).
+    */
+  private[operators] def loadMetric(spark: SparkSession, indexPath: String): Int = {
+    val f = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"))) VectorMetric.L2
+    else spark.read.parquet(s"$indexPath/_meta").head().getInt(1)
   }
 
   /** Query a persisted IVF-PQ index: probe selection over the loaded
-    * centroids (driver math, KBs), partition-pruned read of ONLY the
-    * probed code lists, ADC ranking from the loaded codebooks. Pure
-    * compressed-domain search — no raw vector is read; callers that
-    * want the exact refine re-rank pass the vector table (at scale:
-    * k·refine point lookups against the primary store).
+    * centroids (driver math, KBs) UNDER THE INDEX'S OWN METRIC, a
+    * partition-pruned read of ONLY the probed code lists, ADC ranking
+    * from the loaded codebooks. Pure compressed-domain search — no raw
+    * vector is read; callers that want the exact refine re-rank pass
+    * the vector table (at scale: k·refine point lookups against the
+    * primary store).
     */
   def queryIvfPq(spark: SparkSession, indexPath: String,
                  queryVec: Array[Float], k: Int, nprobe: Int,
@@ -335,53 +411,19 @@ object Pq {
                  refine: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$indexPath/_centroids")
       .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
-    val cbRows = spark.read.parquet(s"$indexPath/_codebooks")
-      .orderBy("m_idx", "code").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)).toArray
+    val codebooks = loadCodebooks(spark, indexPath)
+    val metric = loadMetric(spark, indexPath)
+    val m = codebooks.length
     val subDim = codebooks(0)(0).length
     require(queryVec.length == m * subDim,
       s"query dim ${queryVec.length} != index dim ${m * subDim}")
-    val probed = centroids.zipWithIndex
-      .map { case (c, j) =>
-        var acc = 0.0; var i = 0
-        while (i < c.length) { val d = c(i) - queryVec(i); acc += d * d; i += 1 }
-        (acc, j)
-      }
-      .sortBy(identity)
-      .take(math.min(math.max(1, nprobe), centroids.length))
-      .map(_._2)
-    val table: Seq[Seq[Double]] = (0 until m).map { mi =>
-      val q = queryVec.slice(mi * subDim, (mi + 1) * subDim)
-      codebooks(mi).toSeq.map { c =>
-        var acc = 0.0; var i = 0
-        while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
-        acc
-      }
-    }
-    val tlit = typedlit(table)
-    val adist = (0 until m).map { mi =>
-      element_at(element_at(tlit, mi + 1),
-        element_at(col("codes"), mi + 1).cast("int") + 1)
-    }.reduce(_ + _)
-    val shortlist = spark.read.parquet(indexPath)
-      .filter(col("cluster_id").isInCollection(probed.toSeq))
-      .select(col("id").as("neighbor_id"), sqrt(adist).as("dist"))
-      .orderBy(col("dist"), col("neighbor_id"))
-      .limit(k * math.max(1, refine))
-    refineWith match {
-      case None => shortlist.limit(k)
-      case Some(vecs) =>
-        val exact = graft.functions.VectorFunctions
-          .l2Distance(col("vec"), typedlit(queryVec.toSeq))
-        shortlist.select(col("neighbor_id"))
-          .join(vecs.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("vec")), "neighbor_id")
-          .select(col("neighbor_id"), exact.as("dist"))
-          .orderBy(col("dist"), col("neighbor_id"))
-          .limit(k)
-    }
+    val probed = probeIds(centroids, metricQuery(queryVec, metric), nprobe, metric)
+    val codesDf = spark.read.parquet(indexPath)
+      .filter(col("cluster_id").isInCollection(probed))
+      .select(col("id").as("neighbor_id"), col("codes"))
+    adcCore(codesDf, codebooks, queryVec, k, refine, metric,
+      refineWith = refineWith.map(_.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("vec"))))
   }
 
   /** Driver query: PQ ADC top-10 for the vec_id=0 query (rows-only —
@@ -405,11 +447,14 @@ object Pq {
 
   /** Driver query: compressed-domain batch ANN at the quarter-scan
     * serving configuration (rows-only; PqSpec pins the SDC recall
-    * floor vs exact).
+    * floor vs exact). `metric` selects the per-metric model + cluster
+    * layout; `refine` stacks the exact re-rank (its own driver key).
     */
-  def sdcBatchQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def sdcBatchQuery(spark: SparkSession, dir: String, k: Int = 5,
+                    metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
-    sdcBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)))
+    sdcBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)),
+      metric = metric, refine = refine)
   }
 
   /** Driver query: IVF-PQ top-10 at nprobe = nClusters/4 for the

@@ -69,8 +69,8 @@ object Sq8 {
       })
     })
 
-  /** Corpus as (id, codes array<int> — one byte of information per
-    * dimension).
+  /** Corpus as (id, codes binary — ONE byte per dimension, the real 4×
+    * budget in cache and shuffle, not just on disk).
     */
   def encode(spark: SparkSession, dir: String,
              metric: Int = VectorMetric.L2): DataFrame =
@@ -102,12 +102,12 @@ object Sq8 {
         val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
         if (n == 0.0) queryVec else queryVec.map(x => (x / n).toFloat)
       }
-    val qCodes: Seq[Int] = q0.indices.map { i =>
+    val qCodes: Array[Byte] = q0.indices.map { i =>
       val q = Math.round((q0(i) - m.mins(i)) * m.scales(i)).toInt
-      Math.max(0, Math.min(255, q))
-    }
+      Math.max(0, Math.min(255, q)).toByte
+    }.toArray
     val dist = graft.functions.Sq8Functions
-      .sq8Distance(typedlit(qCodes), col("codes"), m.scales)
+      .sq8Distance(lit(qCodes), col("codes"), m.scales)
     encode(spark, dir, metric)
       .select(col("id").as("neighbor_id"), dist.as("dist"))
       .orderBy(col("dist"), col("neighbor_id"))

@@ -26,7 +26,8 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = Set("ivf_build", "dedup_minhash_lsh", "dedup_simhash",
       "embedding_neardup_lsh", "index_stats", "events_sketch",
       "ivf_query_nprobe", "pq_topk", "ivfpq_topk", "ann_topk_batch_nprobe",
-      "ann_topk_batch_pq", "sq8_topk")
+      "ann_topk_batch_pq", "ann_topk_batch_pq_cos", "ann_topk_batch_pq_refined",
+      "sq8_topk")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

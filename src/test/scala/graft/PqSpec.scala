@@ -22,15 +22,14 @@ class PqSpec extends AnyFunSuite {
       (acc, id)
     }.sortBy(identity).take(k).map(_._2).toSeq
 
-  test("encoding: M codes per vector, every code within the codebook") {
+  test("encoding: M binary codes per vector (the real 32x budget in memory)") {
     val model = Pq.train(spark, sf)
     assert(model.m == Pq.SubspaceCount && model.subDim * model.m == model.dim)
     val rows = Pq.encode(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val codes = r.getSeq[Int](1)
-      assert(codes.length == model.m)
-      assert(codes.forall(c => c >= 0 && c < Pq.CodebookSize))
+      val codes = r.getAs[Array[Byte]](1)
+      assert(codes.length == model.m) // 8 bytes vs 256 raw float bytes = 32x
     }
   }
 
@@ -117,14 +116,84 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"SDC recall $mean collapsed (per-query $recalls)")
   }
 
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+
+  test("cosine SDC batch over the normalized-corpus index: recall floor vs exact cosine") {
+    val k = 10
+    val batch = Pq.sdcBatch(spark, sf, k, metric = graft.functions.VectorMetric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(batch.size == 500 && batch.values.forall(_.size == k))
+    val recalls = (0L until 10L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) => (1.0 - cos(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      (exact & batch(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"cosine SDC recall $mean collapsed (per-query $recalls)")
+  }
+
+  test("refined SDC batch: exact re-rank of k*4 survivors lifts recall above pure SDC") {
+    val k = 10
+    def recallOf(refine: Int): Double = {
+      val batch = Pq.sdcBatch(spark, sf, k, refine = refine).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      assert(batch.size == 500 && batch.values.forall(_.size == k))
+      val recalls = (0L until 10L).map { qid =>
+        val q = all.find(_._1 == qid).get._2
+        val exact = exactTopK(q, k + 1).filter(_ != qid).take(k).toSet
+        (exact & batch(qid)).size.toDouble / k
+      }
+      recalls.sum / recalls.length
+    }
+    val pure = recallOf(1)
+    val refined = recallOf(4)
+    assert(refined >= pure, s"refine must not lose recall: $refined < $pure")
+    assert(refined >= 0.8, s"refined SDC recall $refined < 0.8")
+  }
+
+  test("dot-product PQ: inner-product ADC tables rank by descending dot") {
+    val k = 10
+    val recalls = (0L until 5L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.map { case (id, v) => (-dot(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      val got = Pq.topK(spark, sf, q, k,
+        metric = graft.functions.VectorMetric.Dot)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"dot PQ recall $mean < 0.8 (per-query $recalls)")
+  }
+
+  test("persisted IVF-PQ carries its own metric (cosine round-trip, no caller flag)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_cos").toString
+    val metric = graft.functions.VectorMetric.Cosine
+    Pq.writeIvfPq(spark, sf, path, metric = metric)
+    val q = all.find(_._1 == 3L).get._2
+    val inSession = Pq.ivfPqTopK(spark, sf, q, 10, nprobe = 4, refine = 1,
+      metric = metric).collect().map(_.getLong(0)).toSeq
+    // queryIvfPq reads the metric from _meta — the caller passes nothing
+    val persisted = Pq.queryIvfPq(spark, path, q, 10, nprobe = 4,
+      refineWith = None).collect().map(_.getLong(0)).toSeq
+    assert(persisted == inSession,
+      "persisted cosine index must probe and rank like the in-session cosine path")
+  }
+
   test("cosine PQ via normalize-then-L2: refined recall vs exact cosine >= 0.8") {
     val k = 10
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-    }
     val recalls = (0L until 5L).map { qid =>
       val q = all.find(_._1 == qid).get._2
       val exact = all.map { case (id, v) => (1.0 - cos(q, v), id) }

@@ -21,13 +21,12 @@ class Sq8Spec extends AnyFunSuite {
       (acc, id)
     }.sortBy(identity).take(k).map(_._2).toSeq
 
-  test("codes are one byte per dimension, full corpus encoded") {
+  test("codes are one byte per dimension (BINARY, the real 4x budget), full corpus encoded") {
     val rows = Sq8.encode(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val codes = r.getSeq[Int](1)
-      assert(codes.length == 64)
-      assert(codes.forall(c => c >= 0 && c <= 255))
+      val codes = r.getAs[Array[Byte]](1)
+      assert(codes.length == 64) // 64 bytes vs 256 raw float bytes = 4x, in memory too
     }
   }
 
