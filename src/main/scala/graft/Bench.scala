@@ -39,7 +39,10 @@ object Bench {
     "memo_ivf_index_cos" -> (() =>
       operators.Ivf.warmIndex(spark, dir, functions.VectorMetric.Cosine)),
     "memo_pq_codes_cos"  -> (() =>
-      { operators.Pq.encode(spark, dir, metric = functions.VectorMetric.Cosine); () }))
+      { operators.Pq.encode(spark, dir, metric = functions.VectorMetric.Cosine); () }),
+    // the learned-rotation model + rotated codes behind pq_topk_opq
+    "memo_pq_codes_opq"  -> (() =>
+      { operators.Pq.encode(spark, dir, opq = true); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,8 @@ object SparkEntry {
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
+    // learned OPQ rotation in front of the same byte budget
+    "pq_topk_opq"         -> ((s, d) => Pq.pqTopkOpq(s, d)),
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
     "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
     // cosine SDC over the normalized-corpus index (the metric plumbed

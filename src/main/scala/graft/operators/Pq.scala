@@ -47,14 +47,21 @@ object Pq {
   /** Sample budget for codebook training (FAISS-style bounded train). */
   val TrainSampleCap = 65536L
 
-  /** codebooks(m)(code) = sub-centroid vector of length subDim. */
+  /** codebooks(m)(code) = sub-centroid vector of length subDim.
+    * `rotation` is the learned OPQ matrix when present: vectors rotate
+    * (x → Rx) BEFORE subspace split/encode, queries rotate before the
+    * ADC table — the refine re-rank stays on raw vectors (rotation
+    * preserves l2/cosine exactly, so the true-metric re-rank is
+    * rotation-agnostic).
+    */
   case class Model(dim: Int, m: Int, subDim: Int,
-                   codebooks: Array[Array[Array[Float]]])
+                   codebooks: Array[Array[Array[Float]]],
+                   rotation: Option[Array[Array[Double]]] = None)
 
   private val models =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), Model]
   private val encoded =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), DataFrame]
 
   /** Drop the session memos for a corpus (data-change hook, same
     * contract as Ivf.invalidate / Dedup.invalidate).
@@ -83,54 +90,168 @@ object Pq {
       if (n == 0.0) q else q.map(x => (x / n).toFloat)
     }
 
+  /** Bounded deterministic training sample, collected to the driver
+    * (the shared quantizer-training budget — ceiling-division modulus
+    * plus an orderBy.limit TakeOrdered so the collect stays bounded at
+    * any corpus size; floor(n/cap) kept up to ~2× the cap).
+    */
+  private def trainSample(spark: SparkSession, dir: String, metric: Int,
+                          cap: Long): Array[Array[Float]] = {
+    val vecs = corpus(spark, dir, metric)
+    val n = vecs.count()
+    require(n > 0, "cannot train a product quantizer on an empty corpus")
+    val sampled =
+      if (n <= cap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("id")), lit((n + cap - 1) / cap)) === 0)
+    sampled.select(col("id"), col("vec"))
+      .orderBy("id").limit(cap.toInt)
+      .collect().map(_.getSeq[Float](1).toArray)
+  }
+
+  /** Train M per-subspace codebooks over (possibly rotated) sample rows. */
+  private def trainCodebooks(train: Array[Array[Float]], m: Int,
+                             iters: Int = 10): Array[Array[Array[Float]]] = {
+    val dim = train(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { mi =>
+      val sub = train.map(_.slice(mi * subDim, (mi + 1) * subDim))
+      Ivf.lloyd(sub, math.min(CodebookSize, sub.length), iters, tol = 1e-4)
+    }.toArray
+  }
+
   /** Train M per-subspace codebooks on a deterministic hash-sample. */
   def train(spark: SparkSession, dir: String,
             m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
-    models.get((dir, m, metric)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, m, metric), {
-        val vecs = corpus(spark, dir, metric)
-        val n = vecs.count()
-        require(n > 0, "cannot train a product quantizer on an empty corpus")
-        // ceiling-division modulus: floor (n / cap) under-thins — for
-        // cap < n < 2·cap it is 1 (the filter keeps the WHOLE corpus)
-        // and in general retains up to ~2× the cap; the orderBy.limit
-        // (a bounded TakeOrdered, deterministic under the id order)
-        // hard-caps what reaches the driver either way
-        val sampled =
-          if (n <= TrainSampleCap) vecs
-          else vecs.filter(
-            pmod(xxhash64(col("id")), lit((n + TrainSampleCap - 1) / TrainSampleCap)) === 0)
-        val train = sampled.select(col("id"), col("vec"))
-          .orderBy("id").limit(TrainSampleCap.toInt)
-          .collect().map(_.getSeq[Float](1).toArray)
+    models.get((dir, m, metric, false)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, m, metric, false), {
+        val train = trainSample(spark, dir, metric, TrainSampleCap)
         val dim = train(0).length
-        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-        val subDim = dim / m
-        val codebooks = (0 until m).map { mi =>
-          val sub = train.map(_.slice(mi * subDim, (mi + 1) * subDim))
-          Ivf.lloyd(sub, math.min(CodebookSize, sub.length), iters = 10, tol = 1e-4)
-        }.toArray
-        Model(dim, m, subDim, codebooks)
+        Model(dim, m, dim / m, trainCodebooks(train, m))
       })
     })
+
+  /** OPQ alternating-minimization budget: the rotation learns on a
+    * smaller sample (the d×d Procrustes statistics saturate long before
+    * the codebook budget) over a few alternations.
+    */
+  val OpqTrainSampleCap = 16384L
+  val OpqIters = 8
+
+  /** Learned OPQ rotation + codebooks (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the non-parametric variant):
+    * alternately (a) re-train codebooks and codes for the CURRENT
+    * rotation, and (b) solve the orthogonal Procrustes problem
+    * min_R ‖R·x − y‖ over the sample's (input, reconstruction) pairs —
+    * R = V·Uᵀ from the SVD of the cross-covariance Σ xᵢyᵢᵀ = U·S·Vᵀ.
+    * Initialized at the IDENTITY rotation, so the very first
+    * alternation IS plain PQ and every later step weakly decreases the
+    * same reconstruction objective — the learned model never does
+    * worse than unrotated PQ on the training objective (RotateSpec
+    * pins this and the recall consequence). Deterministic end to end
+    * (hash-sample, seeded Lloyd, SVD of a fixed matrix).
+    */
+  def trainOpq(spark: SparkSession, dir: String,
+               m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
+    models.get((dir, m, metric, true)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, m, metric, true), {
+        val sample = trainSample(spark, dir, metric, OpqTrainSampleCap)
+        val dim = sample(0).length
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val subDim = dim / m
+        var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+        var codebooks: Array[Array[Array[Float]]] = null
+        var it = 0
+        while (it < OpqIters) {
+          val rotated = sample.map(applyRotation(r, _))
+          codebooks = trainCodebooks(rotated, m, iters = 4)
+          // reconstruction of each rotated sample vector from its codes
+          val recon = rotated.map { v =>
+            val y = new Array[Double](dim)
+            var mi = 0
+            while (mi < m) {
+              val cb = codebooks(mi)
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < cb.length) {
+                var acc = 0.0; var p = 0
+                while (p < subDim) { val d = v(mi * subDim + p) - cb(c)(p); acc += d * d; p += 1 }
+                if (acc < bestD) { bestD = acc; best = c }
+                c += 1
+              }
+              var p = 0
+              while (p < subDim) { y(mi * subDim + p) = cb(best)(p); p += 1 }
+              mi += 1
+            }
+            y
+          }
+          // Procrustes: maximize tr(R·C), C = Σ xᵢ·yᵢᵀ (x = ORIGINAL
+          // sample, y = reconstruction in rotated space) ⇒ R = V·Uᵀ
+          val c = Array.ofDim[Double](dim, dim)
+          var s = 0
+          while (s < sample.length) {
+            val x = sample(s); val y = recon(s)
+            var i = 0
+            while (i < dim) {
+              val xi = x(i).toDouble
+              var j = 0
+              while (j < dim) { c(i)(j) += xi * y(j); j += 1 }
+              i += 1
+            }
+            s += 1
+          }
+          val cm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => c(i)(j))
+          val sv = breeze.linalg.svd(cm)
+          val rm = sv.Vt.t * sv.U.t
+          r = Array.tabulate(dim, dim)((i, j) => rm(i, j))
+          it += 1
+        }
+        // final full-budget codebook pass under the converged rotation
+        val finalBooks = trainCodebooks(sample.map(applyRotation(r, _)), m, iters = 10)
+        Model(dim, m, subDim, finalBooks, rotation = Some(r))
+      })
+    })
+
+  /** Driver-side rotation (the RotateVector kernel's twin for training). */
+  private def applyRotation(r: Array[Array[Double]], v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](r.length)
+    var i = 0
+    while (i < r.length) {
+      val row = r(i)
+      var acc = 0.0; var j = 0
+      while (j < row.length) { acc += row(j) * v(j); j += 1 }
+      out(i) = acc.toFloat
+      i += 1
+    }
+    out
+  }
 
   /** Encode an arbitrary (id, vec) frame against a trained model:
     * (id, codes binary). A pure map — the PqEncode expression runs the
     * per-subspace argmin inside whole-stage codegen with the codebooks
     * as a reference object, so encoding needs NO shuffle (the previous
-    * codebook-crossJoin formulation shuffled O(n·M) rows twice). The
-    * lifecycle append path reuses this against frozen codebooks.
+    * codebook-crossJoin formulation shuffled O(n·M) rows twice); an
+    * OPQ model composes the RotateVector kernel in front, still one
+    * codegen'd map. The lifecycle append path reuses this against
+    * frozen codebooks.
     */
-  private[operators] def encodeWith(vecs: DataFrame, model: Model): DataFrame =
-    vecs.select(col("id"),
-      PqFunctions.pqEncode(col("vec"), model.codebooks).as("codes"))
+  private[operators] def encodeWith(vecs: DataFrame, model: Model): DataFrame = {
+    val v = model.rotation match {
+      case Some(r) => graft.functions.RotateFunctions.rotateVector(col("vec"), r)
+      case None => col("vec")
+    }
+    vecs.select(col("id"), PqFunctions.pqEncode(v, model.codebooks).as("codes"))
+  }
 
   /** Encode the corpus: (id, codes binary of length M), memoized. */
   def encode(spark: SparkSession, dir: String,
-             m: Int = SubspaceCount, metric: Int = VectorMetric.L2): DataFrame =
-    encoded.get((dir, m, metric)).getOrElse(synchronized {
-      encoded.getOrElseUpdate((dir, m, metric), {
-        val model = train(spark, dir, m, metric)
+             m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
+             opq: Boolean = false): DataFrame =
+    encoded.get((dir, m, metric, opq)).getOrElse(synchronized {
+      encoded.getOrElseUpdate((dir, m, metric, opq), {
+        val model = if (opq) trainOpq(spark, dir, m, metric)
+                    else train(spark, dir, m, metric)
         val df = encodeWith(corpus(spark, dir, metric), model).cache()
         df.count()
         df
@@ -193,11 +314,15 @@ object Pq {
     */
   private def adcCore(codesDf: DataFrame, codebooks: Array[Array[Array[Float]]],
                       rawQuery: Array[Float], k: Int, refine: Int, metric: Int,
-                      refineWith: Option[DataFrame]): DataFrame = {
+                      refineWith: Option[DataFrame],
+                      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val dim = codebooks.length * codebooks(0)(0).length
     require(rawQuery.length == dim,
       s"query dim ${rawQuery.length} != corpus dim $dim")
-    val q0 = metricQuery(rawQuery, metric)
+    // metric transform first, then the OPQ rotation (codes live in
+    // rotated space); the refine below stays on RAW vectors + query
+    val q0 = rotation.foldLeft(metricQuery(rawQuery, metric))(
+      (q, r) => applyRotation(r, q))
     val table = adcTable(codebooks, q0, metric)
     val adist = PqFunctions.adcDistance(col("codes"), table,
       takeSqrt = metric != VectorMetric.Dot)
@@ -233,12 +358,14 @@ object Pq {
     */
   def topK(spark: SparkSession, dir: String, queryVec: Array[Float],
            k: Int, m: Int = SubspaceCount, refine: Int = 4,
-           metric: Int = VectorMetric.L2): DataFrame = {
-    val model = train(spark, dir, m, metric)
+           metric: Int = VectorMetric.L2, opq: Boolean = false): DataFrame = {
+    val model = if (opq) trainOpq(spark, dir, m, metric)
+                else train(spark, dir, m, metric)
     adcCore(
-      encode(spark, dir, m, metric).withColumnRenamed("id", "neighbor_id"),
+      encode(spark, dir, m, metric, opq).withColumnRenamed("id", "neighbor_id"),
       model.codebooks, queryVec, k, refine, metric,
-      refineWith = Some(refineSource(spark, dir)))
+      refineWith = Some(refineSource(spark, dir)),
+      rotation = model.rotation)
   }
 
   /** IVF-PQ: ADC search INSIDE the IVF cluster layout — the composed
@@ -455,6 +582,26 @@ object Pq {
     val n = Tables.embeddings(spark, dir).count()
     sdcBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)),
       metric = metric, refine = refine)
+  }
+
+  /** Driver query: OPQ-rotated PQ ADC top-10 for the vec_id=0 query
+    * (rows-only; RotateSpec pins the learned rotation's reconstruction
+    * objective ≤ plain PQ's and the recall consequence). Same output
+    * shape as pq_topk; `pq_bytes_per_vec` is unchanged — OPQ buys
+    * accuracy at the same byte budget, which is the whole point.
+    */
+  def pqTopkOpq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val model = trainOpq(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    topK(spark, dir, q, k, opq = true)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"),
+        lit(model.dim * 4).as("raw_bytes_per_vec"),
+        lit(model.m).as("pq_bytes_per_vec"))
   }
 
   /** Driver query: IVF-PQ top-10 at nprobe = nClusters/4 for the

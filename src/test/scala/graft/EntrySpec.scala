@@ -25,7 +25,7 @@ class EntrySpec extends AnyFunSuite {
     // LSH / approximate-by-design serving path)
     val rowsOnly = Set("ivf_build", "dedup_minhash_lsh", "dedup_simhash",
       "embedding_neardup_lsh", "index_stats", "events_sketch",
-      "ivf_query_nprobe", "pq_topk", "ivfpq_topk", "ann_topk_batch_nprobe",
+      "ivf_query_nprobe", "pq_topk", "pq_topk_opq", "ivfpq_topk", "ann_topk_batch_nprobe",
       "ann_topk_batch_pq", "ann_topk_batch_pq_cos", "ann_topk_batch_pq_refined",
       "sq8_topk")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly

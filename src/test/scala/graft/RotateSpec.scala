@@ -23,6 +23,71 @@ class RotateSpec extends AnyFunSuite {
       r.map(_.toSeq).toSeq)
   }
 
+  test("learned OPQ: orthonormal rotation, objective <= plain PQ, recall not worse") {
+    import graft.operators.Pq
+    val opq = Pq.trainOpq(spark, sf)
+    val plain = Pq.train(spark, sf)
+    val r = opq.rotation.get
+    val dim = opq.dim
+    // (a) the learned matrix is a genuine rotation
+    for (i <- 0 until dim; j <- i until dim) {
+      val dot = (0 until dim).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"row $i . row $j = $dot")
+    }
+    // (b) deterministic across memo invalidation
+    Pq.invalidate(sf)
+    assert(Pq.trainOpq(spark, sf).rotation.get.map(_.toSeq).toSeq ==
+      r.map(_.toSeq).toSeq)
+
+    // (c) identity-initialized alternating minimization must not end
+    // worse than plain PQ on the shared reconstruction objective
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(_.getSeq[Float](1).toArray)
+    def objective(model: Pq.Model): Double = {
+      val rot = model.rotation.getOrElse(
+        Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0))
+      all.map { v0 =>
+        val v = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => rot(i)(j) * v0(j)).sum.toFloat)
+        (0 until model.m).map { mi =>
+          val cb = model.codebooks(mi)
+          cb.map { c =>
+            (0 until model.subDim).map { p =>
+              val d = v(mi * model.subDim + p) - c(p); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum / all.length
+    }
+    val objOpq = objective(opq)
+    val objPlain = objective(plain)
+    assert(objOpq <= objPlain * 1.001,
+      s"OPQ objective $objOpq worse than plain PQ $objPlain")
+
+    // (d) the recall consequence: pure-ADC (refine=1, where quantization
+    // error is the ONLY error source) recall@10 does not drop
+    def recall(opqOn: Boolean): Double = {
+      val k = 10
+      val ids = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .collect().map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+      val rs = (0L until 10L).map { qid =>
+        val q = ids.find(_._1 == qid).get._2
+        val exact = ids.map { case (id, v) =>
+          (v.zip(q).map { case (x, y) => (x - y).toDouble * (x - y) }.sum, id)
+        }.sortBy(identity).take(k).map(_._2).toSet
+        val got = Pq.topK(spark, sf, q, k, refine = 1, opq = opqOn)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size.toDouble / k
+      }
+      rs.sum / rs.length
+    }
+    val rOpq = recall(true)
+    val rPlain = recall(false)
+    assert(rOpq >= rPlain - 1e-9,
+      s"OPQ pure-ADC recall $rOpq dropped below plain PQ $rPlain")
+  }
+
   test("rotation preserves pairwise l2 distances on the real corpus") {
     val rot = RotateFunctions.randomRotation(64)
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
