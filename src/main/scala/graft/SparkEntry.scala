@@ -29,6 +29,7 @@ object SparkEntry {
     "index_recommend"     -> ((s, d) => Library.indexRecommend(s, d)),
     "index_lifecycle"     -> (IndexLifecycle.indexLifecycle _),
     "index_delete"        -> (IndexLifecycle.indexDelete _),
+    "ivfpq_lifecycle"     -> (PqLifecycle.ivfpqLifecycle _),
     "index_stats"         -> (Ivf.indexStats _),
     "validate_chunks"     -> (Validate.validateChunks _),
     "validate_documents"  -> (Validate.validateDocuments _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
     "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
+    "ivfpq_lifecycle"     -> PqLifecycle.ivfpqLifecycleOracleSql,
     "validate_chunks"     -> Validate.validateChunksOracleSql,
     "validate_documents"  -> Validate.validateDocumentsOracleSql,
     "validate_libraries"  -> Validate.validateLibrariesOracleSql,

@@ -55,12 +55,12 @@ object IndexLifecycle {
   /** app/core/config.py:58. */
   val RebuildThreshold = 0.1
 
-  private def fs(spark: SparkSession, path: String) =
+  private[operators] def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def statePath(indexPath: String) = new Path(s"$indexPath/_state/state.json")
 
-  private def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
+  private[operators] def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
     val p = statePath(indexPath)
     val f = fs(spark, indexPath)
     val json =
@@ -192,7 +192,16 @@ object IndexLifecycle {
     * reference's `return False`). At 100 TB this touches
     * O(deleted-clusters) data, never the corpus.
     */
-  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus =
+    deleteFrom(deleteIds, indexPath, idCol = "neighbor_id")
+
+  /** The partition-rewrite delete over any cluster-partitioned list
+    * layout — raw-vector lists key their rows as `neighbor_id`
+    * (Ivf.writeIndex), IVF-PQ code lists as `id` (Pq.writeIvfPq); the
+    * rewrite, the swap and the dirt accounting are identical.
+    */
+  private[operators] def deleteFrom(deleteIds: DataFrame, indexPath: String,
+                                    idCol: String): IndexStatus = {
     val spark = deleteIds.sparkSession
     val s = status(spark, indexPath)
     require(s.isBuilt, "delete requires a built index (build first)")
@@ -202,7 +211,7 @@ object IndexLifecycle {
     // dirtyCount would silently drift — even below zero on repeats)
     val ids = broadcast(deleteIds.select(col("id").as("del_id")).distinct())
     val lists = spark.read.parquet(indexPath)
-    val hits = lists.join(ids, col("neighbor_id") === col("del_id"))
+    val hits = lists.join(ids, col(idCol) === col("del_id"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .collect()
     if (hits.isEmpty) return s
@@ -210,7 +219,7 @@ object IndexLifecycle {
     val removed = hits.map(_.getLong(1)).sum
     val tmp = s"$indexPath/_delete_rewrite"
     lists.filter(col("cluster_id").isInCollection(affected.toSeq))
-      .join(ids, col("neighbor_id") === col("del_id"), "left_anti")
+      .join(ids, col(idCol) === col("del_id"), "left_anti")
       .repartition(col("cluster_id")) // one file per rewritten list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
     val f = fs(spark, indexPath)

@@ -42,18 +42,24 @@ object Ivf {
     * representation.
     */
   private[operators] def metricCorpus(spark: SparkSession, dir: String,
-                                      metric: Int = VectorMetric.L2): DataFrame = {
-    val raw = Tables.rebalanced(Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    if (metric != VectorMetric.Cosine) raw
+                                      metric: Int = VectorMetric.L2): DataFrame =
+    metricTransform(Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))), metric)
+
+  /** The column-level metric transform behind [[metricCorpus]] — also
+    * applied to NEW vectors entering a metric-keyed layout (the IVF-PQ
+    * lifecycle append), so incremental rows quantize in the same space
+    * the index was trained in.
+    */
+  private[operators] def metricTransform(vecs: DataFrame, metric: Int): DataFrame =
+    if (metric != VectorMetric.Cosine) vecs
     else {
       val n2 = sqrt(VectorFunctions.dotProduct(col("vec"), col("vec")))
-      raw.select(col("id"),
+      vecs.select(col("id"),
         when(n2 === 0.0, col("vec"))
           .otherwise(transform(col("vec"), x => (x / n2).cast("float")))
           .as("vec"))
     }
-  }
 
   /** Built indexes, keyed by (corpus dir, k, metric): the reference
     * builds an index once and serves many queries from it (manager.py's

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{PqFunctions, VectorMetric}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle for the PERSISTED IVF-PQ layout (Pq.writeIvfPq: binary
+  * code lists partitioned by cluster_id + centroid/codebook/metric
+  * sidecars) — the same versioned-state machine as the raw-vector
+  * IndexLifecycle (the reference's IndexService contract,
+  * app/services/index_service.py:56-198), applied to the compressed
+  * layout a 100 TB deployment actually serves from:
+  *
+  *   - `append` encodes new vectors against the FROZEN coarse quantizer
+  *     and codebooks (no retrain — the reference's incremental add) and
+  *     lands them in their cluster partitions; the growth is recorded
+  *     as dirt so the dirty-ratio policy decides when the quantizers
+  *     retrain.
+  *   - `delete` is the shared partition-rewrite (IndexLifecycle
+  *     .deleteFrom over the `id` column): only affected code lists are
+  *     rewritten and swapped, untouched partitions stay byte-identical.
+  *
+  * Both cost O(changed rows / affected lists), never a corpus pass —
+  * and the appended rows are M-byte codes, 32× cheaper to land than
+  * raw vectors.
+  */
+object PqLifecycle {
+
+  /** Build (version+1) the persisted IVF-PQ index for a corpus dir and
+    * start its lifecycle state.
+    */
+  def build(spark: SparkSession, dir: String, indexPath: String,
+            m: Int = Pq.SubspaceCount, metric: Int = VectorMetric.L2): IndexStatus = {
+    val prev = IndexLifecycle.status(spark, indexPath)
+    Pq.writeIvfPq(spark, dir, indexPath, m, metric)
+    val n = Tables.embeddings(spark, dir).count()
+    val dim = Pq.train(spark, dir, m, metric).dim
+    val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
+      embeddingDim = dim, builtAt = System.currentTimeMillis(),
+      version = prev.version + 1, dirtyCount = 0L, totalVectors = n)
+    IndexLifecycle.writeState(spark, indexPath, next)
+    next
+  }
+
+  /** Incremental add: encode `newVecs` (id, vec — RAW floats) against
+    * the persisted index's own metric, coarse centroids and codebooks,
+    * append the (cluster_id, id, codes) rows to their partitions, and
+    * record the growth as dirt. Queries see the new vectors
+    * immediately; nothing retrains.
+    */
+  def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = newVecs.sparkSession
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, "append requires a built index (build first)")
+    IndexLifecycle.checkNoHalfAppliedDelete(spark, indexPath)
+    val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
+    val codebooks = Pq.loadCodebooks(spark, indexPath)
+    val metric = Pq.loadMetric(spark, indexPath)
+    val v = Ivf.metricTransform(newVecs, metric).cache()
+    val n = v.count()
+    Ivf.assignTo(v, centroids)
+      .select(col("cluster_id"), col("neighbor_id").as("id"),
+        PqFunctions.pqEncode(col("vec"), codebooks).as("codes"))
+      .repartition(col("cluster_id")) // one file per touched list
+      .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
+    v.unpersist()
+    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)
+    IndexLifecycle.writeState(spark, indexPath, next)
+    next
+  }
+
+  /** Point delete over the code lists: rewrite-and-swap ONLY the
+    * affected cluster partitions (IndexLifecycle.deleteFrom — same
+    * anti-join, same rename-aside atomicity, same dirt accounting).
+    */
+  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus =
+    IndexLifecycle.deleteFrom(deleteIds, indexPath, idCol = "id")
+
+  /** Driver query: the IVF-PQ lifecycle state machine end-to-end as one
+    * deterministic table — build, append (sub-threshold dirt), delete
+    * (crossing the threshold), and an on-disk read-back proving the
+    * code lists really grew and shrank. Every transition is arithmetic
+    * on the corpus size, so the key is oracle-checked, not rows-only.
+    */
+  def ivfpqLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_lc")
+    val tmp = tmpDir.toString
+    try {
+      val n = Tables.embeddings(spark, dir).count()
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s1 = build(spark, dir, tmp)
+      // append: the first ceil(0.05·n) vectors re-keyed past the corpus
+      // (new ids, existing vector content — deterministic at any SF)
+      val d = math.ceil(0.05 * n).toLong
+      val s2 = append(
+        vecs.filter(col("id") < d).select((col("id") + n).as("id"), col("vec")), tmp)
+      // delete every 7th ORIGINAL id: dirt (d + n/7)/n crosses 0.1
+      val s3 = delete(vecs.filter(col("id") % 7 === 0).select("id"), tmp)
+      val s4 = s3.copy(size = spark.read.parquet(tmp).count()) // read-back
+      import spark.implicits._
+      Seq(s1, s2, s3, s4).zipWithIndex
+        .map { case (s, i) =>
+          (i + 1, s.version, s.isDirty, s.dirtyCount, s.size,
+            s.shouldRebuild(IndexLifecycle.RebuildThreshold)) }
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        .cache() // materialize before the temp index is deleted below
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** d = ceil(0.05·n) appended (below the 0.1 threshold), r = every 7th
+    * original deleted (crossing it); phase 4 re-reads size from disk.
+    */
+  def ivfpqLifecycleOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n,
+      |  CAST(ceil(0.05*count(*)) AS BIGINT) AS d,
+      |  CAST(count(*) FILTER (WHERE vec_id % 7 = 0) AS BIGINT) AS r FROM embeddings)
+      |SELECT 1 AS phase, 1 AS version, false AS is_dirty, CAST(0 AS BIGINT) AS dirty_count,
+      |       n AS size, false AS should_rebuild FROM p
+      |UNION ALL SELECT 2, 1, true, d, n + d, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 3, 1, true, d + r, n + d - r, (1.0*(d+r)/n >= 0.1) FROM p
+      |UNION ALL SELECT 4, 1, true, d + r, n + d - r, (1.0*(d+r)/n >= 0.1) FROM p
+      |ORDER BY phase""".stripMargin
+}

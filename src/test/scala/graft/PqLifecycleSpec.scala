@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Pq, PqLifecycle}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ lifecycle contracts: incremental append is queryable without
+  * a retrain, delete rewrites only affected code lists (untouched
+  * partitions byte-identical), and the state arithmetic matches the
+  * raw-vector lifecycle's.
+  */
+class PqLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("append encodes against frozen codebooks; appended vectors queryable, no retrain") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_append").toString
+    val s1 = PqLifecycle.build(spark, sf, path)
+    assert(s1.isBuilt && s1.version == 1 && s1.size == 500 && !s1.isDirty)
+
+    // append a COPY of vector 1 under a fresh id: identical content must
+    // encode to identical codes and land in the same cluster list
+    import spark.implicits._
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val s2 = PqLifecycle.append(
+      Seq((9999L, v1.toSeq)).toDF("id", "vec"), path)
+    assert(s2.version == s1.version, "append must not retrain")
+    assert(s2.size == 501 && s2.dirtyCount == 1 && s2.isDirty)
+
+    // pure compressed-domain query for that vector: identical codes tie,
+    // neighbor_id breaks the tie -> both the original and the appended
+    // copy surface in the top 2
+    val top2 = Pq.queryIvfPq(spark, path, v1, k = 2, nprobe = Int.MaxValue,
+      refineWith = None).collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 9999L),
+      s"appended copy must rank with its original, got $top2")
+  }
+
+  test("delete rewrites only the affected code lists; read-back shrinks; no-op for missing ids") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_delete").toString
+    val s1 = PqLifecycle.build(spark, sf, path)
+
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitionFiles(): Map[String, Seq[(String, Long)]] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+        .map { d =>
+          d.getPath.getName ->
+            fsys.listStatus(d.getPath).toSeq
+              .map(f => (f.getPath.getName, f.getModificationTime))
+              .sortBy(_._1)
+        }.toMap
+    val before = partitionFiles()
+    val hitCluster = spark.read.parquet(path).filter(col("id") === 0L)
+      .select("cluster_id").head().getInt(0)
+
+    import spark.implicits._
+    val s2 = PqLifecycle.delete(Seq(0L).toDF("id"), path)
+    assert(s2.size == s1.size - 1 && s2.dirtyCount == 1 && s2.isDirty)
+    assert(s2.version == s1.version, "delete must not retrain")
+    assert(spark.read.parquet(path).filter(col("id") === 0L).count() == 0,
+      "deleted id must be gone from the persisted code lists")
+    assert(spark.read.parquet(path).count() == 499, "read-back must shrink")
+
+    val after = partitionFiles()
+    val untouched = before.keys.filterNot(_ == s"cluster_id=$hitCluster")
+    assert(untouched.nonEmpty, "test needs more than one cluster to be meaningful")
+    untouched.foreach { p =>
+      assert(after(p) == before(p), s"partition $p was rewritten by an unrelated delete")
+    }
+
+    // missing ids are a no-op (reference remove_vector returns False)
+    val s3 = PqLifecycle.delete(Seq(424242L).toDF("id"), path)
+    assert(s3.size == s2.size && s3.dirtyCount == s2.dirtyCount)
+  }
+
+  test("driver lifecycle table matches the oracle arithmetic shape") {
+    val rows = PqLifecycle.ivfpqLifecycle(spark, sf).collect()
+    assert(rows.length == 4)
+    val n = 500L
+    val d = math.ceil(0.05 * n).toLong // 25
+    val r = (0L until n).count(_ % 7 == 0).toLong // 72
+    // (phase, version, is_dirty, dirty_count, size, should_rebuild)
+    assert(rows(0).getLong(4) == n && !rows(0).getBoolean(2))
+    assert(rows(1).getLong(3) == d && rows(1).getLong(4) == n + d && !rows(1).getBoolean(5))
+    assert(rows(2).getLong(3) == d + r && rows(2).getLong(4) == n + d - r)
+    assert(rows(2).getBoolean(5), "delete dirt must cross the rebuild threshold")
+    assert(rows(3).getLong(4) == n + d - r, "phase 4 must read size back from disk")
+  }
+}
