@@ -3,6 +3,12 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One key the frequency probe flagged as hot: `estCount` scaled back
+  * to the full frame, `frac` its share of all rows, `salts` the split
+  * that brings its biggest slice back to roughly one average task.
+  */
+case class HotKey(key: Any, estCount: Long, frac: Double, salts: Int)
+
 /** Skew mitigation for hot join keys (SURVEY §5: "skewed keys →
   * salting or AQE skew-join").
   *
@@ -38,4 +44,63 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** A key is "hot" when its row share exceeds `skewFactor` average
+    * shuffle-partition loads — the same shape AQE's skew detector uses
+    * (skewedPartitionFactor: a partition ≥ 5× the median is skewed).
+    * Below that, AQE's runtime split already handles it; above it, one
+    * KEY (not partition) holds the rows and only salting helps.
+    */
+  val SkewFactor = 5.0
+
+  /** Sampled key-frequency probe — the missing "am I skewed?" half of
+    * [[saltedJoin]], so a user needs no prior knowledge of the hot key.
+    *
+    * Scale shape: ONE pass over a Bernoulli sample (deterministic
+    * seed), a map-side-combined count per key, and only the top
+    * `maxKeys` sampled counts reach the driver — O(sample) work and a
+    * bounded collect at any corpus size. Each flagged key gets the
+    * salt count that spreads it back to ~1 average task:
+    * ceil(frac · shufflePartitions).
+    */
+  def detectHotKeys(df: DataFrame, key: String,
+                    sampleFraction: Double = 0.01,
+                    maxKeys: Int = 20): Seq[HotKey] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sampled =
+      if (sampleFraction >= 1.0) df.select(col(key))
+      else df.select(col(key)).sample(withReplacement = false, sampleFraction, seed = 0xf00dL)
+    val counts = sampled.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
+    try {
+      val total = counts.agg(sum(col("n"))).head().getLong(0)
+      if (total == 0) Seq.empty
+      else {
+        // threshold share min(SkewFactor/p, 0.5): the factor-of-5 rule
+        // needs p > 10 to be satisfiable at all (frac caps at 1), and a
+        // key holding half the rows is a straggler at ANY partition
+        // count — the cap keeps the probe meaningful on small/local p
+        val threshold = math.min(SkewFactor / p, 0.5) * total
+        counts.filter(col("n") >= math.max(1.0, threshold))
+          .orderBy(col("n").desc, col(key))
+          .limit(maxKeys)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1)
+            val frac = n.toDouble / total
+            HotKey(r.get(0), math.round(n / sampleFraction),
+              frac, math.max(1, math.ceil(frac * p).toInt))
+          }.toSeq
+      }
+    } finally counts.unpersist()
+  }
+
+  /** One number for the whole join: the max per-key salt count, or 1
+    * when nothing crosses the skew threshold (= AQE suffices, use the
+    * plain join).
+    */
+  def recommendSalts(df: DataFrame, key: String,
+                     sampleFraction: Double = 0.01): Int =
+    detectHotKeys(df, key, sampleFraction).map(_.salts).maxOption.getOrElse(1)
 }

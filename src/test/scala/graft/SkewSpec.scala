@@ -46,6 +46,35 @@ class SkewSpec extends AnyFunSuite {
     assert(spread > 1, "hot key landed on a single salt — no skew relief")
   }
 
+  test("hot-key probe finds the skew and its recommendation drives saltedJoin end-to-end") {
+    val (fact, dim) = skewedData()
+    // full-sample probe on the synthetic frame: key 1 holds 90% of rows
+    val hot = Skew.detectHotKeys(fact, "k", sampleFraction = 1.0)
+    assert(hot.nonEmpty, "the 90% key must be flagged")
+    assert(hot.head.key == 1L && hot.head.frac > 0.85 && hot.head.frac < 0.95)
+    // 900 hot rows + the 14 tail rows where 1 + i%7 == 1
+    assert(hot.head.estCount == 914L, s"full sample must count exactly: ${hot.head}")
+    val salts = Skew.recommendSalts(fact, "k", sampleFraction = 1.0)
+    assert(salts > 1, "a 90% hot key must recommend salting")
+    // the recommendation is ceil(frac * shufflePartitions): the hot
+    // key's biggest slice shrinks back to ~one average task's load
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(salts == math.ceil(hot.head.frac * p).toInt)
+    // and the recommended salt count drives a correct join
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(identity).toSeq
+    assert(rows(Skew.saltedJoin(fact, dim, "k", salts)) == rows(fact.join(dim, "k")))
+  }
+
+  test("uniform keys stay below the threshold: AQE suffices, no salting recommended") {
+    import spark.implicits._
+    val uniform = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "payload")
+    assert(Skew.detectHotKeys(uniform, "k", sampleFraction = 1.0).isEmpty)
+    assert(Skew.recommendSalts(uniform, "k", sampleFraction = 1.0) == 1)
+  }
+
   test("salt is a pure function of the data: reruns join identically") {
     val (fact, dim) = skewedData()
     val a = Skew.saltedJoin(fact, dim, "k", 4).collect().length
