@@ -57,15 +57,37 @@ object Bench {
         try { fn(spark, warmup).count() } catch { case _: Throwable => () }
       }
     }
+    // memos are one-time by design (session TrieMap caches) — timed once;
+    // the QUERY set runs SPARK_GRAFT_BENCH_RUNS times (default 3) and each
+    // key reports its MEDIAN, with min/max spread alongside, so a single
+    // noisy pass on this virtualized disk (measured 2-4× swings between
+    // identical runs) can no longer masquerade as a regression.
     val memoResults = memoWarmers(spark, sfDir).map { case (name, f) => name -> timed(f) }
-    val queryResults = ordered.map { case (name, fn) =>
-      name -> timed(() => { fn(spark, sfDir).count(); () })
+    val runsN = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val perRun: Seq[Seq[(String, Double)]] = (1 to runsN).map { _ =>
+      ordered.map { case (name, fn) =>
+        name -> timed(() => { fn(spark, sfDir).count(); () })
+      }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val byKey = ordered.map { case (name, _) =>
+      name -> perRun.map(_.toMap.apply(name))
+    }
+    val queryResults = byKey.map { case (name, xs) => name -> median(xs) }
     val results = memoResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = byKey.map { case (k, xs) => s"\"" + k + s"\":[${xs.min},${xs.max}]" }
+      .mkString("{", ",", "}")
+    val runTotals = perRun.map(r => memoResults.map(_._2).sum + r.map(_._2).sum)
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread}"""
     // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
     // parse in round 1 (BENCH_r01 "parsed": null) — emit to a file too
     // so the line survives any log wrapping.

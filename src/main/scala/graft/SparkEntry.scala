@@ -65,6 +65,11 @@ object SparkEntry {
       Pq.sdcBatchQuery(s, d, metric = graft.functions.VectorMetric.Cosine)),
     // SDC shortlist + exact re-rank of k*4 survivors (the serving stack)
     "ann_topk_batch_pq_refined" -> ((s, d) => Pq.sdcBatchQuery(s, d, refine = 4)),
+    // dot-product SDC batch: dot rides the shared raw-corpus index and
+    // codes (Ivf.repr) — only the negated-dot SDC tables differ, so the
+    // key costs no extra model build (PqSpec pins its recall vs exact)
+    "ann_topk_batch_pq_dot" -> ((s, d) =>
+      Pq.sdcBatchQuery(s, d, metric = graft.functions.VectorMetric.Dot)),
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),

@@ -188,12 +188,34 @@ object Dedup {
     verifyJaccard(cand, ordered.select(col("doc_id"), col("gs").as("g")), t)
   }
 
+  /** Inner-join a candidate-pair stream to a per-id table, consulting
+    * the skew probe first (SURVEY §5's "skewed keys → salting" as a
+    * BEHAVIOR, not a library): boilerplate-heavy corpora concentrate
+    * the pair stream on a few ids — one template document collides its
+    * way into most candidates, and the verify join-back stalls on that
+    * one key's straggler task at scale. When Skew.detectHotKeys flags
+    * such a key the join runs salted (Skew.saltedJoin ≡ plain inner
+    * join, DedupSpec pins output equality); below the threshold the
+    * plain join runs and AQE's runtime skew split suffices. The probe
+    * runs at full sample over the already-skinny id-pair stream —
+    * exact and deterministic, one map-side-combined count pass; `cand`
+    * is cached because probe + join both consume it.
+    */
+  private def skewAwareVerifyJoin(cand: DataFrame, right: DataFrame,
+                                  key: String): DataFrame = {
+    val c = cand.cache()
+    val salts = Skew.recommendSalts(c, key, sampleFraction = 1.0)
+    if (salts <= 1) c.join(right, key) else Skew.saltedJoin(c, right, key, salts)
+  }
+
   /** Join candidate (doc_a, doc_b) pairs back to their shingle-hash sets
-    * and keep pairs with exact jaccard ≥ t.
+    * and keep pairs with exact jaccard ≥ t. The doc_a join-back is the
+    * skew-prone side (a hot template doc dominates candidate pairs) and
+    * goes through the probe-gated salted join.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame =
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+    skewAwareVerifyJoin(cand,
+      sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
@@ -256,10 +278,20 @@ object Dedup {
     * E2, approximate recall, at O(docs × bands) shuffle cost.
     * Rows-only for the driver; DedupSpec asserts recall vs E2.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshFromSets(spark, shingleSetsFor(spark, dir))
+
+  /** E3 over an arbitrary (doc_id, text) corpus — the synthetic-corpus
+    * entry DedupSpec drives the skew-salting behavior through.
+    */
+  def dedupMinhashLshOn(docs: DataFrame): DataFrame =
+    dedupMinhashLshFromSets(docs.sparkSession, hashedShingleSets(docs))
+
+  private def dedupMinhashLshFromSets(spark: SparkSession,
+                                      sets: DataFrame): DataFrame = {
     // sig feeds both the bucket join and the verify join-back: persist
     // it (at scale the signature table is likewise materialized once)
-    val sig = minhashFromSets(shingleSetsFor(spark, dir)).cache()
+    val sig = minhashFromSets(sets).cache()
     sig.count() // materialize once for the bucket join + verify join-back
     val bandCols = (0 until LshBands).map { k =>
       struct(lit(k).as("band_id"),
@@ -472,8 +504,11 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val vecs = embeddings.select("vec_id", "embedding")
     val sim = lit(1.0) - VectorFunctions.cosineDistance(col("ea"), col("eb"))
-    cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+    // vec_a join-back goes through the probe-gated salted join: a hub
+    // vector colliding in many buckets is the same hot-key shape as
+    // E2/E3's template document
+    skewAwareVerifyJoin(cand,
+      vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .filter(sim >= threshold)
       .select("vec_a", "vec_b")

@@ -158,15 +158,52 @@ object IndexLifecycle {
     val spark = newVecs.sparkSession
     val s = status(spark, indexPath)
     require(s.isBuilt, "append requires a built index (build first)")
+    checkNoHalfAppliedMutation(spark, indexPath)
     val v = newVecs.cache()
     val n = v.count()
-    Ivf.assignTo(v, loadCentroids(spark, indexPath))
-      .repartition(org.apache.spark.sql.functions.col("cluster_id"))
-      .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
-    v.unpersist()
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)
-    writeState(spark, indexPath, next)
+    landAppend(spark, indexPath, Ivf.assignTo(v, loadCentroids(spark, indexPath)), next)
+    v.unpersist()
     next
+  }
+
+  /** Crash-consistent append landing (the delete path's rename-aside
+    * discipline applied to growth): stage the cluster_id-keyed `rows`
+    * under `_append_tmp` (an underscore path parquet readers skip),
+    * record the state transition, then move the staged files into their
+    * live lists and clear the staging dir. A crash at any point leaves
+    * either no state change + the `_append_tmp` marker, or the new
+    * state + the marker — never rows being served that size/dirtyCount
+    * don't account for with nothing to detect it;
+    * [[checkNoHalfAppliedMutation]] refuses to serve or re-mutate while
+    * the marker exists (recovery = rebuild). Spark part-file names
+    * carry a per-job UUID, so moved files cannot collide with a list's
+    * existing files.
+    */
+  private[operators] def landAppend(spark: SparkSession, indexPath: String,
+                                    rows: DataFrame, next: IndexStatus): Unit = {
+    val tmp = s"$indexPath/_append_tmp"
+    rows
+      .repartition(col("cluster_id")) // one file per touched list
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    writeState(spark, indexPath, next)
+    val f = fs(spark, indexPath)
+    val tmpPath = new Path(tmp)
+    f.listStatus(tmpPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster_id="))
+      .foreach { d =>
+        val dst = new Path(s"$indexPath/${d.getPath.getName}")
+        if (!f.exists(dst) && !f.mkdirs(dst))
+          sys.error(s"append: could not create list dir $dst")
+        f.listStatus(d.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach { file =>
+            if (!f.rename(file.getPath, new Path(dst, file.getPath.getName)))
+              sys.error(s"append: rename ${file.getPath} -> $dst failed")
+          }
+      }
+    if (!f.delete(tmpPath, true))
+      sys.error(s"append: could not clear staging dir $tmp")
   }
 
   /** Lazy rebuild policy: rebuild only when `shouldRebuild` says so,
@@ -205,7 +242,7 @@ object IndexLifecycle {
     val spark = deleteIds.sparkSession
     val s = status(spark, indexPath)
     require(s.isBuilt, "delete requires a built index (build first)")
-    checkNoHalfAppliedDelete(spark, indexPath)
+    checkNoHalfAppliedMutation(spark, indexPath)
     // distinct: duplicate ids in the delete batch must not inflate the
     // removed count (the anti-join itself is idempotent, but size/
     // dirtyCount would silently drift — even below zero on repeats)
@@ -229,8 +266,8 @@ object IndexLifecycle {
       // swap via rename-aside, never delete-then-rename: a crash between
       // the two steps must leave a loud marker (_old_cluster_id=N, which
       // parquet readers skip as an underscore path), not a silently
-      // missing inverted list. checkNoHalfAppliedDelete refuses to serve
-      // or re-mutate an index with such a marker present.
+      // missing inverted list. checkNoHalfAppliedMutation refuses to
+      // serve or re-mutate an index with such a marker present.
       val aside = new Path(s"$indexPath/_old_cluster_id=$cid")
       if (f.exists(dst) && !f.rename(dst, aside))
         sys.error(s"delete: could not move stale list $dst aside")
@@ -247,21 +284,26 @@ object IndexLifecycle {
     next
   }
 
-  /** Refuse to operate on an index carrying a half-applied delete
-    * marker (`_old_cluster_id=N` left by a crash between the two swap
-    * renames): the on-disk lists are inconsistent with the state file,
-    * and the only safe recovery is a rebuild. Called by delete() and by
-    * status-sensitive callers that want the guarantee.
+  /** Refuse to operate on an index carrying a half-applied mutation
+    * marker: `_old_cluster_id=N` (a crash between a delete's two swap
+    * renames) or `_append_tmp` (a crash inside an append's stage/move
+    * window). Either way the on-disk lists are inconsistent with the
+    * state file and the only safe recovery is a rebuild (build()'s
+    * overwrite drops the markers along with the stale lists). Called by
+    * every mutation (append/delete) AND every serve path over a
+    * persisted index (query/queryIvfPq) — a half-applied delete would
+    * otherwise silently answer queries minus an entire inverted list.
     */
-  def checkNoHalfAppliedDelete(spark: SparkSession, indexPath: String): Unit = {
+  def checkNoHalfAppliedMutation(spark: SparkSession, indexPath: String): Unit = {
     val f = fs(spark, indexPath)
     val p = new Path(indexPath)
     if (f.exists(p)) {
       val leftover = f.listStatus(p)
-        .map(_.getPath.getName).filter(_.startsWith("_old_cluster_id="))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("_old_cluster_id=") || n == "_append_tmp")
       require(leftover.isEmpty,
-        s"index at $indexPath has a half-applied delete (${leftover.mkString(", ")}); " +
-          "a crash interrupted a partition swap — rebuild the index")
+        s"index at $indexPath has a half-applied mutation (${leftover.mkString(", ")}); " +
+          "a crash interrupted a partition swap or append landing — rebuild the index")
     }
   }
 
@@ -273,10 +315,14 @@ object IndexLifecycle {
       .orderBy("cid").collect()
       .map(_.getSeq[Float](1).toArray)
 
-  /** Query a lifecycle-managed index with partition-pruned probes. */
+  /** Query a lifecycle-managed index with partition-pruned probes
+    * (refusing an index left inconsistent by a crashed mutation).
+    */
   def query(spark: SparkSession, indexPath: String, queryVec: Array[Float],
-            k: Int, nprobe: Int): DataFrame =
+            k: Int, nprobe: Int): DataFrame = {
+    checkNoHalfAppliedMutation(spark, indexPath)
     Ivf.queryIndex(spark, indexPath, loadCentroids(spark, indexPath), queryVec, k, nprobe)
+  }
 
   /** Cluster count for the driver's lifecycle/delete state-machine
     * queries. The transitions are k-independent (pure arithmetic on the

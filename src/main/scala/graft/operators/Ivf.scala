@@ -61,12 +61,23 @@ object Ivf {
           .as("vec"))
     }
 
-  /** Built indexes, keyed by (corpus dir, k, metric): the reference
-    * builds an index once and serves many queries from it (manager.py's
-    * lazy rebuild); the Spark twin memoizes the assignment DataFrame
-    * (cached) + centroids per corpus within a session. The Cosine
-    * variant is the NORMALIZED-corpus index (unit-vector k-means) that
-    * the compressed-domain batch paths probe.
+  /** The corpus REPRESENTATION a metric trains on: cosine has its own
+    * (normalized-vector) corpus; dot shares the RAW corpus with l2 —
+    * an L2-trained quantizer reconstructs vectors and dot is estimated
+    * from the reconstructions, so indexes/models/codes memo-keyed on
+    * the representation serve both metrics and a dot query never pays
+    * a duplicate k-means or codebook build.
+    */
+  private[operators] def repr(metric: Int): Int =
+    if (metric == VectorMetric.Cosine) VectorMetric.Cosine else VectorMetric.L2
+
+  /** Built indexes, keyed by (corpus dir, k, representation): the
+    * reference builds an index once and serves many queries from it
+    * (manager.py's lazy rebuild); the Spark twin memoizes the
+    * assignment DataFrame (cached) + centroids per corpus within a
+    * session. The Cosine variant is the NORMALIZED-corpus index
+    * (unit-vector k-means) that the compressed-domain batch paths
+    * probe; Dot rides the L2 entry (see [[repr]]).
     */
   private val built =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), (DataFrame, Array[Array[Float]])]
@@ -77,8 +88,8 @@ object Ivf {
     // synchronized build on miss: TrieMap.getOrElseUpdate may run the
     // thunk twice under concurrent first use, wasting a k-means build
     // and leaking the loser's cached assignment
-    built.get((dir, k, metric)).getOrElse(synchronized {
-      built.getOrElseUpdate((dir, k, metric), {
+    built.get((dir, k, repr(metric))).getOrElse(synchronized {
+      built.getOrElseUpdate((dir, k, repr(metric)), {
         val vecs = metricCorpus(spark, dir, metric).cache()
         val (assign, centroids) = kmeans(vecs, k)
         (assign.cache(), centroids)

@@ -121,11 +121,15 @@ object Pq {
     }.toArray
   }
 
-  /** Train M per-subspace codebooks on a deterministic hash-sample. */
+  /** Train M per-subspace codebooks on a deterministic hash-sample.
+    * Memo-keyed on the corpus REPRESENTATION (Ivf.repr): dot shares the
+    * raw corpus — and so the model and codes — with l2; only the
+    * ADC/SDC tables differ per query metric.
+    */
   def train(spark: SparkSession, dir: String,
             m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
-    models.get((dir, m, metric, false)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, m, metric, false), {
+    models.get((dir, m, Ivf.repr(metric), false)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, m, Ivf.repr(metric), false), {
         val train = trainSample(spark, dir, metric, TrainSampleCap)
         val dim = train(0).length
         Model(dim, m, dim / m, trainCodebooks(train, m))
@@ -154,8 +158,8 @@ object Pq {
     */
   def trainOpq(spark: SparkSession, dir: String,
                m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
-    models.get((dir, m, metric, true)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, m, metric, true), {
+    models.get((dir, m, Ivf.repr(metric), true)).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, m, Ivf.repr(metric), true), {
         val sample = trainSample(spark, dir, metric, OpqTrainSampleCap)
         val dim = sample(0).length
         require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -244,12 +248,14 @@ object Pq {
     vecs.select(col("id"), PqFunctions.pqEncode(v, model.codebooks).as("codes"))
   }
 
-  /** Encode the corpus: (id, codes binary of length M), memoized. */
+  /** Encode the corpus: (id, codes binary of length M), memoized per
+    * representation (dot shares the l2 codes — see [[train]]).
+    */
   def encode(spark: SparkSession, dir: String,
              m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
              opq: Boolean = false): DataFrame =
-    encoded.get((dir, m, metric, opq)).getOrElse(synchronized {
-      encoded.getOrElseUpdate((dir, m, metric, opq), {
+    encoded.get((dir, m, Ivf.repr(metric), opq)).getOrElse(synchronized {
+      encoded.getOrElseUpdate((dir, m, Ivf.repr(metric), opq), {
         val model = if (opq) trainOpq(spark, dir, m, metric)
                     else train(spark, dir, m, metric)
         val df = encodeWith(corpus(spark, dir, metric), model).cache()
@@ -380,15 +386,21 @@ object Pq {
     */
   def ivfPqTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
                 k: Int, nprobe: Int, m: Int = SubspaceCount,
-                refine: Int = 4, metric: Int = VectorMetric.L2): DataFrame = {
+                refine: Int = 4, metric: Int = VectorMetric.L2,
+                opq: Boolean = false): DataFrame = {
     val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
-    val model = train(spark, dir, m, metric)
+    val model = if (opq) trainOpq(spark, dir, m, metric)
+                else train(spark, dir, m, metric)
+    // coarse probing stays in the ORIGINAL space (the IVF quantizer is
+    // trained unrotated; rotation only reshapes the PQ subspaces) — the
+    // rotation applies inside adcCore, to the query's ADC table
     val probed = probeIds(centroids, metricQuery(queryVec, metric), nprobe, metric)
     val cand = assign.filter(col("cluster_id").isInCollection(probed))
-      .select("id").join(encode(spark, dir, m, metric), "id")
+      .select("id").join(encode(spark, dir, m, metric, opq), "id")
       .withColumnRenamed("id", "neighbor_id")
     adcCore(cand, model.codebooks, queryVec, k, refine, metric,
-      refineWith = Some(refineSource(spark, dir)))
+      refineWith = Some(refineSource(spark, dir)),
+      rotation = model.rotation)
   }
 
   /** M inter-centroid tables for symmetric PQ distance under a metric
@@ -478,17 +490,26 @@ object Pq {
 
   /** Persist the IVF-PQ index: binary codes partitioned by cluster_id
     * (probe pruning happens at planning time, same layout contract as
-    * Ivf.writeIndex), plus the coarse centroids, the PQ codebooks and a
-    * `_meta` record (m, metric) as underscore-prefixed sidecar tables —
-    * the index outlives the session that built it AND carries its own
-    * metric, exactly the reference's per-index metric field.
+    * Ivf.writeIndex), plus the coarse centroids, the PQ codebooks, a
+    * `_meta` record (m, metric) and — for an OPQ model — the learned
+    * `_rotation` matrix, all as underscore-prefixed sidecar tables.
+    * The index outlives the session that built it AND carries its own
+    * FULL model (metric + rotation), exactly the reference's per-index
+    * config invariant (app/indexes/base.py:207-219): a query or an
+    * append can never run under a different transform than the one the
+    * codes were built with.
     */
   def writeIvfPq(spark: SparkSession, dir: String, outPath: String,
-                 m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Unit = {
+                 m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
+                 opq: Boolean = false): Unit = {
     import spark.implicits._
     val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
-    val model = train(spark, dir, m, metric)
-    assign.join(encode(spark, dir, m, metric), "id")
+    val model = if (opq) trainOpq(spark, dir, m, metric)
+                else train(spark, dir, m, metric)
+    // overwrite on the base path drops EVERYTHING from a previous build,
+    // including a stale _rotation — an unrotated rebuild over an old OPQ
+    // index cannot leave the old matrix behind
+    assign.join(encode(spark, dir, m, metric, opq), "id")
       .select(col("cluster_id"), col("id"), col("codes"))
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
@@ -503,6 +524,10 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_codebooks")
     Seq((m, metric)).toDF("m", "metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_meta")
+    model.rotation.foreach { r =>
+      r.indices.map(i => (i, r(i).toSeq)).toDF("ridx", "rvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_rotation")
+    }
   }
 
   /** Codebooks of a persisted IVF-PQ index. */
@@ -515,13 +540,32 @@ object Pq {
   }
 
   /** The persisted index's own metric (from `_meta`; indexes written
-    * before the metric sidecar existed default to L2).
+    * before the metric sidecar existed default to L2). Selected BY NAME:
+    * reading an ordinal would silently serve the wrong metric if the
+    * `_meta` column order ever changed.
     */
   private[operators] def loadMetric(spark: SparkSession, indexPath: String): Int = {
     val f = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"))) VectorMetric.L2
-    else spark.read.parquet(s"$indexPath/_meta").head().getInt(1)
+    else spark.read.parquet(s"$indexPath/_meta").select("metric").head().getInt(0)
+  }
+
+  /** The persisted index's learned OPQ rotation, when one was built in
+    * (`_rotation` sidecar; absent = unrotated plain PQ). Every consumer
+    * of a persisted index MUST route vectors through this before
+    * touching codes — queryIvfPq does for ADC tables, PqLifecycle
+    * .append does for incoming vectors — or a rotated index would be
+    * silently corrupted/misranked.
+    */
+  private[operators] def loadRotation(spark: SparkSession,
+                                      indexPath: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_rotation")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else Some(spark.read.parquet(s"$indexPath/_rotation")
+      .select("ridx", "rvec").orderBy("ridx").collect()
+      .map(_.getSeq[Double](1).toArray))
   }
 
   /** Query a persisted IVF-PQ index: probe selection over the loaded
@@ -536,10 +580,14 @@ object Pq {
                  queryVec: Array[Float], k: Int, nprobe: Int,
                  refineWith: Option[DataFrame] = None,
                  refine: Int = 4): DataFrame = {
+    // serving an index whose last delete half-applied would silently
+    // drop a whole inverted list — refuse, same guard as mutations
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
     val centroids = spark.read.parquet(s"$indexPath/_centroids")
       .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
     val codebooks = loadCodebooks(spark, indexPath)
     val metric = loadMetric(spark, indexPath)
+    val rotation = loadRotation(spark, indexPath)
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     require(queryVec.length == m * subDim,
@@ -550,7 +598,8 @@ object Pq {
       .select(col("id").as("neighbor_id"), col("codes"))
     adcCore(codesDf, codebooks, queryVec, k, refine, metric,
       refineWith = refineWith.map(_.select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("vec"))))
+        col("vec_id").as("neighbor_id"), col("embedding").as("vec"))),
+      rotation = rotation)
   }
 
   /** Driver query: PQ ADC top-10 for the vec_id=0 query (rows-only —

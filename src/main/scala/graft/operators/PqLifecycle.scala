@@ -28,14 +28,20 @@ import org.apache.spark.sql.functions._
 object PqLifecycle {
 
   /** Build (version+1) the persisted IVF-PQ index for a corpus dir and
-    * start its lifecycle state.
+    * start its lifecycle state. `opq = true` builds the OPQ variant:
+    * the learned rotation lands as the `_rotation` sidecar, and every
+    * later consumer (queryIvfPq, append) picks it up from disk — the
+    * index carries its FULL model, so a rotated index can never be
+    * appended to or queried unrotated.
     */
   def build(spark: SparkSession, dir: String, indexPath: String,
-            m: Int = Pq.SubspaceCount, metric: Int = VectorMetric.L2): IndexStatus = {
+            m: Int = Pq.SubspaceCount, metric: Int = VectorMetric.L2,
+            opq: Boolean = false): IndexStatus = {
     val prev = IndexLifecycle.status(spark, indexPath)
-    Pq.writeIvfPq(spark, dir, indexPath, m, metric)
+    Pq.writeIvfPq(spark, dir, indexPath, m, metric, opq)
     val n = Tables.embeddings(spark, dir).count()
-    val dim = Pq.train(spark, dir, m, metric).dim
+    val dim = (if (opq) Pq.trainOpq(spark, dir, m, metric)
+               else Pq.train(spark, dir, m, metric)).dim
     val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
       embeddingDim = dim, builtAt = System.currentTimeMillis(),
       version = prev.version + 1, dirtyCount = 0L, totalVectors = n)
@@ -44,29 +50,37 @@ object PqLifecycle {
   }
 
   /** Incremental add: encode `newVecs` (id, vec — RAW floats) against
-    * the persisted index's own metric, coarse centroids and codebooks,
-    * append the (cluster_id, id, codes) rows to their partitions, and
-    * record the growth as dirt. Queries see the new vectors
-    * immediately; nothing retrains.
+    * the persisted index's own FULL model — metric, coarse centroids,
+    * codebooks, and the OPQ `_rotation` when the index was built with
+    * one (coarse assignment stays in the original space, matching
+    * writeIvfPq; only the PQ encode sees rotated vectors) — then land
+    * the (cluster_id, id, codes) rows crash-consistently
+    * (IndexLifecycle.landAppend: stage under `_append_tmp`, record
+    * state, move in — a crash leaves a loud marker, never silently
+    * unaccounted rows) and record the growth as dirt. Queries see the
+    * new vectors immediately; nothing retrains.
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "append requires a built index (build first)")
-    IndexLifecycle.checkNoHalfAppliedDelete(spark, indexPath)
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
     val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
     val codebooks = Pq.loadCodebooks(spark, indexPath)
     val metric = Pq.loadMetric(spark, indexPath)
+    val rotation = Pq.loadRotation(spark, indexPath)
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
-    Ivf.assignTo(v, centroids)
+    val encodeInput = rotation match {
+      case Some(r) => graft.functions.RotateFunctions.rotateVector(col("vec"), r)
+      case None => col("vec")
+    }
+    val staged = Ivf.assignTo(v, centroids)
       .select(col("cluster_id"), col("neighbor_id").as("id"),
-        PqFunctions.pqEncode(col("vec"), codebooks).as("codes"))
-      .repartition(col("cluster_id")) // one file per touched list
-      .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
-    v.unpersist()
+        PqFunctions.pqEncode(encodeInput, codebooks).as("codes"))
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)
-    IndexLifecycle.writeState(spark, indexPath, next)
+    IndexLifecycle.landAppend(spark, indexPath, staged, next)
+    v.unpersist()
     next
   }
 

@@ -53,6 +53,16 @@ object Skew {
     */
   val SkewFactor = 5.0
 
+  /** Minimum SAMPLED rows a key needs before it can be flagged hot.
+    * Without this floor a tiny sample degenerates: when
+    * total·min(SkewFactor/p, 0.5) < 1 every key with a single sampled
+    * row would cross the threshold and uniform data would be
+    * "recommended" for salting. Ten sampled rows keeps the flag
+    * evidence-backed (a key that truly holds ≥ SkewFactor/p of a frame
+    * worth salting will clear 10 at any realistic sample).
+    */
+  val MinSampledRows = 10L
+
   /** Sampled key-frequency probe — the missing "am I skewed?" half of
     * [[saltedJoin]], so a user needs no prior knowledge of the hot key.
     *
@@ -74,7 +84,10 @@ object Skew {
       else df.select(col(key)).sample(withReplacement = false, sampleFraction, seed = 0xf00dL)
     val counts = sampled.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
     try {
-      val total = counts.agg(sum(col("n"))).head().getLong(0)
+      // sum over an empty frame is NULL, not 0 — an empty (or fully
+      // sampled-out) input must probe as "no skew", not throw
+      val total = Option(counts.agg(sum(col("n"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       if (total == 0) Seq.empty
       else {
         // threshold share min(SkewFactor/p, 0.5): the factor-of-5 rule
@@ -82,7 +95,7 @@ object Skew {
         // key holding half the rows is a straggler at ANY partition
         // count — the cap keeps the probe meaningful on small/local p
         val threshold = math.min(SkewFactor / p, 0.5) * total
-        counts.filter(col("n") >= math.max(1.0, threshold))
+        counts.filter(col("n") >= math.max(MinSampledRows.toDouble, threshold))
           .orderBy(col("n").desc, col(key))
           .limit(maxKeys)
           .collect()

@@ -156,6 +156,55 @@ class DedupSpec extends AnyFunSuite {
     both.foreach(r => assert(viaSql(r.getLong(0)) == r.getSeq[Long](1).toSet))
   }
 
+  test("boilerplate-heavy corpus triggers probe-gated salting; output equals the plain-join semantics") {
+    import spark.implicits._
+    // at a production-shaped partition count (32): 12 copies of one
+    // template doc put the smallest clique id in 11 of the 66 candidate
+    // pairs — 16.7% of the stream, above the SkewFactor/p = 15.6% share
+    // threshold AND the 10-sampled-rows evidence floor — so the verify
+    // join-back must salt. 100 fully disjoint docs around it produce no
+    // candidates at all. (The shared test session runs p=4, where the
+    // share threshold caps at 50% and a clique can never cross it:
+    // max doc_a share is 2/cliqueSize < 50% for any clique ≥ 5.)
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+    val clique = (1 to 12).map(i =>
+      (i.toLong, "the same boilerplate legal disclaimer repeated across every page"))
+    val unique = (100 to 199).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val docs = (clique ++ unique).toDF("doc_id", "text")
+    val want = (for { a <- 1 to 12; b <- a + 1 to 12 }
+      yield (a.toLong, b.toLong, 1.0)).toSeq
+
+    val lsh = Dedup.dedupMinhashLshOn(docs)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // the probe really fired: the verify join runs on the widened
+    // (doc_a, _salt) key
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"),
+      "hot template doc did not trigger the salted verify join")
+    // and salting changed nothing: exactly the 66 clique pairs, j = 1.0
+    assert(got == want, s"salted LSH output drifted: $got")
+
+    // the exact E2 path shares the skew-aware verify join — same pairs
+    val exact = Dedup.jaccardPairsOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(exact == want, s"salted exact-jaccard output drifted: $exact")
+
+    // a skew-free corpus stays on the plain join (probe says AQE
+    // suffices — no salt column anywhere in the plan)
+    val uniform = (1 to 30).map(i =>
+      (i.toLong, s"u${i}p u${i}q u${i}r u${i}s dup shared tail words here")).toDF("doc_id", "text")
+    val plain = Dedup.jaccardPairsOn(uniform)
+    plain.collect()
+    assert(!plain.queryExecution.executedPlan.toString.contains("_salt"),
+      "uniform corpus must not pay the salted join")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
+
   test("shingles produces distinct word 3-grams; short docs give empty sets") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")

@@ -76,6 +76,64 @@ class PqLifecycleSpec extends AnyFunSuite {
     assert(s3.size == s2.size && s3.dirtyCount == s2.dirtyCount)
   }
 
+  test("OPQ persisted index: rotation sidecar lands, append encodes rotated, recall >= unrotated") {
+    import spark.implicits._
+    val pPlain = java.nio.file.Files.createTempDirectory("graft_pqlc_plain").toString
+    val pOpq = java.nio.file.Files.createTempDirectory("graft_pqlc_opq").toString
+    PqLifecycle.build(spark, sf, pPlain)
+    val sO = PqLifecycle.build(spark, sf, pOpq, opq = true)
+    assert(sO.isBuilt && sO.version == 1)
+
+    // the full model persists: OPQ index carries _rotation, plain does not
+    val fsys = new org.apache.hadoop.fs.Path(pOpq)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$pOpq/_rotation")),
+      "OPQ build must persist its rotation sidecar")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$pPlain/_rotation")),
+      "plain build must not carry a rotation")
+
+    // append a COPY of vector 1 to the ROTATED index: append must pick
+    // the rotation up from disk and encode through it — identical
+    // content then gets identical codes and ties with its original in a
+    // pure compressed-domain query. An unrotated append against rotated
+    // codebooks would scatter the copy's codes and break the tie.
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val s2 = PqLifecycle.append(Seq((9999L, v1.toSeq)).toDF("id", "vec"), pOpq)
+    assert(s2.version == sO.version && s2.size == sO.size + 1)
+    val top2 = Pq.queryIvfPq(spark, pOpq, v1, k = 2, nprobe = Int.MaxValue,
+      refineWith = None).collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 9999L),
+      s"rotated append must tie with its original, got $top2")
+
+    // recall consequence on the PERSISTED path (probe-all, pure ADC —
+    // the candidate set is the whole corpus, so quantization error is
+    // the only error source, same regime RotateSpec pins for the flat
+    // path): the OPQ index must not rank worse than the plain one.
+    val ids = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+    def recallOf(path: String): Double = {
+      val k = 10
+      val rs = (0L until 10L).map { qid =>
+        val q = ids.find(_._1 == qid).get._2
+        val exact = ids.filterNot(_._1 == 9999L).map { case (id, v) =>
+          (v.zip(q).map { case (x, y) => (x - y).toDouble * (x - y) }.sum, id)
+        }.sortBy(identity).take(k).map(_._2).toSet
+        // k+1 then drop the appended copy: the OPQ index holds one
+        // extra vector (id 9999), which must not eat a recall slot
+        val got = Pq.queryIvfPq(spark, path, q, k + 1, nprobe = Int.MaxValue,
+          refineWith = None).orderBy(col("dist"), col("neighbor_id"))
+          .collect().map(_.getLong(0)).filterNot(_ == 9999L).take(k).toSet
+        (exact & got).size.toDouble / k
+      }
+      rs.sum / rs.length
+    }
+    val rOpq = recallOf(pOpq)
+    val rPlain = recallOf(pPlain)
+    assert(rOpq >= rPlain - 1e-9,
+      s"persisted OPQ recall $rOpq dropped below plain $rPlain")
+  }
+
   test("driver lifecycle table matches the oracle arithmetic shape") {
     val rows = PqLifecycle.ivfpqLifecycle(spark, sf).collect()
     assert(rows.length == 4)

@@ -143,6 +143,24 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"cosine SDC recall $mean collapsed (per-query $recalls)")
   }
 
+  test("dot SDC batch rides the shared raw-corpus model: recall floor vs exact dot") {
+    val k = 10
+    val batch = Pq.sdcBatch(spark, sf, k, metric = graft.functions.VectorMetric.Dot,
+      refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(batch.size == 500 && batch.values.forall(_.size == k))
+    val recalls = (0L until 10L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) => (-dot(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      (exact & batch(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"refined dot SDC recall $mean < 0.8 (per-query $recalls)")
+  }
+
   test("refined SDC batch: exact re-rank of k*4 survivors lifts recall above pure SDC") {
     val k = 10
     def recallOf(refine: Int): Double = {

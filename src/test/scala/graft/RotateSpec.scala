@@ -88,6 +88,54 @@ class RotateSpec extends AnyFunSuite {
       s"OPQ pure-ADC recall $rOpq dropped below plain PQ $rPlain")
   }
 
+  test("cosine OPQ trains on the normalized corpus and does not rank worse than cosine PQ") {
+    import graft.functions.VectorMetric
+    import graft.operators.Pq
+    val cosOpq = Pq.trainOpq(spark, sf, metric = VectorMetric.Cosine)
+    val l2Opq = Pq.trainOpq(spark, sf)
+    // the cosine model is its own model: rotation learned on UNIT
+    // vectors, not a re-badged copy of the l2 model (if metric were
+    // dropped on the training path the two would be identical)
+    assert(cosOpq.rotation.get.map(_.toSeq).toSeq !=
+      l2Opq.rotation.get.map(_.toSeq).toSeq,
+      "cosine OPQ must train on the normalized corpus, not share the l2 model")
+    // and it is still a genuine rotation
+    val r = cosOpq.rotation.get
+    for (i <- 0 until cosOpq.dim; j <- i until cosOpq.dim) {
+      val dot = (0 until cosOpq.dim).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"row $i . row $j = $dot")
+    }
+    // recall under the TRUE cosine ranking, pure ADC (refine=1):
+    // rotated must not drop below unrotated — the same consequence the
+    // l2 case pins, now through the normalized-corpus model
+    val ids = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def recall(opqOn: Boolean): Double = {
+      val k = 10
+      val rs = (0L until 10L).map { qid =>
+        val q = ids.find(_._1 == qid).get._2
+        val exact = ids.map { case (id, v) => (-cos(v, q), id) }
+          .sortBy(identity).take(k).map(_._2).toSet
+        val got = Pq.topK(spark, sf, q, k, refine = 1,
+          metric = VectorMetric.Cosine, opq = opqOn)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size.toDouble / k
+      }
+      rs.sum / rs.length
+    }
+    val rOpq = recall(true)
+    val rPlain = recall(false)
+    assert(rOpq >= rPlain - 1e-9,
+      s"cosine OPQ pure-ADC recall $rOpq dropped below cosine PQ $rPlain")
+  }
+
   test("rotation preserves pairwise l2 distances on the real corpus") {
     val rot = RotateFunctions.randomRotation(64)
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
