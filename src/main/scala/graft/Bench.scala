@@ -32,6 +32,11 @@ object Bench {
     */
   private def memoWarmers(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "memo_shingle_sets" -> (() => operators.Dedup.warmShingles(spark, dir)),
+    // E2's df-ordered prefix table and E3's signature table: memoized
+    // per dir (a per-invocation cache leaks for the session — measured
+    // as 264→474→691s pass degradation in the first median-of-3 run)
+    "memo_jaccard_prefix" -> (() => operators.Dedup.warmJaccardPrefix(spark, dir)),
+    "memo_minhash_sig"    -> (() => operators.Dedup.warmMinhashSig(spark, dir)),
     "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)),
     "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
     "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),

@@ -97,11 +97,29 @@ object Dedup {
       })
     })
 
-  /** Drop the memo for a corpus — call when documents at `dir` change
+  /** Per-corpus memo of E2's document-frequency-ordered prefix table
+    * (doc_id, gs, prefix) — the expensive intermediate both the prefix
+    * join and the verify join-back consume. Memoized ONCE per dir like
+    * the shingle sets: a per-invocation cache() here is a session-long
+    * leak (CacheManager never drops an unreferenced cached plan), which
+    * the median-of-3 bench surfaced as run-over-run degradation —
+    * 264→474→691s pass totals from accumulated storage pressure.
+    */
+  private val orderedPrefixMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Per-corpus memo of E3's minhash signature table (same leak story). */
+  private val minhashSigMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Drop the memos for a corpus — call when documents at `dir` change
     * (IndexLifecycle.build does, via its corpusDir hook).
     */
-  def invalidate(dir: String): Unit =
+  def invalidate(dir: String): Unit = {
     shingleSets.remove(dir).foreach(_.unpersist())
+    orderedPrefixMemo.remove(dir).foreach(_.unpersist())
+    minhashSigMemo.remove(dir).foreach(_.unpersist())
+  }
 
   /** Materialize the shingle-set memo for `dir` — Bench times this as
     * its own line item so E2/E3 numbers measure the pair pipelines, not
@@ -143,38 +161,75 @@ object Dedup {
     * join fan-out, and every step is a bounded shuffle at 100 TB.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairsFromSets(shingleSetsFor(spark, dir))
+    jaccardPairs(shingleSetsFor(spark, dir), JaccardThreshold, memoDir = Some(dir))
 
   def jaccardPairsOn(docs: DataFrame, t: Double = JaccardThreshold): DataFrame =
     jaccardPairsFromSets(hashedShingleSets(docs), t)
 
-  def jaccardPairsFromSets(sets: DataFrame, t: Double = JaccardThreshold): DataFrame = {
-    // shingle sets as distinct 64-bit hashes: set cardinalities (and so
-    // jaccard) are preserved up to a ~4e-11 xxhash64 collision chance,
-    // and every downstream compare/intersect runs on longs, not strings
-    val df = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-    // EXACT decimal threshold for the combinatorial bounds: computing
-    // prefix length as size*(1.0-t) in doubles truncates one short
-    // whenever t*size is integral (t=0.8, |A|=55: 55*0.19999…996 →
-    // 10.99…8 → prefix 11 instead of the required 12), and the size
-    // bound sz*0.8 rounds just above the integer, rejecting boundary
-    // pairs with jaccard exactly t — a measured missed pair at sf0.1.
-    // BigDecimal.valueOf(t) is the exact decimal the caller wrote, so
-    // t·size is exact integer arithmetic underneath.
+  def jaccardPairsFromSets(sets: DataFrame, t: Double = JaccardThreshold): DataFrame =
+    jaccardPairs(sets, t, memoDir = None)
+
+  /** Materialize the prefix-table memo for `dir` — its own Bench line
+    * item, same attribution contract as [[warmShingles]].
+    */
+  def warmJaccardPrefix(spark: SparkSession, dir: String): Unit = {
+    orderedFor(shingleSetsFor(spark, dir), JaccardThreshold, Some(dir))
+    ()
+  }
+
+  /** The df-ordered per-doc shingle table with its PPJoin prefix:
+    * (doc_id, gs, prefix). With `memoDir` set (the per-corpus driver
+    * path, always at the default threshold) it is built+cached ONCE per
+    * dir and reused across queries and bench passes; without (the On /
+    * parquet variants) it stays an uncached plan — a per-invocation
+    * cache() is never dropped by the CacheManager and leaks for the
+    * session (measured as 264→474→691s pass totals in the median-of-3
+    * bench before this memo existed).
+    */
+  private def orderedFor(sets: DataFrame, t: Double,
+                         memoDir: Option[String]): DataFrame = {
+    def build(): DataFrame = {
+      // shingle sets as distinct 64-bit hashes: set cardinalities (and
+      // so jaccard) are preserved up to a ~4e-11 xxhash64 collision
+      // chance, and downstream compare/intersect runs on longs
+      val df = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+      // EXACT decimal threshold for the combinatorial bounds: computing
+      // prefix length as size*(1.0-t) in doubles truncates one short
+      // whenever t*size is integral (t=0.8, |A|=55: 55*0.19999…996 →
+      // 10.99…8 → prefix 11 instead of the required 12), and the size
+      // bound sz*0.8 rounds just above the integer, rejecting boundary
+      // pairs with jaccard exactly t — a measured missed pair at sf0.1.
+      // BigDecimal.valueOf(t) is the exact decimal the caller wrote, so
+      // t·size is exact integer arithmetic underneath.
+      val decT = lit(BigDecimal.valueOf(t))
+      // per-doc shingles ordered by (df asc, shingle) → prefix of
+      // rarest; required overlap is ⌈t·|A|⌉ ⇒ prefix |A|−⌈t·|A|⌉+1
+      sets.select(col("doc_id"), explode(col("g")).as("shingle"))
+        .join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
+          s => s.getField("shingle")).as("gs"))
+        .select(col("doc_id"), col("gs"),
+          slice(col("gs"), lit(1),
+            (size(col("gs")) - ceil(size(col("gs")) * decT) + 1).cast("int")).as("prefix"))
+    }
+    memoDir match {
+      case Some(d) => orderedPrefixMemo.get(d).getOrElse(synchronized {
+        orderedPrefixMemo.getOrElseUpdate(d, {
+          val o = build().cache()
+          o.count()
+          o
+        })
+      })
+      case None => build()
+    }
+  }
+
+  private def jaccardPairs(sets: DataFrame, t: Double,
+                           memoDir: Option[String]): DataFrame = {
+    val ordered = orderedFor(sets, t, memoDir)
     val decT = lit(BigDecimal.valueOf(t))
-    // per-doc shingles ordered by (df asc, shingle) → prefix of rarest;
-    // required overlap is ⌈t·|A|⌉, so the prefix is |A|−⌈t·|A|⌉+1
-    val ordered = sets.select(col("doc_id"), explode(col("g")).as("shingle"))
-      .join(df, "shingle")
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
-        s => s.getField("shingle")).as("gs"))
-      .select(col("doc_id"), col("gs"),
-        slice(col("gs"), lit(1),
-          (size(col("gs")) - ceil(size(col("gs")) * decT) + 1).cast("int")).as("prefix"))
-      .cache() // feeds prefix join + verify join-back
-    ordered.count() // materialize once: both consumers would otherwise recompute the chain
     val prefixRows = ordered.select(col("doc_id"), size(col("gs")).as("sz"),
       explode(col("prefix")).as("shingle"))
     // candidate pairs: share a prefix shingle + size-compatibility bound
@@ -198,14 +253,18 @@ object Dedup {
     * join, DedupSpec pins output equality); below the threshold the
     * plain join runs and AQE's runtime skew split suffices. The probe
     * runs at full sample over the already-skinny id-pair stream —
-    * exact and deterministic, one map-side-combined count pass; `cand`
-    * is cached because probe + join both consume it.
+    * exact and deterministic, one map-side-combined count pass. `cand`
+    * is NOT cached here: the probe recomputes the candidate join once
+    * (over the memoized sig/prefix tables — one broadcast-join pass on
+    * cached inputs), which beats registering a per-invocation cache
+    * the CacheManager never drops: that session leak is what the
+    * median-of-3 bench measured as run-over-run degradation.
     */
   private def skewAwareVerifyJoin(cand: DataFrame, right: DataFrame,
                                   key: String): DataFrame = {
-    val c = cand.cache()
-    val salts = Skew.recommendSalts(c, key, sampleFraction = 1.0)
-    if (salts <= 1) c.join(right, key) else Skew.saltedJoin(c, right, key, salts)
+    val salts = Skew.recommendSalts(cand, key, sampleFraction = 1.0)
+    if (salts <= 1) cand.join(right, key)
+    else Skew.saltedJoin(cand, right, key, salts)
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to their shingle-hash sets
@@ -279,20 +338,46 @@ object Dedup {
     * Rows-only for the driver; DedupSpec asserts recall vs E2.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    dedupMinhashLshFromSets(spark, shingleSetsFor(spark, dir))
+    dedupMinhashLshFromSets(spark, shingleSetsFor(spark, dir), memoDir = Some(dir))
 
   /** E3 over an arbitrary (doc_id, text) corpus — the synthetic-corpus
     * entry DedupSpec drives the skew-salting behavior through.
     */
   def dedupMinhashLshOn(docs: DataFrame): DataFrame =
-    dedupMinhashLshFromSets(docs.sparkSession, hashedShingleSets(docs))
+    dedupMinhashLshFromSets(docs.sparkSession, hashedShingleSets(docs),
+      memoDir = None)
 
-  private def dedupMinhashLshFromSets(spark: SparkSession,
-                                      sets: DataFrame): DataFrame = {
-    // sig feeds both the bucket join and the verify join-back: persist
-    // it (at scale the signature table is likewise materialized once)
-    val sig = minhashFromSets(sets).cache()
-    sig.count() // materialize once for the bucket join + verify join-back
+  /** Materialize the signature-table memo for `dir` — its own Bench
+    * line item, same attribution contract as [[warmShingles]].
+    */
+  def warmMinhashSig(spark: SparkSession, dir: String): Unit = {
+    sigFor(spark, shingleSetsFor(spark, dir), Some(dir))
+    ()
+  }
+
+  /** Signature table (doc_id, g, mh), memoized per corpus dir on the
+    * driver path (built+cached once, reused across queries and bench
+    * passes — a per-invocation cache() leaks for the session); uncached
+    * for the On variants.
+    */
+  private def sigFor(spark: SparkSession, sets: DataFrame,
+                     memoDir: Option[String]): DataFrame = memoDir match {
+    case Some(d) => minhashSigMemo.get(d).getOrElse(synchronized {
+      minhashSigMemo.getOrElseUpdate(d, {
+        val s = minhashFromSets(sets).cache()
+        s.count()
+        s
+      })
+    })
+    case None => minhashFromSets(sets)
+  }
+
+  private def dedupMinhashLshFromSets(spark: SparkSession, sets: DataFrame,
+                                      memoDir: Option[String]): DataFrame = {
+    // sig feeds both the bucket join and the verify join-back: on the
+    // per-corpus driver path it is the memoized table (at scale the
+    // signature table is likewise materialized once and persisted)
+    val sig = sigFor(spark, sets, memoDir)
     val bandCols = (0 until LshBands).map { k =>
       struct(lit(k).as("band_id"),
         xxhash64((k * LshRows until (k + 1) * LshRows)

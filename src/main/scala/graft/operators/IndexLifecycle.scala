@@ -360,7 +360,9 @@ object IndexLifecycle {
           (i + 1, s.version, s.isDirty, s.dirtyCount, s.size, s.shouldRebuild(RebuildThreshold)) }
         .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
         .orderBy("phase")
-        .cache() // materialize before the temp index is deleted below
+        // localCheckpoint (eager) materializes before the temp index is
+        // deleted below; its blocks are GC'd with the DataFrame, unlike
+        // a cache() registration the CacheManager would hold forever
         .localCheckpoint()
     } finally {
       // the state table is tiny and checkpointed; the two full index
@@ -397,7 +399,9 @@ object IndexLifecycle {
           (i + 1, s.version, s.isDirty, s.dirtyCount, s.size, s.shouldRebuild(RebuildThreshold)) }
         .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
         .orderBy("phase")
-        .cache() // materialize before the temp index is deleted below
+        // localCheckpoint (eager) materializes before the temp index is
+        // deleted below; its blocks are GC'd with the DataFrame, unlike
+        // a cache() registration the CacheManager would hold forever
         .localCheckpoint()
     } finally {
       import scala.jdk.CollectionConverters._

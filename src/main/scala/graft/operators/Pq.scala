@@ -441,12 +441,20 @@ object Pq {
     */
   def sdcBatch(spark: SparkSession, dir: String, k: Int,
                nprobeOpt: Option[Int] = None, m: Int = SubspaceCount,
-               metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
-    val model = train(spark, dir, m, metric)
+               metric: Int = VectorMetric.L2, refine: Int = 1,
+               opq: Boolean = false): DataFrame = {
+    // OPQ composes with SDC for free: BOTH sides' codes live in the
+    // same rotated space (encode applies R before the subspace split),
+    // and an orthonormal R preserves l2 AND inner products — so the
+    // inter-centroid tables from the rotated codebooks estimate the
+    // original-space distances. Probing stays in the original space
+    // (the coarse layout is unrotated, as everywhere).
+    val model = if (opq) trainOpq(spark, dir, m, metric)
+                else train(spark, dir, m, metric)
     val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
     val vecs = corpus(spark, dir, metric)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val codes = encode(spark, dir, m, metric)
+    val codes = encode(spark, dir, m, metric, opq)
     val probeMetric =
       if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
     val probes = Ivf.probeSelect(queries, centroids,

@@ -120,7 +120,9 @@ object PqLifecycle {
             s.shouldRebuild(IndexLifecycle.RebuildThreshold)) }
         .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
         .orderBy("phase")
-        .cache() // materialize before the temp index is deleted below
+        // localCheckpoint (eager) materializes before the temp index is
+        // deleted below; its blocks are GC'd with the DataFrame, unlike
+        // a cache() registration the CacheManager would hold forever
         .localCheckpoint()
     } finally {
       import scala.jdk.CollectionConverters._

@@ -48,11 +48,14 @@ object Sq8 {
     }
   }
 
-  /** Per-dimension (min, scale) from one corpus aggregation. */
+  /** Per-dimension (min, scale) from one corpus aggregation. Memo-keyed
+    * on the corpus representation (Ivf.repr): dot shares the raw-corpus
+    * model and codes with l2, same contract as Pq.train.
+    */
   def train(spark: SparkSession, dir: String,
             metric: Int = VectorMetric.L2): Model =
-    models.get((dir, metric)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, metric), {
+    models.get((dir, Ivf.repr(metric))).getOrElse(synchronized {
+      models.getOrElseUpdate((dir, Ivf.repr(metric)), {
         val rows = corpus(spark, dir, metric)
           .select(posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy("pos")
@@ -74,8 +77,8 @@ object Sq8 {
     */
   def encode(spark: SparkSession, dir: String,
              metric: Int = VectorMetric.L2): DataFrame =
-    encoded.get((dir, metric)).getOrElse(synchronized {
-      encoded.getOrElseUpdate((dir, metric), {
+    encoded.get((dir, Ivf.repr(metric))).getOrElse(synchronized {
+      encoded.getOrElseUpdate((dir, Ivf.repr(metric)), {
         val m = train(spark, dir, metric)
         val df = corpus(spark, dir, metric)
           .select(col("id"),

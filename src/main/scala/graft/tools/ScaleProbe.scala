@@ -52,6 +52,17 @@ object ScaleProbe {
         spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
         threshold = 0.9, bandBits = 8).count()
     }
+    // cache-resident byte budgets: binary PQ/SQ8 codes vs raw float32
+    // vectors for the SAME 50k×64 corpus (the round-4 binary-codes
+    // claim, measured — storage memory, not disk)
+    timed("sq8 encode (memo)") { graft.operators.Sq8.encode(spark, dir).count() }
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    raw.count()
+    spark.sparkContext.getRDDStorageInfo.foreach { i =>
+      println(f"[scale] cache ${i.memSize / 1024.0 / 1024}%8.2f MiB  ${i.name}")
+    }
+    raw.unpersist()
     // cleanup
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala

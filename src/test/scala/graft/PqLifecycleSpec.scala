@@ -134,6 +134,39 @@ class PqLifecycleSpec extends AnyFunSuite {
       s"persisted OPQ recall $rOpq dropped below plain $rPlain")
   }
 
+  test("half-applied mutation markers make serve AND mutate paths refuse") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_marker").toString
+    PqLifecycle.build(spark, sf, path)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // sanity: serves fine without a marker
+    assert(Pq.queryIvfPq(spark, path, q, 3, Int.MaxValue, refineWith = None)
+      .count() == 3)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (marker <- Seq("_old_cluster_id=1", "_append_tmp")) {
+      val m = new org.apache.hadoop.fs.Path(s"$path/$marker")
+      fsys.mkdirs(m)
+      // a crashed delete (stale-list aside) or crashed append (staging
+      // dir) must refuse to serve — a half-applied delete would answer
+      // minus an entire inverted list
+      intercept[IllegalArgumentException] {
+        Pq.queryIvfPq(spark, path, q, 3, Int.MaxValue, refineWith = None)
+      }
+      intercept[IllegalArgumentException] {
+        PqLifecycle.append(Seq((777L, q.toSeq)).toDF("id", "vec"), path)
+      }
+      intercept[IllegalArgumentException] {
+        PqLifecycle.delete(Seq(0L).toDF("id"), path)
+      }
+      fsys.delete(m, true)
+    }
+    // markers cleared: the index serves again (no permanent damage)
+    assert(Pq.queryIvfPq(spark, path, q, 3, Int.MaxValue, refineWith = None)
+      .count() == 3)
+  }
+
   test("driver lifecycle table matches the oracle arithmetic shape") {
     val rows = PqLifecycle.ivfpqLifecycle(spark, sf).collect()
     assert(rows.length == 4)

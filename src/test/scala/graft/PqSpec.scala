@@ -143,6 +143,24 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"cosine SDC recall $mean collapsed (per-query $recalls)")
   }
 
+  test("OPQ SDC batch: rotated codes on both sides, recall floor holds") {
+    val k = 10
+    val batch = Pq.sdcBatch(spark, sf, k, opq = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(batch.size == 500 && batch.values.forall(_.size == k))
+    val recalls = (0L until 10L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (v.zip(q).map { case (x, y) => (x - y).toDouble * (x - y) }.sum, id)
+        }.sortBy(identity).take(k).map(_._2).toSet
+      (exact & batch(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"OPQ SDC recall $mean collapsed (per-query $recalls)")
+  }
+
   test("dot SDC batch rides the shared raw-corpus model: recall floor vs exact dot") {
     val k = 10
     val batch = Pq.sdcBatch(spark, sf, k, metric = graft.functions.VectorMetric.Dot,
