@@ -228,6 +228,19 @@ class PqSpec extends AnyFunSuite {
       "persisted cosine index must probe and rank like the in-session cosine path")
   }
 
+  test("persisted IVF-PQ dot round-trip: _meta metric drives negated-dot ADC, no caller flag") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_dot").toString
+    val metric = graft.functions.VectorMetric.Dot
+    Pq.writeIvfPq(spark, sf, path, metric = metric)
+    val q = all.find(_._1 == 3L).get._2
+    val inSession = Pq.ivfPqTopK(spark, sf, q, 10, nprobe = 4, refine = 1,
+      metric = metric).collect().map(_.getLong(0)).toSeq
+    val persisted = Pq.queryIvfPq(spark, path, q, 10, nprobe = 4,
+      refineWith = None).collect().map(_.getLong(0)).toSeq
+    assert(persisted == inSession,
+      "persisted dot index must probe and rank like the in-session dot path")
+  }
+
   test("cosine PQ via normalize-then-L2: refined recall vs exact cosine >= 0.8") {
     val k = 10
     val recalls = (0L until 5L).map { qid =>
