@@ -48,6 +48,9 @@ object SparkEntry {
     // E-series: LLM-data-pipeline operators
     "dedup_exact"         -> (Dedup.dedupExact _),
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
+    // connected components over the exact pair graph: one canonical
+    // survivor per dup CLUSTER (near-duplication is transitive)
+    "dedup_components"    -> (Dedup.dedupComponents _),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"       -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
@@ -135,6 +138,7 @@ object SparkEntry {
     "doc_pagination"   -> TextOps.docPaginationOracleSql(),
     "dedup_exact"         -> Dedup.dedupExactOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
+    "dedup_components"    -> Dedup.dedupComponentsOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,

@@ -283,6 +283,98 @@ object Dedup {
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
 
+  // --------------------------------------------------------------- E13
+
+  /** E13: connected components over the exact near-dup pair graph —
+    * the step a training-data pipeline actually needs after pair
+    * generation: near-duplication is transitive in practice (a~b, b~c
+    * ⇒ one boilerplate family), so canonicalization must pick one
+    * survivor per dup CLUSTER, not per pair. Output: every doc that
+    * appears in ≥1 pair, labeled with its component's minimum doc_id
+    * (the canonical survivor).
+    *
+    * Rides the memoized E2 pair pipeline; the DuckDB oracle recomputes
+    * components independently via a recursive-CTE transitive closure
+    * (different algorithm, same answer).
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsFromPairs(
+      ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Max label-propagation rounds before declaring non-convergence.
+    * Each round propagates the minimum label one hop, so rounds =
+    * graph diameter; near-dup clusters are boilerplate families with
+    * tiny diameters (a chain of 2^25 distinct-but-pairwise-similar
+    * docs does not occur). A real giant-diameter graph wants the
+    * large-star/small-star formulation instead — throwing beats
+    * silently emitting half-merged components.
+    */
+  val ComponentMaxIters = 25
+
+  /** Min-label propagation over an undirected (a, b) pair set:
+    * (doc_id, component_id = min doc_id reachable). Each round is one
+    * shuffle join + one map-side-combined min aggregation over the
+    * EDGE set — O(edges) per round, O(diameter) rounds, no driver-side
+    * graph. Lineage is truncated per round with an eager
+    * localCheckpoint (blocks GC with the DataFrame — NOT cache(), see
+    * the CacheManager-leak note on orderedFor) so the iterated plan
+    * cannot grow exponentially.
+    */
+  def componentsFromPairs(pairs: DataFrame): DataFrame = {
+    val cols = pairs.columns
+    require(cols.length == 2, s"expected 2 id columns, got ${cols.mkString(",")}")
+    val edges = pairs.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .union(pairs.select(col(cols(1)).as("src"), col(cols(0)).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < ComponentMaxIters) {
+      // min label among each node's neighbors, one hop
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"componentsFromPairs did not converge in $ComponentMaxIters rounds — " +
+        "graph diameter exceeds the near-dup contract; use star-contraction")
+    labels.select(col("id").as("doc_id"), col("lbl").as("component_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent transitive closure in SQL: reach = edges⁺ (recursive
+    * CTE; UNION dedups rows so the monotone closure terminates), then
+    * each doc takes the min reachable id (self included via the
+    * back-edge round trip; `least` guards the general case).
+    */
+  def dedupComponentsOracleSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $JaccardThreshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle uses the independent all-pairs list-intersect
     * formulation (different algorithm, same answer).
     */

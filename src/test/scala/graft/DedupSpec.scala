@@ -205,6 +205,41 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
 
+  test("connected components: multi-hop chains merge, independent pairs stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 forces several propagation rounds),
+    // pair 10-11, and an edge listed "backwards" (20, 5) exercising the
+    // undirected contract
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.componentsFromPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 10L -> 10L, 11L -> 10L, 20L -> 5L))
+
+    // the driver key agrees with a driver-side transitive closure of
+    // the E2 pairs on the real corpus
+    val sf001 = "/root/testdata/sf0.001"
+    val e2 = Dedup.ngramJaccardPairs(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e2.nonEmpty, "test corpus must contain near-dup pairs")
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    e2.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => (x, find(x))).toSeq.sorted
+    val gotSf = Dedup.dedupComponents(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotSf == want, "components must equal the union-find closure of E2 pairs")
+  }
+
   test("shingles produces distinct word 3-grams; short docs give empty sets") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
