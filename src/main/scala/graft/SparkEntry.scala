@@ -78,6 +78,9 @@ object SparkEntry {
     "quality_score"   -> (TextOps.qualityScore _),
     "token_count"     -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    // deterministic corpus shrink + training-shard assignment
+    "sample_stratified"  -> (TextOps.sampleStratified _),
+    "pack_token_shards"  -> ((s, d) => TextOps.packTokenShards(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
@@ -145,6 +148,8 @@ object SparkEntry {
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
+    "sample_stratified" -> TextOps.sampleStratifiedOracleSql,
+    "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),

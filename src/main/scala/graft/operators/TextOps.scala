@@ -350,4 +350,114 @@ object TextOps {
       |         generate_subscripts(string_split(text, ' '), 1) AS i
       |  FROM documents)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E14
+
+  /** Knuth multiplicative constant for the deterministic sampler. */
+  val SampleHashMult = 2654435761L
+  /** Length-band width (words) and the per-band keep rates out of 1000:
+    * longer documents (the scarcer, information-denser stratum in a web
+    * corpus) keep a larger share — the standard quality-weighted
+    * downsampling move when shrinking a pretraining mix.
+    */
+  val SampleBandWords = 50L
+  val SampleRatePerBand = 150L // rate(band) = (band+1)·150 ‰, bands 0..3
+
+  /** E14: deterministic stratified downsampling — every training-data
+    * pipeline's "take X% of the corpus, reproducibly" step. Strata are
+    * integer length bands (floor(n_words/50) capped at 3, a quality
+    * proxy in exact integer arithmetic — no float threshold can
+    * disagree between engines); membership is content-independent
+    * arithmetic on the key, (doc_id·2654435761) mod 1000 < rate(band),
+    * so the SAME docs are kept on every run, on any cluster, at any
+    * partitioning — unlike rand()-based sample(), which changes under
+    * retries and repartitioning. Scale shape: a pure codegen'd scan
+    * filter, zero shuffles (the ORDER BY is presentation only).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        least(floor(size(words) / lit(SampleBandWords.toDouble)), lit(3L))
+          .cast("long").as("band"))
+      .filter(pmod(col("doc_id") * SampleHashMult, lit(1000L)) <
+        (col("band") + 1L) * SampleRatePerBand)
+      .orderBy("doc_id")
+  }
+
+  def sampleStratifiedOracleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    CAST(least(len(string_split_regex(trim(text), '\\s+')) // $SampleBandWords, 3) AS BIGINT) AS band
+       |  FROM documents)
+       |SELECT doc_id, source, band FROM f
+       |WHERE (doc_id * $SampleHashMult) % 1000 < (band + 1) * $SampleRatePerBand
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E15
+
+  /** Tokens per shard for the packing demo (≈ a few docs per shard at
+    * test SFs; a real run packs 4k-32k-token training sequences).
+    */
+  val ShardTokenBudget = 2000L
+
+  /** E15: token-budget shard packing — assign doc_id-ordered documents
+    * to contiguous shards of ~budget whitespace tokens each (the
+    * "split the corpus into training-sequence shards" step).
+    * shard_id = floor(prior_cumulative_tokens / budget).
+    *
+    * A global running sum is the textbook distributed prefix-sum, NOT a
+    * single-partition window (which serializes the corpus through one
+    * task and dies at 100 TB): documents bucket into FIXED-WIDTH id
+    * ranges (deterministic, unlike sampled range partitioning), stage 1
+    * aggregates one token sum per bucket (a bounded driver collect —
+    * one row per bucket), stage 2 computes the within-bucket running
+    * sum with a window PARTITIONED by bucket (parallel) plus the
+    * driver-side prefix offset of all earlier buckets, broadcast back
+    * as a tiny join. Two scans, no global sort.
+    */
+  def packTokenShards(spark: SparkSession, dir: String,
+                      budget: Long = ShardTokenBudget): DataFrame = {
+    import spark.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max("doc_id")).head().getLong(0)
+    val width = math.max(1L, maxId / 32L + 1L)
+    val bucketed = toks.withColumn("bucket", expr(s"doc_id DIV $width"))
+    // stage 1: ≤ 33 per-bucket sums to the driver; exclusive prefix
+    val sums = bucketed.groupBy("bucket").agg(sum("n_tokens").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (b, s) => val row = (b, acc); acc += s; row }
+    // stage 2: parallel per-bucket running sum + broadcast offset join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets.toSeq.toDF("bucket", "offset")), "bucket")
+      .withColumn("prior",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("offset"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"prior DIV $budget").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same assignment via a global window cumsum — correct
+    * SQL that DuckDB runs fine at oracle scale, and exactly the
+    * single-partition shape the Spark side exists to avoid.
+    */
+  def packTokenShardsOracleSql(budget: Long = ShardTokenBudget): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(prior // $budget AS BIGINT) AS shard_id
+       |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -38,6 +38,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(2L))
   }
 
+  test("stratified sample is deterministic, band-monotone in rate, and content-keyed by id") {
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val a = TextOps.sampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = TextOps.sampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a == b, "sample must be identical across runs")
+    assert(a.nonEmpty && a.size < 500, s"sample must be a strict subset, got ${a.size}")
+    // keep share grows with the band: (band+1)*150 per mille
+    val byBand = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(byBand.keys.forall(band => band >= 0 && band <= 3))
+    // membership is pure id arithmetic — recompute one row by hand
+    a.take(20).foreach { case (id, band) =>
+      assert((id * TextOps.SampleHashMult) % 1000 < (band + 1) * TextOps.SampleRatePerBand)
+    }
+    assert(total > 0)
+  }
+
+  test("token shards: contiguous, budget-bounded, and equal to the global cumsum assignment") {
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val budget = TextOps.ShardTokenBudget
+    val rows = TextOps.packTokenShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    // driver-side recomputation of the global prefix-sum assignment:
+    // the two-stage distributed version must match exactly
+    var prior = 0L
+    rows.sortBy(_._1).foreach { case (_, n, shard) =>
+      assert(shard == prior / budget, s"shard drifted at prior=$prior")
+      prior += n
+    }
+    // shards are contiguous in doc order and each holds < budget prior
+    // tokens plus its last (possibly overflowing) doc
+    val shardSums = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = rows.map(_._2).max
+    shardSums.foreach { case (shard, s) =>
+      assert(s <= budget + maxDoc, s"shard $shard over budget: $s")
+    }
+  }
+
   test("lang_id tie-break is alphabetical and no-hit docs are 'und'") {
     // 'la' is in both the es and fr lists -> tie -> alphabetical -> es
     val rows = Seq((1L, "la la qqq", "xx"), (2L, "qqq zzz", "xx"))
