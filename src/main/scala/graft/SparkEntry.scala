@@ -82,6 +82,8 @@ object SparkEntry {
     "sample_stratified"  -> (TextOps.sampleStratified _),
     "pack_token_shards"  -> ((s, d) => TextOps.packTokenShards(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
+    // the full cleanup pass: + near-dup CLUSTER canonicalization (E13)
+    "pipeline_dedup_corpus" -> ((s, d) => TextOps.pipelineDedupCorpus(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "multimodal_resize"       -> ((s, d) => Multimodal.multimodalResize(s, d)),
@@ -151,6 +153,7 @@ object SparkEntry {
     "sample_stratified" -> TextOps.sampleStratifiedOracleSql,
     "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
+    "pipeline_dedup_corpus" -> TextOps.pipelineDedupCorpusOracleSql(),
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
     "multimodal_resize"       -> Multimodal.multimodalResizeOracleSql(),

@@ -325,6 +325,80 @@ object TextOps {
        |FROM clean JOIN canon USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** E16: the FULL pretraining cleanup pass — language filter (E7),
+    * quality floor (E8), exact-dup canonicalization (E1), and NEAR-dup
+    * cluster canonicalization (E13 connected components): a document
+    * survives when it passes both filters, is its exact-duplicate
+    * group's canonical, and is not a non-canonical member of a near-dup
+    * component. Components are computed over the WHOLE corpus pair
+    * graph (membership in a boilerplate family is a property of the
+    * corpus, not of the filtered subset); the non-canonical set is
+    * tiny, so it drops via a broadcast anti-join. Everything except
+    * the O(diameter) propagation rounds is one declarative plan.
+    */
+  def pipelineDedupCorpus(spark: SparkSession, dir: String,
+                          lang: String = "en",
+                          minScore: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val predicted = langIdOn(docs).select(col("doc_id"), col("predicted"))
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val clean = docs.select("doc_id", "source", "text")
+      .join(predicted, "doc_id")
+      .join(quality, "doc_id")
+      .filter(col("predicted") === lang && col("score") >= minScore)
+    val exactCanon = clean
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nonCanonical = Dedup.dedupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+    clean.join(exactCanon, "doc_id")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_clean"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the E12 CTE chain plus the E13 recursive-CTE closure; the
+    * survivor rule is identical (exact canon ∧ not a non-canonical
+    * component member).
+    */
+  def pipelineDedupCorpusOracleSql(lang: String = "en",
+                                   minScore: Double = 0.3): String =
+    s"""WITH RECURSIVE lang_pred AS (${langIdOracleSql}),
+       |qual AS (${qualityScoreOracleSql}),
+       |clean AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d
+       |  JOIN lang_pred ON d.doc_id = lang_pred.doc_id
+       |  JOIN qual ON d.doc_id = qual.doc_id
+       |  WHERE lang_pred.predicted = '$lang' AND qual.score >= $minScore),
+       |canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= ${Dedup.JaccardThreshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |noncanon AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING least(src, min(dst)) <> src)
+       |SELECT source, count(*) AS n_docs_clean
+       |FROM clean JOIN canon USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- E10
 
   /** E10: positional rolling-hash fingerprint:

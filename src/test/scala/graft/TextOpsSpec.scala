@@ -81,6 +81,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dedup_corpus: near-dup canonicalization only ever removes E12 survivors") {
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val e12 = TextOps.pipelineCleanCorpus(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e16 = TextOps.pipelineDedupCorpus(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e16.nonEmpty)
+    // per source: adding the near-dup filter can only shrink the count,
+    // and total shrinkage equals the number of E12 survivors that are
+    // non-canonical members of a near-dup component
+    e16.foreach { case (src, n) =>
+      assert(n <= e12.getOrElse(src, 0L), s"source $src grew under a stricter filter")
+    }
+    val nonCanon = graft.operators.Dedup.dedupComponents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("component_id"))
+      .collect().map(_.getLong(0)).toSet
+    val removed = e12.values.sum - e16.values.sum
+    assert(removed >= 0 && removed <= nonCanon.size,
+      s"removed $removed docs but only ${nonCanon.size} non-canonical members exist")
+  }
+
   test("lang_id tie-break is alphabetical and no-hit docs are 'und'") {
     // 'la' is in both the es and fr lists -> tie -> alphabetical -> es
     val rows = Seq((1L, "la la qqq", "xx"), (2L, "qqq zzz", "xx"))
