@@ -76,6 +76,12 @@ object SparkEntry {
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
+    // repetition rules (dup-word / top-bigram fractions) — the
+    // boilerplate filters E8's composite doesn't cover
+    "quality_gopher"  -> (TextOps.qualityGopher _),
+    // keyword (BM25) + hybrid RRF retrieval over documents
+    "text_search_bm25"  -> ((s, d) => Search.textSearchBm25(s, d)),
+    "hybrid_search_rrf" -> ((s, d) => Search.hybridSearchRrf(s, d)),
     "token_count"     -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // deterministic corpus shrink + training-shard assignment
@@ -110,6 +116,12 @@ object SparkEntry {
     "q17_small_qty_revenue"    -> (Analytics.q17SmallQtyRevenue _),
     "customers_without_orders" -> (Analytics.customersWithoutOrders _),
     "events_moving_avg"        -> (Analytics.eventsMovingAvg _),
+    // AS-OF join (last click at-or-before each purchase) via the
+    // union+running-window re-expression — O(C+P), no range-join blowup
+    "events_asof_join"         -> (Analytics.eventsAsofJoin _),
+    // ordered view→click→purchase funnel: one shuffle, chained
+    // running-flag windows instead of a 3-way self-join
+    "events_funnel"            -> (Analytics.eventsFunnel _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -148,6 +160,9 @@ object SparkEntry {
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
+    "quality_gopher"  -> TextOps.qualityGopherOracleSql,
+    "text_search_bm25"  -> Search.textSearchBm25OracleSql(),
+    "hybrid_search_rrf" -> Search.hybridSearchRrfOracleSql(),
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
     "sample_stratified" -> TextOps.sampleStratifiedOracleSql,
@@ -230,5 +245,7 @@ object SparkEntry {
     "q17_small_qty_revenue"    -> Analytics.q17OracleSql,
     "customers_without_orders" -> Analytics.customersWithoutOrdersOracleSql,
     "events_moving_avg"        -> Analytics.eventsMovingAvgOracleSql,
+    "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,
+    "events_funnel"            -> Analytics.eventsFunnelOracleSql,
   )
 }

@@ -10,7 +10,14 @@ object Verify {
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_ONLY=key1,key2: restrict the dump to a comma-separated key
+    // subset (local iteration on new operators; the driver never sets it).
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None     => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // GRAFT_EXPLAIN=1: dump each physical plan for shuffle/pushdown
@@ -35,7 +42,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(ks) => SparkEntry.oracleSql.filter { case (n, _) => ks(n) }
+      case None     => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

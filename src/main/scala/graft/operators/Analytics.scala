@@ -451,4 +451,133 @@ object Analytics {
       |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
+
+  /** C15: AS-OF join — for each `purchase`, the most recent `click` by
+    * the same user at-or-before the purchase (attribution's "last
+    * touch"). Spark has no ASOF JOIN operator; the naive formulation is
+    * a range join (every purchase × every earlier click, O(C·P) per
+    * user, a BroadcastNestedLoop at scale). This is the scalable
+    * re-expression: UNION both sides tagged, one shuffle on user_id,
+    * one within-partition sort, then `last(_, ignoreNulls)` over an
+    * unbounded-preceding running frame carries the latest click forward
+    * to each purchase row — O(C+P) total work, no pair blow-up, and the
+    * sort-merge shape AQE can split on skewed users.
+    *
+    * Tie contract (fully deterministic): events order by
+    * (µs timestamp, kind click<purchase, event_id) — a click at the
+    * purchase's exact µs matches, and among same-µs clicks the largest
+    * event_id wins. Both engines order by the SAME µs-truncated key
+    * (Tables.events truncates ns→µs; the oracle orders by epoch_us).
+    */
+  def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"))
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_event_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(run))
+      .withColumn("click_us",
+        last(when(col("kind") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(run))
+      .filter(col("kind") === 1 && col("click_event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("click_event_id"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** C16: ordered funnel — users who viewed, then clicked AFTER that
+    * view, then purchased AFTER that qualifying click (strict
+    * event-order precedence, not mere per-type existence). The
+    * sequential-pattern query every product/behavior pipeline runs.
+    *
+    * One shuffle total: events sort once per user and three running
+    * `max(flag) OVER (UNBOUNDED PRECEDING .. 1 PRECEDING)` windows
+    * chain the stages (a stage-k event qualifies iff a stage-(k-1)
+    * qualifying event exists strictly earlier); per-user reach flags
+    * then aggregate map-side. No self-joins — the naive 3-way
+    * events×events×events formulation shuffles the fact three times
+    * and explodes on active users.
+    *
+    * Integer flags end-to-end; deterministic by construction (flags
+    * are order-insensitive aggregates of a deterministic ordering).
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 1).otherwise(0).as("is_view"),
+        col("event_type"))
+      .withColumn("seen_view",
+        coalesce(max(col("is_view")).over(prior), lit(0)))
+      .withColumn("is_qclick",
+        when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0))
+      .withColumn("seen_qclick",
+        coalesce(max(col("is_qclick")).over(prior), lit(0)))
+      .withColumn("is_qpurchase",
+        when(col("event_type") === "purchase" && col("seen_qclick") === 1, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(max(col("is_view")).as("v"), max(col("is_qclick")).as("c"),
+        max(col("is_qpurchase")).as("p"))
+      .agg(sum(col("v")).cast("long").as("n_view_users"),
+        sum(col("c")).cast("long").as("n_view_click_users"),
+        sum(col("p")).cast("long").as("n_full_funnel_users"))
+  }
+
+  def eventsFunnelOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (
+      |  SELECT *, coalesce(max(is_view) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_view
+      |  FROM ev),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+      |    THEN 1 ELSE 0 END AS is_qclick FROM s1),
+      |s3 AS (
+      |  SELECT *, coalesce(max(is_qclick) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_qclick
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND seen_qclick = 1
+      |    THEN 1 ELSE 0 END AS is_qpurchase FROM s3),
+      |per_user AS (
+      |  SELECT user_id, max(is_view) AS v, max(is_qclick) AS c,
+      |    max(is_qpurchase) AS p
+      |  FROM s4 GROUP BY user_id)
+      |SELECT CAST(sum(v) AS BIGINT) AS n_view_users,
+      |  CAST(sum(c) AS BIGINT) AS n_view_click_users,
+      |  CAST(sum(p) AS BIGINT) AS n_full_funnel_users
+      |FROM per_user""".stripMargin
+
+  /** DuckDB could run this as a native ASOF JOIN, but the window twin
+    * keeps the tie contract explicit and engine-identical.
+    */
+  def eventsAsofJoinOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_id, us, kind,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, kind, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+      |    last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, kind, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+      |  FROM ev)
+      |SELECT event_id, user_id, click_event_id,
+      |  CAST(us - click_us AS BIGINT) AS gap_us
+      |FROM w WHERE kind = 1 AND click_event_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{FakeEmbedding, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E18/E19: keyword (BM25) and hybrid (BM25 ⊕ vector, reciprocal-rank
+  * fusion) retrieval over the documents corpus — the text-search half
+  * of the hybrid-search surface a vector store grows next (the
+  * reference serves the vector half; stackai-vector-db
+  * app/services/search_service.py:83-120 is kNN-only).
+  *
+  * Scale notes:
+  *   - The fixed-query BM25 is the inverted-index PROBE shape laid out
+  *     as one corpus scan: per-term tf is a per-row array count
+  *     (codegen'd, no explode), the corpus stats (N, Σdl, per-term df)
+  *     are ONE aggregate row broadcast back, and the top-k is the
+  *     repo's bounded TopKByDistance aggregate — map-side combined,
+  *     never a global sort. At 100 TB the stats row comes from the
+  *     corpus catalog instead, and nothing else changes.
+  *   - Ranking outputs RANKS, not scores: the only non-rational step
+  *     (ln in idf) can differ by 1 ulp across engines, so scores are
+  *     kept internal and ties inside each engine break by doc_id.
+  *   - RRF fusion operates on the two top-k lists only (≤ 2k rows,
+  *     broadcast): documents outside both lists contribute nothing to
+  *     the fused score by construction, so fusing shortlists equals
+  *     fusing full rankings truncated at k — the standard serving
+  *     shape.
+  *
+  * BM25 constants: k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))
+  * (the always-positive Lucene form). Literals are written identically
+  * in the Column expression and the oracle SQL so every double op is
+  * IEEE-identical across engines.
+  */
+object Search {
+
+  /** Fixed demo query: three corpus-vocabulary terms. */
+  val QueryTerms: Seq[String] = Seq("vector", "hash", "join")
+
+  /** Per-doc BM25 score for [[QueryTerms]]: doc_id, dl, tf<i>, score. */
+  def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val perDoc = Tables.documents(spark, dir).select(
+      col("doc_id") +: size(ws).cast("long").as("dl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      QueryTerms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val n = col("n_docs").cast("double")
+    val sumDl = col("sum_dl").cast("double")
+    val dl = col("dl").cast("double")
+    val score = QueryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * ((dl * n) / sumDl)))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats)).withColumn("score", score)
+  }
+
+  /** Top-k ids of `df` by `by` DESC with doc_id tie-break, ranked via
+    * the bounded TopKByDistance aggregate (map-side combined — no
+    * global sort, no single-partition window).
+    */
+  private def rankTopK(df: DataFrame, by: Column, k: Int,
+                       rankName: String): DataFrame =
+    df.groupBy()
+      .agg(VectorFunctions.topKByDistance(-by, col("doc_id"), k).as("nn"))
+      .select(posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("nn.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as(rankName))
+
+  /** E18: BM25 top-10 for the fixed query. */
+  def textSearchBm25(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    rankTopK(bm25Scored(spark, dir), col("score"), k, "rank")
+      .orderBy("rank")
+
+  private def bm25Cte: String = {
+    val tfs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfs = QueryTerms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n    ")
+    val terms = QueryTerms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))))"""
+    }.mkString("\n      + ")
+    s"""bm_d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |bm_f AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM bm_d),
+       |bm_s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfs
+       |  FROM bm_f),
+       |bm_sc AS (
+       |  SELECT doc_id,
+       |    $terms AS score
+       |  FROM bm_f, bm_s)""".stripMargin
+  }
+
+  def textSearchBm25OracleSql(k: Int = 10): String =
+    s"""WITH $bm25Cte
+       |SELECT doc_id, rank FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM bm_sc) t
+       |WHERE rank <= $k
+       |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- E19
+
+  /** Per-doc cosine distance to the fake-embedded [[VectorQueries.TextQuery]]
+    * (the same provider-seam contract as embed_chunks / knn_text_query,
+    * at the corpus dim).
+    */
+  def vecScored(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val clean = trim(lower(col("text")))
+    val qv = FakeEmbedding.embed(VectorQueries.TextQuery, dim).toSeq
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(split(clean, ""), lit(0L), (acc, ch) => acc + ascii(ch))
+          .as("char_sum"),
+        length(clean).cast("long").as("len"),
+        size(split(clean, "\\s+")).cast("long").as("words"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)), i =>
+          ((col("char_sum") * (i + lit(1L)) + col("len") * (i + lit(7L)) +
+            col("words") * (i + lit(13L))) % 1000L) / lit(1000.0) - lit(0.5))
+          .as("vec"))
+      .select(col("doc_id"),
+        VectorFunctions.cosineDistance(col("vec"), typedlit(qv)).as("dist"))
+  }
+
+  /** E19: hybrid search — RRF (r ↦ 1/(60+r)) over the BM25 top-20 and
+    * the vector top-20, fused top-10. Both shortlists are tiny
+    * (broadcast full-outer join); absent ranks contribute 0 and are
+    * emitted as 0.
+    */
+  def hybridSearchRrf(spark: SparkSession, dir: String,
+                      kIn: Int = 20, kOut: Int = 10): DataFrame = {
+    val bm = rankTopK(bm25Scored(spark, dir), col("score"), kIn, "bm25_rank")
+    val ve = rankTopK(vecScored(spark, dir), -col("dist"), kIn, "vec_rank")
+    val fused = bm.join(ve, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))).as("rrf"))
+    rankTopK(fused, col("rrf"), kOut, "rrf_rank")
+      .join(broadcast(fused.select("doc_id", "bm25_rank", "vec_rank")), Seq("doc_id"))
+      .select("doc_id", "rrf_rank", "bm25_rank", "vec_rank")
+      .orderBy("rrf_rank")
+  }
+
+  def hybridSearchRrfOracleSql(kIn: Int = 20, kOut: Int = 10,
+                               dim: Int = 64): String = {
+    val qvLit = FakeEmbedding.sqlLiteral(VectorQueries.TextQuery, dim)
+    s"""WITH $bm25Cte,
+       |b20 AS (
+       |  SELECT doc_id, rank AS br FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |    FROM bm_sc) t WHERE rank <= $kIn),
+       |v_f AS (
+       |  SELECT doc_id, trim(lower(text)) AS clean FROM documents),
+       |v_feats AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(string_split(clean, ''), x -> ord(x))) AS BIGINT) AS char_sum,
+       |    CAST(length(clean) AS BIGINT) AS len,
+       |    CAST(len(string_split_regex(clean, '\\s+')) AS BIGINT) AS words
+       |  FROM v_f),
+       |v_vecs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $dim), i ->
+       |      ((char_sum*(i+1) + len*(i+7) + words*(i+13)) % 1000)/1000.0 - 0.5) AS vec
+       |  FROM v_feats),
+       |v20 AS (
+       |  SELECT doc_id, rank AS vr FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY list_cosine_similarity(vec, $qvLit) DESC, doc_id) AS rank
+       |    FROM v_vecs) t WHERE rank <= $kIn),
+       |fused AS (
+       |  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+       |    CAST(coalesce(b.br, 0) AS INT) AS bm25_rank,
+       |    CAST(coalesce(v.vr, 0) AS INT) AS vec_rank,
+       |    coalesce(1.0 / (60.0 + b.br), 0.0) + coalesce(1.0 / (60.0 + v.vr), 0.0) AS rrf
+       |  FROM b20 b FULL OUTER JOIN v20 v ON b.doc_id = v.doc_id)
+       |SELECT doc_id, rrf_rank, bm25_rank, vec_rank FROM (
+       |  SELECT doc_id, bm25_rank, vec_rank,
+       |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rrf_rank
+       |  FROM fused) t
+       |WHERE rrf_rank <= $kOut
+       |ORDER BY rrf_rank""".stripMargin
+  }
+}

@@ -258,6 +258,72 @@ object TextOps {
       |  (CAST(stop_hits AS DOUBLE)/n_words) * 0.4 AS score
       |FROM feats ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- E17
+
+  /** E17: repetition-based quality signals (the Gopher/C4-style rules
+    * E8's composite does not cover): per doc, the fraction of words
+    * that are repeats of an earlier word and the fraction of word
+    * bigrams claimed by the single most frequent bigram — the two
+    * workhorse filters for template/boilerplate text, where stopword
+    * and length stats look fine but the n-gram stream collapses.
+    *
+    * Shapes: everything is a per-row array expression inside one
+    * codegen'd scan — distinct/filter/transform over the word array,
+    * no explode, no shuffle. The most-frequent-bigram count is
+    * O(distinct² ) per row, bounded by doc length, and trades a shuffle
+    * for per-row CPU — the right side of that trade at 100 TB where the
+    * alternative is exploding every bigram through a groupBy. All
+    * output fractions are single divisions of exact integers, so both
+    * engines produce bit-identical doubles.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        when(size(col("ws")) < 2, lit(0L)).otherwise(
+          array_max(transform(
+            array_distinct(zip_with(
+              slice(col("ws"), lit(1), size(col("ws")) - 1),
+              slice(col("ws"), lit(2), size(col("ws")) - 1),
+              (a, b) => concat(a, lit(" "), b))),
+            bg => size(filter(zip_with(
+              slice(col("ws"), lit(1), size(col("ws")) - 1),
+              slice(col("ws"), lit(2), size(col("ws")) - 1),
+              (a, b) => concat(a, lit(" "), b)), y => y === bg))))
+            .cast("long")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_bigram_n"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        when(col("n_words") < 2, lit(0.0))
+          .otherwise(col("top_bigram_n").cast("double") / (col("n_words") - 1))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def qualityGopherOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |    CASE WHEN len(ws) < 2 THEN CAST(0 AS BIGINT) ELSE CAST(
+      |      list_max(list_transform(
+      |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])),
+      |        bg -> len(list_filter(
+      |          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]),
+      |          y -> y = bg)))) AS BIGINT) END AS top_bigram_n
+      |  FROM d)
+      |SELECT doc_id, n_words, n_distinct, top_bigram_n,
+      |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+      |  CASE WHEN n_words < 2 THEN 0.0
+      |       ELSE CAST(top_bigram_n AS DOUBLE) / (n_words - 1) END AS top_bigram_frac
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- E9
 
   val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
