@@ -122,6 +122,11 @@ object SparkEntry {
     // ordered view→click→purchase funnel: one shuffle, chained
     // running-flag windows instead of a 3-way self-join
     "events_funnel"            -> (Analytics.eventsFunnel _),
+    // weekly cohort retention triangle (first-week cohorts × active weeks)
+    "events_cohort_retention"  -> (Analytics.eventsCohortRetention _),
+    // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
+    // integer-quantized idf so scores are exact BIGINTs cross-engine
+    "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -247,5 +252,7 @@ object SparkEntry {
     "events_moving_avg"        -> Analytics.eventsMovingAvgOracleSql,
     "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,
     "events_funnel"            -> Analytics.eventsFunnelOracleSql,
+    "events_cohort_retention"  -> Analytics.eventsCohortRetentionOracleSql,
+    "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

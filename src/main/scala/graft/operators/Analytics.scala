@@ -478,10 +478,13 @@ object Analytics {
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
-      .withColumn("click_event_id",
-        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(run))
-      .withColumn("click_us",
-        last(when(col("kind") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(run))
+      // both running columns in ONE projection so they land in a single
+      // Window exec (two withColumns left two Window passes in the plan)
+      .select(col("*"),
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
+          .over(run).as("click_event_id"),
+        last(when(col("kind") === 0, unix_micros(col("ts"))), ignoreNulls = true)
+          .over(run).as("click_us"))
       .filter(col("kind") === 1 && col("click_event_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("click_event_id"),
         (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
@@ -558,6 +561,48 @@ object Analytics {
       |  CAST(sum(c) AS BIGINT) AS n_view_click_users,
       |  CAST(sum(p) AS BIGINT) AS n_full_funnel_users
       |FROM per_user""".stripMargin
+
+  /** C17: weekly cohort retention — users bucket into the week of
+    * their first event (cohort), and each (cohort_week, active_week)
+    * cell counts that cohort's users active that week. The standard
+    * retention triangle.
+    *
+    * Scale shape: week indices are pure integer arithmetic off one
+    * broadcast scalar (global min µs); activity reduces to DISTINCT
+    * (user, week) pairs with a map-side-combined groupBy on user_id;
+    * the cohort join is co-partitioned on user_id (the groupBy's
+    * partitioning is reused — no extra shuffle); the final cell count
+    * shuffles only |users|·|weeks| skinny rows.
+    */
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val base = ev.agg(min(col("us")).as("base_us"))
+    val userWeeks = ev.crossJoin(broadcast(base))
+      .select(col("user_id"),
+        expr(s"(us - base_us) DIV $weekUs").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .orderBy("cohort_week", "week")
+  }
+
+  def eventsCohortRetentionOracleSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |base AS (SELECT min(us) AS base_us FROM ev),
+      |uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST((us - base_us) // 604800000000 AS BIGINT) AS week
+      |  FROM ev, base),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+      |SELECT c.cohort_week, uw.week, CAST(count(*) AS BIGINT) AS n_active
+      |FROM uw JOIN cohorts c ON uw.user_id = c.user_id
+      |GROUP BY c.cohort_week, uw.week
+      |ORDER BY cohort_week, week""".stripMargin
 
   /** DuckDB could run this as a native ASOF JOIN, but the window twin
     * keeps the tie contract explicit and engine-identical.

@@ -162,6 +162,62 @@ object Search {
       .orderBy("rrf_rank")
   }
 
+  // ---------------------------------------------------------------- E20
+
+  /** E20: per-document keyword extraction — top-3 distinguishing terms
+    * by tf-idf. This is the INVERTED-INDEX BUILD shape (E18 is the
+    * probe shape): explode terms → (doc, term) tf [shuffle 1] → term df
+    * [shuffle 2, vocab-sized] → join scores back → per-doc top-3 via a
+    * doc-partitioned window [shuffle 3]. Every stage is keyed and
+    * map-side combined; the window partitions by doc_id so it
+    * parallelizes (never a global window).
+    *
+    * idf is INTEGER-QUANTIZED: idf_q = (1_000_000 · N) div df, so
+    * score = tf · idf_q is exact BIGINT arithmetic — bit-identical
+    * across engines with no ln() ulp hazard (cf. E18, which must emit
+    * ranks only). The quantization error (≤ 1 part in ~10⁴ of idf at
+    * this N) is far below any rank-relevant gap.
+    */
+  def keywordExtractTfidf(spark: SparkSession, dir: String,
+                          k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((1000000 * n_docs) DIV df)"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"),
+        col("score").cast("long").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def keywordExtractTfidfOracleSql(k: Int = 3): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM w GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf * ((1000000 * n.n_docs) // d.df) AS score
+       |  FROM tf JOIN df d ON tf.term = d.term CROSS JOIN n)
+       |SELECT doc_id, term, rank, CAST(score AS BIGINT) AS score FROM (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM sc) t
+       |WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
   def hybridSearchRrfOracleSql(kIn: Int = 20, kOut: Int = 10,
                                dim: Int = 64): String = {
     val qvLit = FakeEmbedding.sqlLiteral(VectorQueries.TextQuery, dim)

@@ -167,4 +167,47 @@ class SearchSpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((nV, nC, nP)))
     assert(nV >= nC && nC >= nP && nP > 0)
   }
+
+  // -------------------------------------------------------------- C17
+
+  test("events_cohort_retention equals a naive per-user recomputation") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000))
+    val base = ev.map(_._2).min
+    val weekUs = 7L * 86400000000L
+    val uw = ev.map { case (u, us) => (u, (us - base) / weekUs) }.distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val want = uw.groupBy { case (u, w) => (cohort(u), w) }
+      .map { case (k, vs) => (k._1, k._2, vs.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = Analytics.eventsCohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // diagonal sanity: every cohort is active in its own first week
+    got.groupBy(_._1).foreach { case (cw, rows) =>
+      assert(rows.exists(_._2 == cw))
+    }
+  }
+
+  // -------------------------------------------------------------- E20
+
+  test("keyword_extract_tfidf equals a naive tf-idf recomputation") {
+    val texts = docTexts
+    val n = texts.size.toLong
+    val tf = texts.toSeq.flatMap { case (id, t) =>
+      t.trim.toLowerCase.split("\\s+").toSeq.groupBy(identity)
+        .map { case (w, g) => (id, w, g.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val want = tf.map { case (id, w, f) => (id, w, f * ((1000000L * n) / df(w))) }
+      .groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+        terms.sortBy { case (_, w, s) => (-s, w) }.take(3).zipWithIndex
+          .map { case ((_, w, s), i) => (id, w, i + 1, s) }
+      }.sortBy(t => (t._1, t._3))
+    val got = Search.keywordExtractTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
 }
