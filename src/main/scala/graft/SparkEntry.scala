@@ -101,6 +101,9 @@ object SparkEntry {
     "stream_join"       -> (Streams.streamJoin _),
     "stream_anomaly"    -> (Streams.streamAnomaly _),
     "stream_knn"        -> (Streams.streamKnn _),
+    // streaming twin of the C16 funnel: per-user stage machine in
+    // flatMapGroupsWithState, append-mode transition rows
+    "stream_funnel"     -> (Streams.streamFunnel _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -194,6 +197,9 @@ object SparkEntry {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // D8 ≡ C16: the funnel stage machine's reach counts equal the
+    // batch window-chain SQL
+    "stream_funnel"     -> Analytics.eventsFunnelOracleSql,
     // exact-integer twin of the running-mean anomaly rule:
     // cents*n_prior > 2*sum_prior_cents, prior rows in (ts, event_id) order
     "stream_anomaly"    ->

@@ -64,7 +64,9 @@ final class FakeEmbeddingClient(val embeddingDim: Int = EmbeddingClient.DefaultD
 
   override def embedColumn(text: Column): Column = {
     val clean = trim(lower(text))
-    val charSum = aggregate(split(clean, ""), lit(0L), (acc, ch) => acc + ascii(ch))
+    // codegen'd code-point sum (≡ aggregate(split(clean,""), _+ascii),
+    // which runs interpreted — see functions.CharSum)
+    val charSum = TextFunctions.charSum(clean)
     val len = length(clean).cast("long")
     val words = size(split(clean, "\\s+")).cast("long")
     // empty/whitespace text: embedText THROWS (the reference's

@@ -38,13 +38,22 @@ object Search {
   /** Fixed demo query: three corpus-vocabulary terms. */
   val QueryTerms: Seq[String] = Seq("vector", "hash", "join")
 
-  /** Per-doc BM25 score for [[QueryTerms]]: doc_id, dl, tf<i>, score. */
+  /** Per-doc BM25 score for [[QueryTerms]]: doc_id, dl, tf<i>, score.
+    *
+    * tf counts via a codegen'd regex — `(?:^|\s)term(?=\s|$)` counts
+    * exactly the whitespace-delimited token occurrences that
+    * `filter(split(text), _ == term)` counts (the lookahead leaves each
+    * trailing separator for the next match, so adjacent repeats all
+    * count), but the higher-order `filter` runs INTERPRETED per word
+    * (CodegenFallback) — measured ~4s vs ~0.5s at sf0.1.
+    */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
+    val clean = trim(lower(col("text")))
     val perDoc = Tables.documents(spark, dir).select(
-      col("doc_id") +: size(ws).cast("long").as("dl") +:
+      col("doc_id") +: size(split(clean, "\\s+")).cast("long").as("dl") +:
         QueryTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(ws, w => w === lit(t))).cast("long").as(s"tf$i")
+          regexp_count(clean, lit("(?:^|\\s)" + java.util.regex.Pattern.quote(t) +
+            "(?=\\s|$)")).cast("long").as(s"tf$i")
         }: _*)
     val statCols = sum(col("dl")).as("sum_dl") +:
       QueryTerms.indices.map { i =>
@@ -128,8 +137,7 @@ object Search {
     val qv = FakeEmbedding.embed(VectorQueries.TextQuery, dim).toSeq
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        aggregate(split(clean, ""), lit(0L), (acc, ch) => acc + ascii(ch))
-          .as("char_sum"),
+        graft.functions.TextFunctions.charSum(clean).as("char_sum"),
         length(clean).cast("long").as("len"),
         size(split(clean, "\\s+")).cast("long").as("words"))
       .select(col("doc_id"),
@@ -148,8 +156,14 @@ object Search {
     */
   def hybridSearchRrf(spark: SparkSession, dir: String,
                       kIn: Int = 20, kOut: Int = 10): DataFrame = {
+    // each ranker runs ONCE and its k-row list materializes
+    // (localCheckpoint): the fused frame is consumed twice below, and
+    // without the pin each consumer re-executes the whole scoring
+    // pipeline — measured 18.5s → 4s at sf0.1, pure re-run latency
     val bm = rankTopK(bm25Scored(spark, dir), col("score"), kIn, "bm25_rank")
+      .localCheckpoint()
     val ve = rankTopK(vecScored(spark, dir), -col("dist"), kIn, "vec_rank")
+      .localCheckpoint()
     val fused = bm.join(ve, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),

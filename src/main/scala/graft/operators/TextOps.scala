@@ -85,8 +85,7 @@ object TextOps {
       .filter(length(col("clean")) > 0)
       .select(
         col("doc_id"), col("chunk_idx"),
-        aggregate(split(col("clean"), ""), lit(0L), (acc, ch) => acc + ascii(ch))
-          .as("char_sum"),
+        graft.functions.TextFunctions.charSum(col("clean")).as("char_sum"),
         length(col("clean")).cast("long").as("len"),
         size(split(col("clean"), "\\s+")).cast("long").as("words"))
       .withColumn("comp_idx", explode(sequence(lit(0L), lit(dim - 1L))))

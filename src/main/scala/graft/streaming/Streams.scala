@@ -326,6 +326,72 @@ object Streams {
     runOnFiles(spark, dir, "append")(anomalyJob)
       .orderBy("user_id", "event_id")
 
+  /** Per-user funnel stage machine for D8: monotone flags, so each
+    * stage transition emits exactly once per user (append-mode safe).
+    */
+  case class FunnelState(seenView: Boolean, seenQClick: Boolean,
+                         v: Boolean, c: Boolean, p: Boolean)
+
+  /** D8: streaming twin of C16's ordered funnel — a per-user stage
+    * machine in flatMapGroupsWithState. A click qualifies iff a view
+    * was processed STRICTLY earlier, a purchase iff a qualifying click
+    * was; the state machine updates flags as it folds each user's
+    * slice in (ts, event_id) order, which is exactly the batch
+    * operator's 1-PRECEDING window frame. Emits one (user, stage) row
+    * at each FIRST stage reach — monotone, so state is 5 booleans per
+    * user forever and output is append-mode idempotent. Same
+    * cross-batch ordering contract as D6: batch boundaries respect
+    * event-time order (the landing-zone cadence); within a batch the
+    * group slice re-sorts.
+    */
+  def funnelJob(ds: Dataset[Event]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, events, state) =>
+          var s = state.getOption.getOrElse(
+            FunnelState(seenView = false, seenQClick = false,
+              v = false, c = false, p = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" =>
+                if (!s.v) out += ((user, "view"))
+                s = s.copy(v = true, seenView = true)
+              case "click" => if (s.seenView) {
+                if (!s.c) out += ((user, "click"))
+                s = s.copy(c = true, seenQClick = true)
+              }
+              case _ => if (s.seenQClick && !s.p) {
+                out += ((user, "purchase"))
+                s = s.copy(p = true)
+              }
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF("user_id", "stage")
+  }
+
+  /** D8 driver entry: funnel reach counts (same one-row shape and
+    * oracle as C16 — the batch twin SQL).
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    runOnFiles(spark, dir, "append")(funnelJob)
+      .agg(
+        sum(when(col("stage") === "view", 1).otherwise(0)).cast("long")
+          .as("n_view_users"),
+        sum(when(col("stage") === "click", 1).otherwise(0)).cast("long")
+          .as("n_view_click_users"),
+        sum(when(col("stage") === "purchase", 1).otherwise(0)).cast("long")
+          .as("n_full_funnel_users"))
+
   /** D3: streaming twin of C6; per-user rollup is batch on the sink. */
   def streamSession(spark: SparkSession, dir: String): DataFrame =
     runOnFiles(spark, dir, "complete")(sessionJob)

@@ -127,6 +127,50 @@ class StreamsSpec extends AnyFunSuite {
       s"expected only event 5 flagged (state must carry sum=30,n=3 into batch 2): $flagged")
   }
 
+  test("D8 stream_funnel == C16 batch funnel (reach counts)") {
+    val got = Streams.streamFunnel(spark, sf).collect().head
+    val want = Analytics.eventsFunnel(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2))))
+  }
+
+  test("funnel stage machine state survives micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    // view lands in batch 1; click and purchase in batch 2 — the click
+    // only qualifies if seenView carried over, the purchase only if
+    // seenQClick was set within batch 2 processing
+    def write(name: String, stamp: Long, rows: Seq[(Long, String, String)]): Unit = {
+      rows.map { case (id, t, typ) => (id, t, 9L, typ, 1.0) }
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(stamp))
+    }
+    write("f1", 1000000L, Seq((1L, "2026-01-01 00:01:00", "view")))
+    write("f2", 2000000L, Seq(
+      (2L, "2026-01-01 00:02:00", "click"),
+      (3L, "2026-01-01 00:03:00", "purchase")))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .as[Streams.Event]
+    val sink = "graft_funnel_sink"
+    val q = Streams.funnelJob(stream)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val stages = spark.table(sink).collect()
+      .map(r => r.getString(1)).sorted.toSeq
+    assert(stages == Seq("click", "purchase", "view"),
+      s"all three transitions must fire across the two batches: $stages")
+  }
+
   test("file-streamed harness == MemoryStream harness (same job, same rows)") {
     val viaFiles = Streams.streamWindowAgg(spark, sf)
     val viaMemory = Streams.runOnMemory(spark, sf, "complete")(Streams.windowAggJob)
