@@ -620,10 +620,7 @@ object Pq {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    topK(spark, dir, q, k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("dist"), col("neighbor_id"))))
+    Ranks.byDistance(topK(spark, dir, q, k), k)
       .select(col("neighbor_id"), col("rank"),
         lit(model.dim * 4).as("raw_bytes_per_vec"),
         lit(model.m).as("pq_bytes_per_vec"))
@@ -652,10 +649,7 @@ object Pq {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    topK(spark, dir, q, k, opq = true)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("dist"), col("neighbor_id"))))
+    Ranks.byDistance(topK(spark, dir, q, k, opq = true), k)
       .select(col("neighbor_id"), col("rank"),
         lit(model.dim * 4).as("raw_bytes_per_vec"),
         lit(model.m).as("pq_bytes_per_vec"))
@@ -670,10 +664,8 @@ object Pq {
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
     val (_, centroids) = Ivf.indexFor(spark, dir)
-    ivfPqTopK(spark, dir, q, k, nprobe = math.max(1, centroids.length / 4))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("dist"), col("neighbor_id"))))
+    Ranks.byDistance(
+        ivfPqTopK(spark, dir, q, k, nprobe = math.max(1, centroids.length / 4)), k)
       .select(col("neighbor_id"), col("rank"))
   }
 }

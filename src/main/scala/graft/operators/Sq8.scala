@@ -126,10 +126,7 @@ object Sq8 {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    topK(spark, dir, q, k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("dist"), col("neighbor_id"))))
+    Ranks.byDistance(topK(spark, dir, q, k), k)
       .select(col("neighbor_id"), col("rank"),
         lit(m.mins.length * 4).as("raw_bytes_per_vec"),
         lit(m.mins.length).as("sq8_bytes_per_vec"))

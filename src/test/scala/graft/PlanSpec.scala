@@ -71,4 +71,56 @@ class PlanSpec extends AnyFunSuite {
         s"unpruned lineitem read schema: $read")
     }
   }
+
+  private def countNodes(p: org.apache.spark.sql.execution.SparkPlan,
+                         pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        return countNodes(a.executedPlan, pred)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        return countNodes(q.plan, pred)
+      case _ => if (pred(p)) 1 else 0
+    }
+    self + p.children.map(countNodes(_, pred)).sum
+  }
+
+  test("asof join: event-type filter pushed to scan, ONE window pass, one data shuffle") {
+    val df = Analytics.eventsAsofJoin(spark, sf)
+    df.collect()
+    val s = scans(df)
+    assert(s.exists(_.metadata("PushedFilters").contains("event_type")),
+      "event_type IN filter did not reach the events scan")
+    val plan = df.queryExecution.executedPlan
+    assert(countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) == 1,
+      "both running columns must land in a single Window exec")
+    // exchanges: one shuffle on user_id + the presentation orderBy only
+    assert(countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) <= 2,
+      "asof join must not shuffle beyond user_id + presentation sort")
+  }
+
+  test("funnel: one data shuffle, partial aggregation reuses the window partitioning") {
+    val df = Analytics.eventsFunnel(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // user_id shuffle + the single-row final agg exchange; the groupBy
+    // between them must reuse the window's user_id partitioning
+    assert(countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) <= 2,
+      s"funnel must not re-shuffle between window and per-user aggregation")
+  }
+
+  test("bm25: no global sort — ranking goes through the bounded top-k aggregate") {
+    val df = operators.Search.textSearchBm25(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the only SortExec allowed is the k-row presentation orderBy; the
+    // 5000-row scored corpus must NOT pass through a global sort
+    val sorts = countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    assert(sorts <= 1, s"bm25 must rank via TopKByDistance, found $sorts sorts")
+    assert(plan.toString.contains("topk_by_distance"),
+      "bounded top-k aggregate missing from the bm25 plan")
+  }
 }
