@@ -30,6 +30,9 @@ object SparkEntry {
     "index_lifecycle"     -> (IndexLifecycle.indexLifecycle _),
     "index_delete"        -> (IndexLifecycle.indexDelete _),
     "ivfpq_lifecycle"     -> (PqLifecycle.ivfpqLifecycle _),
+    // small-files compaction of the persisted lists (row conservation
+    // proven by disk read-back; file behavior pinned in the spec)
+    "index_compact"       -> (IndexLifecycle.indexCompact _),
     "index_stats"         -> (Ivf.indexStats _),
     "validate_chunks"     -> (Validate.validateChunks _),
     "validate_documents"  -> (Validate.validateDocuments _),
@@ -55,6 +58,9 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
+    // train/eval overlap check: broadcast eval shingle sets, one corpus
+    // scan, no pair generation — the decontamination pass
+    "decontaminate_eval"  -> ((s, d) => Dedup.decontaminateEval(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
@@ -148,6 +154,7 @@ object SparkEntry {
     "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
     "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
     "ivfpq_lifecycle"     -> PqLifecycle.ivfpqLifecycleOracleSql,
+    "index_compact"       -> IndexLifecycle.indexCompactOracleSql,
     "validate_chunks"     -> Validate.validateChunksOracleSql,
     "validate_documents"  -> Validate.validateDocumentsOracleSql,
     "validate_libraries"  -> Validate.validateLibrariesOracleSql,
@@ -164,6 +171,7 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.dedupExactOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,
+    "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,

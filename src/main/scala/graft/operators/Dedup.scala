@@ -283,6 +283,87 @@ object Dedup {
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
 
+  // --------------------------------------------------------------- E21
+
+  /** Eval-overlap Jaccard floor: deliberately LOWER than E2's 0.8
+    * near-dup bar — decontamination wants partial containment too.
+    */
+  val ContaminationThreshold = 0.5
+
+  /** E21: train/eval decontamination — for every document of the
+    * held-out eval set (source = `evalSource`), find training-corpus
+    * documents with 3-gram Jaccard ≥ 0.5 and report the contamination
+    * count, the strongest match and its score. The overlap check every
+    * training pipeline runs before trusting a benchmark number.
+    *
+    * Scale shape is ASYMMETRIC by design, unlike E2's self-join: an
+    * eval set is small by construction (benchmarks are ~10⁴ docs), so
+    * its shingle-hash sets BROADCAST and the training corpus streams
+    * past them in one scan — per corpus partition a codegen'd
+    * array_intersect against each eval set, no shuffle of the corpus,
+    * no candidate-pair generation at all. O(|corpus|·|eval|) bounded
+    * set intersections, embarrassingly parallel.
+    */
+  def decontaminateEval(spark: SparkSession, dir: String,
+                        evalSource: String = "src0",
+                        t: Double = ContaminationThreshold): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSets = hashedShingleSets(docs.filter(col("source") === evalSource))
+      .select(col("doc_id").as("eval_id"), col("g").as("ge"))
+    val corpSets = hashedShingleSets(docs.filter(col("source") =!= evalSource))
+      .select(col("doc_id").as("corp_id"), col("g").as("gc"))
+    val inter = size(array_intersect(col("ge"), col("gc")))
+    val hits = corpSets.crossJoin(broadcast(evalSets))
+      .select(col("eval_id"), col("corp_id"),
+        (inter.cast("double") /
+          (size(col("ge")) + size(col("gc")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= t)
+    val agg = hits.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(struct(col("jaccard"), (-col("corp_id")).as("neg"),
+          col("corp_id").as("cid"))).as("m"))
+      .select(col("eval_id").as("doc_id"), col("n_contaminated"),
+        col("m.cid").as("top_match_doc"), col("m.jaccard").as("max_jaccard"))
+    evalSets.select(col("eval_id").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("top_match_doc"), lit(-1L)).as("top_match_doc"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateEvalOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+       |ev AS (SELECT doc_id, g FROM sh WHERE source = 'src0' AND len(g) > 0),
+       |co AS (SELECT doc_id, g FROM sh WHERE source <> 'src0' AND len(g) > 0),
+       |pairs AS (
+       |  SELECT e.doc_id AS eval_id, c.doc_id AS corp_id,
+       |    CAST(len(list_intersect(e.g, c.g)) AS DOUBLE) /
+       |      (len(e.g) + len(c.g) - len(list_intersect(e.g, c.g))) AS jaccard
+       |  FROM ev e CROSS JOIN co c),
+       |hits AS (SELECT * FROM pairs WHERE jaccard >= $ContaminationThreshold),
+       |agg AS (
+       |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+       |    max(jaccard) AS max_j
+       |  FROM hits GROUP BY eval_id),
+       |top AS (
+       |  SELECT eval_id, corp_id FROM (
+       |    SELECT eval_id, corp_id,
+       |      row_number() OVER (PARTITION BY eval_id ORDER BY jaccard DESC, corp_id) AS rn
+       |    FROM hits) t WHERE rn = 1)
+       |SELECT e.doc_id,
+       |  coalesce(a.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+       |  CAST(coalesce(t.corp_id, -1) AS BIGINT) AS top_match_doc,
+       |  coalesce(a.max_j, 0.0) AS max_jaccard
+       |FROM ev e
+       |LEFT JOIN agg a ON e.doc_id = a.eval_id
+       |LEFT JOIN top t ON e.doc_id = t.eval_id
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- E13
 
   /** E13: connected components over the exact near-dup pair graph —

@@ -206,6 +206,99 @@ object IndexLifecycle {
       sys.error(s"append: could not clear staging dir $tmp")
   }
 
+  /** Driver demo for compact(): build, two appends (each lands its own
+    * part-files in the touched lists), compact, then prove row
+    * conservation by a full disk read-back per phase. The oracle
+    * recomputes the expected totals arithmetically from the corpus —
+    * the read-back after compaction hash-matching it IS the
+    * "compaction loses nothing" check. File-count behavior (affected
+    * lists collapse to one file, untouched lists keep their very
+    * files, idempotence) is pinned in IndexLifecycleSpec.
+    */
+  def indexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val tmp = tmpDir.toString
+    try {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val n = vecs.count()
+      val d1 = math.ceil(0.03 * n).toLong
+      val d2 = math.ceil(0.02 * n).toLong
+      build(vecs, tmp, kOpt = Some(DemoK))
+      append(vecs.filter(col("id") < d1)
+        .select((col("id") + n).as("id"), col("vec")), tmp)
+      append(vecs.filter(col("id") < d2)
+        .select((col("id") + n + d1).as("id"), col("vec")), tmp)
+      def readBack: Long = spark.read.parquet(tmp).count()
+      val before = readBack
+      // every list the appends touched now holds >1 part file
+      compact(spark, tmp, maxFiles = 1)
+      val after = readBack
+      import spark.implicits._
+      Seq((1, n + d1 + d2, before), (2, n + d1 + d2, after))
+        .toDF("phase", "expected_rows", "total_rows")
+        .orderBy("phase")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  def indexCompactOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n,
+      |  CAST(ceil(0.03*count(*)) AS BIGINT) AS d1,
+      |  CAST(ceil(0.02*count(*)) AS BIGINT) AS d2 FROM embeddings)
+      |SELECT 1 AS phase, n + d1 + d2 AS expected_rows, n + d1 + d2 AS total_rows FROM p
+      |UNION ALL SELECT 2, n + d1 + d2, n + d1 + d2 FROM p
+      |ORDER BY phase""".stripMargin
+
+  /** Small-files compaction — the maintenance pass a continuously-fed
+    * index needs: every append lands one part-file per touched list
+    * (crash-consistent, but accretive), and at 100 TB a list with
+    * thousands of tiny files pays a task + footer read per file on
+    * every probe (the classic small-files wall). compact() rewrites
+    * ONLY the lists whose part-file count exceeds `maxFiles`, one file
+    * per list, through the same rename-aside atomic swap as delete:
+    * rows are preserved exactly, untouched lists keep their very
+    * files, a crash mid-swap leaves the loud `_old_cluster_id=` marker
+    * every serve/mutate path refuses, and state is NOT touched —
+    * compaction is content-neutral (no dirt, no size change, no
+    * version bump). Returns the number of lists rewritten.
+    */
+  def compact(spark: SparkSession, indexPath: String, maxFiles: Int = 4): Int = {
+    val s = status(spark, indexPath)
+    require(s.isBuilt, "compact requires a built index (build first)")
+    checkNoHalfAppliedMutation(spark, indexPath)
+    val f = fs(spark, indexPath)
+    val affected = f.listStatus(new Path(indexPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster_id="))
+      .filter(d => f.listStatus(d.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("cluster_id="))
+      .toSeq
+    if (affected.isEmpty) return 0
+    val tmp = s"$indexPath/_compact_rewrite"
+    spark.read.parquet(indexPath)
+      .filter(col("cluster_id").cast("string").isInCollection(affected))
+      .repartition(col("cluster_id")) // one file per rewritten list
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    affected.foreach { cid =>
+      val dst = new Path(s"$indexPath/cluster_id=$cid")
+      val src = new Path(s"$tmp/cluster_id=$cid")
+      val aside = new Path(s"$indexPath/_old_cluster_id=$cid")
+      if (f.exists(dst) && !f.rename(dst, aside))
+        sys.error(s"compact: could not move stale list $dst aside")
+      if (!f.rename(src, dst))
+        sys.error(s"compact: rename $src -> $dst failed; stale list kept at $aside")
+      if (f.exists(aside) && !f.delete(aside, true))
+        sys.error(s"compact: could not clean up $aside")
+    }
+    f.delete(new Path(tmp), true)
+    affected.length
+  }
+
   /** Lazy rebuild policy: rebuild only when `shouldRebuild` says so,
     * otherwise return the current state untouched.
     */

@@ -249,4 +249,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == Seq("a b c", "b c d"))
     assert(got(2L).isEmpty)
   }
+
+  test("decontaminate_eval equals a naive eval-vs-corpus Jaccard scan") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val ev = docs.filter(_._3 == "src0").map(d => (d._1, sh(d._2))).filter(_._2.nonEmpty)
+    val co = docs.filter(_._3 != "src0").map(d => (d._1, sh(d._2))).filter(_._2.nonEmpty)
+    val want = ev.map { case (eid, ge) =>
+      val hits = co.map { case (cid, gc) =>
+        val i = (ge & gc).size
+        (cid, i.toDouble / (ge.size + gc.size - i))
+      }.filter(_._2 >= Dedup.ContaminationThreshold)
+      if (hits.isEmpty) (eid, 0L, -1L, 0.0)
+      else {
+        val top = hits.minBy { case (cid, j) => (-j, cid) }
+        (eid, hits.length.toLong, top._1, hits.map(_._2).max)
+      }
+    }.sortBy(_._1).toSeq
+    val got = Dedup.decontaminateEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(t => t._2 >= 0))
+  }
 }

@@ -187,4 +187,46 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(a1.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
       a2.map(r => (r.getLong(0), r.getInt(1))).toSeq)
   }
+
+  test("compact: affected lists collapse to one file, rows conserved, untouched lists untouched, idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    IndexLifecycle.build(vecs, tmp, kOpt = Some(4))
+    val n = vecs.count()
+    IndexLifecycle.append(
+      vecs.filter(col("id") < 20).select((col("id") + n).as("id"), col("vec")), tmp)
+    IndexLifecycle.append(
+      vecs.filter(col("id") < 20).select((col("id") + n + 20).as("id"), col("vec")), tmp)
+    def listFiles: Map[String, Seq[(String, Long)]] =
+      new java.io.File(tmp).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cluster_id="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.startsWith("part-")).toSeq
+          .map(f => (f.getName, f.lastModified)).sortBy(_._1)).toMap
+    val before = listFiles
+    val multi = before.filter(_._2.size > 1).keySet
+    assert(multi.nonEmpty, "appends must have produced multi-file lists")
+    val rowsBefore = spark.read.parquet(tmp)
+      .select("neighbor_id").collect().map(_.getLong(0)).sorted.toSeq
+    val nCompacted = IndexLifecycle.compact(spark, tmp, maxFiles = 1)
+    assert(nCompacted == multi.size)
+    val after = listFiles
+    multi.foreach { cid =>
+      assert(after(cid).size == 1, s"$cid not compacted: ${after(cid)}")
+    }
+    // untouched lists keep their very files (name AND mtime)
+    (before.keySet -- multi).foreach { cid =>
+      assert(after(cid) == before(cid), s"untouched list $cid was rewritten")
+    }
+    val rowsAfter = spark.read.parquet(tmp)
+      .select("neighbor_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction must conserve rows exactly")
+    assert(IndexLifecycle.compact(spark, tmp, maxFiles = 1) == 0,
+      "second compact must be a no-op")
+    // the index still serves after compaction
+    val q = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    assert(IndexLifecycle.query(spark, tmp, q, k = 5, nprobe = 4).count() == 5)
+  }
 }
