@@ -133,6 +133,10 @@ object SparkEntry {
     "events_funnel"            -> (Analytics.eventsFunnel _),
     // weekly cohort retention triangle (first-week cohorts × active weeks)
     "events_cohort_retention"  -> (Analytics.eventsCohortRetention _),
+    // bucketed co-located fact-fact join: pay the shuffle once at
+    // layout time, never at query time (PlanSpec pins zero exchanges
+    // below the join)
+    "bucketed_join"            -> (Analytics.bucketedJoin _),
     // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
     // integer-quantized idf so scores are exact BIGINTs cross-engine
     "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
@@ -267,6 +271,7 @@ object SparkEntry {
     "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,
     "events_funnel"            -> Analytics.eventsFunnelOracleSql,
     "events_cohort_retention"  -> Analytics.eventsCohortRetentionOracleSql,
+    "bucketed_join"            -> Analytics.bucketedJoinOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -561,6 +562,69 @@ object Analytics {
       |  CAST(sum(c) AS BIGINT) AS n_view_click_users,
       |  CAST(sum(p) AS BIGINT) AS n_full_funnel_users
       |FROM per_user""".stripMargin
+
+  /** C18: bucketed co-located join — the layout-management answer to
+    * the biggest shuffle in the engine. Both fact tables write ONCE
+    * into the warehouse bucketed (8 buckets) and sorted on the join
+    * key; every subsequent orders⋈lineitem join then reads
+    * bucket-aligned files and sort-merges WITH NO EXCHANGE ON EITHER
+    * SIDE — the join that normally shuffles both facts becomes a
+    * narrow per-bucket zip (PlanSpec pins zero exchanges below the
+    * join when broadcast is disabled). At 100 TB this is THE pattern
+    * for a fact table joined repeatedly on one key: pay the shuffle
+    * once at layout time, never at query time.
+    *
+    * The writes are memoized via the catalog (tableExists), so the
+    * bench measures the bucketed QUERY after the first pass.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong
+        & 0xffffffffL)
+    val liT = s"graft_li_bkt_$tag"
+    val ordT = s"graft_ord_bkt_$tag"
+    // the in-memory catalog dies with the JVM but the warehouse
+    // directory does not: a table absent from the catalog whose
+    // location survives a previous run must be cleared before the
+    // (re)write, or saveAsTable refuses the location
+    def clearStaleLocation(table: String): Unit = {
+      val wh = new Path(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val loc = new Path(wh, table.toLowerCase)
+      val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(loc)) f.delete(loc, true)
+    }
+    if (!spark.catalog.tableExists(liT)) {
+      clearStaleLocation(liT)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    }
+    if (!spark.catalog.tableExists(ordT)) {
+      clearStaleLocation(ordT)
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    }
+    spark.table(ordT)
+      .join(spark.table(liT), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  def bucketedJoinOracleSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))))
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** C17: weekly cohort retention — users bucket into the week of
     * their first event (cohort), and each (cohort_week, active_week)

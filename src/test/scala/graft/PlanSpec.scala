@@ -111,6 +111,24 @@ class PlanSpec extends AnyFunSuite {
       s"funnel must not re-shuffle between window and per-user aggregation")
   }
 
+  test("bucketed join: zero exchanges below the fact-fact sort-merge join") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Analytics.bucketedJoin(ss, sf)
+    df.collect()
+    def findJoin(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Some(j)
+      case other => other.children.flatMap(findJoin).headOption
+    }
+    val join = findJoin(df.queryExecution.executedPlan)
+      .getOrElse(fail("expected a sort-merge join over the bucketed tables"))
+    assert(countNodes(join,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 0,
+      s"bucketed join must read bucket-aligned files with no exchange:\n$join")
+  }
+
   test("bm25: no global sort — ranking goes through the bounded top-k aggregate") {
     val df = operators.Search.textSearchBm25(spark, sf)
     df.collect()
