@@ -87,6 +87,10 @@ object SparkEntry {
     "quality_gopher"  -> (TextOps.qualityGopher _),
     // keyword (BM25) + hybrid RRF retrieval over documents
     "text_search_bm25"  -> ((s, d) => Search.textSearchBm25(s, d)),
+    // many queries via the inverted-index JOIN (the general serving
+    // form of E18); per-(q,doc) float contributions fold in sorted
+    // term order on both engines for bit determinism
+    "text_search_bm25_batch" -> ((s, d) => Search.textSearchBm25Batch(s, d)),
     "hybrid_search_rrf" -> ((s, d) => Search.hybridSearchRrf(s, d)),
     "token_count"     -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -182,6 +186,7 @@ object SparkEntry {
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "text_search_bm25"  -> Search.textSearchBm25OracleSql(),
+    "text_search_bm25_batch" -> Search.textSearchBm25BatchOracleSql(),
     "hybrid_search_rrf" -> Search.hybridSearchRrfOracleSql(),
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,

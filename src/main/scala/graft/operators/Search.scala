@@ -176,6 +176,101 @@ object Search {
       .orderBy("rrf_rank")
   }
 
+  // --------------------------------------------------------------- E18b
+
+  /** Fixed demo query batch (query_id → text). */
+  val BatchQueries: Seq[(Int, String)] = Seq(
+    0 -> "vector hash join", 1 -> "stream window agg", 2 -> "table scan filter")
+
+  /** E18b: BATCH BM25 — many queries against the corpus through the
+    * inverted-index JOIN shape (E18 specializes one query into scan
+    * columns; this is the general serving form): query terms ⋈ the
+    * (doc, term, tf) posting table ⋈ per-term df ⋈ per-doc dl, then
+    * per-(query, doc) scores and a per-query bounded top-k
+    * (TopKByDistance partitioned by query — parallel, no global sort).
+    * At scale the posting and df tables are the pre-built inverted
+    * index; nothing else changes.
+    *
+    * Determinism note: a (query, doc) score sums FLOAT contributions
+    * of its matched terms, and float addition is not associative — a
+    * plain SUM() would let partial-aggregation order perturb last-ulp
+    * bits differently per engine (and per Spark run). Contributions
+    * are therefore folded in SORTED TERM ORDER on both sides
+    * (array_sort + left fold here, list_sort + list_reduce in the
+    * oracle) — bit-deterministic everywhere.
+    */
+  def textSearchBm25Batch(spark: SparkSession, dir: String,
+                          k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qt = BatchQueries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = col("n_docs").cast("double")
+    val sumDl = col("sum_dl").cast("double")
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = log(lit(1.0) + (n - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val s = idf * (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * ((dlD * n) / sumDl)))
+    val contrib = tf.join(broadcast(qt), "term")
+      .join(dfs, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"), s.as("s"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("term"), col("s"))).as("cs"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(array_sort(col("cs")), lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("score"))
+    scored.groupBy("query_id")
+      .agg(VectorFunctions.topKByDistance(-col("score"), col("doc_id"), k)
+        .as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def textSearchBm25BatchOracleSql(k: Int = 10): String = {
+    val vals = BatchQueries
+      .map { case (i, t) => s"($i,'$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext,' ')) AS term FROM q),
+       |d AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS ws FROM documents),
+       |tfd AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(ws) AS term FROM d) GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl.dl) AS BIGINT) AS sumdl FROM dl),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.query_id, tfd.doc_id, qt.term,
+       |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf AS DOUBLE) + 1.2*(0.25 + 0.75*((CAST(dl.dl AS DOUBLE)*CAST(n AS DOUBLE))/CAST(sumdl AS DOUBLE)))) AS s
+       |  FROM qt JOIN tfd ON qt.term = tfd.term
+       |  JOIN dfs ON tfd.term = dfs.term
+       |  JOIN dl ON tfd.doc_id = dl.doc_id CROSS JOIN stats),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(list_sort(list({'t': term, 's': s})), r -> r.s)),
+       |      (a, b) -> a + b) AS score
+       |  FROM contrib GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc) t WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E20
 
   /** E20: per-document keyword extraction — top-3 distinguishing terms

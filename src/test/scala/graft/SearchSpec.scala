@@ -80,6 +80,32 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("text_search_bm25_batch equals a manual per-query BM25 with sorted-term folds") {
+    val texts = docTexts
+    val words = texts.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = words.size.toDouble
+    val sumDl = words.values.map(_.size.toLong).sum.toDouble
+    val want = Search.BatchQueries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split(" ").distinct.sorted // fold order = sorted terms
+      val dfOf = terms.map(t => t -> words.values.count(_.contains(t)).toDouble).toMap
+      val scored = words.toSeq.flatMap { case (id, ws) =>
+        val dl = ws.size.toDouble
+        val matched = terms.filter(ws.contains)
+        if (matched.isEmpty) None
+        else Some(id -> matched.foldLeft(0.0) { (acc, t) =>
+          val tf = ws.count(_ == t).toDouble
+          val idf = math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          acc + idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((dl * n) / sumDl)))
+        })
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }
+    val got = Search.textSearchBm25Batch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
   // -------------------------------------------------------------- E19
 
   test("hybrid_search_rrf equals RRF over the two component top-20 lists") {
