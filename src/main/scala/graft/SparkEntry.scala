@@ -137,6 +137,10 @@ object SparkEntry {
     "events_funnel"            -> (Analytics.eventsFunnel _),
     // weekly cohort retention triangle (first-week cohorts × active weeks)
     "events_cohort_retention"  -> (Analytics.eventsCohortRetention _),
+    // pure-range-predicate join (±60 s concurrency) via bin-bucketing:
+    // bin equality + adjacent-bin explode replaces the BNLJ/cartesian
+    // Spark would otherwise plan (PlanSpec pins the no-BNLJ shape)
+    "events_range_join"        -> (Analytics.eventsRangeJoin _),
     // bucketed co-located fact-fact join: pay the shuffle once at
     // layout time, never at query time (PlanSpec pins zero exchanges
     // below the join)
@@ -276,6 +280,7 @@ object SparkEntry {
     "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,
     "events_funnel"            -> Analytics.eventsFunnelOracleSql,
     "events_cohort_retention"  -> Analytics.eventsCohortRetentionOracleSql,
+    "events_range_join"        -> Analytics.eventsRangeJoinOracleSql,
     "bucketed_join"            -> Analytics.bucketedJoinOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )

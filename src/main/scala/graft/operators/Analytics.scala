@@ -689,4 +689,50 @@ object Analytics {
       |  CAST(us - click_us AS BIGINT) AS gap_us
       |FROM w WHERE kind = 1 AND click_event_id IS NOT NULL
       |ORDER BY event_id""".stripMargin
+
+  /** C19: RANGE join — per purchase, how many events (any user, any
+    * type) landed within ±60 s of it. A pure range predicate with NO
+    * equi-key: handed to Spark as-is it plans a BroadcastNestedLoopJoin
+    * (O(N·P) comparisons — a cartesian at 100 TB). Re-expressed with
+    * the bin-bucket trick: bucket both sides into 60 s bins, EXPLODE
+    * the probe side into its bin and both adjacent bins (any pair
+    * within ±60 s shares a bin or sits in adjacent ones — the band
+    * fully covers the predicate), join on bin EQUALITY (sort-merge,
+    * shuffle on the bin key), then re-check the exact predicate. Cost:
+    * O(3·P + N) shuffled rows + per-bin products — the all-pairs blowup
+    * is gone unless the data itself piles into one bin (hot-minute
+    * skew: the bins are time, so AQE skew-join or finer bins + salting
+    * handle a flash-crowd minute; at 0.2-2 events/min here the bin
+    * products are tiny). PlanSpec pins the no-BNLJ/no-cartesian shape.
+    *
+    * Exact integer µs arithmetic end to end; self-pairs excluded by
+    * event_id, purchases with no neighbor drop (inner join) — both
+    * sides of the oracle agree on both contracts.
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val BinUs = 60L * 1000000L // bin width == the ±60 s band
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val probes = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), unix_micros(col("ts")).as("p_us"))
+      .select(col("p_event_id"), col("p_us"),
+        explode(array(floor(col("p_us") / BinUs) - 1, floor(col("p_us") / BinUs),
+          floor(col("p_us") / BinUs) + 1)).as("bin"))
+    ev.withColumn("bin", floor(col("us") / BinUs))
+      .join(probes, "bin")
+      .filter(abs(col("us") - col("p_us")) <= BinUs &&
+        col("event_id") =!= col("p_event_id"))
+      .groupBy(col("p_event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("event_id")
+  }
+
+  def eventsRangeJoinOracleSql: String =
+    """SELECT p.event_id AS event_id, CAST(count(*) AS BIGINT) AS n_concurrent
+      |FROM events p JOIN events e
+      |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 60000000
+      |  AND e.event_id <> p.event_id
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

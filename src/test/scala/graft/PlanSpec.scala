@@ -141,4 +141,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.toString.contains("topk_by_distance"),
       "bounded top-k aggregate missing from the bm25 plan")
   }
+
+  test("range join: bin-bucketing keeps BNLJ/cartesian out of the plan") {
+    val df = Analytics.eventsRangeJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pure-range join fell back to an all-pairs plan:\n$plan")
+  }
 }
