@@ -80,6 +80,8 @@ object SparkEntry {
     "ann_topk_batch_pq_dot" -> ((s, d) =>
       Pq.sdcBatchQuery(s, d, metric = graft.functions.VectorMetric.Dot)),
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
+    // binary (1-bit/dim) quantization: hamming shortlist + exact refine
+    "bq_topk"             -> ((s, d) => Bq.bqTopk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
     // repetition rules (dup-word / top-bigram fractions) — the

@@ -125,9 +125,11 @@ object IndexLifecycle {
     val spark = vecs.sparkSession
     // every per-corpus session memo must drop on a data change — a new
     // memoized operator family MUST be added here (the full set:
-    // IVF assignments, shingle sets, PQ models/codes, SQ8 models/codes)
+    // IVF assignments, shingle sets, PQ models/codes, SQ8 models/codes,
+    // BQ models/codes)
     corpusDir.foreach { d =>
       Ivf.invalidate(d); Dedup.invalidate(d); Pq.invalidate(d); Sq8.invalidate(d)
+      Bq.invalidate(d)
     }
     val prev = status(spark, indexPath)
     val v = vecs.cache()
