@@ -143,6 +143,9 @@ object SparkEntry {
     // bin equality + adjacent-bin explode replaces the BNLJ/cartesian
     // Spark would otherwise plan (PlanSpec pins the no-BNLJ shape)
     "events_range_join"        -> (Analytics.eventsRangeJoin _),
+    // exact grouped percentiles (discrete, integer-index arithmetic);
+    // the fixed-memory twin at scale is events_sketch's GK quantiles
+    "events_percentiles"       -> (Analytics.eventsPercentiles _),
     // bucketed co-located fact-fact join: pay the shuffle once at
     // layout time, never at query time (PlanSpec pins zero exchanges
     // below the join)
@@ -283,6 +286,7 @@ object SparkEntry {
     "events_funnel"            -> Analytics.eventsFunnelOracleSql,
     "events_cohort_retention"  -> Analytics.eventsCohortRetentionOracleSql,
     "events_range_join"        -> Analytics.eventsRangeJoinOracleSql,
+    "events_percentiles"       -> Analytics.eventsPercentilesOracleSql,
     "bucketed_join"            -> Analytics.bucketedJoinOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )

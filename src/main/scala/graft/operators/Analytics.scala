@@ -728,6 +728,51 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** C20: exact grouped percentiles — p50/p90/p99 of event value (in
+    * integer cents) per event_type, discrete semantics: the element at
+    * 1-based rank ceil(p·n) of the sorted group. Rank indices computed
+    * in EXACT integer arithmetic on both engines ((p·n + 99) div 100) —
+    * `ceil(n * 0.99)` in doubles silently shifts the index when the
+    * product lands on a representation boundary.
+    *
+    * One shuffle (partition by event_type), one window pass attaching
+    * (row_number, group count), map-side pivot to one row per type.
+    * Exact percentiles NEED the per-group sort — that is the honest
+    * cost; the fixed-memory serving twin at 100 TB is C11's
+    * Greenwald-Khanna `approx_percentile` sketch, benched alongside.
+    * Per-group sort parallelism is per-event_type here (5 groups); a
+    * high-cardinality group-by key distributes naturally.
+    */
+  def eventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val wn = Window.partitionBy(col("event_type"))
+    def idx(p: Int) = expr(s"($p * n + 99) div 100")
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_type"), col("cents"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === idx(50), col("cents"))).as("p50_cents"),
+        max(when(col("rn") === idx(90), col("cents"))).as("p90_cents"),
+        max(when(col("rn") === idx(99), col("cents"))).as("p99_cents"))
+      .orderBy("event_type")
+  }
+
+  def eventsPercentilesOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+      |w AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM c)
+      |SELECT event_type,
+      |  CAST(max(CASE WHEN rn = (50*n + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+      |  CAST(max(CASE WHEN rn = (90*n + 99) // 100 THEN cents END) AS BIGINT) AS p90_cents,
+      |  CAST(max(CASE WHEN rn = (99*n + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def eventsRangeJoinOracleSql: String =
     """SELECT p.event_id AS event_id, CAST(count(*) AS BIGINT) AS n_concurrent
       |FROM events p JOIN events e
