@@ -41,6 +41,7 @@ object Bench {
     "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
     "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),
     "memo_bq_codes"     -> (() => { operators.Bq.encode(spark, dir); () }),
+    "memo_pca_reduced"  -> (() => { operators.Pca.reduce(spark, dir); () }),
     // the cosine (normalized-corpus) variants behind ann_topk_batch_pq_cos
     "memo_ivf_index_cos" -> (() =>
       operators.Ivf.warmIndex(spark, dir, functions.VectorMetric.Cosine)),

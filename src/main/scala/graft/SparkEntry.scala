@@ -82,6 +82,8 @@ object SparkEntry {
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     // binary (1-bit/dim) quantization: hamming shortlist + exact refine
     "bq_topk"             -> ((s, d) => Bq.bqTopk(s, d)),
+    // PCA axis-dropping (64->16 dims): reduced-space shortlist + refine
+    "pca_topk"            -> ((s, d) => Pca.pcaTopk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
     // repetition rules (dup-word / top-bigram fractions) — the
