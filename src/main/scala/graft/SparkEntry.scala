@@ -152,6 +152,9 @@ object SparkEntry {
     // layout time, never at query time (PlanSpec pins zero exchanges
     // below the join)
     "bucketed_join"            -> (Analytics.bucketedJoin _),
+    // date-partitioned fact + data-dependent day set: Catalyst DPP
+    // prunes the fact scan to the qualifying partitions at runtime
+    "dpp_join"                 -> (Analytics.dppJoin _),
     // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
     // integer-quantized idf so scores are exact BIGINTs cross-engine
     "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
@@ -290,6 +293,7 @@ object SparkEntry {
     "events_range_join"        -> Analytics.eventsRangeJoinOracleSql,
     "events_percentiles"       -> Analytics.eventsPercentilesOracleSql,
     "bucketed_join"            -> Analytics.bucketedJoinOracleSql,
+    "dpp_join"                 -> Analytics.dppJoinOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

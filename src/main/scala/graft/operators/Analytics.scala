@@ -577,23 +577,31 @@ object Analytics {
     * The writes are memoized via the catalog (tableExists), so the
     * bench measures the bucketed QUERY after the first pass.
     */
-  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
+  /** The in-memory catalog dies with the JVM but the warehouse
+    * directory does not: a table absent from the catalog whose
+    * location survives a previous run must be cleared before the
+    * (re)write, or saveAsTable refuses the location.
+    */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit = {
+    val wh = new Path(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = new Path(wh, table.toLowerCase)
+    val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(loc)) f.delete(loc, true)
+  }
+
+  /** Per-corpus suffix for warehouse-managed derived layouts. */
+  private def dirTag(dir: String): String =
+    java.lang.Long.toHexString(
       org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong
         & 0xffffffffL)
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dirTag(dir)
     val liT = s"graft_li_bkt_$tag"
     val ordT = s"graft_ord_bkt_$tag"
-    // the in-memory catalog dies with the JVM but the warehouse
-    // directory does not: a table absent from the catalog whose
-    // location survives a previous run must be cleared before the
-    // (re)write, or saveAsTable refuses the location
-    def clearStaleLocation(table: String): Unit = {
-      val wh = new Path(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      val loc = new Path(wh, table.toLowerCase)
-      val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(loc)) f.delete(loc, true)
-    }
+    def clearStaleLocation(table: String): Unit =
+      Analytics.clearStaleLocation(spark, table)
     if (!spark.catalog.tableExists(liT)) {
       clearStaleLocation(liT)
       Tables.lineitem(spark, dir)
@@ -616,6 +624,56 @@ object Analytics {
           .as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** Hot-day selection threshold for the DPP demo (cents ≈ p99.9 —
+    * a handful of days qualify, so pruning has real benefit).
+    */
+  val DppValueThreshold = 250.0
+
+  /** C21: dynamic partition pruning — the runtime scan-avoidance a
+    * 100 TB date-partitioned fact lives on. The events fact writes
+    * ONCE into the warehouse partitioned by event_date (layout
+    * management, memoized like C18's buckets); the query counts ALL
+    * events on "days that had an expensive error" — a data-DEPENDENT
+    * day set no static filter can express. Catalyst's DPP turns the
+    * broadcast dim (the distinct hot days) into a runtime partition
+    * filter on the fact scan: only the qualifying date directories are
+    * read (PlanSpec pins `dynamicpruningexpression` in the scan's
+    * PartitionFilters). At 100 TB this is the difference between
+    * scanning 14 partitions and scanning 3,650.
+    *
+    * Dates surface as STRINGS (both engines render yyyy-MM-dd) — DATE
+    * columns cross the pandas/duckdb driver boundary with different
+    * renders.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val evT = s"graft_ev_part_${dirTag(dir)}"
+    if (!spark.catalog.tableExists(evT)) {
+      clearStaleLocation(spark, evT)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date"))
+        .repartition(col("event_date")) // one file per day, not per task×day
+        .write.mode("overwrite").partitionBy("event_date").saveAsTable(evT)
+    }
+    val ev = spark.table(evT)
+    val hot = ev
+      .filter(col("event_type") === "error" && col("value") > DppValueThreshold)
+      .select(col("event_date").as("hot_date")).distinct()
+    ev.join(broadcast(hot), col("event_date") === col("hot_date"))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_date")
+  }
+
+  def dppJoinOracleSql: String =
+    s"""WITH hot AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+       |  WHERE event_type = 'error' AND value > $DppValueThreshold)
+       |SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_date,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM events e JOIN hot ON CAST(e.ts AS DATE) = hot.d
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def bucketedJoinOracleSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,

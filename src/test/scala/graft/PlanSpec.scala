@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
       "bounded top-k aggregate missing from the bm25 plan")
   }
 
+  test("dpp join: runtime partition pruning reaches the partitioned fact scan") {
+    // sf0.01: the hot-day set is nonempty there, so AQE cannot
+    // empty-propagate the join away before the scan is inspected
+    val df = Analytics.dppJoin(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned fact scan lacks a runtime pruning filter:\n$plan")
+  }
+
   test("range join: bin-bucketing keeps BNLJ/cartesian out of the plan") {
     val df = Analytics.eventsRangeJoin(spark, sf)
     df.collect()
