@@ -130,6 +130,9 @@ object SparkEntry {
     "part_type_revenue"   -> (Analytics.partTypeRevenue _),
     "rollup_revenue"      -> (Analytics.rollupRevenue _),
     "events_sketch"       -> (Analytics.eventsSketch _),
+    // fixed-memory Space-Saving heavy hitters (exact at this capacity,
+    // eviction regime spec-pinned with synthetic skew)
+    "events_heavy_hitters" -> (Analytics.eventsHeavyHitters _),
     "q17_small_qty_revenue"    -> (Analytics.q17SmallQtyRevenue _),
     "customers_without_orders" -> (Analytics.customersWithoutOrders _),
     "events_moving_avg"        -> (Analytics.eventsMovingAvg _),
@@ -285,6 +288,7 @@ object SparkEntry {
     "part_type_revenue"   -> Analytics.partTypeRevenueOracleSql,
     "rollup_revenue"      -> Analytics.rollupRevenueOracleSql,
     "q17_small_qty_revenue"    -> Analytics.q17OracleSql,
+    "events_heavy_hitters"     -> Analytics.eventsHeavyHittersOracleSql,
     "customers_without_orders" -> Analytics.customersWithoutOrdersOracleSql,
     "events_moving_avg"        -> Analytics.eventsMovingAvgOracleSql,
     "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,

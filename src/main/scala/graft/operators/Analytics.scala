@@ -625,6 +625,43 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Space-Saving capacity for the heavy-hitters key: ≥ the distinct
+    * user count at every test SF (1,500 at sf0.1), so the summary is
+    * EXACT (err = 0) and oracle-checkable — the same exact-by-
+    * configuration contract as ann_topk_batch. The eviction regime
+    * (capacity ≪ domain, the 100 TB configuration) is pinned in
+    * SketchSpec with synthetic skew.
+    */
+  val HeavyHitterCapacity = 4096
+
+  /** C22: heavy hitters via ONE fixed-memory Space-Saving aggregate
+    * (functions/SketchAgg): top-10 users by event count. The scale
+    * story is the aggregation SHAPE — map-side partial summaries of ≤
+    * capacity counters per partition, one merge, ONE ROW out; the
+    * shuffle never carries the key domain. An exact groupBy-count
+    * top-k shuffles |users| rows — fine for 1,500 users, not for a
+    * 100 TB stream of ephemeral keys (IPs, session ids, URLs).
+    */
+  def eventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .agg(graft.functions.SketchFunctions
+        .spaceSaving(col("user_id"), HeavyHitterCapacity).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "hh")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("hh.item").as("user_id"),
+        col("hh.est").as("est_count"),
+        col("hh.err").as("err"))
+  }
+
+  def eventsHeavyHittersOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS est_count
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(row_number() OVER (ORDER BY est_count DESC, user_id) AS INT) AS rank,
+      |  user_id, est_count, CAST(0 AS BIGINT) AS err
+      |FROM c ORDER BY est_count DESC, user_id LIMIT 10""".stripMargin
+
   /** Hot-day selection threshold for the DPP demo (cents ≈ p99.9 —
     * a handful of days qualify, so pruning has real benefit).
     */
