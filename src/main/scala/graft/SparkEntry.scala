@@ -118,6 +118,9 @@ object SparkEntry {
     // streaming twin of the C16 funnel: per-user stage machine in
     // flatMapGroupsWithState, append-mode transition rows
     "stream_funnel"     -> (Streams.streamFunnel _),
+    // streaming twin of C22: the Space-Saving buffer IS the state —
+    // fixed-size at any stream length, merged across micro-batches
+    "stream_heavy_hitters" -> (Streams.streamHeavyHitters _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -133,6 +136,9 @@ object SparkEntry {
     // fixed-memory Space-Saving heavy hitters (exact at this capacity,
     // eviction regime spec-pinned with synthetic skew)
     "events_heavy_hitters" -> (Analytics.eventsHeavyHitters _),
+    // incremental view maintenance: persisted aggregate + O(delta)
+    // merge, served from disk; oracle = the full recompute
+    "agg_incremental"      -> (Analytics.aggIncremental _),
     "q17_small_qty_revenue"    -> (Analytics.q17SmallQtyRevenue _),
     "customers_without_orders" -> (Analytics.customersWithoutOrders _),
     "events_moving_avg"        -> (Analytics.eventsMovingAvg _),
@@ -234,6 +240,8 @@ object SparkEntry {
     // D8 ≡ C16: the funnel stage machine's reach counts equal the
     // batch window-chain SQL
     "stream_funnel"     -> Analytics.eventsFunnelOracleSql,
+    // D9 ≡ C22 (exact regime: capacity ≥ user domain at every test SF)
+    "stream_heavy_hitters" -> Analytics.eventsHeavyHittersOracleSql,
     // exact-integer twin of the running-mean anomaly rule:
     // cents*n_prior > 2*sum_prior_cents, prior rows in (ts, event_id) order
     "stream_anomaly"    ->
@@ -289,6 +297,7 @@ object SparkEntry {
     "rollup_revenue"      -> Analytics.rollupRevenueOracleSql,
     "q17_small_qty_revenue"    -> Analytics.q17OracleSql,
     "events_heavy_hitters"     -> Analytics.eventsHeavyHittersOracleSql,
+    "agg_incremental"          -> Analytics.aggIncrementalOracleSql,
     "customers_without_orders" -> Analytics.customersWithoutOrdersOracleSql,
     "events_moving_avg"        -> Analytics.eventsMovingAvgOracleSql,
     "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,

@@ -662,17 +662,72 @@ object Analytics {
       |  user_id, est_count, CAST(0 AS BIGINT) AS err
       |FROM c ORDER BY est_count DESC, user_id LIMIT 10""".stripMargin
 
-  /** Hot-day selection threshold for the DPP demo (cents ≈ p99.9 —
-    * a handful of days qualify, so pruning has real benefit).
+  /** C23: incremental aggregate maintenance (IVM) — keep a persisted
+    * per-event_type aggregate current under late-arriving data WITHOUT
+    * re-reading the base fact. The base batch (9/10 of events,
+    * deterministic event_id split) aggregates once and persists; the
+    * delta batch folds in by aggregating ONLY ITSELF and merging
+    * partials (counts and sums are commutative monoids — the same
+    * property behind map-side combine makes view maintenance O(delta)).
+    * The maintained table is then READ BACK FROM DISK and must equal
+    * the full recompute — which is exactly the oracle. At 100 TB the
+    * persisted aggregate is partitioned and only partitions the delta
+    * touches rewrite (the IndexLifecycle partition-rewrite pattern);
+    * non-distributive aggregates (count-distinct) would carry a sketch
+    * (events_sketch's HLL) instead of a scalar.
     */
-  val DppValueThreshold = 250.0
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_ivm")
+    val tmp = tmpDir.toString
+    try {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      // epoch 1: base batch aggregates and persists
+      partial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+        .write.mode("overwrite").parquet(s"$tmp/agg_v1")
+      // epoch 2: the delta aggregates ALONE (O(delta) scan) and merges
+      // into the persisted partials; version-directory swap = the
+      // atomic publish (rename-aside at scale)
+      spark.read.parquet(s"$tmp/agg_v1")
+        .unionByName(partial(ev.filter(pmod(col("event_id"), lit(10)) === 0)))
+        .groupBy("event_type")
+        .agg(sum("n_events").cast("long").as("n_events"),
+          sum("sum_cents").cast("long").as("sum_cents"))
+        .write.mode("overwrite").parquet(s"$tmp/agg_v2")
+      // serve from the maintained table on disk — the oracle's full
+      // recompute must match it
+      spark.read.parquet(s"$tmp/agg_v2").orderBy("event_type").localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  def aggIncrementalOracleSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Hot-day cardinality for the DPP demo: the days containing the
+    * global top-N error events by value. A RANK-based day set stays
+    * small (≤ N days) and non-empty at EVERY scale factor — a fixed
+    * value threshold cannot be both selective at sf0.1 and non-empty
+    * at sf0.001 on this heavy-tailed column.
+    */
+  val DppTopErrors = 5
 
   /** C21: dynamic partition pruning — the runtime scan-avoidance a
     * 100 TB date-partitioned fact lives on. The events fact writes
     * ONCE into the warehouse partitioned by event_date (layout
     * management, memoized like C18's buckets); the query counts ALL
-    * events on "days that had an expensive error" — a data-DEPENDENT
-    * day set no static filter can express. Catalyst's DPP turns the
+    * events on the days holding the top-[[DppTopErrors]] error events
+    * by value — a small data-DEPENDENT day set no static filter can
+    * express. Catalyst's DPP turns the
     * broadcast dim (the distinct hot days) into a runtime partition
     * filter on the fact scan: only the qualifying date directories are
     * read (PlanSpec pins `dynamicpruningexpression` in the scan's
@@ -694,8 +749,12 @@ object Analytics {
         .write.mode("overwrite").partitionBy("event_date").saveAsTable(evT)
     }
     val ev = spark.table(evT)
+    // discovery side reads all partitions once (the honest cost of a
+    // data-dependent predicate); TakeOrdered bounds the top-N collect
     val hot = ev
-      .filter(col("event_type") === "error" && col("value") > DppValueThreshold)
+      .filter(col("event_type") === "error")
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(DppTopErrors)
       .select(col("event_date").as("hot_date")).distinct()
     ev.join(broadcast(hot), col("event_date") === col("hot_date"))
       .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
@@ -704,9 +763,11 @@ object Analytics {
   }
 
   def dppJoinOracleSql: String =
-    s"""WITH hot AS (
-       |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
-       |  WHERE event_type = 'error' AND value > $DppValueThreshold)
+    s"""WITH top_err AS (
+       |  SELECT CAST(ts AS DATE) AS d FROM events
+       |  WHERE event_type = 'error'
+       |  ORDER BY value DESC, event_id LIMIT $DppTopErrors),
+       |hot AS (SELECT DISTINCT d FROM top_err)
        |SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_date,
        |  CAST(count(*) AS BIGINT) AS n_events
        |FROM events e JOIN hot ON CAST(e.ts AS DATE) = hot.d

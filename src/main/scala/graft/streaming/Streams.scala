@@ -398,4 +398,32 @@ object Streams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy("user_id")
+
+  /** D9 core: the Space-Saving summary as a STREAMING aggregate — the
+    * state store carries one serialized ≤ capacity-counter buffer, and
+    * each micro-batch's map-side partials merge into it (the same
+    * mergeable-summaries property that makes the batch shuffle safe
+    * makes cross-batch state safe). Fixed state at any stream length —
+    * the configuration a 100 TB event firehose needs; contrast a
+    * streaming groupBy(user).count() whose state grows with the key
+    * domain.
+    */
+  def heavyHittersJob(ds: Dataset[Event]): DataFrame =
+    ds.groupBy()
+      .agg(graft.functions.SketchFunctions
+        .spaceSaving(col("user_id"), graft.operators.Analytics.HeavyHitterCapacity)
+        .as("hh"))
+
+  /** D9 driver entry: streaming twin of C22 (same exact-regime output
+    * and oracle — capacity ≥ the user domain at every test SF). The
+    * top-10 explode happens batch-side on the sink row.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    runOnFiles(spark, dir, "complete")(heavyHittersJob)
+      .select(posexplode(col("hh")).as(Seq("pos", "hh")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("hh.item").as("user_id"),
+        col("hh.est").as("est_count"),
+        col("hh.err").as("err"))
 }

@@ -127,6 +127,47 @@ class StreamsSpec extends AnyFunSuite {
       s"expected only event 5 flagged (state must carry sum=30,n=3 into batch 2): $flagged")
   }
 
+  test("D9 stream_heavy_hitters == C22 batch heavy hitters") {
+    assert(rows(Streams.streamHeavyHitters(spark, sf)) ==
+      rows(Analytics.eventsHeavyHitters(spark, sf)))
+  }
+
+  test("D9 Space-Saving state merges across micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    def write(name: String, stamp: Long, rows: Seq[(Long, Long)]): Unit = {
+      rows.map { case (id, u) => (id, "2026-01-01 00:01:00", u, "click", 1.0) }
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(stamp))
+    }
+    // user 7: 3 events in batch 1, 2 more in batch 2 — est 5 only if
+    // the sketch buffer carried across the boundary
+    write("f1", 1000000L, Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 8L)))
+    write("f2", 2000000L, Seq((5L, 7L), (6L, 7L), (7L, 9L)))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .as[Streams.Event]
+    val sink = "graft_hh_sink"
+    val q = Streams.heavyHittersJob(stream)
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sink)
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(7L -> 5L, 8L -> 1L, 9L -> 1L),
+      s"sketch state did not merge across batches: $got")
+  }
+
   test("D8 stream_funnel == C16 batch funnel (reach counts)") {
     val got = Streams.streamFunnel(spark, sf).collect().head
     val want = Analytics.eventsFunnel(spark, sf).collect().head
