@@ -97,6 +97,10 @@ object SparkEntry {
     "text_search_bm25_batch" -> ((s, d) => Search.textSearchBm25Batch(s, d)),
     "hybrid_search_rrf" -> ((s, d) => Search.hybridSearchRrf(s, d)),
     "token_count"     -> (TextOps.tokenCount _),
+    // learned BPE: bounded word-type collect + driver merge loop...
+    "bpe_train"       -> (Bpe.bpeTrain _),
+    // ...and its application as a codegen'd per-doc token-count kernel
+    "token_count_bpe" -> (Bpe.tokenCountBpe _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // deterministic corpus shrink + training-shard assignment
     "sample_stratified"  -> (TextOps.sampleStratified _),

@@ -129,7 +129,7 @@ object IndexLifecycle {
     // BQ models/codes)
     corpusDir.foreach { d =>
       Ivf.invalidate(d); Dedup.invalidate(d); Pq.invalidate(d); Sq8.invalidate(d)
-      Bq.invalidate(d); Pca.invalidate(d)
+      Bq.invalidate(d); Pca.invalidate(d); Bpe.invalidate(d)
     }
     val prev = status(spark, indexPath)
     val v = vecs.cache()

@@ -27,7 +27,8 @@ class EntrySpec extends AnyFunSuite {
       "embedding_neardup_lsh", "index_stats", "events_sketch",
       "ivf_query_nprobe", "pq_topk", "pq_topk_opq", "ivfpq_topk", "ann_topk_batch_nprobe",
       "ann_topk_batch_pq", "ann_topk_batch_pq_cos", "ann_topk_batch_pq_refined",
-      "ann_topk_batch_pq_dot", "sq8_topk", "bq_topk", "pca_topk")
+      "ann_topk_batch_pq_dot", "sq8_topk", "bq_topk", "pca_topk",
+      "bpe_train", "token_count_bpe")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
