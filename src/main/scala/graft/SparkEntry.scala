@@ -143,6 +143,10 @@ object SparkEntry {
     // incremental view maintenance: persisted aggregate + O(delta)
     // merge, served from disk; oracle = the full recompute
     "agg_incremental"      -> (Analytics.aggIncremental _),
+    // incremental SCD2 history: close touched current rows at the
+    // delta's first ts, chain the delta, untouched rows pass through;
+    // oracle = the full rebuild
+    "scd2_upsert"          -> (Analytics.scd2Upsert _),
     "q17_small_qty_revenue"    -> (Analytics.q17SmallQtyRevenue _),
     "customers_without_orders" -> (Analytics.customersWithoutOrders _),
     "events_moving_avg"        -> (Analytics.eventsMovingAvg _),
@@ -302,6 +306,7 @@ object SparkEntry {
     "q17_small_qty_revenue"    -> Analytics.q17OracleSql,
     "events_heavy_hitters"     -> Analytics.eventsHeavyHittersOracleSql,
     "agg_incremental"          -> Analytics.aggIncrementalOracleSql,
+    "scd2_upsert"              -> Analytics.scd2UpsertOracleSql,
     "customers_without_orders" -> Analytics.customersWithoutOrdersOracleSql,
     "events_moving_avg"        -> Analytics.eventsMovingAvgOracleSql,
     "events_asof_join"         -> Analytics.eventsAsofJoinOracleSql,

@@ -708,6 +708,80 @@ object Analytics {
     }
   }
 
+  /** Chain events into SCD2 validity windows: each row valid from its
+    * own ts (exclusive-end) until the user's next event, NULL while
+    * current. One shuffle + one window pass.
+    */
+  private def scd2Chain(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  /** Temporal split for the SCD2 delta demo (~the last fifth of the
+    * 30-day window arrives late).
+    */
+  val Scd2SplitTs = "2024-01-24 00:00:00"
+
+  /** C24: incremental SCD2 (type-2 slowly-changing-dimension) upsert —
+    * agg_incremental's counterpart for DIMENSION history. The base
+    * batch chains into validity windows and persists; when the delta
+    * batch (all later in time) arrives, maintenance is O(delta +
+    * touched rows): each touched user's CURRENT row closes at that
+    * user's first delta timestamp (broadcast of the per-user delta
+    * minima — |touched users| rows), the delta chains internally, and
+    * untouched rows pass through byte-identical. Version-directory
+    * swap publish, served by disk read-back; the oracle is the FULL
+    * rebuild over all events, which the incremental result must equal
+    * row-for-row (it does exactly when the delta is later per user
+    * than the base — the append-only contract a CDC feed provides).
+    * At 100 TB the history table is bucketed by user and only buckets
+    * with touched users rewrite (the IndexLifecycle partition-rewrite
+    * pattern).
+    */
+  def scd2Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_scd2")
+    val tmp = tmpDir.toString
+    try {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val split = to_timestamp(lit(Scd2SplitTs))
+      scd2Chain(ev.filter(col("ts") < split))
+        .write.mode("overwrite").parquet(s"$tmp/hist_v1")
+      val delta = ev.filter(col("ts") >= split)
+      val deltaFirst = delta.groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("f.ts").as("first_delta_ts"))
+      val v1 = spark.read.parquet(s"$tmp/hist_v1")
+      val maintained = v1
+        .join(broadcast(deltaFirst), Seq("user_id"), "left")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          when(col("is_current") === 1 && col("first_delta_ts").isNotNull,
+            col("first_delta_ts")).otherwise(col("valid_to")).as("valid_to"),
+          when(col("is_current") === 1 && col("first_delta_ts").isNotNull, 0)
+            .otherwise(col("is_current")).as("is_current"))
+        .unionByName(scd2Chain(delta))
+      maintained.write.mode("overwrite").parquet(s"$tmp/hist_v2")
+      spark.read.parquet(s"$tmp/hist_v2")
+        .orderBy("user_id", "valid_from", "event_id").localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  def scd2UpsertOracleSql: String =
+    """SELECT user_id, event_id, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   def aggIncrementalOracleSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
