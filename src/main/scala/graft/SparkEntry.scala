@@ -172,6 +172,9 @@ object SparkEntry {
     // date-partitioned fact + data-dependent day set: Catalyst DPP
     // prunes the fact scan to the qualifying partitions at runtime
     "dpp_join"                 -> (Analytics.dppJoin _),
+    // runtime bloom filter on a NON-partition join key: might_contain
+    // pushed to the fact scan drops rows before the shuffle
+    "bloom_join"               -> (Analytics.bloomJoin _),
     // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
     // integer-quantized idf so scores are exact BIGINTs cross-engine
     "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
@@ -316,6 +319,7 @@ object SparkEntry {
     "events_percentiles"       -> Analytics.eventsPercentilesOracleSql,
     "bucketed_join"            -> Analytics.bucketedJoinOracleSql,
     "dpp_join"                 -> Analytics.dppJoinOracleSql,
+    "bloom_join"               -> Analytics.bloomJoinOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

@@ -708,6 +708,44 @@ object Analytics {
     }
   }
 
+  /** C25: runtime BLOOM-FILTER join pruning — dpp_join's counterpart
+    * for NON-partition join keys. A selective dim filter
+    * (o_orderpriority = '1-URGENT', ~1/5 of orders) joins the fact on
+    * o_orderkey, which no disk layout indexes; Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the filtered dim's
+    * keys (ObjectHashAggregate bloom_filter_agg, map-side combined)
+    * and pushes `might_contain` onto the FACT SCAN — ~4/5 of fact rows
+    * drop before the shuffle instead of after the join. PlanSpec pins
+    * the injected filter. Runs in a child session: broadcast is
+    * disabled (a broadcast join would subsume the filter — the bloom
+    * path IS the big-dim case) and the application-side size threshold
+    * is lowered because the demo fact is far below the 10 GB default
+    * that triggers it by itself at 100 TB.
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ord = Tables.orders(ss, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    Tables.lineitem(ss, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linenumber"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).cast("long").as("sum_qty"))
+      .orderBy("l_linenumber")
+  }
+
+  def bloomJoinOracleSql: String =
+    """SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Chain events into SCD2 validity windows: each row valid from its
     * own ts (exclusive-end) until the user's next event, NULL while
     * current. One shuffle + one window pass.

@@ -152,6 +152,14 @@ class PlanSpec extends AnyFunSuite {
       s"partitioned fact scan lacks a runtime pruning filter:\n$plan")
   }
 
+  test("bloom join: runtime bloom filter reaches the fact side") {
+    val df = Analytics.bloomJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+      s"no injected runtime bloom filter in the plan:\n$plan")
+  }
+
   test("range join: bin-bucketing keeps BNLJ/cartesian out of the plan") {
     val df = Analytics.eventsRangeJoin(spark, sf)
     df.collect()
