@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   * with true count > n/capacity is present in the summary.
   *
   * Distribution: TypedImperativeAggregate gives map-side partial
-  * summaries per partition; merge unions the counter sets (summing
-  * counts and errors of shared items — the mergeable-summaries
-  * result) and truncates back to `capacity` by descending count, so
+  * summaries per partition; merge unions the counter sets (shared
+  * items sum; one-sided items take the absent FULL summary's min
+  * counter as count and error — the mergeable-summaries rule, see
+  * merge()) and truncates back to `capacity` by descending count, so
   * the shuffle carries ≤ capacity triples per partition, never the
   * key domain. Eviction scans the counter table for the minimum —
   * O(capacity) per untracked arrival; a production variant would keep
@@ -82,10 +83,27 @@ case class SpaceSavingAgg(
   }
 
   override def merge(buf: Buf, other: Buf): Buf = {
+    // The mergeable-summaries rule (Agarwal et al.): an item UNTRACKED
+    // by a summary may still have occurred up to that summary's MIN
+    // counter times (eviction absorbs small items into the min), so a
+    // one-sided item takes the absent side's min as both count and
+    // error. An under-capacity summary tracks everything it saw — its
+    // absent-side contribution is 0. A plain zero-fill sum (the naive
+    // merge) UNDERESTIMATES — caught by the PropertySpec random-stream
+    // invariants before this rule was added.
+    val minBuf =
+      if (buf.size < capacity || buf.isEmpty) 0L
+      else buf.values.map(_(0)).min
+    val minOther =
+      if (other.size < capacity || other.isEmpty) 0L
+      else other.values.map(_(0)).min
+    buf.foreach { case (item, mine) =>
+      if (!other.contains(item)) { mine(0) += minOther; mine(1) += minOther }
+    }
     other.foreach { case (item, ce) =>
       buf.get(item) match {
         case Some(mine) => mine(0) += ce(0); mine(1) += ce(1)
-        case None => buf.update(item, Array(ce(0), ce(1)))
+        case None => buf.update(item, Array(ce(0) + minBuf, ce(1) + minBuf))
       }
     }
     if (buf.size <= capacity) buf

@@ -68,4 +68,129 @@ class PropertySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("BQ kernels: pack/distance == bit-level reference, random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    for (dim <- Seq(8, 17, 64)) { // 17 exercises the partial last byte
+      val th = Array.fill(dim)(rnd.nextDouble() - 0.5)
+      val vecs = (0 until 20).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      def refBits(v: Array[Float]): Seq[Boolean] =
+        v.zip(th).map { case (x, t) => x > t }.toSeq
+      val df = vecs.toDF("id", "vec")
+        .select(col("id"), graft.functions.BqFunctions
+          .bqEncode(col("vec"), th).as("codes"))
+      val codes = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      // packing: bit i of byte i/8 (LSB-first) equals the reference bit
+      vecs.foreach { case (id, v) =>
+        val c = codes(id)
+        assert(c.length == (dim + 7) / 8)
+        refBits(v).zipWithIndex.foreach { case (b, i) =>
+          assert(((c(i >> 3) >> (i & 7)) & 1) == (if (b) 1 else 0),
+            s"dim=$dim id=$id bit $i mispacked")
+        }
+        // trailing pad bits of the last byte must be zero (they'd
+        // otherwise poison hamming distances)
+        (dim until c.length * 8).foreach { i =>
+          assert(((c(i >> 3) >> (i & 7)) & 1) == 0, s"pad bit $i set")
+        }
+      }
+      // hamming == reference bit-diff count, for all pairs
+      val pairs = vecs.combinations(2).map(p => (p(0), p(1))).toSeq
+      val hdf = pairs.map { case ((a, _), (b, _)) => (a, b) }.toDF("a", "b")
+        .join(vecs.toDF("a", "va"), "a").join(vecs.toDF("b", "vb"), "b")
+        .select(col("a"), col("b"), graft.functions.BqFunctions.hammingDistance(
+          graft.functions.BqFunctions.bqEncode(col("va"), th),
+          graft.functions.BqFunctions.bqEncode(col("vb"), th),
+          (dim + 7) / 8).as("h"))
+      val got = hdf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      pairs.foreach { case ((a, va), (b, vb)) =>
+        val want = refBits(va).zip(refBits(vb)).count { case (x, y) => x != y }
+        assert(got((a, b)) == want, s"dim=$dim hamming($a,$b): ${got((a, b))} != $want")
+      }
+    }
+  }
+
+  test("Space-Saving invariants under random skewed streams and partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    for (round <- 0 until 3) {
+      // zipf-ish: item k drawn with weight ~ 1/(k+1)
+      val domain = 60 + round * 40
+      val weights = (0 until domain).map(k => 1.0 / (k + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val items = Seq.fill(3000) {
+        val x = rnd.nextDouble() * total
+        cum.indexWhere(x <= _).toLong
+      }
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = items.size.toLong
+      for (cap <- Seq(8, 32); parts <- Seq(1, 7)) {
+        val s = items.toDF("item").repartition(parts)
+          .agg(graft.functions.SketchFunctions.spaceSaving(col("item"), cap).as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.item"), col("h.est"), col("h.err"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(s.size <= cap)
+        s.foreach { case (k, (est, err)) =>
+          val t = truth.getOrElse(k, 0L)
+          assert(est >= t && est - t <= err && err <= n / cap,
+            s"round=$round cap=$cap parts=$parts item=$k est=$est true=$t err=$err")
+        }
+        truth.filter(_._2 > n / cap).keys.foreach { k =>
+          assert(s.contains(k),
+            s"round=$round cap=$cap parts=$parts heavy hitter $k missing")
+        }
+      }
+    }
+  }
+
+  test("BPE: trained merges applied to any training word never increase tokens, random tables") {
+    val rnd = new scala.util.Random(19)
+    for (round <- 0 until 3) {
+      val alphabet = "abcdef".toCharArray
+      val wc = (0 until 30).map { i =>
+        val w = Array.fill(2 + rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        (w, 1L + rnd.nextInt(50))
+      }.distinct.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      // train driver-side on the synthetic table via the naive rule
+      // (same contract as Bpe.train), then apply through the KERNEL
+      var words = wc.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until 10) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (s, n) =>
+          s.zip(s.tail).foreach(p => counts.update(p, counts.getOrElse(p, 0L) + n))
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), _) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          merges += ((l, r))
+          words = words.map { case (s, n) =>
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+              else { b += s(i); i += 1 }
+            }
+            (b.toVector, n)
+          }
+        }
+      }
+      val mL = merges.map(_._1).toArray; val mR = merges.map(_._2).toArray
+      wc.foreach { case (w, _) =>
+        val toks = graft.functions.BpeKernel.tokenizeWord(w, mL, mR)
+        assert(toks.mkString == w, s"round=$round: merges must preserve the word: $w -> ${toks.mkString}")
+        assert(toks.length <= w.length && toks.length >= 1)
+        // kernel application == the round-by-round training state
+        val trained = words.find(_._1.mkString == w)
+        trained.foreach { case (syms, _) =>
+          assert(toks.toSeq == syms, s"round=$round: apply diverges from training state on $w")
+        }
+      }
+    }
+  }
 }
