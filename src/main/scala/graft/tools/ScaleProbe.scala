@@ -56,6 +56,16 @@ object ScaleProbe {
     // vectors for the SAME 50k×64 corpus (the round-4 binary-codes
     // claim, measured — storage memory, not disk)
     timed("sq8 encode (memo)") { graft.operators.Sq8.encode(spark, dir).count() }
+    timed("bq encode (memo)") { graft.operators.Bq.encode(spark, dir).count() }
+    timed("bq topk refine=8") {
+      val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
+      graft.operators.Bq.topK(spark, dir, q, 10).count()
+    }
+    timed("pca reduce 64->16 (memo)") { graft.operators.Pca.reduce(spark, dir).count() }
+    timed("pca topk refine=8") {
+      val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
+      graft.operators.Pca.topK(spark, dir, q, 10).count()
+    }
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").cache()
     raw.count()
