@@ -175,6 +175,9 @@ object SparkEntry {
     // runtime bloom filter on a NON-partition join key: might_contain
     // pushed to the fact scan drops rows before the shuffle
     "bloom_join"               -> (Analytics.bloomJoin _),
+    // ANALYZE-style per-column stats in one Expand scan (exact
+    // distinct; the 100 TB variant swaps in the HLL sketch)
+    "profile_events"           -> (Analytics.profileEvents _),
     // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
     // integer-quantized idf so scores are exact BIGINTs cross-engine
     "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
@@ -320,6 +323,7 @@ object SparkEntry {
     "bucketed_join"            -> Analytics.bucketedJoinOracleSql,
     "dpp_join"                 -> Analytics.dppJoinOracleSql,
     "bloom_join"               -> Analytics.bloomJoinOracleSql,
+    "profile_events"           -> Analytics.profileEventsOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

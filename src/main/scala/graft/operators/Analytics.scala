@@ -708,6 +708,44 @@ object Analytics {
     }
   }
 
+  /** C26: table profiling — the ANALYZE-style stats pass that feeds a
+    * cost-based optimizer and every data-quality dashboard: per column,
+    * row count, non-null count, EXACT distinct count. All columns
+    * profile in ONE scan — multiple count(DISTINCT) compile to a
+    * single Expand (rows multiply by the column count map-side, then
+    * aggregate partially), the textbook exact shape; at 100 TB the
+    * serving variant swaps `countDistinct` for the HLL sketch already
+    * benched in events_sketch, same plan otherwise. `ts` profiles as
+    * epoch MICROS on both engines — Spark's reader truncates the
+    * parquet nanos to micros, so profiling the raw timestamp would
+    * legitimately disagree with an engine that keeps nanos.
+    */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val cols = Seq("event_id", "event_type", "props", "ts_us", "user_id", "value")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col, n_nonnull, n_distinct)",
+        "n_rows")
+      .select(col("col"), col("n_rows"), col("n_nonnull"), col("n_distinct"))
+      .orderBy("col")
+  }
+
+  def profileEventsOracleSql: String = {
+    val cols = Seq("event_id", "event_type", "props", "ts_us", "user_id", "value")
+    cols.map { c =>
+      s"""SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
   /** C25: runtime BLOOM-FILTER join pruning — dpp_join's counterpart
     * for NON-partition join keys. A selective dim filter
     * (o_orderpriority = '1-URGENT', ~1/5 of orders) joins the fact on
