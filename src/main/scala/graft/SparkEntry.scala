@@ -178,6 +178,8 @@ object SparkEntry {
     // ANALYZE-style per-column stats in one Expand scan (exact
     // distinct; the 100 TB variant swaps in the HLL sketch)
     "profile_events"           -> (Analytics.profileEvents _),
+    // resample to a dense per-user daily grid + forward fill
+    "events_gap_fill"          -> (Analytics.eventsGapFill _),
     // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
     // integer-quantized idf so scores are exact BIGINTs cross-engine
     "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
@@ -324,6 +326,7 @@ object SparkEntry {
     "dpp_join"                 -> Analytics.dppJoinOracleSql,
     "bloom_join"               -> Analytics.bloomJoinOracleSql,
     "profile_events"           -> Analytics.profileEventsOracleSql,
+    "events_gap_fill"          -> Analytics.eventsGapFillOracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

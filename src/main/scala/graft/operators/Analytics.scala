@@ -708,6 +708,51 @@ object Analytics {
     }
   }
 
+  /** C27: time-series resample + gap fill — per user, the dense DAILY
+    * grid from first to last active day, zero-filled event counts and
+    * FORWARD-FILLED last-known daily spend (the resample→ffill step
+    * every feature pipeline runs before windowed models). The grid
+    * generates with `sequence(d0, d1)` + explode — O(users × span
+    * days) skinny rows by construction, no calendar table and no
+    * cross join; the fill is one `last(_, ignoreNulls)` running
+    * window over the grid (one shuffle on user_id, which the daily
+    * pre-aggregation already established — the join and window reuse
+    * that partitioning).
+    */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("cents"), ignoreNulls = true).over(w).as("ffill_cents"))
+      .orderBy("user_id", "day")
+  }
+
+  def eventsGapFillOracleSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |grid AS (SELECT user_id,
+      |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |j AS (
+      |  SELECT g.user_id, g.day, coalesce(d.n, 0) AS n_events,
+      |    last_value(d.cents IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
+      |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, user_id, n_events, ffill_cents
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   /** C26: table profiling — the ANALYZE-style stats pass that feeds a
     * cost-based optimizer and every data-quality dashboard: per column,
     * row count, non-null count, EXACT distinct count. All columns
