@@ -1096,7 +1096,10 @@ object Analytics {
     */
   def eventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-    val wn = Window.partitionBy(col("event_type"))
+    // the group count shares w's (partition, order) spec with a full
+    // frame, so both window expressions land in ONE Window exec (a
+    // bare unordered count spec planned a second Window pass)
+    val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def idx(p: Int) = expr(s"($p * n + 99) div 100")
     Tables.events(spark, dir)
       .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
