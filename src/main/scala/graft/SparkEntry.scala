@@ -89,6 +89,13 @@ object SparkEntry {
     // repetition rules (dup-word / top-bigram fractions) — the
     // boilerplate filters E8's composite doesn't cover
     "quality_gopher"  -> (TextOps.qualityGopher _),
+    // corpus-trained bigram-LM familiarity (integer-quantized; held-out
+    // source scored under a model that never saw it)
+    "lm_bigram_score" -> ((s, d) => Corpus.lmBigramScore(s, d)),
+    // corpus-wide boilerplate shingles (df over per-doc distinct 3-grams)
+    "boilerplate_ngrams" -> ((s, d) => Corpus.boilerplateNgrams(s, d)),
+    // PII detect + redact over the deterministically seeded corpus
+    "pii_redact"      -> (Corpus.piiRedact _),
     // keyword (BM25) + hybrid RRF retrieval over documents
     "text_search_bm25"  -> ((s, d) => Search.textSearchBm25(s, d)),
     // many queries via the inverted-index JOIN (the general serving
@@ -224,6 +231,9 @@ object SparkEntry {
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
+    "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
+    "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
+    "pii_redact"      -> Corpus.piiRedactOracleSql,
     "text_search_bm25"  -> Search.textSearchBm25OracleSql(),
     "text_search_bm25_batch" -> Search.textSearchBm25BatchOracleSql(),
     "hybrid_search_rrf" -> Search.hybridSearchRrfOracleSql(),

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators an LLM-data pipeline needs beyond the
+  * per-document scans in [[TextOps]]: boilerplate detection (corpus-wide
+  * n-gram document frequency), PII detection/redaction, and statistical
+  * quality scoring under a corpus-trained bigram LM.
+  *
+  * Scale notes:
+  *  - `boilerplate_ngrams` is one explode + one map-side-combined
+  *    groupBy; the result set is bounded (TakeOrdered top-k), never a
+  *    global sort. The shuffle carries (shingle, partial df) pairs —
+  *    at 100 TB the distinct-shingle domain is what it is, but partial
+  *    aggregation collapses per-partition duplicates before the wire.
+  *  - `pii_redact` is a pure per-row codegen'd scan (regexp detect +
+  *    replace), zero shuffles. The corpus has no natural PII, so spans
+  *    are SYNTHESIZED deterministically in-plan (the validate_chunks /
+  *    multimodal perturb-then-process pattern) and the oracle replays
+  *    the same synthesis — redaction equality is pinned by md5 of the
+  *    redacted text, not just by match counts.
+  *  - `lm_bigram_score` trains the LM as ONE aggregation over the
+  *    training split (bigram counts; the w1 marginal derives from the
+  *    bigram table itself) and scores via a shuffle join of document
+  *    bigram occurrences against the ratio table — the inverted-index
+  *    join shape (E18b), not a broadcast of an unbounded vocabulary.
+  *    Scores are integer-quantized ((10^6·c12) div c1) so both engines
+  *    agree bit-for-bit with no ln() ulp hazard (the E20 idf contract).
+  */
+object Corpus {
+
+  /** Word 3-grams of `w` (1-indexed array col), empty when <3 words. */
+  private def trigrams(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  // ------------------------------------------------------------- E23
+
+  /** E23: corpus-level boilerplate detection — the word-3-gram shingles
+    * shared by the most documents (template headers/footers, license
+    * blurbs, nav text in a real crawl). Per-doc DISTINCT shingles →
+    * document frequency → top-15 by (df desc, shingle asc). The same
+    * df table, kept above a threshold instead of top-k'd, is the
+    * removal list a C4-style cleaner would anti-join against.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String, k: Int = 15): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(array_distinct(trigrams(split(col("text"), " "))))
+        .as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+
+  def boilerplateNgramsOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+      |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY 1)
+      |SELECT shingle, df FROM df ORDER BY df DESC, shingle ASC LIMIT 15""".stripMargin
+
+  // ------------------------------------------------------------- E24
+
+  private val EmailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val Ipv4Pat  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val PhonePat = "\\+1-555-[0-9]{4}"
+
+  /** Deterministic PII seeding: doc_id-keyed email/IP/phone spans
+    * appended to the (PII-free) synthetic text, so detection has known
+    * ground truth at every SF. Shared by the Spark plan and the oracle.
+    */
+  private def seededText: Column = {
+    val id = col("doc_id")
+    concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast("string"),
+          lit("@mail"), (id % 10).cast("string"), lit(".com now")))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" host 10."), (id % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"), lit("."),
+          ((id * 13) % 256).cast("string"), lit(" up")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((id % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(lit("")))
+  }
+
+  /** E24: PII detection + redaction over the seeded corpus: per-type
+    * match counts and the md5 of the text after replacing every span
+    * (email → ip → phone, in that fixed order) with a type tag. Rows
+    * with no PII are dropped (the report view); the redacted text
+    * itself would flow on in a real pipeline. Pure codegen'd scan.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val t = seededText
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(t, lit(EmailPat), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(t, lit(Ipv4Pat), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(t, lit(PhonePat), lit(0))).cast("long").as("n_phone"),
+        md5(redacted).as("redacted_md5"))
+      .filter(col("n_email") + col("n_ip") + col("n_phone") > 0)
+      .orderBy("doc_id")
+  }
+
+  def piiRedactOracleSql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      |         || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.com now' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |         || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |det AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      |    CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      |  FROM seeded)
+      |SELECT * FROM det
+      |WHERE n_email + n_ip + n_phone > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- E25
+
+  /** E25: statistical quality scoring under a corpus-trained bigram LM —
+    * the perplexity-bucket filter of a pretraining pipeline, with the
+    * LM trained on the corpus itself minus the held-out source `src0`
+    * (so src0 docs are scored under a model that never saw them).
+    * familiarity = Σ over the doc's bigram OCCURRENCES of
+    * (10^6·c12(w1,w2)) div c1(w1), unseen bigrams contributing 0;
+    * c1 is the w1-marginal of the bigram table. Integer end-to-end.
+    *
+    * Shape: train = one explode + map-side-combined count; marginal =
+    * second small aggregate over the LM table itself (never re-reads
+    * the corpus); scoring = shuffle join of (doc_id, bigram) against
+    * the ratio table on the bigram key — both sides partition by the
+    * join key, no vocabulary broadcast, no ln().
+    */
+  def lmBigramScore(spark: SparkSession, dir: String, heldOut: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def bigramsOf(df: DataFrame): DataFrame = {
+      val w = split(col("text"), " ")
+      df.select(col("doc_id"), col("source"),
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array().cast("array<string>")).as("bgs"))
+        .select(col("doc_id"), col("source"), explode(col("bgs")).as("bg"))
+    }
+    val all = bigramsOf(docs)
+    val lm = all.filter(col("source") =!= heldOut)
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val marg = lm
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val ratio = lm
+      .join(marg, split(lm("bg"), " ").getItem(0) === marg("w1"))
+      .select(col("bg"), expr("(1000000 * c12) div c1").as("r"))
+    all.join(ratio, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("r")).as("n_seen"),
+        coalesce(sum(col("r")), lit(0L)).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
+  def lmBigramScoreOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |bigrams AS (
+      |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS bg
+      |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+      |lm AS (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bigrams
+      |  WHERE source <> 'src0' GROUP BY 1),
+      |marg AS (
+      |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM lm GROUP BY 1),
+      |ratio AS (
+      |  SELECT bg, CAST((1000000 * c12) // c1 AS BIGINT) AS r
+      |  FROM lm JOIN marg ON string_split(lm.bg, ' ')[1] = marg.w1)
+      |SELECT b.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(count(r.r) AS BIGINT) AS n_seen,
+      |  CAST(coalesce(sum(r.r), 0) AS BIGINT) AS familiarity
+      |FROM bigrams b LEFT JOIN ratio r ON b.bg = r.bg
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

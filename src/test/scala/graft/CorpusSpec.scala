@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("boilerplate_ngrams: df is bounded by corpus size and ranking is (df desc, shingle asc)") {
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = Corpus.boilerplateNgrams(spark, sf, k = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 15)
+    assert(rows.forall(_._2 <= nDocs), "df of a per-doc-distinct shingle cannot exceed doc count")
+    assert(rows.forall(_._2 >= 1))
+    val resorted = rows.sortBy { case (s, df) => (-df, s) }
+    assert(rows.toSeq == resorted.toSeq, "must be ordered by df desc, shingle asc")
+  }
+
+  test("boilerplate_ngrams: per-doc distinct — a shingle repeated within one doc counts once") {
+    // "a b c" appears twice in doc 1 but once per doc in 1 and 2 → df 2, not 3.
+    val docs = Seq((1L, "a b c x a b c"), (2L, "a b c"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("corpus_spec_docs")
+    val dfs = docs
+      .select(explode(array_distinct(
+        when(size(split(col("text"), " ")) >= 3,
+          transform(sequence(lit(1), size(split(col("text"), " ")) - 2),
+            i => concat_ws(" ",
+              element_at(split(col("text"), " "), i),
+              element_at(split(col("text"), " "), i + 1),
+              element_at(split(col("text"), " "), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("a b c") == 2L)
+    assert(dfs("z z z") == 1L)
+  }
+
+  test("pii_redact: detection counts follow the doc_id seeding residues exactly") {
+    val got = Corpus.piiRedact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, nEmail, nIp, nPhone) =>
+      assert(nEmail == (if (id % 3 == 0) 1L else 0L), s"doc $id email count")
+      // seeded IPs are 10.x.y.z — but the source text is synthetic prose with
+      // no dotted quads, so the IP count is exactly the seeding indicator
+      assert(nIp == (if (id % 4 == 0) 1L else 0L), s"doc $id ip count")
+      assert(nPhone == (if (id % 5 == 0) 1L else 0L), s"doc $id phone count")
+    }
+    // every reported row has at least one span; rows with none are dropped
+    assert(got.forall { case (_, a, b, c) => a + b + c > 0 })
+    // docs with doc_id ≡ 0 (mod 3) exist and none leaked out of the report
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val expected = (0L until nDocs).count(i => i % 3 == 0 || i % 4 == 0 || i % 5 == 0)
+    assert(got.length == expected, "report must cover exactly the seeded docs")
+  }
+
+  test("pii_redact: redacted text contains no residual PII spans (md5 invariance under double-redaction)") {
+    // Redacting an already-redacted text must be the identity: the tags
+    // <EMAIL>/<IP>/<PHONE> match none of the three patterns.
+    val tags = Seq("x <EMAIL> y", "a <IP> b", "c <PHONE> d").toDF("t")
+    val out = tags.select(
+      regexp_replace(regexp_replace(regexp_replace(col("t"),
+        "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+        "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+        "\\+1-555-[0-9]{4}", "<PHONE>").as("r"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("x <EMAIL> y", "a <IP> b", "c <PHONE> d"))
+  }
+
+  test("lm_bigram_score: held-out docs are scored, never trained on") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val heldIds = docs.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(heldIds.nonEmpty, "sf0.001 must contain the held-out source")
+    val got = Corpus.lmBigramScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc with ≥2 words gets a score row
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(heldIds.forall(byId.contains), "held-out docs must still be scored")
+    got.foreach { case (id, nBigrams, nSeen, fam) =>
+      assert(nSeen <= nBigrams, s"doc $id: seen bigrams cannot exceed total")
+      assert(fam >= 0L)
+      assert(nBigrams >= 1L)
+      // familiarity per occurrence is at most 10^6 (c12 <= c1 by construction)
+      assert(fam <= 1000000L * nSeen, s"doc $id: ratio bound violated")
+    }
+    // the training split scores itself: in-LM docs must have full coverage
+    // of their own bigrams (every bigram they contain is in the LM)
+    val inLm = got.filter(t => !heldIds.contains(t._1))
+    assert(inLm.forall(t => t._2 == t._3), "training docs: every bigram is seen")
+  }
+
+  test("lm_bigram_score: a bigram unique to the held-out source is unseen; ratios are exact integer quotients") {
+    // Synthetic corpus where the held-out split contains a bigram the LM
+    // never saw — its occurrences must land in n_bigrams but not n_seen.
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_lm").toString
+    Seq(
+      (0L, "alpha beta alpha beta", "en", "train", 21L),
+      (1L, "alpha beta gamma", "en", "train", 16L),
+      (2L, "alpha beta zzz qqq", "en", "src0", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.lmBigramScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+    // LM (train only): "alpha beta"→2+1=3, "beta alpha"→1, "beta gamma"→1
+    // marginals: alpha→3, beta→2
+    // ratios: "alpha beta" = 10^6*3 div 3 = 1000000; "beta alpha" = 10^6*1 div 2
+    //         = 500000; "beta gamma" = 500000
+    assert(got(0) == ((0L, 3L, 3L, 1000000L + 500000L + 1000000L)))
+    assert(got(1) == ((1L, 2L, 2L, 1000000L + 500000L)))
+    // held-out doc: "alpha beta"(seen) + "beta zzz","zzz qqq"(unseen)
+    assert(got(2) == ((2L, 3L, 1L, 1000000L)))
+  }
+}
