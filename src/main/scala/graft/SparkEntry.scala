@@ -96,6 +96,14 @@ object SparkEntry {
     "boilerplate_ngrams" -> ((s, d) => Corpus.boilerplateNgrams(s, d)),
     // PII detect + redact over the deterministically seeded corpus
     "pii_redact"      -> (Corpus.piiRedact _),
+    // corpus-wide 10-word-span exact dedup: first occurrence wins,
+    // docs reassembled from surviving spans (md5-pinned)
+    "dedup_spans"     -> ((s, d) => Corpus.dedupSpans(s, d)),
+    // per-doc distinct-trigram novelty in ingestion order
+    "ngram_novelty"   -> (Corpus.ngramNovelty _),
+    // exact phrase search via positional postings adjacency joins;
+    // oracle counts RE2 word-boundary matches — independent algorithm
+    "phrase_search"   -> ((s, d) => Search.phraseSearch(s, d)),
     // keyword (BM25) + hybrid RRF retrieval over documents
     "text_search_bm25"  -> ((s, d) => Search.textSearchBm25(s, d)),
     // many queries via the inverted-index JOIN (the general serving
@@ -234,6 +242,9 @@ object SparkEntry {
     "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
     "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
     "pii_redact"      -> Corpus.piiRedactOracleSql,
+    "dedup_spans"     -> Corpus.dedupSpansOracleSql,
+    "ngram_novelty"   -> Corpus.ngramNoveltyOracleSql,
+    "phrase_search"   -> Search.phraseSearchOracleSql(),
     "text_search_bm25"  -> Search.textSearchBm25OracleSql(),
     "text_search_bm25_batch" -> Search.textSearchBm25BatchOracleSql(),
     "hybrid_search_rrf" -> Search.hybridSearchRrfOracleSql(),

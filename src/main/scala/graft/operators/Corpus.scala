@@ -188,6 +188,117 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- E26
+
+  /** E26: corpus-wide span-level exact dedup (the fine-grained C4-style
+    * pass: exact dedup at paragraph granularity, here fixed 10-word
+    * spans since the synthetic corpus has no sentence boundaries).
+    * Every distinct span keeps only its FIRST occurrence — ordered by
+    * (doc_id, span_idx), integer-encoded as doc_id·2²⁰+span_idx so the
+    * arg-min is one `min` aggregate — and each document is reassembled
+    * from its surviving spans in order. Output pins the cleaned text by
+    * md5 plus kept/total span counts.
+    *
+    * Shape: one explode → groupBy(span) arg-min (map-side combined) →
+    * join back on the span key (both sides partition by span — no
+    * broadcast of an unbounded span table) → groupBy(doc_id) ordered
+    * reassembly. Two key-partitioned shuffles, no global sort, no
+    * driver materialization; at 100 TB the span table shards like any
+    * dedup key space.
+    */
+  def dedupSpans(spark: SparkSession, dir: String, spanWords: Int = 10): DataFrame = {
+    val w = split(col("text"), " ")
+    val nSpans = floor((size(w) + lit(spanWords - 1)).cast("long") / lit(spanWords)).cast("int")
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          i => concat_ws(" ", slice(w, i * spanWords + 1, lit(spanWords)))))
+          .as(Seq("span_idx", "span")))
+    val key = col("doc_id") * 1048576L + col("span_idx")
+    val firsts = spans.groupBy("span").agg(min(key).as("first_key"))
+    spans.join(firsts, "span")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        (key === col("first_key")).as("kept"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("kept"),
+              struct(col("span_idx"), col("span"))))),
+            x => x.getField("span")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSpansOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id, i AS span_idx,
+      |    array_to_string(w[(10*i+1):(10*i+10)], ' ') AS span
+      |  FROM words, UNNEST(range(0, (len(w)+9)//10)) AS t(i)),
+      |firsts AS (
+      |  SELECT span, min(doc_id*1048576 + span_idx) AS first_key
+      |  FROM spans GROUP BY 1)
+      |SELECT s.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(count(CASE WHEN s.doc_id*1048576 + s.span_idx = f.first_key
+      |    THEN 1 END) AS BIGINT) AS n_kept,
+      |  md5(coalesce(string_agg(
+      |    CASE WHEN s.doc_id*1048576 + s.span_idx = f.first_key
+      |      THEN s.span END, ' ' ORDER BY s.span_idx), '')) AS clean_md5
+      |FROM spans s JOIN firsts f USING (span)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- E27
+
+  /** E27: per-document n-gram novelty in ingestion (doc_id) order — the
+    * dataset-diversity curve: how many DISTINCT word-3-grams each doc
+    * introduces that no earlier doc (or earlier position in the same
+    * doc) contains. novelty_permille = (1000·n_new) div n_distinct,
+    * integer end-to-end. A collapsing novelty curve is the standard
+    * signal that a crawl has gone stale.
+    *
+    * Shape: grams explode → arg-min first occurrence (same integer
+    * encoding as E26) → the firsts table REaggregates by its derived
+    * doc_id (it never rejoins the corpus) → one join of two doc-keyed
+    * aggregate tables. Docs with <3 words have no trigrams and drop out
+    * on both engines.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(trigrams(split(col("text"), " ")))
+        .as(Seq("pos", "gram")))
+    val firsts = grams
+      .groupBy("gram").agg(min(col("doc_id") * 1048576L + col("pos")).as("fk"))
+    val newPerDoc = firsts
+      .groupBy(expr("fk div 1048576").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val distinctPerDoc = grams.select("doc_id", "gram").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    distinctPerDoc.join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("(1000 * coalesce(n_new, 0)) div n_distinct").as("novelty_permille"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNoveltyOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+      |  FROM words, UNNEST(range(0, len(w)-2)) AS t(i)),
+      |firsts AS (SELECT gram, min(doc_id*1048576 + pos) AS fk FROM grams GROUP BY 1),
+      |newg AS (SELECT fk // 1048576 AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      |  FROM firsts GROUP BY 1),
+      |dist AS (SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+      |  FROM grams GROUP BY 1)
+      |SELECT d.doc_id, d.n_distinct,
+      |  CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+      |  CAST((1000 * coalesce(n.n_new, 0)) // d.n_distinct AS BIGINT) AS novelty_permille
+      |FROM dist d LEFT JOIN newg n USING (doc_id) ORDER BY 1""".stripMargin
+
   def lmBigramScoreOracleSql: String =
     """WITH words AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

@@ -366,4 +366,53 @@ object Search {
        |WHERE rrf_rank <= $kOut
        |ORDER BY rrf_rank""".stripMargin
   }
+
+  // ------------------------------------------------------------- E28
+
+  /** Fixed demo phrase: two adjacent corpus-vocabulary terms. */
+  val PhraseTerms: Seq[String] = Seq("merge", "sort")
+
+  /** E28: exact phrase search via POSITIONAL postings adjacency — the
+    * inverted-index answer to "docs containing the exact phrase", not a
+    * substring scan. Per-occurrence count per doc.
+    *
+    * Shape: the corpus scan prunes to the phrase's vocabulary BEFORE
+    * anything shuffles (the wire carries Σ df(term) posting rows, not
+    * the corpus), then one equi-join per additional term on the
+    * (doc_id, normalized position) key — term i matches at pos-i, so
+    * every join shares the same key and Catalyst reuses the exchange.
+    * At 100 TB this is the standard phrase-query plan over a postings
+    * table; here the postings derive in-plan from the same scan.
+    *
+    * The oracle is genuinely independent: DuckDB counts RE2 word-
+    * boundary regex matches over the raw text (`\bmerge sort\b`) —
+    * a different algorithm agreeing on every count. (With distinct
+    * first/last terms occurrences cannot overlap, so non-overlapping
+    * regex counting is exact.)
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+    val base = postings.filter(col("w") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(base) { case (acc, (term, i)) =>
+      val t = postings.filter(col("w") === term)
+        .select(col("doc_id").as(s"d$i"), (col("pos") - i).as(s"q$i"))
+      acc.join(t, acc("doc_id") === t(s"d$i") && col("p0") === t(s"q$i"))
+        .drop(s"d$i", s"q$i")
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_occ")).orderBy("doc_id")
+  }
+
+  def phraseSearchOracleSql(phrase: Seq[String] = PhraseTerms): String = {
+    val p = phrase.mkString(" ")
+    s"""SELECT doc_id, n_occ FROM (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\b$p\\b')) AS BIGINT) AS n_occ
+       |  FROM documents) t
+       |WHERE n_occ > 0 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -117,4 +117,42 @@ class CorpusSpec extends AnyFunSuite {
     // held-out doc: "alpha beta"(seen) + "beta zzz","zzz qqq"(unseen)
     assert(got(2) == ((2L, 3L, 1L, 1000000L)))
   }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    rows.map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_spans: first occurrence wins across and within docs; reassembly is ordered") {
+    val spanA = (1 to 10).map(i => s"a$i").mkString(" ")   // one full 10-word span
+    val spanB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, s"$spanA $spanB"),          // both spans novel
+      (1L, s"$spanB $spanA"),          // both already seen (order ignored at span level)
+      (2L, s"$spanA $spanA"),          // within-doc repeat: both seen (doc0 owns spanA)
+      (3L, "c1 c2 c3")))               // one partial novel span
+    val got = Corpus.dedupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 2L, 2L), (1L, 2L, 0L), (2L, 2L, 0L), (3L, 1L, 1L)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._4 == md5(s"$spanA $spanB"), "doc0 keeps its full text in order")
+    assert(got(1)._4 == md5(""), "fully-deduped doc reassembles to the empty string")
+    assert(got(3)._4 == md5("c1 c2 c3"), "partial trailing span survives as-is")
+  }
+
+  test("ngram_novelty: a verbatim copy contributes zero novel trigrams") {
+    val a = "w1 w2 w3 w4 w5"                       // 3 trigrams, all novel
+    val dir = writeDocs(Seq((0L, a), (1L, a), (2L, s"w3 w4 w5 x1")))
+    val got = Corpus.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc2: trigrams "w3 w4 w5"(seen), "w4 w5 x1"(novel) → 1/2 → 500‰
+    assert(got.toSeq == Seq((0L, 3L, 3L, 1000L), (1L, 3L, 0L, 0L), (2L, 2L, 1L, 500L)))
+  }
 }

@@ -236,4 +236,36 @@ class SearchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
     assert(got == want)
   }
+
+  // -------------------------------------------------------------- E28
+
+  test("phrase_search: positional adjacency — repeats count, inversions and gaps do not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Seq(
+      (0L, "merge sort merge sort zz"),  // two occurrences
+      (1L, "merge merge sort"),          // one (first 'merge' not adjacent)
+      (2L, "sort merge"),                // inverted: none
+      (3L, "merge zz sort"),             // gap: none
+      (4L, "merge sort"))                // exact doc == phrase
+      .map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Search.phraseSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(got == Seq(0L -> 2L, 1L -> 1L, 4L -> 1L))
+  }
+
+  test("phrase_search: a 3-term phrase chains the adjacency join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase3").toString
+    Seq(
+      (0L, "a b c"), (1L, "a b x c"), (2L, "x a b c y a b c"))
+      .map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Search.phraseSearch(spark, dir, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(got == Seq(0L -> 1L, 2L -> 2L))
+  }
 }
