@@ -101,6 +101,10 @@ object SparkEntry {
     "dedup_spans"     -> ((s, d) => Corpus.dedupSpans(s, d)),
     // per-doc distinct-trigram novelty in ingestion order
     "ngram_novelty"   -> (Corpus.ngramNovelty _),
+    // PMI collocation mining (quantized, min-count floored)
+    "collocations_pmi" -> ((s, d) => Corpus.collocationsPmi(s, d)),
+    // batch dedup against a persisted fingerprint store (ingest shape)
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     // exact phrase search via positional postings adjacency joins;
     // oracle counts RE2 word-boundary matches — independent algorithm
     "phrase_search"   -> ((s, d) => Search.phraseSearch(s, d)),
@@ -244,6 +248,8 @@ object SparkEntry {
     "pii_redact"      -> Corpus.piiRedactOracleSql,
     "dedup_spans"     -> Corpus.dedupSpansOracleSql,
     "ngram_novelty"   -> Corpus.ngramNoveltyOracleSql,
+    "collocations_pmi" -> Corpus.collocationsPmiOracleSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalOracleSql,
     "phrase_search"   -> Search.phraseSearchOracleSql(),
     "text_search_bm25"  -> Search.textSearchBm25OracleSql(),
     "text_search_bm25_batch" -> Search.textSearchBm25BatchOracleSql(),

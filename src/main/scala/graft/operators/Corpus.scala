@@ -299,6 +299,68 @@ object Corpus {
       |  CAST((1000 * coalesce(n.n_new, 0)) // d.n_distinct AS BIGINT) AS novelty_permille
       |FROM dist d LEFT JOIN newg n USING (doc_id) ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- E29
+
+  /** E29: PMI-scored collocation mining — the word pairs that co-occur
+    * adjacently far above chance (multiword expressions, named
+    * entities in a real corpus). Quantized PMI over occurrence
+    * counts: pmi_q = (10⁶·c12·T) div (c1·c2) with T = total bigram
+    * occurrences — a monotone transform of p12/(p1·p2), integer
+    * end-to-end (no ln ulp hazard), with a min-count floor so rare
+    * noise pairs never rank. Top-k by (pmi_q desc, pair asc).
+    *
+    * Shape: one bigram count + one unigram count (both map-side
+    * combined), two key-partitioned joins of the FILTERED pair table
+    * against the unigram table, T as a one-row broadcast. The pair
+    * table after the min-count floor is vocabulary-sized, not
+    * corpus-sized. At 100 TB the 10⁶·c12·T product needs DECIMAL(38)
+    * staging (c12·T can pass 2⁶³); at test scales BIGINT is exact.
+    */
+  def collocationsPmi(spark: SparkSession, dir: String, k: Int = 15,
+                      minCount: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    val bigrams = docs.select(
+        when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bgs"))
+      .select(explode(col("bgs")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(w).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("c"))
+    val total = pairs.agg(sum("c12").as("t_bigrams"))
+    pairs.filter(col("c12") >= minCount)
+      .join(uni.select(col("wd").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("wd").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(1000000 * c12 * t_bigrams) div (c1 * c2)").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  def collocationsPmiOracleSql: String =
+    """WITH words AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+      |pairs AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT u AS wd, CAST(count(*) AS BIGINT) AS c
+      |  FROM words, UNNEST(w) AS s(u) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM pairs)
+      |SELECT p.w1, p.w2, p.c12,
+      |  CAST((1000000 * p.c12 * tot.t) // (u1.c * u2.c) AS BIGINT) AS pmi_q
+      |FROM pairs p
+      |JOIN uni u1 ON p.w1 = u1.wd
+      |JOIN uni u2 ON p.w2 = u2.wd
+      |CROSS JOIN tot
+      |WHERE p.c12 >= 5
+      |ORDER BY pmi_q DESC, p.w1 ASC, p.w2 ASC LIMIT 15""".stripMargin
+
   def lmBigramScoreOracleSql: String =
     """WITH words AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

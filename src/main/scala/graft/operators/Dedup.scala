@@ -42,6 +42,56 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
       |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E1b
+
+  /** E1b: incremental exact dedup against a PERSISTED fingerprint
+    * store — the ingest story for a standing corpus: existing text
+    * hashes live on disk, an incoming batch dedups via (a) a
+    * first-wins arg-min WITHIN the batch and (b) one anti-join
+    * against the store, then the store absorbs the survivors' hashes
+    * (an O(batch) append — never a corpus rewrite). Demo split:
+    * standing corpus = doc_id % 5 != 0, incoming batch = the rest.
+    *
+    * Survivors are MATERIALIZED before the store append and the
+    * return value reads that materialization — returning the lazy
+    * plan would re-run the anti-join against the already-absorbed
+    * store and dedup away its own output.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_store")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("survivors").toString
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("text_hash")).distinct()
+      .write.mode("overwrite").parquet(store)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"))
+    val firstInBatch = batch.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+    batch.join(firstInBatch, "text_hash")
+      .filter(col("doc_id") === col("keep_id"))
+      .join(spark.read.parquet(store), Seq("text_hash"), "left_anti")
+      .select("doc_id", "source", "text_hash")
+      .write.mode("overwrite").parquet(out)
+    val survivors = spark.read.parquet(out)
+    survivors.select("text_hash").write.mode("append").parquet(store)
+    survivors.orderBy("doc_id")
+  }
+
+  def dedupIncrementalOracleSql: String =
+    """WITH store AS (
+      |  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 <> 0),
+      |batch AS (
+      |  SELECT doc_id, source, md5(text) AS text_hash
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |first_in_batch AS (
+      |  SELECT text_hash, min(doc_id) AS keep_id FROM batch GROUP BY 1)
+      |SELECT b.doc_id, b.source, b.text_hash
+      |FROM batch b JOIN first_in_batch f USING (text_hash)
+      |WHERE b.doc_id = f.keep_id
+      |  AND b.text_hash NOT IN (SELECT text_hash FROM store)
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- E2
 
   val JaccardThreshold = 0.8

@@ -155,4 +155,18 @@ class CorpusSpec extends AnyFunSuite {
     // doc2: trigrams "w3 w4 w5"(seen), "w4 w5 x1"(novel) → 1/2 → 500‰
     assert(got.toSeq == Seq((0L, 3L, 3L, 1000L), (1L, 3L, 0L, 0L), (2L, 2L, 1L, 500L)))
   }
+
+  test("collocations_pmi: worked example — exact quantized quotients, floor excludes rare pairs") {
+    // "p q" ×6 (passes the floor), "p r" ×5, "x y" ×4 (floored out).
+    val dir = writeDocs(Seq(
+      (0L, "p q p q p q p r p r"),      // bigrams: pq,qp,pq,qp,pq,qp,pr,rp,pr (9)
+      (1L, "p q p q p q p r p r"),      // same again (9)
+      (2L, "x y x y x y x y")))         // xy,yx,xy,yx,xy,yx,xy (7)
+    val got = Corpus.collocationsPmi(spark, dir, k = 15, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // T = 25 bigram occurrences; unigrams: p=10, q=6, r=4, x=4, y=4
+    // c12: pq=6, qp=6, pr=4, rp=2, xy=4, yx=3 → floor(≥5) keeps pq, qp
+    // pmi_q(pq) = (1e6·6·25) div (10·6) = 2500000; qp = same counts
+    assert(got == Seq(("p", "q", 6L, 2500000L), ("q", "p", 6L, 2500000L)))
+  }
 }

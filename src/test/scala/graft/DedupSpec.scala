@@ -274,4 +274,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty && got.forall(t => t._2 >= 0))
   }
+
+  // --------------------------------------------------------------- E1b
+
+  test("dedup_incremental: store match drops, within-batch first wins, unique survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Seq(
+      (1L, "dup text one", "base"),    // standing corpus (id % 5 != 0)
+      (2L, "other base", "base"),
+      (0L, "dup text one", "batch"),   // batch: hash already in store → dropped
+      (5L, "batch unique a", "batch"), // survives
+      (10L, "same batch dup", "batch"),// first in batch → survives
+      (15L, "same batch dup", "batch"))// later duplicate → dropped
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0)).toSeq
+    assert(got == Seq(5L, 10L))
+  }
 }
