@@ -63,6 +63,9 @@ object SparkEntry {
     "decontaminate_eval"  -> ((s, d) => Dedup.decontaminateEval(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
+    // contrastive hard negatives: batch ANN with the label-inequality
+    // predicate inside the probed-list scan (not a post-filter)
+    "hard_negative_mining" -> ((s, d) => Dedup.hardNegativeMining(s, d)),
     "pq_topk"             -> ((s, d) => Pq.pqTopk(s, d)),
     // learned OPQ rotation in front of the same byte budget
     "pq_topk_opq"         -> ((s, d) => Pq.pqTopkOpq(s, d)),
@@ -89,6 +92,8 @@ object SparkEntry {
     // repetition rules (dup-word / top-bigram fractions) — the
     // boilerplate filters E8's composite doesn't cover
     "quality_gopher"  -> (TextOps.qualityGopher _),
+    // per-source median/MAD length outliers (robust, integer-exact)
+    "quality_outliers_mad" -> ((s, d) => TextOps.qualityOutliersMad(s, d)),
     // corpus-trained bigram-LM familiarity (integer-quantized; held-out
     // source scored under a model that never saw it)
     "lm_bigram_score" -> ((s, d) => Corpus.lmBigramScore(s, d)),
@@ -240,9 +245,11 @@ object SparkEntry {
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
+    "hard_negative_mining" -> Dedup.hardNegativeMiningOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
+    "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
     "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
     "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
     "pii_redact"      -> Corpus.piiRedactOracleSql,

@@ -857,4 +857,26 @@ object Dedup {
        |  FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id) t
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- E6d
+
+  /** E6d: hard-negative mining — every labeled vector's top-5 nearest
+    * cosine neighbors with a DIFFERENT label (the contrastive-training
+    * batch shape; see Ivf.hardNegatives for the scale contract). The
+    * label filter runs before the bounded top-k, inside the probed-list
+    * scan — this is batch ANN with a predicate, not a post-filter that
+    * could starve a query's k. Probe-all keeps it exact
+    * (oracle-checked); nprobe ≪ k is the serving path.
+    */
+  def hardNegativeMining(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Ivf.hardNegatives(spark, dir, k, graft.functions.VectorMetric.Cosine)
+
+  def hardNegativeMiningOracleSql(k: Int = 5): String =
+    s"""SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c WHERE q.label <> c.label) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -343,20 +343,27 @@ object Ivf {
     * join as the build path — a bounded top-k aggregation over
     * queries×k rows, stable codegen at any k.
     * (query_id, qvec) → (query_id, qvec, probe_cluster).
+    * `carry` names extra per-query columns to ride the probe aggregate
+    * (first() over the functionally-dependent value) — carrying them
+    * here costs nothing, where a join-back after the fact would shuffle
+    * a corpus-sized skinny frame a second time.
     */
   private[operators] def probeSelect(queries: DataFrame, centroids: Array[Array[Float]],
-                                     nprobe: Int, metric: Int = VectorMetric.L2): DataFrame = {
+                                     nprobe: Int, metric: Int = VectorMetric.L2,
+                                     carry: Seq[String] = Nil): DataFrame = {
     val np = math.min(math.max(1, nprobe), centroids.length)
     val cdf = centroidDf(queries.sparkSession, centroids)
+    val carried = carry.map(c => first(col(c)).as(c))
+    val out = Seq(col("query_id"), col("qvec")) ++ carry.map(col)
     queries.crossJoin(broadcast(cdf))
-      .select(col("query_id"), col("qvec"), col("cid"),
-        distCol(metric, col("qvec"), col("cvec")).as("cdist"))
+      .select(Seq(col("query_id"), col("qvec"), col("cid"),
+        distCol(metric, col("qvec"), col("cvec")).as("cdist")) ++ carry.map(col): _*)
       .groupBy("query_id")
       .agg(
         VectorFunctions.topKByDistance(col("cdist"), col("cid").cast("long"), np).as("pc"),
-        first(col("qvec")).as("qvec"))
-      .select(col("query_id"), col("qvec"), explode(col("pc")).as("p"))
-      .select(col("query_id"), col("qvec"), col("p.id").cast("int").as("probe_cluster"))
+        first(col("qvec")).as("qvec") +: carried: _*)
+      .select(out :+ explode(col("pc")).as("p"): _*)
+      .select(out :+ col("p.id").cast("int").as("probe_cluster"): _*)
   }
 
   /** Exact top-k within the probed inverted lists. `broadcastProbes`
@@ -471,6 +478,41 @@ object Ivf {
     val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters), metric)
     probedTopK(invertedLists(vecs, assign), probes, k, metric,
       pairFilter = col("neighbor_id") =!= col("query_id"),
+      broadcastProbes = false)
+      .orderBy("query_id", "rank")
+  }
+
+  /** E6d's engine: hard-negative mining — for every labeled vector, the
+    * top-k nearest neighbors whose label DIFFERS (the contrastive-
+    * training batch construction: semantically-close, differently-
+    * labeled pairs are the negatives that actually move a metric-
+    * learning loss; random negatives are trivially separable).
+    *
+    * Same skeleton as [[annBatch]] (probe set shuffle-joins the
+    * inverted lists on cluster_id — both sides corpus-sized, never
+    * broadcast); the label inequality rides the pair filter BEFORE the
+    * bounded top-k aggregate, so same-label pairs die in the codegen'd
+    * scan and never occupy shortlist slots. The query's own label rides
+    * the probe aggregate (probeSelect `carry`) and the neighbor's rides
+    * the inverted-list build — no extra shuffle versus plain batch ANN.
+    * Probe-all = exact (the oracle configuration); nprobe ≪ k is the
+    * 100 TB serving shape, same trade as E6/E6b.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int, metric: Int,
+                    nprobeOpt: Option[Int] = None): DataFrame = {
+    val labeled = Tables.rebalanced(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")))
+    val nClusters = defaultK(labeled.count())
+    val (assign, centroids) = buildIndex(spark, dir, nClusters)
+    val queries = labeled.select(col("id").as("query_id"),
+      col("vec").as("qvec"), col("label").as("qlabel"))
+    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters),
+      metric, carry = Seq("qlabel"))
+    val lists = labeled.join(assign, "id")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"),
+        col("label").as("nlabel"))
+    probedTopK(lists, probes, k, metric,
+      pairFilter = col("nlabel") =!= col("qlabel"),
       broadcastProbes = false)
       .orderBy("query_id", "rank")
   }

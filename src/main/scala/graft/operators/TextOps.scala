@@ -333,6 +333,70 @@ object TextOps {
       |       ELSE CAST(top_bigram_n AS DOUBLE) / (n_words - 1) END AS top_bigram_frac
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- E30
+
+  /** E30: robust per-source length outliers — median/MAD, the
+    * distribution-free screen a mixed-source corpus needs (a 90-char
+    * doc is normal in a chat source and truncation damage in a book
+    * source; global z-scores can't see that, and mean/stddev are
+    * themselves dragged by the very outliers being hunted — median/MAD
+    * has a 50% breakdown point). Flags docs with
+    * |n_chars − median(source)| > T·MAD(source).
+    *
+    * Exact discrete semantics, integers end-to-end: lower median =
+    * element at 1-based rank (n+1) div 2 of the sorted group (C20's
+    * index idiom — never a double `ceil`), deviations stay BIGINT, the
+    * threshold compare is integer×integer. Both medians reuse the ONE
+    * window trick from C20: rank and group-count share a (partition,
+    * order) spec so each median pass plans a single Window exec. Two
+    * passes (values, then deviations) = two source-partitioned
+    * shuffles; the 20-row per-source median/MAD frames broadcast back.
+    *
+    * Scale note: exact grouped medians need the per-group sort — with
+    * ~20 sources that is 20-way parallelism regardless of corpus size,
+    * the honest cost of exactness (same contract as C20). The 100 TB
+    * twin swaps both medians for `approx_percentile(0.5)` sketches
+    * (fixed memory, map-side combined) at the cost of the exactness
+    * oracle; the threshold logic is unchanged.
+    */
+  def qualityOutliersMad(spark: SparkSession, dir: String, t: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(valueCol), col("doc_id"))
+      val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.select(col("source"), col(valueCol),
+          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+        .groupBy(col("source"))
+        .agg(max(when(col("rn") === expr("(n+1) div 2"), col(valueCol))).as(out))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dev = docs.join(lowerMedian(docs, "n_chars", "med"), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        abs(col("n_chars") - col("med")).as("dev"))
+    dev.join(lowerMedian(dev, "dev", "mad"), "source")
+      .filter(col("dev") > lit(t.toLong) * col("mad"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("dev"), col("mad"))
+      .orderBy("doc_id")
+  }
+
+  def qualityOutliersMadOracleSql(t: Int = 2): String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |w AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+       |             count(*) OVER (PARTITION BY source) AS n FROM d),
+       |med AS (SELECT source, max(CASE WHEN rn = (n+1)//2 THEN n_chars END) AS med
+       |        FROM w GROUP BY source),
+       |dev AS (SELECT d.doc_id, d.source, d.n_chars, abs(d.n_chars - m.med) AS dev
+       |        FROM d JOIN med m USING (source)),
+       |w2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+       |              count(*) OVER (PARTITION BY source) AS n FROM dev),
+       |mad AS (SELECT source, max(CASE WHEN rn = (n+1)//2 THEN dev END) AS mad
+       |        FROM w2 GROUP BY source)
+       |SELECT v.doc_id, v.source, v.n_chars, v.dev, m2.mad
+       |FROM dev v JOIN mad m2 USING (source)
+       |WHERE v.dev > $t * m2.mad
+       |ORDER BY v.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- E9
 
   val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -609,4 +673,68 @@ object TextOps {
        |  FROM t)
        |SELECT doc_id, n_tokens, CAST(prior // $budget AS BIGINT) AS shard_id
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E31
+
+  /** E31: temperature-based language rebalancing — the multilingual
+    * mixture-construction step (the mBERT/XLM-R exponential-smoothing
+    * recipe, and the Pile's per-source weighting): the natural corpus
+    * is ~40% English, and training on the natural distribution starves
+    * low-resource languages, so the kept mixture samples language l
+    * proportionally to n_l^(1/2) instead of n_l — sub-linear scaling
+    * upweights small languages relative to their natural share. Keep
+    * budget = half the corpus; per-language target =
+    * min(n_l, (N div 2)·isqrt(n_l) div Σ isqrt) — never oversamples
+    * (subsample-only, no repetition), all-integer once the isqrt
+    * floors land.
+    *
+    * Cross-engine exactness: isqrt = floor(sqrt(n)) over IEEE doubles —
+    * the ONE double op, identical in both engines for any n ≤ ~10¹²
+    * (sqrt is correctly rounded; the floor can only disagree within
+    * 2⁻²⁷ of a perfect square, unreachable below that bound); every
+    * other step is BIGINT. Doc selection is the deterministic
+    * multiplicative-hash rank WITHIN language (same content-keyed
+    * contract as E14: stable under retries and repartitioning, no
+    * rand()), so the kept set is reproducible anywhere.
+    *
+    * Scale shape: one map-side-combined count aggregate (5 rows), the
+    * target table broadcast back, one rank window partitioned by lang.
+    * The per-language window is the honest exact-target cost (same
+    * 5-way-parallelism contract as E30/C20); the 100 TB twin trades
+    * exact targets for a per-language hash THRESHOLD filter (pure scan,
+    * no window) at ±√n count jitter. (N div 2)·isqrt needs DECIMAL
+    * staging past ~10¹² docs per language, noted like E29.
+    */
+  def mixLangsTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val weights = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        floor(sqrt(col("n").cast("double"))).cast("long").as("sq"))
+    val tot = weights.agg(sum("sq").as("tot"), sum("n").as("big_n"))
+    val targets = weights.crossJoin(tot)
+      .select(col("lang"),
+        least(col("n"), expr("(big_n div 2) * sq div tot")).as("target"))
+    val w = Window.partitionBy("lang")
+      .orderBy(pmod(col("doc_id") * SampleHashMult, lit(100003L)), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .filter(col("rk") <= col("target"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  def mixLangsTemperatureOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang FROM documents),
+       |s AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+       |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sq FROM s),
+       |t AS (SELECT lang,
+       |        least(n, ((SELECT sum(n) FROM w) // 2) * sq // (SELECT sum(sq) FROM w)) AS target
+       |      FROM w),
+       |r AS (SELECT doc_id, lang,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY (doc_id * $SampleHashMult) % 100003, doc_id) AS rk
+       |      FROM d)
+       |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
+       |WHERE rk <= target ORDER BY doc_id""".stripMargin
 }

@@ -94,6 +94,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"batch-ANN nprobe recall $recall unreasonably low")
   }
 
+  test("hard-negative mining: k per query, never a same-label pair, nprobe recall") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = Dedup.hardNegativeMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(exact.length == labels.size * 5, "every query must get k hard negatives")
+    exact.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"same-label pair ($q,$n) leaked through") }
+    exact.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to 5), s"ranks not contiguous for $q") }
+    // serving configuration: label contract must survive pruning too
+    val approx = graft.operators.Ivf.hardNegatives(spark, sf, 5,
+      graft.functions.VectorMetric.Cosine, nprobeOpt = Some(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    approx.foreach { case (q, n) =>
+      assert(labels(q) != labels(n), s"nprobe path leaked same-label pair ($q,$n)") }
+    val recall = (exact.map(t => (t._1, t._2)).toSet & approx.toSet).size.toDouble / exact.length
+    assert(recall >= 0.3, s"hard-negative nprobe recall $recall unreasonably low")
+  }
+
   test("simhash pairs have verified hamming distance <= 3 and are deterministic") {
     val df = Dedup.dedupSimhash(spark, sf)
     val rows = df.collect()

@@ -104,6 +104,24 @@ class TextOpsSpec extends AnyFunSuite {
       s"removed $removed docs but only ${nonCanon.size} non-canonical members exist")
   }
 
+  test("MAD outliers match an independent scala recomputation (lower-median semantics)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val med = docs.groupBy(_._2).map { case (s, rs) => s -> lowerMedian(rs.map(_._3).toSeq) }
+    val mad = docs.groupBy(_._2).map { case (s, rs) =>
+      s -> lowerMedian(rs.map(r => math.abs(r._3 - med(s))).toSeq) }
+    val expected = docs.filter { case (_, s, n) => math.abs(n - med(s)) > 2 * mad(s) }
+      .map(_._1).toSet
+    val got = TextOps.qualityOutliersMad(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "test data should contain length outliers")
+    assert(got == expected,
+      s"missed=${expected -- got} spurious=${got -- expected}")
+  }
+
   test("lang_id tie-break is alphabetical and no-hit docs are 'und'") {
     // 'la' is in both the es and fr lists -> tie -> alphabetical -> es
     val rows = Seq((1L, "la la qqq", "xx"), (2L, "qqq zzz", "xx"))
