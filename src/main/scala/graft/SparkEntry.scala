@@ -94,6 +94,9 @@ object SparkEntry {
     "quality_gopher"  -> (TextOps.qualityGopher _),
     // per-source median/MAD length outliers (robust, integer-exact)
     "quality_outliers_mad" -> ((s, d) => TextOps.qualityOutliersMad(s, d)),
+    // temperature (n^1/2) language rebalancing: deterministic
+    // hash-ranked subsample to flattened per-lang targets
+    "mix_langs_temperature" -> (TextOps.mixLangsTemperature _),
     // corpus-trained bigram-LM familiarity (integer-quantized; held-out
     // source scored under a model that never saw it)
     "lm_bigram_score" -> ((s, d) => Corpus.lmBigramScore(s, d)),
@@ -204,6 +207,9 @@ object SparkEntry {
     "profile_events"           -> (Analytics.profileEvents _),
     // resample to a dense per-user daily grid + forward fill
     "events_gap_fill"          -> (Analytics.eventsGapFill _),
+    // TPC-H Q10-style returned-item report: both selective filters
+    // below the fact-fact shuffle, nation broadcast, bounded top-20
+    "q10_returned_items"       -> (Analytics.q10ReturnedItems _),
     // per-doc top-3 tf-idf keywords: the inverted-index BUILD shape,
     // integer-quantized idf so scores are exact BIGINTs cross-engine
     "keyword_extract_tfidf"    -> ((s, d) => Search.keywordExtractTfidf(s, d)),
@@ -250,6 +256,7 @@ object SparkEntry {
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
+    "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,
     "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
     "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
     "pii_redact"      -> Corpus.piiRedactOracleSql,
@@ -361,6 +368,7 @@ object SparkEntry {
     "bloom_join"               -> Analytics.bloomJoinOracleSql,
     "profile_events"           -> Analytics.profileEventsOracleSql,
     "events_gap_fill"          -> Analytics.eventsGapFillOracleSql,
+    "q10_returned_items"       -> Analytics.q10OracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
   )
 }

@@ -1134,4 +1134,53 @@ object Analytics {
       |  AND e.event_id <> p.event_id
       |WHERE p.event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** C28: TPC-H Q10-style returned-item customer report — top-20
+    * customers by revenue lost to returns in one quarter (customer ⋈
+    * orders ⋈ lineitem ⋈ nation). The classic 3-table fact join with
+    * BOTH selective filters pushed below it: the quarter predicate
+    * prunes orders and the returnflag predicate prunes lineitem before
+    * either reaches the shuffle (PlanSpec-pinnable PushedFilters), so
+    * the join carries a quarter's returns, not the fact tables. Nation
+    * (25 rows) broadcasts; orders⋈lineitem is the one shuffle pair.
+    * Money math follows the §-type-rules pattern: exact DECIMAL sum,
+    * round at scale 4, then correctly-rounded double on both engines.
+    * Top-20 is TakeOrdered (bounded per-partition top-k + tiny merge,
+    * no global sort), custkey tie-break for determinism.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-07-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(toOut(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def q10OracleSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
 }

@@ -167,4 +167,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"pure-range join fell back to an all-pairs plan:\n$plan")
   }
+
+  test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
+    val df = Analytics.q10ReturnedItems(spark, sf)
+    val ss = scans(df)
+    val liScan = ss.find(_.metadata("ReadSchema").contains("l_returnflag"))
+      .getOrElse(fail("no lineitem scan"))
+    assert(liScan.metadata("PushedFilters").contains("l_returnflag"),
+      s"returnflag not pushed: ${liScan.metadata("PushedFilters")}")
+    val ordScan = ss.find(_.metadata("ReadSchema").contains("o_orderdate"))
+      .getOrElse(fail("no orders scan"))
+    assert(ordScan.metadata("PushedFilters").contains("o_orderdate"),
+      s"quarter filter not pushed: ${ordScan.metadata("PushedFilters")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
 }

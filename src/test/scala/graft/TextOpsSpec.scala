@@ -122,6 +122,24 @@ class TextOpsSpec extends AnyFunSuite {
       s"missed=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("temperature mixing hits exact sqrt-scaled targets and flattens the lang skew") {
+    val sf = "/root/testdata/sf0.001"
+    val natural = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sq = natural.map { case (l, n) => l -> math.sqrt(n.toDouble).toLong }
+    val bigN = natural.values.sum; val tot = sq.values.sum
+    val target = natural.map { case (l, n) => l -> math.min(n, (bigN / 2) * sq(l) / tot) }
+    val kept = TextOps.mixLangsTemperature(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == target, s"kept $kept != sqrt-scaled targets $target")
+    // flattening: the dominant lang's keep RATE must be strictly below
+    // every minority lang's (that is what sub-linear scaling buys)
+    val maxLang = natural.maxBy(_._2)._1
+    val rate = kept.map { case (l, c) => l -> c.toDouble / natural(l) }
+    rate.filter(_._1 != maxLang).foreach { case (l, r) =>
+      assert(rate(maxLang) < r, s"$maxLang rate ${rate(maxLang)} !< $l rate $r") }
+  }
+
   test("lang_id tie-break is alphabetical and no-hit docs are 'und'") {
     // 'la' is in both the es and fr lists -> tie -> alphabetical -> es
     val rows = Seq((1L, "la la qqq", "xx"), (2L, "qqq zzz", "xx"))
