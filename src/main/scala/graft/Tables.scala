@@ -35,17 +35,41 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw long nanos and truncate to micros
-    * (integer division — exactly DuckDB's ns→µs conversion).
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as raw long nanos via
+    * the legacy flag), TIMESTAMP_NTZ micros (the current layout), and
+    * tz-adjusted TIMESTAMP micros. Normalize every encoding to ONE
+    * canonical TimestampType column here so no consumer ever branches
+    * on the storage type — round 5 shipped with `unix_micros(ts)`
+    * call sites that threw on NTZ because only this reader guarded.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** Canonicalize a `ts` column to TimestampType regardless of how the
+    * parquet encoded it. The session timezone is pinned to UTC
+    * (GraftSession), so the NTZ→timestamp cast is an exact
+    * reinterpretation of the stored micros — the same instants DuckDB's
+    * `epoch_us` sees on the naive column. Long input is the legacy
+    * nanos-as-long read; `div 1000` is exactly DuckDB's ns→µs
+    * truncation. Any other encoding fails LOUDLY instead of feeding
+    * silently-wrong instants downstream (the round-5 regression class).
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported $tsCol storage encoding: $other (expected long nanos, " +
+          "timestamp_ntz micros, or timestamp)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -34,26 +34,31 @@ object Streams {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** On-disk schema of the events parquet (ts is TIMESTAMP(NANOS),
-    * which the vectorized reader only accepts as raw longs — same
-    * nanos→micros handling as Tables.events).
-    */
-  private val EventsFileSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** The events table as a real file-streamed source. Callers pass the
     * scoped streaming session from [[streamingSession]] — this function
     * mutates no conf.
+    *
+    * A file stream needs an explicit schema, and the `ts` storage
+    * encoding has changed between testdata generations (long nanos →
+    * TIMESTAMP_NTZ micros) — round 5 hard-coded the nanos layout and
+    * compressed every streamed timestamp 1000×. Probe the actual
+    * on-disk type with ONE batch footer read (metadata only, no data
+    * scan — the same cost as any scan's planning step), then normalize
+    * through the same Tables.normalizeTs guard the batch reader uses,
+    * so batch and stream can never again disagree on an encoding.
     */
   private def eventFileStream(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
+    val tsOnDisk = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val fileSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsOnDisk),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // glob form: the events table is a single file in the sf dir; the
     // file source wants a directory basePath, the glob selects the file
-    Sources.streamDir(spark, s"$dir/events.parq*", EventsFileSchema,
+    val raw = Sources.streamDir(spark, s"$dir/events.parq*", fileSchema,
       options = Map("basePath" -> dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(raw)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
   }
