@@ -21,10 +21,19 @@ import org.apache.spark.sql.SparkSession
   *     measures cold.
   */
 object Bench {
-  private def timed(f: () => Unit): Double = {
+  /** Time a thunk, capturing (not swallowing) any failure. Round 5's
+    * version discarded the exception, so a key that threw at PLAN time
+    * benched as a ~0.05s "result" — a broken operator masquerading as a
+    * fast one, which is exactly how the ts regression shipped unnoticed.
+    * Errored keys now land in the emitted `errors` map and are EXCLUDED
+    * from per-query seconds and the total (pinned by HarnessSpec).
+    */
+  private[graft] def timed(f: () => Unit): (Double, Option[String]) = {
     val t0 = System.nanoTime()
-    try f() catch { case _: Throwable => () }
-    (System.nanoTime() - t0) / 1e9
+    val err = try { f(); None } catch { case e: Throwable =>
+      Some(e.toString.linesIterator.take(1).mkString.take(300))
+    }
+    ((System.nanoTime() - t0) / 1e9, err)
   }
 
   /** Shared session memos as named warmers — timed line items in the
@@ -69,9 +78,9 @@ object Bench {
     // key reports its MEDIAN, with min/max spread alongside, so a single
     // noisy pass on this virtualized disk (measured 2-4× swings between
     // identical runs) can no longer masquerade as a regression.
-    val memoResults = memoWarmers(spark, sfDir).map { case (name, f) => name -> timed(f) }
+    val memoTimed = memoWarmers(spark, sfDir).map { case (name, f) => name -> timed(f) }
     val runsN = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val perRun: Seq[Seq[(String, Double)]] = (1 to runsN).map { _ =>
+    val perRun: Seq[Seq[(String, (Double, Option[String]))]] = (1 to runsN).map { _ =>
       ordered.map { case (name, fn) =>
         name -> timed(() => { fn(spark, sfDir).count(); () })
       }
@@ -84,17 +93,37 @@ object Bench {
     val byKey = ordered.map { case (name, _) =>
       name -> perRun.map(_.toMap.apply(name))
     }
-    val queryResults = byKey.map { case (name, xs) => name -> median(xs) }
+    // a key that errored in ANY pass is reported in `errors` and kept
+    // OUT of queries/total — its wall-clock is meaningless
+    val errors: Seq[(String, String)] =
+      memoTimed.collect { case (n, (_, Some(e))) => n -> e } ++
+        byKey.flatMap { case (n, xs) => xs.flatMap(_._2).headOption.map(n -> _) }
+    val memoResults = memoTimed.collect { case (n, (s, None)) => n -> s }
+    val greenByKey = byKey.collect {
+      case (n, xs) if xs.forall(_._2.isEmpty) => n -> xs.map(_._1)
+    }
+    val queryResults = greenByKey.map { case (name, xs) => name -> median(xs) }
     val results = memoResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = byKey.map { case (k, xs) => s"\"" + k + s"\":[${xs.min},${xs.max}]" }
+    val spread = greenByKey.map { case (k, xs) => s"\"" + k + s"\":[${xs.min},${xs.max}]" }
       .mkString("{", ",", "}")
-    val runTotals = perRun.map(r => memoResults.map(_._2).sum + r.map(_._2).sum)
-      .mkString("[", ",", "]")
+    val runTotals = perRun.map { r =>
+      memoResults.map(_._2).sum +
+        r.collect { case (n, (s, None)) if greenByKey.exists(_._1 == n) => s }.sum
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread}"""
+      s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread,""" +
+      s""""errors":$errJson}"""
     // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
     // parse in round 1 (BENCH_r01 "parsed": null) — emit to a file too
     // so the line survives any log wrapping.

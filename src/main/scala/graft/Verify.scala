@@ -4,6 +4,46 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one query's result; on failure write a LOUD sentinel instead
+    * of dropping the key. Round 5 proved the silent shape is how a
+    * regression ships: a throwing key simply had no row in the driver's
+    * correctness report, which reads as "not checked", not "broken".
+    * The sentinel is a one-row parquet with a `graft_error` column —
+    * the driver's schema/row compare against the real oracle then
+    * records a hard mismatch for the key — plus `<name>.error.txt`
+    * with the full stack trace for diagnosis. Returns the error
+    * rendering, None on success (pinned by HarnessSpec).
+    */
+  private[graft] def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+                             name: String,
+                             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+    try {
+      val df = fn(spark, sfDir)
+      // GRAFT_EXPLAIN=1: dump each physical plan for shuffle/pushdown
+      // audits (SURVEY §6) without touching the driver's output.
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        println(s"===== $name ====="); df.explain("formatted")
+      }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = e.toString.linesIterator.take(1).mkString.take(500)
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        Files.writeString(Paths.get(s"$outDir/$name.error.txt"), sw.toString)
+        import spark.implicits._
+        Seq(msg).toDF("graft_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        // even the sentinel failed (disk?) — the stderr line above is
+        // then the only trace; never let the error path kill the run
+        System.err.println(s"[verify] $name sentinel write failed: $e2")
+      }
+      Some(msg)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,19 +57,7 @@ object Verify {
       case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        // GRAFT_EXPLAIN=1: dump each physical plan for shuffle/pushdown
-        // audits (SURVEY §6) without touching the driver's output.
-        if (sys.env.contains("GRAFT_EXPLAIN")) {
-          println(s"===== $name ====="); df.explain("formatted")
-        }
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    selected.foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
