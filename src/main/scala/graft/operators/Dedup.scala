@@ -289,42 +289,42 @@ object Dedup {
         col("b.sz") * decT <= col("a.sz") && col("a.sz") * decT <= col("b.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification against the full (hashed) sets
-    verifyJaccard(cand, ordered.select(col("doc_id"), col("gs").as("g")), t)
+    // exact verification against the full (hashed) sets; the salt
+    // decision comes from the prefix table, never from re-running the
+    // candidate join
+    val salts = Skew.recommendSaltsFromBuckets(prefixRows, "doc_id", Seq("shingle"))
+    verifyJaccard(cand, ordered.select(col("doc_id"), col("gs").as("g")), t, salts)
   }
 
-  /** Inner-join a candidate-pair stream to a per-id table, consulting
-    * the skew probe first (SURVEY §5's "skewed keys → salting" as a
-    * BEHAVIOR, not a library): boilerplate-heavy corpora concentrate
-    * the pair stream on a few ids — one template document collides its
-    * way into most candidates, and the verify join-back stalls on that
-    * one key's straggler task at scale. When Skew.detectHotKeys flags
-    * such a key the join runs salted (Skew.saltedJoin ≡ plain inner
-    * join, DedupSpec pins output equality); below the threshold the
-    * plain join runs and AQE's runtime skew split suffices. The probe
-    * runs at full sample over the already-skinny id-pair stream —
-    * exact and deterministic, one map-side-combined count pass. `cand`
-    * is NOT cached here: the probe recomputes the candidate join once
-    * (over the memoized sig/prefix tables — one broadcast-join pass on
-    * cached inputs), which beats registering a per-invocation cache
-    * the CacheManager never drops: that session leak is what the
-    * median-of-3 bench measured as run-over-run degradation.
+  /** Inner-join a candidate-pair stream to a per-id table, salted when
+    * the caller's probe flagged a hot id (SURVEY §5's "skewed keys →
+    * salting" as a BEHAVIOR, not a library): boilerplate-heavy corpora
+    * concentrate the pair stream on a few ids — one template document
+    * collides its way into most candidates, and the verify join-back
+    * stalls on that one key's straggler task at scale. `salts` comes
+    * from Skew.recommendSaltsFromBuckets over the band/prefix table
+    * that GENERATED the candidates — estimating the hot-id share there
+    * costs one windowed aggregation of the skinny bucket table, where
+    * probing the candidate stream itself re-executed the whole
+    * candidate self-join once per invocation (the round-5
+    * embedding_neardup_lsh 1.6× regression). Skew.saltedJoin ≡ plain
+    * inner join (DedupSpec pins output equality); salts == 1 keeps the
+    * plain join and AQE's runtime skew split suffices.
     */
   private def skewAwareVerifyJoin(cand: DataFrame, right: DataFrame,
-                                  key: String): DataFrame = {
-    val salts = Skew.recommendSalts(cand, key, sampleFraction = 1.0)
+                                  key: String, salts: Int): DataFrame =
     if (salts <= 1) cand.join(right, key)
     else Skew.saltedJoin(cand, right, key, salts)
-  }
 
   /** Join candidate (doc_a, doc_b) pairs back to their shingle-hash sets
     * and keep pairs with exact jaccard ≥ t. The doc_a join-back is the
     * skew-prone side (a hot template doc dominates candidate pairs) and
-    * goes through the probe-gated salted join.
+    * goes through the salted join when the caller's bucket probe says so.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame =
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double,
+                            salts: Int): DataFrame =
     skewAwareVerifyJoin(cand,
-      sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a", salts)
       .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
@@ -623,7 +623,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(cand, sig.select(col("doc_id"), col("g")), JaccardThreshold)
+    val salts = Skew.recommendSaltsFromBuckets(capped, "doc_id",
+      Seq("band_id", "band_hash"))
+    verifyJaccard(cand, sig.select(col("doc_id"), col("g")), JaccardThreshold, salts)
   }
 
   // ---------------------------------------------------------------- E4
@@ -814,9 +816,12 @@ object Dedup {
     val sim = lit(1.0) - VectorFunctions.cosineDistance(col("ea"), col("eb"))
     // vec_a join-back goes through the probe-gated salted join: a hub
     // vector colliding in many buckets is the same hot-key shape as
-    // E2/E3's template document
+    // E2/E3's template document. Candidates stay duplicated per band
+    // here, so the bucket-derived pair estimate is exact, not a bound.
+    val salts = Skew.recommendSaltsFromBuckets(bands, "vec_id",
+      Seq("band_id", "band_val"))
     skewAwareVerifyJoin(cand,
-      vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a", salts)
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .filter(sim >= threshold)
       .select("vec_a", "vec_b")

@@ -81,4 +81,29 @@ class SkewSpec extends AnyFunSuite {
     val b = Skew.saltedJoin(fact, dim, "k", 4).collect().length
     assert(a == b)
   }
+
+  test("bucket-derived salt estimate flags a template clique and clears a uniform corpus") {
+    import spark.implicits._
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      // 12 ids sharing one bucket: under the a<b orientation the
+      // smallest id carries 11 of the 66 pairs = 16.7% > 5/32 — the
+      // same decision the candidate-stream probe reached, without ever
+      // building the pair stream
+      val clique = (1 to 12).map(i => (i.toLong, "hot"))
+      val singles = (100 to 199).map(i => (i.toLong, s"b$i"))
+      val buckets = (clique ++ singles).toDF("id", "bucket")
+      val salts = Skew.recommendSaltsFromBuckets(buckets, "id", Seq("bucket"))
+      assert(salts > 1, s"clique bucket must recommend salting, got $salts")
+
+      // uniform small buckets: no id crosses the evidence floor
+      val uniform = (1 to 200).map(i => (i.toLong, s"u${i / 2}")).toDF("id", "bucket")
+      assert(Skew.recommendSaltsFromBuckets(uniform, "id", Seq("bucket")) == 1)
+
+      // empty table: no pairs, no salting, no crash
+      val empty = Seq.empty[(Long, String)].toDF("id", "bucket")
+      assert(Skew.recommendSaltsFromBuckets(empty, "id", Seq("bucket")) == 1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
 }
