@@ -31,13 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Word 3-grams of `w` (1-indexed array col), empty when <3 words. */
+  /** Word 3-grams of `w` (array col), empty when <3 words. Runs the
+    * codegen'd [[graft.functions.WordNgrams]] kernel — the HOF spelling
+    * (transform over a sequence) evaluates interpreted and was the
+    * measured sleeper cost of the corpus keys (SURVEY §8d).
+    */
   private def trigrams(w: Column): Column =
-    when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.WordNgrams.wordNgrams(w, 3)
 
   // ------------------------------------------------------------- E23
 
@@ -162,15 +162,10 @@ object Corpus {
     */
   def lmBigramScore(spark: SparkSession, dir: String, heldOut: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def bigramsOf(df: DataFrame): DataFrame = {
-      val w = split(col("text"), " ")
+    def bigramsOf(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("source"),
-          when(size(w) >= 2,
-            transform(sequence(lit(1), size(w) - 1),
-              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-            .otherwise(array().cast("array<string>")).as("bgs"))
-        .select(col("doc_id"), col("source"), explode(col("bgs")).as("bg"))
-    }
+        explode(graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 2))
+          .as("bg"))
     val all = bigramsOf(docs)
     val lm = all.filter(col("source") =!= heldOut)
       .groupBy("bg").agg(count(lit(1)).as("c12"))
@@ -320,17 +315,20 @@ object Corpus {
                       minCount: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val w = split(col("text"), " ")
-    val bigrams = docs.select(
-        when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bgs"))
-      .select(explode(col("bgs")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val pairs = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // count by the joined "w1 w2" gram string (codegen'd kernel; words
+    // contain no spaces by construction of the split, so grouping by
+    // the gram ≡ grouping by the pair), then split the SURVIVING pairs
+    // back into (w1, w2) — the pair table after the min-count floor is
+    // vocabulary-sized, so the substring work is off the hot path
+    val pairs = docs
+      .select(explode(graft.functions.WordNgrams.wordNgrams(w, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
     val uni = docs.select(explode(w).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("c"))
     val total = pairs.agg(sum("c12").as("t_bigrams"))
     pairs.filter(col("c12") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c12"))
       .join(uni.select(col("wd").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("wd").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(total))

@@ -268,41 +268,27 @@ object TextOps {
     *
     * Shapes: everything is a per-row array expression inside one
     * codegen'd scan — no explode, no shuffle. The most-frequent-bigram
-    * count is computed as the LONGEST RUN in the sorted bigram array
-    * (one array_sort + one linear aggregate — O(d log d) per row, vs
-    * the O(d²) count-each-distinct formulation that stops scaling at
-    * book-length docs; the oracle keeps the quadratic spelling, the
-    * multiset max is the same number). Trading a shuffle for bounded
-    * per-row CPU is the right side of the trade at 100 TB, where the
-    * alternative explodes every bigram through a groupBy. All output
-    * fractions are single divisions of exact integers, so both engines
-    * produce bit-identical doubles.
+    * count runs the compiled [[graft.functions.TopNgramCount]] kernel
+    * (sort gram references, count the longest run — O(d log d) per
+    * row, vs the O(d²) count-each-distinct formulation that stops
+    * scaling at book-length docs; the oracle keeps the quadratic
+    * spelling, the multiset max is the same number). The earlier
+    * zip_with + aggregate(fold) spelling of the same idea evaluated
+    * interpreted (HOFs are CodegenFallback). Trading a shuffle for
+    * bounded per-row CPU is the right side of the trade at 100 TB,
+    * where the alternative explodes every bigram through a groupBy.
+    * All output fractions are single divisions of exact integers, so
+    * both engines produce bit-identical doubles.
     */
   def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
-    val bigrams = zip_with(
-      slice(col("ws"), lit(1), size(col("ws")) - 1),
-      slice(col("ws"), lit(2), size(col("ws")) - 1),
-      (a, b) => concat(a, lit(" "), b))
-    // longest run in the sorted array: fold (prev, run, best) structs
-    val topRun = aggregate(
-      array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => struct(
-        x.as("prev"),
-        when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
-          .as("run"),
-        greatest(acc.getField("best"),
-          when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L))
-          .as("best")),
-      acc => acc.getField("best"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
-        when(size(col("ws")) < 2, lit(0L)).otherwise(topRun)
-          .cast("long").as("top_bigram_n"))
+        graft.functions.TopNgramCount.topNgramCount(col("ws"), 2)
+          .as("top_bigram_n"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_bigram_n"),
         ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
           .as("dup_word_frac"),
