@@ -54,6 +54,12 @@ object SparkEntry {
     // connected components over the exact pair graph: one canonical
     // survivor per dup CLUSTER (near-duplication is transitive)
     "dedup_components"    -> (Dedup.dedupComponents _),
+    // SemDeDup-style semantic prune: exact cosine pairs → components →
+    // one representative per group, kept flag per vector
+    "semantic_prune"      -> (Dedup.semanticPrune _),
+    // DSIR-style importance selection: contrastive target-vs-raw
+    // bigram-LM likelihood ratios, integer-quantized, top-k
+    "dsir_select"         -> ((s, d) => Corpus.dsirSelect(s, d)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"       -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
@@ -248,6 +254,8 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.dedupExactOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,
+    "semantic_prune"      -> Dedup.semanticPruneOracleSql,
+    "dsir_select"         -> Corpus.dsirSelectOracleSql,
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),

@@ -359,6 +359,88 @@ object Corpus {
       |WHERE p.c12 >= 5
       |ORDER BY pmi_q DESC, p.w1 ASC, p.w2 ASC LIMIT 15""".stripMargin
 
+  // ------------------------------------------------------------- E32
+
+  /** E32: importance-based data selection against a target distribution
+    * — the DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") re-expressed with integer
+    * arithmetic: score every raw-corpus document by how much more
+    * likely its hashed n-gram stream is under a TARGET-corpus LM than
+    * under the RAW-corpus LM, and keep the top-k. Here the feature
+    * stream is the word-bigram stream (the E25 kernel), the two LMs
+    * are add-one-smoothed occurrence models, and each bigram
+    * contributes the quantized likelihood ratio
+    * rq = (10⁶·(c_t+1)·(N_r+V)) div ((c_r+1)·(N_t+V)) — a monotone
+    * transform of p_target/p_raw, integer end-to-end (the E20/E25/E29
+    * no-ln contract). A document's score is its mean rq over bigram
+    * occurrences (length-normalized, integer division).
+    *
+    * Shape: two map-side-combined bigram counts (target, raw), one
+    * bounded distinct-vocabulary count, ratio join key-partitioned on
+    * the bigram, totals as a one-row broadcast, then the scoring join
+    * reuses E25's inverted-index shape and top-k is a bounded
+    * TakeOrdered — no vocabulary broadcast, no ln(), no driver loop.
+    * At 10¹³+ bigram occurrences the rq product needs DECIMAL(38)
+    * staging (the E29 note); BIGINT is exact at any tested SF.
+    */
+  def dsirSelect(spark: SparkSession, dir: String,
+                 targetSource: String = "src0", k: Int = 25): DataFrame =
+    dsirSelectOn(Tables.documents(spark, dir), targetSource, k)
+
+  /** E32 over an arbitrary (doc_id, source, text) frame (spec seam). */
+  def dsirSelectOn(docs: DataFrame, targetSource: String, k: Int): DataFrame = {
+    val bigrams = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 2))
+        .as("bg"))
+    val ct = bigrams.filter(col("source") === targetSource)
+      .groupBy("bg").agg(count(lit(1)).as("c_t"))
+    val cr = bigrams.filter(col("source") =!= targetSource)
+      .groupBy("bg").agg(count(lit(1)).as("c_r"))
+    val totals = ct.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
+      .crossJoin(cr.agg(coalesce(sum("c_r"), lit(0L)).as("n_r")))
+      .crossJoin(bigrams.agg(count_distinct(col("bg")).as("v")))
+    val ratio = cr.join(ct, Seq("bg"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bg"),
+        expr("(1000000 * (coalesce(c_t, 0) + 1) * (n_r + v)) div ((c_r + 1) * (n_t + v))")
+          .as("rq"))
+    bigrams.filter(col("source") =!= targetSource)
+      .join(ratio, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("rq")).as("importance_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("importance_q"),
+        expr("importance_q div n_bigrams").as("avg_q"))
+      .orderBy(col("avg_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def dsirSelectOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS bg
+      |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+      |ct AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg
+      |  WHERE source = 'src0' GROUP BY 1),
+      |cr AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg
+      |  WHERE source <> 'src0' GROUP BY 1),
+      |tot AS (SELECT
+      |  CAST((SELECT coalesce(sum(c), 0) FROM ct) AS BIGINT) AS nt,
+      |  CAST((SELECT coalesce(sum(c), 0) FROM cr) AS BIGINT) AS nr,
+      |  CAST((SELECT count(DISTINCT bg) FROM bg) AS BIGINT) AS v),
+      |ratio AS (
+      |  SELECT r.bg,
+      |    CAST((1000000 * (coalesce(t.c, 0) + 1) * (nr + v))
+      |      // ((r.c + 1) * (nt + v)) AS BIGINT) AS rq
+      |  FROM cr r LEFT JOIN ct t USING (bg) CROSS JOIN tot),
+      |sc AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(rq) AS BIGINT) AS importance_q
+      |  FROM bg b JOIN ratio USING (bg) WHERE b.source <> 'src0' GROUP BY 1)
+      |SELECT doc_id, n_bigrams, importance_q,
+      |  CAST(importance_q // n_bigrams AS BIGINT) AS avg_q
+      |FROM sc ORDER BY avg_q DESC, doc_id ASC LIMIT 25""".stripMargin
+
   def lmBigramScoreOracleSql: String =
     """WITH words AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

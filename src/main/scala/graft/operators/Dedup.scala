@@ -482,6 +482,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- E33
+
+  /** E33: semantic dedup pruning — the SemDeDup recipe (Abbas et al.
+    * 2023): embed, find semantic duplicates, keep ONE representative
+    * per duplicate group, drop the rest. Composed from the exact
+    * machinery already proven out: E5's exact cosine near-dup pairs
+    * (generated through the IVF cluster layout, never an all-pairs
+    * broadcast), E13's min-label component propagation, then every
+    * vector reports its representative (the component's min id; a
+    * singleton represents itself) and whether it survives the prune.
+    *
+    * Scale shape adds nothing beyond its parts: the pair stream is
+    * cluster-bucketed, propagation is O(edges·diameter), and the final
+    * left join is id-partitioned against the (small) non-singleton
+    * label table. The kept/total ratio IS the dedup rate a curation
+    * run reports.
+    */
+  def semanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    val comps = componentsFromPairs(
+      embeddingNeardup(spark, dir).select(col("vec_a"), col("vec_b")))
+      .select(col("doc_id").as("vec_id"), col("component_id").as("rep"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep_id"),
+        (coalesce(col("rep"), col("vec_id")) === col("vec_id"))
+          .cast("long").as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Independent SQL formulation: exact all-pairs cosine (the E5
+    * oracle) → recursive-CTE transitive closure (the E13 oracle) →
+    * min-reachable representative, singletons self-representing.
+    */
+  def semanticPruneOracleSql: String =
+    s"""WITH RECURSIVE prs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < b.vec_id
+       |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])) >= $CosineSimThreshold),
+       |edges AS (SELECT va AS src, vb AS dst FROM prs
+       |          UNION ALL SELECT vb, va FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS vec_id, CAST(least(src, min(dst)) AS BIGINT) AS rep
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id,
+       |  CAST(coalesce(c.rep, e.vec_id) AS BIGINT) AS rep_id,
+       |  CAST(CASE WHEN coalesce(c.rep, e.vec_id) = e.vec_id
+       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM embeddings e LEFT JOIN comp c USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
   /** Independent transitive closure in SQL: reach = edges⁺ (recursive
     * CTE; UNION dedups rows so the monotone closure terminates), then
     * each doc takes the min reachable id (self included via the

@@ -169,4 +169,53 @@ class CorpusSpec extends AnyFunSuite {
     // pmi_q(pq) = (1e6·6·25) div (10·6) = 2500000; qp = same counts
     assert(got == Seq(("p", "q", 6L, 2500000L), ("q", "p", 6L, 2500000L)))
   }
+
+  test("dsir_select: worked example — raw docs sharing the target's bigrams rank first, exact integer ratios") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    Seq(
+      (0L, "alpha beta alpha beta", "src0"), // target: ab×2, ba×1 → N_t=3
+      (1L, "alpha beta gamma", "srcA"),      // raw: ab, bg → 2
+      (2L, "gamma delta gamma", "srcA"))     // raw: gd, dg → 2; N_r=4, V=5
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.dsirSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // rq(ab) = (1e6·(2+1)·(4+5)) div ((1+1)·(3+5)) = 27000000 div 16 = 1687500
+    // rq for target-unseen raw bigrams = (1e6·1·9) div (2·8) = 562500
+    // doc 1: (1687500 + 562500) = 2250000 over 2 → avg 1125000
+    // doc 2: (562500 + 562500) = 1125000 over 2 → avg 562500
+    assert(got == Seq((1L, 2L, 2250000L, 1125000L),
+      (2L, 2L, 1125000L, 562500L)))
+  }
+
+  test("semantic_prune: representatives match a driver-side union-find of the exact pairs") {
+    val sf001 = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.embeddingNeardup(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test corpus must contain semantic near-dups")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = graft.operators.Dedup.semanticPrune(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((vid, rep, kept) <- got) {
+      val want = if (parent.contains(vid)) find(vid) else vid
+      assert(rep == want, s"vec $vid rep $rep != $want")
+      assert(kept == (if (rep == vid) 1L else 0L))
+    }
+    // the prune keeps exactly one representative per component plus
+    // all singletons
+    val keptN = got.count(_._3 == 1L)
+    val compReps = parent.keys.map(find).toSet.size
+    val inPairs = parent.keys.size
+    assert(keptN == got.length - inPairs + compReps)
+  }
 }
