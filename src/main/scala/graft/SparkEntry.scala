@@ -57,6 +57,10 @@ object SparkEntry {
     // SemDeDup-style semantic prune: exact cosine pairs → components →
     // one representative per group, kept flag per vector
     "semantic_prune"      -> (Dedup.semanticPrune _),
+    // duplicate-cluster size histogram over the exact component labels
+    "dedup_cluster_stats" -> (Dedup.dedupClusterStats _),
+    // cross-source shingle-vocabulary contamination matrix
+    "source_overlap"      -> (Corpus.sourceOverlap _),
     // DSIR-style importance selection: contrastive target-vs-raw
     // bigram-LM likelihood ratios, integer-quantized, top-k
     "dsir_select"         -> ((s, d) => Corpus.dsirSelect(s, d)),
@@ -255,6 +259,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,
     "semantic_prune"      -> Dedup.semanticPruneOracleSql,
+    "dedup_cluster_stats" -> Dedup.dedupClusterStatsOracleSql,
+    "source_overlap"      -> Corpus.sourceOverlapOracleSql,
     "dsir_select"         -> Corpus.dsirSelectOracleSql,
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,

@@ -359,6 +359,62 @@ object Corpus {
       |WHERE p.c12 >= 5
       |ORDER BY pmi_q DESC, p.w1 ASC, p.w2 ASC LIMIT 15""".stripMargin
 
+  // ------------------------------------------------------------- E34
+
+  /** E34: cross-source contamination matrix — for every source pair,
+    * the Jaccard overlap of their word-3-gram vocabularies. The corpus
+    * forensics report that surfaces inter-source duplication (mirrored
+    * crawls, vendored datasets, license-text bleed) BEFORE mixture
+    * weights are chosen; a source pair with high vocabulary overlap
+    * double-counts its content in the training mix.
+    *
+    * Shape: distinct (source, shingle) pairs (one explode + one
+    * map-side-combined distinct), per-source vocabulary sizes (a
+    * sources-sized broadcast), then the self-join on the shingle key.
+    * Fan-out per shingle is bounded by sources² — sources are a
+    * bounded catalog (10²-10³) at any corpus size, so the join never
+    * explodes the way a doc-level pair join would. Overlap reported as
+    * integer permille ((1000·∩) div ∪) — no float division.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), explode(trigrams(split(col("text"), " "))).as("g"))
+      .distinct()
+    val vocab = grams.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(vocab.select(col("source").as("source_a"), col("n_vocab").as("n_a"))), "source_a")
+      .join(broadcast(vocab.select(col("source").as("source_b"), col("n_vocab").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(1000 * n_shared) div (n_a + n_b - n_shared)").as("overlap_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapOracleSql: String =
+    """WITH words AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+      |vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.source_a, s.source_b, va.n AS n_a, vb.n AS n_b, s.n_shared,
+      |  CAST((1000 * s.n_shared) // (va.n + vb.n - s.n_shared) AS BIGINT)
+      |    AS overlap_permille
+      |FROM shared s
+      |JOIN vocab va ON s.source_a = va.source
+      |JOIN vocab vb ON s.source_b = vb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------------- E32
 
   /** E32: importance-based data selection against a target distribution

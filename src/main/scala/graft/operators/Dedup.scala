@@ -482,6 +482,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- E35
+
+  /** E35: duplicate-cluster size histogram — how many near-dup
+    * components exist at each size, over E13's exact component
+    * labeling. The report a dedup run is judged by: a long tail of
+    * pairs is routine crawl noise; a single giant component is a
+    * template/boilerplate family that deserves its own removal rule
+    * rather than pairwise dedup. Two map-side-combined aggregations
+    * over the (small) non-singleton label table; singleton count
+    * derives from the corpus total minus labeled docs, so the full
+    * corpus is never re-scanned.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val comps = dedupComponents(spark, dir)
+    val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+    val nonSingleton = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val nDocs = Tables.documents(spark, dir).count()
+    val nLabeled = comps.count()
+    val singletons = spark.range(1).select(
+      lit(1L).as("cluster_size"), lit(nDocs - nLabeled).as("n_clusters"))
+    nonSingleton.unionByName(singletons)
+      .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+      .orderBy("cluster_size")
+  }
+
+  def dedupClusterStatsOracleSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $JaccardThreshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |sizes AS (
+       |  SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+       |hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+       |  UNION ALL
+       |  SELECT 1 AS cluster_size,
+       |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+       |      AS n_clusters)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+       |FROM hist GROUP BY 1 HAVING sum(n_clusters) > 0
+       |ORDER BY cluster_size""".stripMargin
+
   // --------------------------------------------------------------- E33
 
   /** E33: semantic dedup pruning — the SemDeDup recipe (Abbas et al.

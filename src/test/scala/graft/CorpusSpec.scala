@@ -190,6 +190,40 @@ class CorpusSpec extends AnyFunSuite {
       (2L, 2L, 1125000L, 562500L)))
   }
 
+  test("source_overlap: worked example — exact shared-vocabulary permille, zero-overlap pairs absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_overlap").toString
+    Seq(
+      (0L, "a b c d", "srcA"),  // trigrams {a b c, b c d}
+      (1L, "a b c x", "srcB"),  // trigrams {a b c, b c x}
+      (2L, "p q r s", "srcC"))  // disjoint
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // shared {a b c} = 1 of union 3 → (1000·1) div 3 = 333; srcC pairs
+    // share nothing and produce no row
+    assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 333L)))
+  }
+
+  test("dedup_cluster_stats: a 3-clique plus singletons histograms as [(1, n-3), (3, 1)]") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstats").toString
+    val clique = (0 to 2).map(i =>
+      (i.toLong, "the same boilerplate disclaimer repeated on every page again"))
+    val unique = (10 to 14).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    (clique ++ unique)
+      .map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.dedupClusterStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 5L), (3L, 1L)))
+  }
+
   test("semantic_prune: representatives match a driver-side union-find of the exact pairs") {
     val sf001 = "/root/testdata/sf0.001"
     val pairs = graft.operators.Dedup.embeddingNeardup(spark, sf001)
