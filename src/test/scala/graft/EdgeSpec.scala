@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorMetric
-import graft.operators.{Dedup, IndexLifecycle, Knn}
+import graft.operators.{Corpus, Dedup, IndexLifecycle, Knn}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -90,6 +90,21 @@ class EdgeSpec extends AnyFunSuite {
     val s2 = IndexLifecycle.delete(dels, path)
     assert(s2.size == s1.size - 1, s"duplicate delete ids inflated size: $s2")
     assert(s2.dirtyCount == 1L, s"duplicate delete ids inflated dirt: $s2")
+  }
+
+  test("selection/forensics edges: no raw split, single source, empty pair graph") {
+    import spark.implicits._
+    // all docs belong to the target distribution → nothing to select
+    val allTarget = Seq((0L, "alpha beta gamma", "en", "src0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.dsirSelectOn(allTarget, "src0", 25).count() == 0)
+    // a single-source corpus has no source pairs to overlap
+    val oneSrcDir = java.nio.file.Files.createTempDirectory("graft_onesrc").toString
+    allTarget.write.mode("overwrite").parquet(s"$oneSrcDir/documents.parquet")
+    assert(Corpus.sourceOverlap(spark, oneSrcDir).count() == 0)
+    // component propagation over an empty pair graph converges empty
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.componentsFromPairs(noPairs).count() == 0)
   }
 
   test("empty corpora flow through the pipelines as empty results") {

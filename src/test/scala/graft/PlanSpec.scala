@@ -168,6 +168,24 @@ class PlanSpec extends AnyFunSuite {
       s"pure-range join fell back to an all-pairs plan:\n$plan")
   }
 
+  test("dsir_select: top-k is TakeOrdered, scoring join is never a cartesian over bigrams") {
+    val df = graft.operators.Corpus.dsirSelect(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be bounded, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bigram scoring fell back to a cartesian:\n$plan")
+  }
+
+  test("source_overlap: vocabulary self-join stays keyed on the shingle (no cartesian)") {
+    val df = graft.operators.Corpus.sourceOverlap(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"source overlap fell back to an all-pairs plan:\n$plan")
+  }
+
   test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
     val df = Analytics.q10ReturnedItems(spark, sf)
     val ss = scans(df)

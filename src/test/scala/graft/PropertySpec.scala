@@ -193,4 +193,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WordNgrams/TopNgramCount kernels == sliding-window reference, random word arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(0x69a3L)
+    val vocab = Vector("a", "bb", "ccc", "", "dd", "e", "é漢")
+    for (_ <- 1 to 300) {
+      val words = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val arr = new GenericArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray[Any])
+      for (n <- 1 to 4) {
+        val got = {
+          val a = graft.functions.WordNgrams.compute(arr, n)
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        }
+        val want = if (words.length < n) Seq.empty[String]
+          else words.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got == want, s"n=$n words=$words")
+        val wantTop = if (want.isEmpty) 0L
+          else want.groupBy(identity).values.map(_.size).max.toLong
+        assert(graft.functions.TopNgramCount.compute(arr, n) == wantTop,
+          s"top n=$n words=$words")
+      }
+    }
+  }
 }
