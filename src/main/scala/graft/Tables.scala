@@ -72,5 +72,26 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** embeddings.embedding is canonically array<float>. Guard the
+    * element width like [[normalizeTs]] guards the ts encoding: if the
+    * generator ever ships array<double>, cast it down (values in the
+    * corpus are float-exact by construction); anything else fails
+    * loudly. Without this, an element-width change would not throw —
+    * the distance kernels would read the wrong bytes per slot and
+    * return garbage distances silently, the worst failure mode the ts
+    * regression demonstrated.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = table(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported embedding storage encoding: $other (expected array<float>)")
+    }
+  }
 }

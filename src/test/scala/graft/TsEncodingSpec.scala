@@ -78,6 +78,30 @@ class TsEncodingSpec extends AnyFunSuite {
     assertAllEncodingsAgree(d => SparkEntry.queries("stream_window_agg")(spark, d))
   }
 
+  test("embeddings stored as array<double> normalize to array<float> with identical values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embenc").toString
+    val base = spark.range(0, 20).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => ((col("id") * 8 + i) % 100).cast("float") / 100.0f).as("embedding"))
+    base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dirD = java.nio.file.Files.createTempDirectory("graft_embencd").toString
+    base.withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dirD/embeddings.parquet")
+    val f = Tables.embeddings(spark, dir)
+    val d = Tables.embeddings(spark, dirD)
+    assert(d.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true) ||
+      d.schema("embedding").dataType == ArrayType(FloatType, containsNull = false))
+    assert(rendered(d) == rendered(f))
+    // an int-array encoding is not a vector column — fail loudly
+    val dirI = java.nio.file.Files.createTempDirectory("graft_embenci").toString
+    base.withColumn("embedding", col("embedding").cast("array<int>"))
+      .write.mode("overwrite").parquet(s"$dirI/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](Tables.embeddings(spark, dirI))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("an unknown ts encoding fails loudly, never silently mis-times") {
     val bad = baseMicros.withColumn("ts", col("us").cast("string"))
     val e = intercept[IllegalArgumentException](Tables.normalizeTs(bad))
