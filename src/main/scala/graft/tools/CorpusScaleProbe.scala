@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe: 25× scale stress for the corpus-text tier (the
+  * round-6 kernels and reports). Synthesizes a deterministic 125k-doc
+  * corpus (25× the sf0.1 document count) of ~120-word documents drawn
+  * from a 5k-word zipf-ish vocabulary across 20 sources — enough
+  * shared n-grams that the dedup/overlap joins do real work — then
+  * drives the n-gram-kernel consumers and the new selection/forensics
+  * reports and prints wall seconds. The point is shape evidence: the
+  * bigram/trigram kernels keep the scans CPU-bound-but-compiled, the
+  * aggregation shuffles stay key-partitioned, and nothing degenerates
+  * into an all-pairs or driver-side loop at 25×.
+  */
+object CorpusScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(125000)
+    val spark = GraftSession.builder("32", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cscale").toString
+    // ~120 words/doc; word w_k with k = (h1·pos + h2) % 5000 biased by
+    // pos² so low ids repeat (zipf-ish head, shared across docs)
+    spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(119)), i =>
+          concat(lit("w"), pmod(
+            xxhash64(col("id") * 7 + i) % 71 + i * i % 997,
+            lit(5000L))))).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def timed(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[cscale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    println(s"[cscale] corpus n=$n ~120 words/doc, 20 sources at $dir")
+    timed("lm_bigram_score") { graft.operators.Corpus.lmBigramScore(spark, dir).count() }
+    timed("collocations_pmi") { graft.operators.Corpus.collocationsPmi(spark, dir).count() }
+    timed("ngram_novelty") { graft.operators.Corpus.ngramNovelty(spark, dir).count() }
+    timed("boilerplate_ngrams") { graft.operators.Corpus.boilerplateNgrams(spark, dir).count() }
+    timed("quality_gopher") { graft.operators.TextOps.qualityGopher(spark, dir).count() }
+    timed("dsir_select") { graft.operators.Corpus.dsirSelect(spark, dir).count() }
+    timed("source_overlap") { graft.operators.Corpus.sourceOverlap(spark, dir).count() }
+    // cleanup
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.stop()
+  }
+}
