@@ -369,22 +369,28 @@ object Corpus {
     * double-counts its content in the training mix.
     *
     * Shape: distinct (source, shingle) pairs (one explode + one
-    * map-side-combined distinct), per-source vocabulary sizes (a
-    * sources-sized broadcast), then the self-join on the shingle key.
-    * Fan-out per shingle is bounded by sources² — sources are a
-    * bounded catalog (10²-10³) at any corpus size, so the join never
-    * explodes the way a doc-level pair join would. Overlap reported as
-    * integer permille ((1000·∩) div ∪) — no float division.
+    * map-side-combined distinct), then ONE groupBy(shingle) collects
+    * each shingle's source set (bounded by the source catalog, 10²-10³
+    * at any corpus size) and the pair expansion happens IN-ROW — two
+    * chained explodes of the ≤|sources| array. Versus the
+    * self-join-on-shingle formulation this HALVES the shuffled volume
+    * (one keyed shuffle of the gram table instead of two sides plus
+    * join fan-out) at the cost of an object-based set aggregate —
+    * measured locally (CPU-bound, 25× probe) ~20s vs ~16s, but the
+    * shuffle half is the half that matters on a network. Per-source
+    * vocabulary sizes broadcast. Overlap reported as integer permille
+    * ((1000·∩) div ∪) — no float division.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("source"), explode(trigrams(split(col("text"), " "))).as("g"))
       .distinct()
     val vocab = grams.groupBy("source").agg(count(lit(1)).as("n_vocab"))
-    val shared = grams.as("a")
-      .join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    val shared = grams.groupBy("g").agg(collect_set(col("source")).as("ss"))
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(vocab.select(col("source").as("source_a"), col("n_vocab").as("n_a"))), "source_a")
@@ -452,10 +458,15 @@ object Corpus {
       .groupBy("bg").agg(count(lit(1)).as("c_t"))
     val cr = bigrams.filter(col("source") =!= targetSource)
       .groupBy("bg").agg(count(lit(1)).as("c_r"))
-    val totals = ct.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
-      .crossJoin(cr.agg(coalesce(sum("c_r"), lit(0L)).as("n_r")))
-      .crossJoin(bigrams.agg(count_distinct(col("bg")).as("v")))
-    val ratio = cr.join(ct, Seq("bg"), "left")
+    // totals (incl. the joint vocabulary V) derive from the two
+    // vocabulary-sized count tables — never a third aggregation pass
+    // over the corpus-sized bigram stream
+    val vocab = cr.join(ct, Seq("bg"), "full_outer")
+    val totals = vocab.agg(
+      coalesce(sum("c_t"), lit(0L)).as("n_t"),
+      coalesce(sum("c_r"), lit(0L)).as("n_r"),
+      count(lit(1)).as("v"))
+    val ratio = vocab.filter(col("c_r").isNotNull)
       .crossJoin(broadcast(totals))
       .select(col("bg"),
         expr("(1000000 * (coalesce(c_t, 0) + 1) * (n_r + v)) div ((c_r + 1) * (n_t + v))")
