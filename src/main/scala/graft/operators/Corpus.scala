@@ -257,20 +257,26 @@ object Corpus {
     * Shape: grams explode → arg-min first occurrence (same integer
     * encoding as E26) → the firsts table REaggregates by its derived
     * doc_id (it never rejoins the corpus) → one join of two doc-keyed
-    * aggregate tables. Docs with <3 words have no trigrams and drop out
-    * on both engines.
+    * aggregate tables. The per-doc distinct count is computed IN-ROW
+    * (array_distinct over the doc's own gram array — zero shuffle);
+    * the corpus-wide `distinct()` it replaced shuffled every gram
+    * occurrence and was the probe's superlinear term at 25×. Docs
+    * with <3 words have no trigrams and drop out on both engines.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(trigrams(split(col("text"), " ")))
-        .as(Seq("pos", "gram")))
+    val docsG = Tables.documents(spark, dir)
+      .select(col("doc_id"), trigrams(split(col("text"), " ")).as("gs"))
+    val grams = docsG
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "gram")))
     val firsts = grams
       .groupBy("gram").agg(min(col("doc_id") * 1048576L + col("pos")).as("fk"))
     val newPerDoc = firsts
       .groupBy(expr("fk div 1048576").as("doc_id"))
       .agg(count(lit(1)).as("n_new"))
-    val distinctPerDoc = grams.select("doc_id", "gram").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    val distinctPerDoc = docsG
+      .select(col("doc_id"),
+        size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+      .filter(col("n_distinct") > 0)
     distinctPerDoc.join(newPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_distinct"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
