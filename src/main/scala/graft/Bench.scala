@@ -46,10 +46,14 @@ object Bench {
     // as 264→474→691s pass degradation in the first median-of-3 run)
     "memo_jaccard_prefix" -> (() => operators.Dedup.warmJaccardPrefix(spark, dir)),
     "memo_minhash_sig"    -> (() => operators.Dedup.warmMinhashSig(spark, dir)),
-    // E13/E35 + E33 share the component-label tables; warmed here so
-    // the query lines measure the reports, not the propagation
-    "memo_components"     -> (() => operators.Dedup.warmComponents(spark, dir)),
     "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)),
+    // E13/E35 + E33 share the component-label tables; warmed here so
+    // the query lines measure the reports, not the propagation. MUST
+    // come after memo_ivf_index: the vector-side labels derive from
+    // Ivf.pairStream, and warming first would bill the k-means build
+    // to this line (the memo-attribution artifact this list exists to
+    // prevent)
+    "memo_components"   -> (() => operators.Dedup.warmComponents(spark, dir)),
     "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
     "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),
     "memo_bq_codes"     -> (() => { operators.Bq.encode(spark, dir); () }),
@@ -116,13 +120,8 @@ object Bench {
         r.collect { case (n, (s, None)) if greenByKey.exists(_._1 == n) => s }.sum
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val errJson = errors.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
+    val errJson = errors
+      .map { case (k, e) => s"${Verify.jsonString(k)}:${Verify.jsonString(e)}" }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread,""" +

@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** JSON string literal: backslash, quote, and ALL control chars
+    * (<0x20) escaped — a tab or CR in builder-authored SQL would
+    * otherwise make the driver's json.load fail and silently zero the
+    * round's correctness. Shared by both driver mains (Verify's
+    * oracle_sql.json and Bench's errors map).
+    */
+  private[graft] def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Dump one query's result; on failure write a LOUD sentinel instead
     * of dropping the key. Round 5 proved the silent shape is how a
     * regression ships: a throwing key simply had no row in the driver's
@@ -58,18 +74,7 @@ object Verify {
       case None     => SparkEntry.queries
     }
     selected.foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val q = jsonString _
     val oracles = only match {
       case Some(ks) => SparkEntry.oracleSql.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.oracleSql

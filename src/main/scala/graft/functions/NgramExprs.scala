@@ -131,7 +131,7 @@ object TopNgramCount {
     var run = 1L
     i = 1
     while (i < m) {
-      if (arr(i) == arr(i - 1) || arr(i).equals(arr(i - 1))) run += 1
+      if (arr(i) == arr(i - 1)) run += 1
       else run = 1
       if (run > best) best = run
       i += 1

@@ -169,8 +169,8 @@ object Dedup {
     shingleSets.remove(dir).foreach(_.unpersist())
     orderedPrefixMemo.remove(dir).foreach(_.unpersist())
     minhashSigMemo.remove(dir).foreach(_.unpersist())
-    docComponentsMemo.remove(dir)
-    vecComponentsMemo.remove(dir)
+    docComponentsMemo.remove(dir).foreach(_.unpersist())
+    vecComponentsMemo.remove(dir).foreach(_.unpersist())
   }
 
   /** Materialize the shingle-set memo for `dir` — Bench times this as
@@ -435,20 +435,24 @@ object Dedup {
 
   /** Per-corpus memo of the E2-pair component labels — E13 and E35 both
     * consume them, and the iterative propagation is the expensive step.
-    * The result is already materialized per round by localCheckpoint
-    * (componentsFromPairs truncates lineage eagerly), so the memo holds
-    * the final checkpointed frame — no extra cache() to leak. At scale
-    * the label table is computed once and persisted, same contract as
-    * the shingle memos.
+    * Cached + counted like the other memos so [[invalidate]] releases
+    * the storage deterministically (the per-round localCheckpoint
+    * blocks inside componentsFromPairs are released by the
+    * ContextCleaner once the memo reference drops). At scale the label
+    * table is computed once and persisted, same contract as the
+    * shingle memos.
     */
   private val docComponentsMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def docComponentsFor(spark: SparkSession, dir: String): DataFrame =
     docComponentsMemo.get(dir).getOrElse(synchronized {
-      docComponentsMemo.getOrElseUpdate(dir,
-        componentsFromPairs(
-          ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
+      docComponentsMemo.getOrElseUpdate(dir, {
+        val c = componentsFromPairs(
+          ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))).cache()
+        c.count()
+        c
+      })
     })
 
   /** Per-corpus memo of the E5-pair (semantic) component labels. */
@@ -457,9 +461,12 @@ object Dedup {
 
   private def vecComponentsFor(spark: SparkSession, dir: String): DataFrame =
     vecComponentsMemo.get(dir).getOrElse(synchronized {
-      vecComponentsMemo.getOrElseUpdate(dir,
-        componentsFromPairs(
-          embeddingNeardup(spark, dir).select(col("vec_a"), col("vec_b"))))
+      vecComponentsMemo.getOrElseUpdate(dir, {
+        val c = componentsFromPairs(
+          embeddingNeardup(spark, dir).select(col("vec_a"), col("vec_b"))).cache()
+        c.count()
+        c
+      })
     })
 
   /** Materialize the component-label memos — Bench line items, same

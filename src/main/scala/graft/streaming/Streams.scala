@@ -49,7 +49,17 @@ object Streams {
     */
   private def eventFileStream(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
-    val tsOnDisk = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // probe the SAME glob the stream tails (a file named events.parq
+    // must not stream under one schema and probe under another); an
+    // empty landing zone — no files arrived yet — cannot be probed, so
+    // it assumes the current generation's encoding (NTZ micros) and the
+    // first arriving file of any OTHER encoding fails the stream
+    // loudly rather than mis-timing silently
+    val tsOnDisk =
+      try spark.read.parquet(s"$dir/events.parq*").schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.TimestampNTZType
+      }
     val fileSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsOnDisk),
       StructField("user_id", LongType), StructField("event_type", StringType),
