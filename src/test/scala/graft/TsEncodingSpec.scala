@@ -102,6 +102,14 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("streaming from an empty landing zone starts and drains empty (no schema-probe crash)") {
+    // a production landing zone exists before its first file arrives —
+    // the footer probe must fall back to the canonical encoding, not
+    // fail stream construction
+    val empty = java.nio.file.Files.createTempDirectory("graft_emptylz").toString
+    assert(graft.streaming.Streams.streamWindowAgg(spark, empty).count() == 0)
+  }
+
   test("an unknown ts encoding fails loudly, never silently mis-times") {
     val bad = baseMicros.withColumn("ts", col("us").cast("string"))
     val e = intercept[IllegalArgumentException](Tables.normalizeTs(bad))
