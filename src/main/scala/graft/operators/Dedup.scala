@@ -536,19 +536,20 @@ object Dedup {
     * pairs is routine crawl noise; a single giant component is a
     * template/boilerplate family that deserves its own removal rule
     * rather than pairwise dedup. Two map-side-combined aggregations
-    * over the (small) non-singleton label table; singleton count
-    * derives from the corpus total minus labeled docs, so the full
-    * corpus is never re-scanned.
+    * over the (small) non-singleton label table; the singleton count
+    * is a doc-id anti-join against that table (broadcast — the label
+    * table is pair-bounded), so the whole report is ONE lazy DAG with
+    * no driver-side actions at plan-construction time.
     */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
     val comps = docComponentsFor(spark, dir)
     val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
     val nonSingleton = sizes.groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
-    val nDocs = Tables.documents(spark, dir).count()
-    val nLabeled = comps.count()
-    val singletons = spark.range(1).select(
-      lit(1L).as("cluster_size"), lit(nDocs - nLabeled).as("n_clusters"))
+    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
     nonSingleton.unionByName(singletons)
       .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
       .filter(col("n_clusters") > 0)
