@@ -478,53 +478,104 @@ object Dedup {
     ()
   }
 
-  /** Max label-propagation rounds before declaring non-convergence.
-    * Each round propagates the minimum label one hop, so rounds =
-    * graph diameter; near-dup clusters are boilerplate families with
-    * tiny diameters (a chain of 2^25 distinct-but-pairwise-similar
-    * docs does not occur). A real giant-diameter graph wants the
-    * large-star/small-star formulation instead — throwing beats
-    * silently emitting half-merged components.
+  /** Max alternation rounds before declaring non-convergence. The
+    * large-star/small-star contraction below converges in O(log² n)
+    * rounds REGARDLESS of graph diameter (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"), so 50 rounds
+    * covers any graph that fits in a cluster — the round-6 min-label
+    * propagation's O(diameter) abort on chain-shaped families is gone.
     */
-  val ComponentMaxIters = 25
+  val ComponentMaxIters = 50
 
-  /** Min-label propagation over an undirected (a, b) pair set:
-    * (doc_id, component_id = min doc_id reachable). Each round is one
-    * shuffle join + one map-side-combined min aggregation over the
-    * EDGE set — O(edges) per round, O(diameter) rounds, no driver-side
-    * graph. Lineage is truncated per round with an eager
-    * localCheckpoint (blocks GC with the DataFrame — NOT cache(), see
-    * the CacheManager-leak note on orderedFor) so the iterated plan
-    * cannot grow exponentially.
+  /** Rounds the last componentsFromPairs call took to converge —
+    * test-only introspection backing the O(log n)-not-O(diameter)
+    * claim (DedupSpec's long-chain case).
+    */
+  @volatile private[graft] var lastComponentRounds: Int = 0
+
+  /** Connected components over an undirected (a, b) pair set:
+    * (doc_id, component_id = min doc_id reachable), via alternating
+    * large-star / small-star contraction (Kiveris et al. 2014).
+    *
+    * State is the canonical directed edge set {(u, v) : u > v}. Each
+    * round rewires edges toward the per-neighborhood minimum:
+    *   - large-star: for each node u with full (symmetrized)
+    *     neighborhood Γ(u), m = min(Γ(u) ∪ {u}); emit (v, m) for every
+    *     LARGER neighbor v > u.
+    *   - small-star: for each node u over its smaller neighbors N(u),
+    *     m = min N(u); emit (v, m) for each v ∈ N(u) plus (u, m).
+    * Both operations preserve connectivity and strictly contract
+    * toward the minimal star (every node edged directly to its
+    * component min), reached in O(log² n) rounds worst-case — a
+    * 2^25-node chain converges in ~tens of rounds where one-hop label
+    * propagation needs 2^25. Each round is groupBy-min (map-side
+    * combined) + one join on the node id — O(edges) work, no
+    * driver-side graph; AQE's skew split handles the star-center hot
+    * key that any CC algorithm concentrates. Lineage is truncated per
+    * round with an eager localCheckpoint (blocks GC with the
+    * DataFrame — NOT cache(), see the CacheManager-leak note on
+    * orderedFor) so the iterated plan cannot grow.
+    *
+    * Convergence is detected by an O(edges) (count, XOR xxhash64)
+    * checksum reaching a fixed point — a shuffle-light aggregation per
+    * round instead of a set-difference join (bit_xor, not sum: ANSI
+    * mode makes Long sums overflow-checked); a false stop needs a
+    * 64-bit hash-xor collision between consecutive DISTINCT edge sets
+    * (~2⁻⁶⁴, and the DuckDB closure oracle on E13/E33/E35 would catch
+    * it).
     */
   def componentsFromPairs(pairs: DataFrame): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"expected 2 id columns, got ${cols.mkString(",")}")
-    val edges = pairs.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-      .union(pairs.select(col(cols(1)).as("src"), col(cols(0)).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+    val raw = pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+      .filter(col("a") =!= col("b"))
+    var edges = raw
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
+    val nodes = raw.select(col("a").as("id")).union(raw.select(col("b").as("id")))
+      .distinct().localCheckpoint()
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = adj.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      adj.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("mn"))
+      m.select(col("u"), col("mn").as("v"))
+        .union(e.join(m, "u").select(col("v").as("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var prev = checksum(edges)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < ComponentMaxIters) {
-      // min label among each node's neighbors, one hop
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
-      labels = next
+    var converged = prev._1 == 0L
+    while (!converged && iter < ComponentMaxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
       iter += 1
     }
-    require(changed == 0,
-      s"componentsFromPairs did not converge in $ComponentMaxIters rounds — " +
-        "graph diameter exceeds the near-dup contract; use star-contraction")
-    labels.select(col("id").as("doc_id"), col("lbl").as("component_id"))
+    lastComponentRounds = iter
+    require(converged,
+      s"componentsFromPairs did not converge in $ComponentMaxIters star-contraction rounds")
+    // fixed point = minimal star: every non-root has exactly one edge
+    // to its component min; roots (the mins) label themselves
+    val nonRoots = edges.select(col("u").as("id"), col("v").as("lbl"))
+    val roots = nodes.join(nonRoots.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    nonRoots.union(roots)
+      .select(col("id").as("doc_id"), col("lbl").as("component_id"))
       .orderBy("doc_id")
   }
 

@@ -261,6 +261,33 @@ class DedupSpec extends AnyFunSuite {
     assert(gotSf == want, "components must equal the union-find closure of E2 pairs")
   }
 
+  test("connected components: long chain (diameter >> 25) converges in O(log n) rounds") {
+    import spark.implicits._
+    // A 400-node chain: diameter 399. Round 6's one-hop min-label
+    // propagation needed one round PER HOP and aborted at its 25-round
+    // cap on exactly this shape; star-contraction must (a) label every
+    // node with the chain min and (b) converge in logarithmically many
+    // alternation rounds, proving the diameter cliff is gone.
+    val n = 400
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.componentsFromPairs(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), s"all chain nodes must label to the min: ${got.filter(_._2 != 1L).take(5).toSeq}")
+    val rounds = Dedup.lastComponentRounds
+    assert(rounds <= 15,
+      s"star-contraction took $rounds rounds on a diameter-399 chain — expected O(log n), not O(diameter)")
+
+    // two chains + a singleton pair, shuffled edge orientations: labels
+    // stay per-component minimal
+    val mixed = ((100L to 149L).sliding(2).map(s => (s(1), s(0))) ++
+      Iterator((200L, 201L), (202L, 201L), (203L, 202L))).toSeq.toDF("doc_a", "doc_b")
+    val gotM = Dedup.componentsFromPairs(mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((100L to 149L).forall(gotM(_) == 100L))
+    assert((200L to 203L).forall(gotM(_) == 200L))
+  }
+
   test("shingles produces distinct word 3-grams; short docs give empty sets") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
