@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through VERBATIM instead of wrapping
+// every line in the sbt logger's "[info] " prefix — the bench/verify
+// harness emits machine-parsed JSON lines on stdout, and the prefix is
+// exactly what broke the round-1 (and, beheaded by a 2000-char tail
+// window, round-5/6) BENCH_r{N} parses.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,6 +36,37 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  /** Executor-storage snapshot after a pass: (cached RDD count, memory
+    * bytes, disk bytes). Recorded per pass in the artifact so a
+    * "pass 2 ran 50% slower" question is adjudicated from DATA — a
+    * session-lifetime cache leak shows as monotonically growing
+    * entries/bytes across passes, host noise shows flat storage with
+    * inflated wall-clock (the round-6 [150, 229, 229] archaeology this
+    * field exists to make structural).
+    */
+  private[graft] def storageSnapshot(spark: SparkSession): (Int, Long, Long) = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    (infos.length, infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+  }
+
+  private[graft] def passJson(label: String, s: (Int, Long, Long)): String =
+    s"""{"pass":${Verify.jsonString(label)},"cached_rdds":${s._1},""" +
+      s""""storage_mem_bytes":${s._2},"storage_disk_bytes":${s._3}}"""
+
+  /** Compact artifact summary — everything EXCEPT the per-key maps,
+    * guaranteed to fit well inside a 2000-char stdout tail. The driver
+    * captures only the tail of sbt stdout, and the full JSON line
+    * (130+ keys) is longer than that window, so its head was cut off
+    * and BENCH_r05/r06 recorded "parsed": null. This line is printed
+    * LAST; per-key queries/spread live in the full line above it and
+    * in the file named by queries_file.
+    */
+  private[graft] def compactJson(total: Double, sfDir: String, runsN: Int,
+      runTotals: String, passes: String, errJson: String, out: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runsN,""" +
+      s""""run_totals":$runTotals,"passes":$passes,"errors":$errJson,""" +
+      s""""queries_file":${Verify.jsonString(out)}}"""
+
   /** Shared session memos as named warmers — timed line items in the
     * bench, plain warmers in the warmup pass.
     */
@@ -86,11 +117,15 @@ object Bench {
     // noisy pass on this virtualized disk (measured 2-4× swings between
     // identical runs) can no longer masquerade as a regression.
     val memoTimed = memoWarmers(spark, sfDir).map { case (name, f) => name -> timed(f) }
+    val passSnaps = scala.collection.mutable.ArrayBuffer(
+      "memos" -> storageSnapshot(spark))
     val runsN = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val perRun: Seq[Seq[(String, (Double, Option[String]))]] = (1 to runsN).map { _ =>
-      ordered.map { case (name, fn) =>
+    val perRun: Seq[Seq[(String, (Double, Option[String]))]] = (1 to runsN).map { i =>
+      val r = ordered.map { case (name, fn) =>
         name -> timed(() => { fn(spark, sfDir).count(); () })
       }
+      passSnaps += s"run$i" -> storageSnapshot(spark)
+      r
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -123,13 +158,11 @@ object Bench {
     val errJson = errors
       .map { case (k, e) => s"${Verify.jsonString(k)}:${Verify.jsonString(e)}" }
       .mkString("{", ",", "}")
+    val passes = passSnaps.map { case (l, s) => passJson(l, s) }
+      .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread,""" +
-      s""""errors":$errJson}"""
-    // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
-    // parse in round 1 (BENCH_r01 "parsed": null) — emit to a file too
-    // so the line survives any log wrapping.
-    println(json)
+      s""""passes":$passes,"errors":$errJson}"""
     // cwd-relative default so a checkout elsewhere never writes into an
     // unrelated absolute path; env var overrides either way
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -139,6 +172,12 @@ object Bench {
       // run's numbers in the file masquerading as this run's
       System.err.println(s"[bench] could not write $out: $e")
     }
+    // full artifact first (humans + whole-stdout parsers), COMPACT
+    // summary as the very last line: the driver keeps only a ~2000-char
+    // stdout tail, which beheaded the 130-key full line (BENCH_r05/r06
+    // "parsed": null); the summary always fits the window intact.
+    println(json)
+    println(compactJson(total, sfDir, runsN, runTotals, passes, errJson, out))
     spark.stop()
   }
 }

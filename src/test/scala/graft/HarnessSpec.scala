@@ -45,4 +45,31 @@ class HarnessSpec extends AnyFunSuite {
     val (sec, ok) = Bench.timed(() => ())
     assert(ok.isEmpty && sec >= 0.0)
   }
+
+  test("Bench per-pass storage fields exist and reflect cached state") {
+    // a leak-vs-host-noise call must be answerable from the artifact:
+    // the snapshot counts cached RDD blocks (cache + localCheckpoint)
+    val before = Bench.storageSnapshot(spark)
+    val df = spark.range(1000).toDF("id").cache()
+    df.count()
+    val after = Bench.storageSnapshot(spark)
+    try {
+      assert(after._1 == before._1 + 1, "cached_rdds must count the new cache entry")
+      assert(after._2 > before._2, "storage_mem_bytes must grow with a cached block")
+    } finally df.unpersist(true)
+    val pj = Bench.passJson("run1", (3, 42L, 7L))
+    assert(pj == """{"pass":"run1","cached_rdds":3,"storage_mem_bytes":42,"storage_disk_bytes":7}""")
+  }
+
+  test("Bench compact summary line always fits the driver's 2000-char stdout tail") {
+    // 3 runs + memos pass, realistic field sizes
+    val passes = (Seq("memos") ++ (1 to 3).map("run" + _))
+      .map(l => Bench.passJson(l, (999, 123456789012L, 987654321L)))
+      .mkString("[", ",", "]")
+    val line = Bench.compactJson(1234.567890123, "/root/testdata/sf0.1", 3,
+      "[400.1234567,411.2345678,422.3456789]", passes, "{}", "BENCH_LOCAL.json")
+    assert(line.length < 1800, s"compact line too long for the tail window: ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""passes":[""") && line.contains(""""queries_file":"""))
+  }
 }
