@@ -117,6 +117,10 @@ object SparkEntry {
     // corpus-wide 10-word-span exact dedup: first occurrence wins,
     // docs reassembled from surviving spans (md5-pinned)
     "dedup_spans"     -> ((s, d) => Corpus.dedupSpans(s, d)),
+    // stride-1 sliding-window exact substring dedup (Lee et al. 2021
+    // shape): catches >=10-word repeats at ANY alignment, which the
+    // fixed-block E26 key misses when the copy is offset
+    "dedup_spans_sliding" -> ((s, d) => Corpus.dedupSpansSliding(s, d)),
     // per-doc distinct-trigram novelty in ingestion order
     "ngram_novelty"   -> (Corpus.ngramNovelty _),
     // PMI collocation mining (quantized, min-count floored)
@@ -275,6 +279,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
     "pii_redact"      -> Corpus.piiRedactOracleSql,
     "dedup_spans"     -> Corpus.dedupSpansOracleSql,
+    "dedup_spans_sliding" -> Corpus.dedupSpansSlidingOracleSql,
     "ngram_novelty"   -> Corpus.ngramNoveltyOracleSql,
     "collocations_pmi" -> Corpus.collocationsPmiOracleSql,
     "dedup_incremental" -> Dedup.dedupIncrementalOracleSql,

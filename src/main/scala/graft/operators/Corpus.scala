@@ -245,6 +245,84 @@ object Corpus {
       |FROM spans s JOIN firsts f USING (span)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ E26b
+
+  /** E26b: SLIDING-window span dedup — exact substring dedup in the
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") sense, re-expressed for Spark. E26's fixed
+    * 10-word blocks miss any duplicated passage that straddles a block
+    * boundary at a different word offset; here EVERY stride-1 10-word
+    * window is a dedup key, so a ≥10-word repeat is caught at any
+    * alignment. A word survives iff NO duplicated window covers it;
+    * each doc reports its original/kept word counts and the md5 of the
+    * kept text (the longest-kept-run reassembly, order preserved).
+    *
+    * Shape: one stride-1 explode (~10× E26's volume, the price of
+    * alignment-free matching) where the window strings come from the
+    * compiled [[graft.functions.WordNgrams]] kernel and are hashed to
+    * 64 bits BEFORE the shuffle — both the arg-min groupBy and the
+    * join back on the window key carry only (hash, encoded-position)
+    * longs, never window text. Then one doc-keyed aggregation of
+    * duplicate window starts and an in-row coverage filter (O(words ×
+    * dup-starts) per doc, zero extra shuffle). Same two-shuffle shape
+    * as E26; the hash key space shards like any dedup key at 100 TB.
+    * A 64-bit window-hash collision marks a false duplicate with
+    * probability ~2⁻⁶⁴ per window pair — the string-keyed DuckDB
+    * oracle would catch one at test scale.
+    */
+  def dedupSpansSliding(spark: SparkSession, dir: String, spanWords: Int = 10): DataFrame =
+    dedupSpansSlidingOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), spanWords)
+
+  /** [[dedupSpansSliding]] over an explicit (doc_id, text) frame. */
+  def dedupSpansSlidingOn(documents: DataFrame, spanWords: Int = 10): DataFrame = {
+    val docs = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordNgrams.wordNgrams(col("w"), spanWords))
+          .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("h"))
+    val key = col("doc_id") * 1048576L + col("pos")
+    val firsts = spans.groupBy("h").agg(min(key).as("fk"))
+    val dupStarts = spans.join(firsts, "h")
+      .filter(key =!= col("fk"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("dups",
+        coalesce(col("dup_starts"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept_idx", expr(
+        s"filter(sequence(0, size(w) - 1), i -> NOT exists(dups, p -> i BETWEEN p AND p + ${spanWords - 1}))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("kept_idx")).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(kept_idx, i -> element_at(w, i + 1))"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSpansSlidingOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+10)], ' ') AS win
+      |  FROM words, UNNEST(range(0, greatest(len(w) - 9, 0))) AS t(i)),
+      |firsts AS (SELECT win, min(doc_id*1048576 + pos) AS fk FROM wins GROUP BY 1),
+      |dups AS (
+      |  SELECT s.doc_id, s.pos FROM wins s JOIN firsts f USING (win)
+      |  WHERE s.doc_id*1048576 + s.pos <> f.fk),
+      |kept AS (
+      |  SELECT wo.doc_id, i AS wi, wo.w[i+1] AS word
+      |  FROM words wo, UNNEST(range(0, len(wo.w))) AS t(i)
+      |  WHERE NOT EXISTS (SELECT 1 FROM dups d
+      |    WHERE d.doc_id = wo.doc_id AND i BETWEEN d.pos AND d.pos + 9))
+      |SELECT wo.doc_id,
+      |  CAST(len(wo.w) AS BIGINT) AS n_words,
+      |  CAST(count(k.wi) AS BIGINT) AS n_kept,
+      |  md5(coalesce(string_agg(k.word, ' ' ORDER BY k.wi), '')) AS clean_md5
+      |FROM words wo LEFT JOIN kept k USING (doc_id)
+      |GROUP BY wo.doc_id, wo.w ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- E27
 
   /** E27: per-document n-gram novelty in ingestion (doc_id) order — the

@@ -126,6 +126,31 @@ class CorpusSpec extends AnyFunSuite {
     dir
   }
 
+  test("dedup_spans_sliding catches an offset duplicate that fixed-block dedup_spans misses") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc1 copies doc0's words a11..a25 at word offset 3 — no 10-word
+    // BLOCK of doc1 equals any block of doc0, but six stride-1 windows do
+    val doc0 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val doc1 = "b1 b2 b3 " + (11 to 25).map(i => s"a$i").mkString(" ") + " t1 t2"
+    val dir = writeDocs(Seq((0L, doc0), (1L, doc1), (2L, ((1 to 10) ++ (1 to 10)).map(i => s"x$i").mkString(" "))))
+
+    val fixed = Corpus.dedupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fixed(1)._2 == fixed(1)._3,
+      s"fixture broken: fixed-block dedup must MISS the offset copy in doc1, got $fixed")
+
+    val got = Corpus.dedupSpansSliding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    // doc0 all novel; doc1 drops the 15 covered copy words (dup window
+    // starts 3..8 cover word idx 3..17); doc2's self-repeat drops its
+    // second half (only window start 10 recurs)
+    assert(got(0) == ((0L, 30L, 30L, md5hex(doc0))))
+    assert(got(1) == ((1L, 20L, 5L, md5hex("b1 b2 b3 t1 t2"))))
+    assert(got(2) == ((2L, 20L, 10L, md5hex((1 to 10).map(i => s"x$i").mkString(" ")))))
+  }
+
   test("dedup_spans: first occurrence wins across and within docs; reassembly is ordered") {
     val spanA = (1 to 10).map(i => s"a$i").mkString(" ")   // one full 10-word span
     val spanB = (1 to 10).map(i => s"b$i").mkString(" ")
