@@ -241,6 +241,12 @@ object SparkEntry {
     // (ivf_query_nprobe is rows-only: approximate by design, recall
     // pinned in IvfSpec)
     "ivf_query"           -> VectorQueries.knnLinearL2OracleSql,
+    // the deterministic quantized tiers: the SQ8/BQ models are single
+    // corpus aggregations, so DuckDB re-derives them inline and
+    // replays encode + shortlist + refine end-to-end (PCA needs its
+    // trained basis as literals → dynamicOracleSql)
+    "sq8_topk"            -> Sq8.sq8TopkOracleSql,
+    "bq_topk"             -> Bq.bqTopkOracleSql,
     "index_recommend"     -> Library.indexRecommendOracleSql(),
     "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
     "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
@@ -389,5 +395,16 @@ object SparkEntry {
     "events_gap_fill"          -> Analytics.eventsGapFillOracleSql,
     "q10_returned_items"       -> Analytics.q10OracleSql,
     "keyword_extract_tfidf"    -> Search.keywordExtractTfidfOracleSql(),
+  )
+
+  /** Oracles whose SQL embeds SESSION-TRAINED literals (the PCA basis
+    * is a driver-side eigendecomposition DuckDB cannot re-derive).
+    * Verify merges these into oracle_sql.json after filtering, so the
+    * literals come from the same trained model that produced the
+    * parquet outputs — the knn_text_query literal pattern, generated
+    * at dump time instead of compile time.
+    */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "pca_topk" -> ((s, d) => Pca.pcaTopkOracleSql(s, d)),
   )
 }

@@ -75,10 +75,15 @@ object Verify {
     }
     selected.foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
     val q = jsonString _
-    val oracles = only match {
+    // dynamic oracles are filtered BEFORE generation so GRAFT_ONLY
+    // iteration never pays an unrelated model's training
+    val dynamic = SparkEntry.dynamicOracleSql
+      .filter { case (n, _) => only.forall(_(n)) }
+      .map { case (n, gen) => n -> gen(spark, sfDir) }
+    val oracles = (only match {
       case Some(ks) => SparkEntry.oracleSql.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.oracleSql
-    }
+    }) ++ dynamic
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -118,10 +118,16 @@ object Bq {
     }
   }
 
-  /** Driver query: BQ top-10 for the vec_id=0 query (rows-only —
-    * approximate by construction; BqSpec pins refined recall and the
-    * kernel's bit-exactness), with the byte-budget columns: 256 raw
-    * bytes → 8 code bytes at dim 64.
+  /** Driver query: BQ top-10 for the vec_id=0 query, with the
+    * byte-budget columns: 256 raw bytes → 8 code bytes at dim 64.
+    * Oracle-checked: the model is one mean aggregation, so DuckDB
+    * re-derives the thresholds inline, recomputes the sign bits and
+    * hamming shortlist (k·refine with the (hdist, id) tiebreak), and
+    * replays the exact full-space re-rank. The only cross-engine
+    * hazard is a corpus value within float-ulp of its dimension MEAN
+    * (summation-order sensitivity) — vanishingly unlikely and the gate
+    * would surface it. BqSpec additionally pins refined recall and the
+    * kernel's bit-exactness.
     */
   def bqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val m = train(spark, dir)
@@ -133,4 +139,27 @@ object Bq {
         lit(m.dim * 4).as("raw_bytes_per_vec"),
         lit(m.nBytes).as("bq_bytes_per_vec"))
   }
+
+  def bqTopkOracleSql: String =
+    """WITH model AS (
+      |  SELECT i AS pos, avg(CAST(e.embedding[i+1] AS DOUBLE)) AS mu
+      |  FROM embeddings e, UNNEST(range(0, len(e.embedding))) t(i)
+      |  GROUP BY 1),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |ham AS (
+      |  SELECT e.vec_id,
+      |    sum(CASE WHEN (CAST(e.embedding[m.pos+1] AS DOUBLE) > m.mu)
+      |          <> (CAST(q.qv[m.pos+1] AS DOUBLE) > m.mu) THEN 1 ELSE 0 END) AS h
+      |  FROM embeddings e, model m, q GROUP BY 1),
+      |short AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT 80),
+      |ref AS (
+      |  SELECT s.vec_id,
+      |    list_distance(CAST(e.embedding AS DOUBLE[]),
+      |                  (SELECT CAST(qv AS DOUBLE[]) FROM q)) AS dist
+      |  FROM short s JOIN embeddings e USING (vec_id))
+      |SELECT vec_id AS neighbor_id,
+      |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,
+      |  (SELECT CAST(len(qv) * 4 AS INTEGER) FROM q) AS raw_bytes_per_vec,
+      |  (SELECT CAST((len(qv) + 7) // 8 AS INTEGER) FROM q) AS bq_bytes_per_vec
+      |FROM ref ORDER BY dist, vec_id LIMIT 10""".stripMargin
 }

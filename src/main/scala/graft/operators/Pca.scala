@@ -166,10 +166,10 @@ object Pca {
     }
   }
 
-  /** Driver query: PCA-reduced top-10 for the vec_id=0 query
-    * (rows-only — approximate by construction; PcaSpec pins the
-    * orthonormal basis, the descending variance profile, and the
-    * recall ladder), with the dimension-budget columns.
+  /** Driver query: PCA-reduced top-10 for the vec_id=0 query, with
+    * the dimension-budget columns. Oracle-checked through
+    * [[pcaTopkOracleSql]]; PcaSpec additionally pins the orthonormal
+    * basis, the descending variance profile, and the recall ladder.
     */
   def pcaTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val m = train(spark, dir)
@@ -179,5 +179,55 @@ object Pca {
     Ranks.byDistance(topK(spark, dir, q, k), k)
       .select(col("neighbor_id"), col("rank"),
         lit(m.dim).as("raw_dim"), lit(ReducedDim).as("reduced_dim"))
+  }
+
+  /** DYNAMIC oracle (literal-embedding pattern): the basis comes from
+    * a driver-side eigendecomposition DuckDB cannot re-derive, so the
+    * top-d' trained component rows are inlined as a DOUBLE[][] literal
+    * — the same knn_text_query trick, just for a matrix — and DuckDB
+    * independently re-projects corpus + query (with the kernel's
+    * cast-to-float at each component), replays the reduced-space
+    * shortlist (k·refine, (dist, id) tiebreak), and re-ranks the
+    * shortlist under exact full-space L2. Trains the memoized model if
+    * cold, so Verify emits literals from the SAME model that produced
+    * the parquet.
+    */
+  def pcaTopkOracleSql(spark: SparkSession, dir: String,
+                       k: Int = 10, refine: Int = 8): String = {
+    val m = train(spark, dir)
+    val d = ReducedDim
+    val basisLit = (0 until d)
+      .map(i => m.basis(i).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH basis AS (SELECT CAST($basisLit AS DOUBLE[][]) AS b),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |rq AS (
+       |  SELECT i AS comp,
+       |    CAST(sum(b.b[i+1][j+1] * CAST(q.qv[j+1] AS DOUBLE)) AS FLOAT) AS x
+       |  FROM basis b, q,
+       |    UNNEST(range(0, $d)) t(i), UNNEST(range(0, len(q.qv))) u(j)
+       |  GROUP BY 1),
+       |rc AS (
+       |  SELECT e.vec_id, i AS comp,
+       |    CAST(sum(b.b[i+1][j+1] * CAST(e.embedding[j+1] AS DOUBLE)) AS FLOAT) AS x
+       |  FROM basis b, embeddings e,
+       |    UNNEST(range(0, $d)) t(i), UNNEST(range(0, len(e.embedding))) u(j)
+       |  GROUP BY 1, 2),
+       |rd AS (
+       |  SELECT rc.vec_id,
+       |    sqrt(sum((CAST(rc.x AS DOUBLE) - CAST(rq.x AS DOUBLE))
+       |           * (CAST(rc.x AS DOUBLE) - CAST(rq.x AS DOUBLE)))) AS dist
+       |  FROM rc JOIN rq USING (comp) GROUP BY 1),
+       |short AS (SELECT vec_id FROM rd ORDER BY dist, vec_id LIMIT ${k * refine}),
+       |ref AS (
+       |  SELECT s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                  (SELECT CAST(qv AS DOUBLE[]) FROM q)) AS dist
+       |  FROM short s JOIN embeddings e USING (vec_id))
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,
+       |  (SELECT CAST(len(qv) AS INTEGER) FROM q) AS raw_dim,
+       |  $d AS reduced_dim
+       |FROM ref ORDER BY dist, vec_id LIMIT $k""".stripMargin
   }
 }

@@ -117,9 +117,14 @@ object Sq8 {
       .limit(k)
   }
 
-  /** Driver query: SQ8 top-10 for the vec_id=0 query (rows-only —
-    * quantized ranking; Sq8Spec pins near-exact recall), with the
-    * compression columns.
+  /** Driver query: SQ8 top-10 for the vec_id=0 query, with the
+    * compression columns. Oracle-checked: the model is ONE corpus
+    * aggregation, so DuckDB re-derives it inline (per-dim min/max →
+    * scale), re-encodes corpus + query with the identical
+    * round-and-clamp double arithmetic (integer codes match exactly —
+    * both engines evaluate the same IEEE expressions; round is
+    * half-up on the non-negative products), and re-ranks. Sq8Spec
+    * additionally pins near-exact recall vs the raw-float ranking.
     */
   def sq8Topk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val m = train(spark, dir)
@@ -131,4 +136,35 @@ object Sq8 {
         lit(m.mins.length * 4).as("raw_bytes_per_vec"),
         lit(m.mins.length).as("sq8_bytes_per_vec"))
   }
+
+  def sq8TopkOracleSql: String =
+    """WITH model AS (
+      |  SELECT i AS pos,
+      |    CAST(min(e.embedding[i+1]) AS DOUBLE) AS lo,
+      |    CASE WHEN CAST(max(e.embedding[i+1]) AS DOUBLE)
+      |           - CAST(min(e.embedding[i+1]) AS DOUBLE) <= 0 THEN 1.0
+      |      ELSE 255.0 / (CAST(max(e.embedding[i+1]) AS DOUBLE)
+      |           - CAST(min(e.embedding[i+1]) AS DOUBLE)) END AS scale
+      |  FROM embeddings e, UNNEST(range(0, len(e.embedding))) t(i)
+      |  GROUP BY 1),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |qc AS (
+      |  SELECT m.pos, m.scale,
+      |    greatest(0, least(255, CAST(round(
+      |      (CAST(q.qv[m.pos+1] AS DOUBLE) - m.lo) * m.scale) AS INTEGER))) AS code
+      |  FROM model m, q),
+      |cc AS (
+      |  SELECT e.vec_id, m.pos,
+      |    greatest(0, least(255, CAST(round(
+      |      (CAST(e.embedding[m.pos+1] AS DOUBLE) - m.lo) * m.scale) AS INTEGER))) AS code
+      |  FROM embeddings e, model m),
+      |d AS (
+      |  SELECT cc.vec_id,
+      |    sqrt(sum(((cc.code - qc.code) / qc.scale) * ((cc.code - qc.code) / qc.scale))) AS dist
+      |  FROM cc JOIN qc USING (pos) GROUP BY 1)
+      |SELECT vec_id AS neighbor_id,
+      |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,
+      |  (SELECT CAST(len(qv) * 4 AS INTEGER) FROM q) AS raw_bytes_per_vec,
+      |  (SELECT CAST(len(qv) AS INTEGER) FROM q) AS sq8_bytes_per_vec
+      |FROM d ORDER BY dist, vec_id LIMIT 10""".stripMargin
 }
