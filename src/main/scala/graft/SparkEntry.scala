@@ -166,6 +166,9 @@ object SparkEntry {
     // streaming twin of C22: the Space-Saving buffer IS the state —
     // fixed-size at any stream length, merged across micro-batches
     "stream_heavy_hitters" -> (Streams.streamHeavyHitters _),
+    // D10: continuous-ingest dedup — each micro-batch anti-joins the
+    // persisted fingerprint store, survivors' hashes are absorbed
+    "stream_dedup_incremental" -> (Streams.streamDedupIncremental _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -324,6 +327,9 @@ object SparkEntry {
     "stream_funnel"     -> Analytics.eventsFunnelOracleSql,
     // D9 ≡ C22 (exact regime: capacity ≥ user domain at every test SF)
     "stream_heavy_hitters" -> Analytics.eventsHeavyHittersOracleSql,
+    // D10 ≡ E1b on the final state: one-file landing zone → identical
+    // arg-min domain; cross-batch drops pinned by StreamsSpec
+    "stream_dedup_incremental" -> Dedup.dedupIncrementalOracleSql,
     // exact-integer twin of the running-mean anomaly rule:
     // cents*n_prior > 2*sum_prior_cents, prior rows in (ts, event_id) order
     "stream_anomaly"    ->

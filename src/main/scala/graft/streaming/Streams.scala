@@ -441,4 +441,98 @@ object Streams {
         col("hh.item").as("user_id"),
         col("hh.est").as("est_count"),
         col("hh.err").as("err"))
+
+  // --------------------------------------------------------------- D10
+
+  /** Ephemeral checkpoint dir on tmpfs when available — the same
+    * rationale as the memory-sink harness above (per-batch fsync on
+    * this virtualized disk dominates local runs; the durable path
+    * still takes a real checkpoint).
+    */
+  private def tmpCheckpoint(): java.nio.file.Path = {
+    val base = if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft_ckpt")
+  }
+
+  /** D10 core: ONE micro-batch of the incremental-dedup ingest (E1b's
+    * batch shape, run per trigger): first-wins arg-min WITHIN the
+    * micro-batch, one anti-join against the persisted fingerprint
+    * store, survivors append to both the output table and the store —
+    * so a duplicate arriving in batch N+1 of a hash landed in batch N
+    * is dropped by the store anti-join (StreamsSpec proves it across
+    * explicit MemoryStream batches). Everything is O(micro-batch):
+    * the store is only ever anti-joined (key-partitioned) and
+    * appended, never rewritten — the real continuous-ingest path at
+    * 100 TB where the standing hash store dwarfs any batch.
+    *
+    * Survivors are pinned with an eager localCheckpoint before the two
+    * writes: both sinks must see the SAME materialization, and the
+    * store append below would otherwise race the lazy plan that reads
+    * the store (the E1b lesson, per batch).
+    */
+  private[graft] def dedupIncrementalBatch(store: String, out: String)
+                                          (batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"))
+    val firstInBatch = hashed.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+    val survivors = hashed.join(firstInBatch, "text_hash")
+      .filter(col("doc_id") === col("keep_id"))
+      .join(spark.read.parquet(store), Seq("text_hash"), "left_anti")
+      .select("doc_id", "source", "text_hash")
+      .localCheckpoint()
+    survivors.write.mode("append").parquet(out)
+    survivors.select("text_hash").write.mode("append").parquet(store)
+  }
+
+  /** Attach the D10 foreachBatch sink to an incoming (doc_id, text,
+    * source) stream — shared by the driver file harness and the
+    * MemoryStream spec harness.
+    */
+  private[graft] def runDedupIncremental(incoming: DataFrame, store: String,
+                                         out: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedupIncrementalBatch(store, out)(b.toDF()))
+      .option("checkpointLocation", tmpCheckpoint().toString)
+      .start()
+
+  /** D10 driver entry: streaming twin of E1b — the standing corpus
+    * (doc_id % 5 != 0) seeds the persisted fingerprint store, the
+    * remaining docs arrive through a file-streamed landing zone, and
+    * each micro-batch anti-joins the store before its survivors'
+    * hashes are absorbed. Oracle ≡ E1b's batch SQL over the FINAL
+    * state (the driver landing zone is one file → the stream and the
+    * batch see the same arg-min domain; the cross-batch drop is pinned
+    * by StreamsSpec with explicit multi-batch arrivals).
+    */
+  def streamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val docs = Tables.documents(ss, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fp")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("survivors").toString
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("text_hash")).distinct()
+      .write.mode("overwrite").parquet(store)
+    // seed the output with its (empty) schema so a survivor-free stream
+    // still reads back as a typed empty result, never a missing path
+    docs.filter(lit(false))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"))
+      .write.mode("overwrite").parquet(out)
+    // the landing zone is the documents parquet itself (footer-probed
+    // schema, same contract as the events stream)
+    val schema = ss.read.parquet(s"$dir/documents.parq*").schema
+    val incoming = Sources
+      .streamDir(ss, s"$dir/documents.parq*", schema,
+        options = Map("basePath" -> dir))
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val q = runDedupIncremental(incoming, store, out)
+    try q.processAllAvailable() finally q.stop()
+    ss.read.parquet(out).orderBy("doc_id")
+  }
 }

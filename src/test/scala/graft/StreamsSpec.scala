@@ -127,6 +127,47 @@ class StreamsSpec extends AnyFunSuite {
       s"expected only event 5 flagged (state must carry sum=30,n=3 into batch 2): $flagged")
   }
 
+  test("D10 cross-batch: a dup of a hash landed in batch 1 is dropped in batch 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_d10")
+    val store = root.resolve("store").toString
+    val out = root.resolve("survivors").toString
+    val landing = root.resolve("landing").toString
+    // persisted fingerprint store seeded with one standing hash
+    Seq("stored text").toDF("text").select(md5(col("text")).as("text_hash"))
+      .write.parquet(store)
+    Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text_hash")
+      .write.parquet(out)
+    def write(name: String, stamp: Long, rows: Seq[(Long, String)]): Unit = {
+      rows.map { case (id, t) => (id, t, "src") }.toDF("doc_id", "text", "source")
+        .coalesce(1).write.parquet(s"$landing/$name")
+      new java.io.File(s"$landing/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(stamp))
+    }
+    write("f1", 1000000L, Seq((100L, "dup text"), (101L, "unique one")))
+    // batch 2: doc 50 duplicates batch 1's hash — the store anti-join,
+    // not the within-batch arg-min, must drop it (50 < 100, so a
+    // single-batch arg-min would have kept 50 instead); doc 102 hits
+    // the SEEDED store; doc 103 is novel
+    write("f2", 2000000L, Seq(
+      (50L, "dup text"), (102L, "stored text"), (103L, "unique two")))
+    val incoming = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, source STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$landing/f*")
+    val q = Streams.runDedupIncremental(incoming, store, out)
+    try q.processAllAvailable() finally q.stop()
+    val survivors = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(100L, 101L, 103L),
+      s"expected batch-1 winner kept, batch-2 dup + stored hash dropped: $survivors")
+    // the store absorbed exactly the survivors' hashes on top of the seed
+    assert(spark.read.parquet(store).count() == 4)
+  }
+
   test("D9 stream_heavy_hitters == C22 batch heavy hitters") {
     assert(rows(Streams.streamHeavyHitters(spark, sf)) ==
       rows(Analytics.eventsHeavyHitters(spark, sf)))
