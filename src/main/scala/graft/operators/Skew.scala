@@ -117,6 +117,15 @@ object Skew {
                      sampleFraction: Double = 0.01): Int =
     detectHotKeys(df, key, sampleFraction).map(_.salts).maxOption.getOrElse(1)
 
+  /** Salt counts for the two join-back sides of a bucket-generated
+    * candidate-pair verification: the `id_a` side and the `id_b` side
+    * are DIFFERENT hot-key questions under the `id_a < id_b` candidate
+    * orientation — a hot id that is the LARGEST in its buckets
+    * contributes only b-side pairs and is invisible to an a-side-only
+    * estimate (the round-6 blind spot).
+    */
+  case class PairSalts(aSide: Int, bSide: Int)
+
   /** Salt decision for a bucket-generated candidate-pair join, derived
     * from the exploded (id, bucket) table BEFORE the pair join exists.
     *
@@ -125,34 +134,51 @@ object Skew {
     * on the embedding-LSH dedup path. But the pair fan-out is already
     * determined by the bucket table: under the `id_a < id_b` candidate
     * orientation, a row of bucket B contributes exactly
-    * |{partners in B with a larger id}| a-side pairs, so the a-side
-    * hot-key share is one windowed count + one aggregation over the
+    * |{partners in B with a larger id}| a-side pairs AND
+    * |{partners in B with a smaller id}| b-side pairs, so BOTH hot-key
+    * shares come from one windowed count + one aggregation over the
     * SKINNY bucket table — no pair materialization. (Pairs colliding in
     * several buckets count once per bucket; that uniform inflation
     * cancels in the share for clique-shaped skew, and on paths that
-    * keep candidates duplicated through verification it is exact.)
+    * keep candidates duplicated through verification it is exact. The
+    * estimate intentionally ignores downstream size-ratio pruning and
+    * candidate dedup — those only REMOVE pairs roughly uniformly, so
+    * the share survives; an over-estimate costs a few extra salt
+    * replicas, never correctness.)
     *
-    * Same hot-key rule as [[detectHotKeys]]: flag when the max id's
-    * share of estimated pairs exceeds min(SkewFactor/p, 0.5) with at
-    * least [[MinSampledRows]] estimated pairs of evidence; salts spread
-    * the hot id back to ~1 average task.
+    * Same hot-key rule as [[detectHotKeys]], applied per side: flag
+    * when the max id's share of estimated pairs exceeds
+    * min(SkewFactor/p, 0.5) with at least [[MinSampledRows]] estimated
+    * pairs of evidence; salts spread the hot id back to ~1 average
+    * task.
     */
-  def recommendSaltsFromBuckets(exploded: DataFrame, idCol: String,
-                                bucketCols: Seq[String]): Int = {
+  def recommendPairSaltsFromBuckets(exploded: DataFrame, idCol: String,
+                                    bucketCols: Seq[String]): PairSalts = {
     import org.apache.spark.sql.expressions.Window
     val p = exploded.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bucket = Window.partitionBy(bucketCols.map(col): _*)
     val ordered = bucket.orderBy(col(idCol))
     val perId = exploded
       .select(col(idCol),
-        (count(lit(1)).over(bucket) - row_number().over(ordered)).as("_fan"))
-      .groupBy(col(idCol)).agg(sum(col("_fan")).as("_est"))
-    val row = perId.agg(sum(col("_est")), max(col("_est"))).head()
-    val total = Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val maxEst = Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val threshold = math.max(MinSampledRows.toDouble,
-      math.min(SkewFactor / p, 0.5) * total)
-    if (total == 0L || maxEst < threshold) 1
-    else math.max(1, math.ceil(maxEst.toDouble / total * p).toInt)
+        (count(lit(1)).over(bucket) - row_number().over(ordered)).as("_fan_a"),
+        (row_number().over(ordered) - lit(1)).as("_fan_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_fan_a")).as("_est_a"), sum(col("_fan_b")).as("_est_b"))
+    val row = perId.agg(sum(col("_est_a")), max(col("_est_a")),
+      sum(col("_est_b")), max(col("_est_b"))).head()
+    def side(totIdx: Int, maxIdx: Int): Int = {
+      val total = Option(row.get(totIdx)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val maxEst = Option(row.get(maxIdx)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val threshold = math.max(MinSampledRows.toDouble,
+        math.min(SkewFactor / p, 0.5) * total)
+      if (total == 0L || maxEst < threshold) 1
+      else math.max(1, math.ceil(maxEst.toDouble / total * p).toInt)
+    }
+    PairSalts(side(0, 1), side(2, 3))
   }
+
+  /** The a-side salt count alone (the original round-6 surface). */
+  def recommendSaltsFromBuckets(exploded: DataFrame, idCol: String,
+                                bucketCols: Seq[String]): Int =
+    recommendPairSaltsFromBuckets(exploded, idCol, bucketCols).aSide
 }

@@ -50,16 +50,23 @@ object Streams {
   private def eventFileStream(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
     // probe the SAME glob the stream tails (a file named events.parq
-    // must not stream under one schema and probe under another); an
-    // empty landing zone — no files arrived yet — cannot be probed, so
-    // it assumes the current generation's encoding (NTZ micros) and the
-    // first arriving file of any OTHER encoding fails the stream
-    // loudly rather than mis-timing silently
+    // must not stream under one schema and probe under another). The
+    // empty-landing-zone fallback is gated on an explicit file-listing
+    // check, NOT a broad AnalysisException catch: only "no files have
+    // arrived yet" assumes the current generation's encoding (NTZ
+    // micros, with the first arriving file of any other encoding
+    // failing the stream loudly) — a corrupt footer, a missing ts
+    // column, or a permission failure on an EXISTING file surfaces the
+    // real probe error instead of constructing a stream with a guessed
+    // schema (round-6 advice)
+    val glob = s"$dir/events.parq*"
+    val hPath = new org.apache.hadoop.fs.Path(glob)
+    val matches = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .globStatus(hPath)
     val tsOnDisk =
-      try spark.read.parquet(s"$dir/events.parq*").schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      if (matches == null || matches.isEmpty)
         org.apache.spark.sql.types.TimestampNTZType
-      }
+      else spark.read.parquet(glob).schema("ts").dataType
     val fileSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsOnDisk),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -106,4 +106,30 @@ class SkewSpec extends AnyFunSuite {
       assert(Skew.recommendSaltsFromBuckets(empty, "id", Seq("bucket")) == 1)
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
+
+  test("b-side skew (hot id largest in its buckets) is flagged by the b-side estimate") {
+    import spark.implicits._
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      // one HUB id (9999) sharing a distinct bucket with each of 40
+      // partners, all with SMALLER ids: every hub pair has the hub as
+      // id_b, so the a-side estimate sees nothing (each partner carries
+      // one a-side pair) while the b-side estimate attributes all 40
+      val hub = (1 to 40).flatMap(i =>
+        Seq((i.toLong, s"h$i"), (9999L, s"h$i")))
+      val singles = (100 to 199).map(i => (i.toLong, s"b$i"))
+      val buckets = (hub ++ singles).toDF("id", "bucket")
+      val ps = Skew.recommendPairSaltsFromBuckets(buckets, "id", Seq("bucket"))
+      assert(ps.aSide == 1, s"no a-side key is hot here, got ${ps.aSide}")
+      assert(ps.bSide > 1, s"the hub must be flagged on the b side, got ${ps.bSide}")
+      // mirrored orientation: hub id SMALLEST → flags flip sides
+      val hubA = (1 to 40).flatMap(i =>
+        Seq((0L, s"h$i"), (1000L + i, s"h$i")))
+      val psA = Skew.recommendPairSaltsFromBuckets(
+        (hubA ++ singles).toDF("id", "bucket"), "id", Seq("bucket"))
+      assert(psA.aSide > 1 && psA.bSide == 1,
+        s"smallest-id hub must flag the a side only, got $psA")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
 }
