@@ -412,5 +412,14 @@ object SparkEntry {
     */
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
     "pca_topk" -> ((s, d) => Pca.pcaTopkOracleSql(s, d)),
+    // the IVF family's trained model is deterministic and memoized, so
+    // Verify inlines the session's centroids as literals and DuckDB
+    // replays assignment / probe selection / probed top-k end-to-end
+    "ivf_build"             -> ((s, d) => Ivf.ivfBuildOracleSql(s, d)),
+    "index_stats"           -> ((s, d) => Ivf.indexStatsOracleSql(s, d)),
+    "ivf_query_nprobe"      -> ((s, d) => Ivf.ivfQueryNprobeOracleSql(s, d)),
+    "ann_topk_batch_nprobe" -> ((s, d) => Ivf.annBatchNprobeOracleSql(s, d)),
+    // the hyperplane matrix is seeded, so the LSH banding replays too
+    "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLshOracleSql(s, d)),
   )
 }

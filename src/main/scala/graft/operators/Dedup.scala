@@ -994,16 +994,21 @@ object Dedup {
   val HyperplaneCount = 128
   val HyperplaneBandBits = 4
 
-  /** Deterministic Gaussian hyperplanes (seeded), as a (pid, pvec)
-    * broadcastable DataFrame.
+  /** Deterministic Gaussian hyperplanes (seeded) — the plane matrix is
+    * a pure function of (dim, n, seed), shared by the engine's banding
+    * join and the dynamic oracle's literal so both sides hash the SAME
+    * projections.
     */
-  private def hyperplaneDf(spark: SparkSession, dim: Int, n: Int,
-                           seed: Long = 0x5eedL): DataFrame = {
-    import spark.implicits._
+  private[operators] def hyperplanes(dim: Int, n: Int,
+                                     seed: Long = 0x5eedL): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    (0 until n).map { pid =>
-      (pid, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
-    }.toDF("pid", "pvec")
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def hyperplaneDf(spark: SparkSession, dim: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    hyperplanes(dim, n).zipWithIndex.map { case (p, pid) => (pid, p.toSeq) }
+      .toSeq.toDF("pid", "pvec")
   }
 
   /** E5b: approximate embedding near-dup via random-hyperplane LSH —
@@ -1074,6 +1079,45 @@ object Dedup {
       .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** E5b DYNAMIC oracle: the plane matrix is deterministic (seeded), so
+    * DuckDB replays the whole pipeline — sign-bit banding over the
+    * plane literal, band-bucket candidate pairs, exact cosine verify.
+    * The verify mirrors the engine's `1.0 − cosineDistance` double
+    * op-for-op (`1.0 − (1.0 − similarity)`), so the ≥ threshold
+    * comparison lands on identical bits; band_id uses `//` (floor) to
+    * match the int-cast of Spark's double division on non-negative
+    * pids, and the bit weights are exact small powers of two.
+    */
+  def embeddingNeardupLshOracleSql(spark: SparkSession, dir: String,
+                                   threshold: Double = CosineSimThreshold,
+                                   bandBits: Int = HyperplaneBandBits): String = {
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val planes = hyperplanes(dim, HyperplaneCount)
+    val lit = planes.map(_.map(_.toDouble.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH planes AS (SELECT CAST($lit AS DOUBLE[][]) AS pv),
+       |bands AS (
+       |  SELECT e.vec_id, CAST(t.p // $bandBits AS INTEGER) AS band_id,
+       |    sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pv[t.p + 1]) >= 0
+       |        THEN CAST(power(2, t.p % $bandBits) AS BIGINT) ELSE 0 END) AS band_val
+       |  FROM embeddings e, planes, UNNEST(range(0, $HyperplaneCount)) t(p)
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b
+       |FROM cand
+       |JOIN embeddings ea ON ea.vec_id = vec_a
+       |JOIN embeddings eb ON eb.vec_id = vec_b
+       |WHERE 1.0 - (1.0 - list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                          CAST(eb.embedding AS DOUBLE[]))) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- E6

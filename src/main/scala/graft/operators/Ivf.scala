@@ -441,6 +441,134 @@ object Ivf {
       .orderBy("cluster_id")
   }
 
+  // ------------------------------------------------- dynamic oracles
+  //
+  // The IVF family was rows-only ("k-means has no SQL oracle") — but
+  // the TRAINED model is deterministic and session-memoized, so the
+  // pca_topk literal pattern applies: Verify generates these at dump
+  // time, inlining the SAME centroids that produced the parquet as a
+  // DOUBLE[][] literal, and DuckDB independently replays assignment
+  // (argmin with ties to the lower cluster id), probe selection, and
+  // the probed top-k. Every float element widens to its exact double,
+  // and every ordering mirrors the engine's tie-break column-for-column.
+
+  /** Centroid matrix as a DuckDB DOUBLE[][] literal. Float→Double
+    * widening is exact, and Double.toString round-trips, so the SQL
+    * literal carries the trained floats bit-exactly.
+    */
+  private def centroidLiteral(cs: Array[Array[Float]]): String =
+    cs.map(_.map(_.toDouble.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** Shared assignment CTEs: `cents` (the literal) + `asg`
+    * (vec_id → cluster id by L2 argmin, ties to the lower cid —
+    * exactly [[assignJoin]]'s min(struct(dist, cid)) contract).
+    */
+  private def assignCtes(cents: Array[Array[Float]]): String = {
+    val k = cents.length
+    s"""cents AS (SELECT CAST(${centroidLiteral(cents)} AS DOUBLE[][]) AS cv),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_distance(CAST(e.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS rn
+       |    FROM embeddings e, cents, UNNEST(range(0, $k)) t(j)) x
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** A6 oracle: the assignment table itself. */
+  def ivfBuildOracleSql(spark: SparkSession, dir: String): String = {
+    val (_, cents) = indexFor(spark, dir)
+    s"""WITH ${assignCtes(cents)}
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id
+       |FROM asg ORDER BY vec_id""".stripMargin
+  }
+
+  /** A14 oracle: per-list histogram over the replayed assignment. */
+  def indexStatsOracleSql(spark: SparkSession, dir: String): String = {
+    val (_, cents) = indexFor(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
+    s"""WITH ${assignCtes(cents)}
+       |SELECT CAST(cid AS INTEGER) AS cluster_id,
+       |  count(*) AS list_size,
+       |  count(*) / CAST($n AS DOUBLE) AS corpus_frac
+       |FROM asg GROUP BY 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** A7b oracle: nprobe-limited serving replayed end-to-end — per-query
+    * probe ranking over the centroid literal (L2, ties to the lower
+    * cid, exactly [[probeSelect]]'s topKByDistance contract), candidate
+    * set = corpus vectors assigned to a probed list, exact top-k within
+    * it ((dist, id) tie-break = topKByDistance in [[probedTopK]]).
+    */
+  def ivfQueryNprobeOracleSql(spark: SparkSession, dir: String,
+                              nQueries: Int = 5, k: Int = 10): String = {
+    val (_, cents) = indexFor(spark, dir)
+    val nc = cents.length
+    val np = math.max(1, nc / 4)
+    s"""WITH ${assignCtes(cents)},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_distance(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS crn
+       |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)
+       |    WHERE q.vec_id < $nQueries) x
+       |  WHERE crn <= $np),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_distance(CAST(qe.embedding AS DOUBLE[]),
+       |                  CAST(ce.embedding AS DOUBLE[])) AS dist
+       |  FROM probes p
+       |  JOIN asg a ON a.cid = p.cid
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ce ON ce.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+       |  FROM cand) x
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** E6b oracle: the batch-ANN serving configuration (cosine,
+    * nprobe = k/4) replayed the same way. The engine orders by
+    * cosineDistance = 1.0 − a·b/(|a||b|); the oracle orders by the
+    * SAME computed double (`1.0 − list_cosine_similarity`), not by
+    * similarity DESC — near-zero similarities collapse to dist 1.0
+    * under the subtraction, and only the identical expression
+    * reproduces the engine's (dist, id) tie-break there.
+    */
+  def annBatchNprobeOracleSql(spark: SparkSession, dir: String,
+                              k: Int = 5): String = {
+    val (_, cents) = indexFor(spark, dir)
+    val nc = cents.length
+    val np = math.max(1, nc / 4)
+    s"""WITH ${assignCtes(cents)},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS crn
+       |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE crn <= $np),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    1.0 - list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                 CAST(ce.embedding AS DOUBLE[])) AS dist
+       |  FROM probes p
+       |  JOIN asg a ON a.cid = p.cid
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ce ON ce.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+       |  FROM cand) x
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Exact all-pairs stream in the cluster layout: every (query,
     * corpus vector) co-occurrence under probe-all, produced by the
     * cluster_id shuffle join — the no-broadcast twin of a corpus
