@@ -421,5 +421,16 @@ object SparkEntry {
     "ann_topk_batch_nprobe" -> ((s, d) => Ivf.annBatchNprobeOracleSql(s, d)),
     // the hyperplane matrix is seeded, so the LSH banding replays too
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLshOracleSql(s, d)),
+    // the PQ family: codebooks/rotation/ADC tables inlined, encode
+    // argmin + ADC/SDC partial sums + refine replayed op-for-op
+    "pq_topk"     -> ((s, d) => Pq.pqTopkOracleSql(s, d)),
+    "pq_topk_opq" -> ((s, d) => Pq.pqTopkOpqOracleSql(s, d)),
+    "ivfpq_topk"  -> ((s, d) => Pq.ivfpqTopkOracleSql(s, d)),
+    "ann_topk_batch_pq" -> ((s, d) => Pq.sdcBatchOracleSql(s, d)),
+    "ann_topk_batch_pq_cos" -> ((s, d) =>
+      Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Cosine)),
+    "ann_topk_batch_pq_refined" -> ((s, d) => Pq.sdcBatchOracleSql(s, d, refine = 4)),
+    "ann_topk_batch_pq_dot" -> ((s, d) =>
+      Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Dot)),
   )
 }

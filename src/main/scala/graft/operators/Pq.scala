@@ -668,4 +668,286 @@ object Pq {
         ivfPqTopK(spark, dir, q, k, nprobe = math.max(1, centroids.length / 4)), k)
       .select(col("neighbor_id"), col("rank"))
   }
+
+  // ------------------------------------------------- dynamic oracles
+  //
+  // "Approximate by construction" never meant non-deterministic: given
+  // the trained codebooks (and coarse centroids / OPQ rotation), every
+  // PQ path is a pure function DuckDB can replay. Verify inlines the
+  // SESSION model's parameters as literals (the pca_topk pattern) and
+  // the SQL mirrors the engine's double arithmetic op-for-op — encode
+  // argmin on SQUARED sub-distances (ties to the lower code, exactly
+  // PqEncode's strict `<`), ADC/SDC as ordered per-subspace partial
+  // sums (list(v ORDER BY mi) → list_sum reproduces the mi-ascending
+  // accumulation), refine on raw vectors via list_distance.
+
+  private def matLiteral(m: Array[Array[Float]]): String =
+    m.map(_.map(_.toDouble.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  private def cbLiteral(cbs: Array[Array[Array[Float]]]): String =
+    cbs.map(matLiteral).mkString("[", ",", "]")
+
+  /** Corpus CTE `corp(vec_id, v DOUBLE[])` in the model's input space:
+    * raw, cosine-normalized (metricTransform's per-element
+    * divide-then-cast-to-float replayed), or OPQ-rotated (RotateVector's
+    * double row-sums with the float cast per component).
+    */
+  private def corpCte(metric: Int, rotation: Option[Array[Array[Double]]]): String = {
+    val base = metric match {
+      case VectorMetric.Cosine =>
+        """rawc AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r,
+          |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+          |                            CAST(embedding AS DOUBLE[]))) AS n2
+          |  FROM embeddings),
+          |corp0 AS (
+          |  SELECT vec_id,
+          |    CASE WHEN n2 = 0 THEN r
+          |         ELSE list_transform(r, x -> CAST(CAST(x / n2 AS FLOAT) AS DOUBLE))
+          |    END AS v
+          |  FROM rawc)""".stripMargin
+      case _ =>
+        "corp0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    }
+    rotation match {
+      case None => base.replace("corp0", "corp")
+      case Some(r) =>
+        val dim = r.length
+        val rl = r.map(_.map(_.toString).mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"""$base,
+           |rot AS (SELECT CAST($rl AS DOUBLE[][]) AS rm),
+           |corp AS (
+           |  SELECT vec_id,
+           |    list_transform(range(1, ${dim + 1}), oi -> CAST(CAST(
+           |      list_sum(list_transform(range(1, ${dim + 1}), j -> rm[oi][j] * v[j]))
+           |    AS FLOAT) AS DOUBLE)) AS v
+           |  FROM corp0, rot)""".stripMargin
+    }
+  }
+
+  /** Encode CTEs `cbt(mi, code, cvec)` + `corps(vec_id, mi, svec)` +
+    * `codes(vec_id, mi, code)` over `corp` + `cb`: per subspace, argmin
+    * of the squared sub-distance with ties to the lower code. The
+    * codebook explodes into per-(mi, code) SUB-vector rows first — a
+    * cross join carrying the full codebook value per candidate row
+    * materializes literal_size × n × m × 256 bytes (131 GB at sf0.01)
+    * and fills DuckDB's spill disk; exploded, each row carries subDim
+    * doubles.
+    */
+  private def codesCte(model: Model): String = {
+    val sd = model.subDim
+    s"""cbt AS (
+       |  SELECT sub.mi, cand.code,
+       |    list_transform(range(1, ${sd + 1}), i -> c[sub.mi + 1][cand.code + 1][i]) AS cvec
+       |  FROM cb,
+       |    UNNEST(range(0, ${model.m})) sub(mi),
+       |    UNNEST(range(0, ${model.codebooks(0).length})) cand(code)),
+       |corps AS (
+       |  SELECT vec_id, sub.mi,
+       |    list_transform(range(1, ${sd + 1}), i -> v[sub.mi * $sd + i]) AS svec
+       |  FROM corp, UNNEST(range(0, ${model.m})) sub(mi)),
+       |codes AS (
+       |  SELECT vec_id, mi, code FROM (
+       |    SELECT s.vec_id, s.mi, t.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+       |        list_sum(list_transform(range(1, ${sd + 1}),
+       |          i -> (s.svec[i] - t.cvec[i]) * (s.svec[i] - t.cvec[i]))),
+       |        t.code) AS rn
+       |    FROM corps s JOIN cbt t USING (mi)) x
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** pq_topk / pq_topk_opq oracle: flat ADC over the whole code table,
+    * shortlist k·refine by (adc dist, id), exact L2 re-rank on raw
+    * vectors. The per-query ADC table is driver math — inlined
+    * pre-computed, exactly the doubles the engine's kernel loads.
+    */
+  private def adcTopkOracleSql(spark: SparkSession, dir: String,
+                               k: Int, refine: Int, opq: Boolean): String = {
+    val model = if (opq) trainOpq(spark, dir) else train(spark, dir)
+    val qRaw = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val q0 = model.rotation.foldLeft(metricQuery(qRaw, VectorMetric.L2))(
+      (q, r) => applyRotation(r, q))
+    val tbl = adcTable(model.codebooks, q0, VectorMetric.L2)
+    val tblLit = tbl.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
+       |tbl AS (SELECT CAST($tblLit AS DOUBLE[][]) AS t),
+       |${corpCte(VectorMetric.L2, model.rotation)},
+       |${codesCte(model)},
+       |adc AS (
+       |  SELECT vec_id, sqrt(list_sum(list(tv ORDER BY mi))) AS dist FROM (
+       |    SELECT cd.vec_id, cd.mi, tbl.t[cd.mi + 1][cd.code + 1] AS tv
+       |    FROM codes cd, tbl) y
+       |  GROUP BY vec_id),
+       |short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT ${k * refine}),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+       |ref AS (
+       |  SELECT s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv)) AS dist
+       |  FROM short s JOIN embeddings e USING (vec_id))
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,
+       |  ${model.dim * 4} AS raw_bytes_per_vec, ${model.m} AS pq_bytes_per_vec
+       |FROM ref ORDER BY dist, vec_id LIMIT $k""".stripMargin
+  }
+
+  def pqTopkOracleSql(spark: SparkSession, dir: String): String =
+    adcTopkOracleSql(spark, dir, k = 10, refine = 4, opq = false)
+
+  def pqTopkOpqOracleSql(spark: SparkSession, dir: String): String =
+    adcTopkOracleSql(spark, dir, k = 10, refine = 4, opq = true)
+
+  /** ivfpq_topk oracle: same ADC + refine, but the candidate set first
+    * narrows to the query's nprobe nearest coarse lists — probe ranking
+    * AND list assignment replayed over the centroid literal (probeIds
+    * ranks by squared L2 with ties to the lower cid; list_distance's
+    * sqrt is order-isomorphic).
+    */
+  def ivfpqTopkOracleSql(spark: SparkSession, dir: String, k: Int = 10): String = {
+    val model = train(spark, dir)
+    val (_, cents) = Ivf.indexFor(spark, dir)
+    val nc = cents.length
+    val np = math.max(1, nc / 4)
+    val qRaw = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tbl = adcTable(model.codebooks, qRaw, VectorMetric.L2)
+    val tblLit = tbl.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
+       |tbl AS (SELECT CAST($tblLit AS DOUBLE[][]) AS t),
+       |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
+       |${corpCte(VectorMetric.L2, None)},
+       |${codesCte(model)},
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT t.j AS cid,
+       |      row_number() OVER (ORDER BY
+       |        list_distance((SELECT q FROM qv), cv[t.j + 1]), t.j) AS rn
+       |    FROM cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE rn <= $np),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT c0.vec_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY c0.vec_id ORDER BY
+       |        list_distance(c0.v, cv[t.j + 1]), t.j) AS rn
+       |    FROM corp c0, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT vec_id, sqrt(list_sum(list(tv ORDER BY mi))) AS dist FROM (
+       |    SELECT cd.vec_id, cd.mi, tbl.t[cd.mi + 1][cd.code + 1] AS tv
+       |    FROM codes cd, tbl
+       |    WHERE cd.vec_id IN (SELECT a.vec_id FROM asg a JOIN probes p USING (cid))) y
+       |  GROUP BY vec_id),
+       |short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT ${k * 4}),
+       |ref AS (
+       |  SELECT s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv)) AS dist
+       |  FROM short s JOIN embeddings e USING (vec_id))
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
+       |FROM ref ORDER BY dist, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** ann_topk_batch_pq family oracle: the SDC batch path end-to-end —
+    * metric corpus, per-vector codes, per-query probe sets, symmetric
+    * code-to-code distances from the codebook literal (the engine's
+    * SDC table entries re-derived cell-by-cell with the same double
+    * ops), optional exact re-rank. One generator, four metric/refine
+    * configurations.
+    */
+  def sdcBatchOracleSql(spark: SparkSession, dir: String, k: Int = 5,
+                        metric: Int = VectorMetric.L2, refine: Int = 1): String = {
+    val model = train(spark, dir, SubspaceCount, metric)
+    val (_, cents) = Ivf.indexFor(spark, dir, metric)
+    val nc = cents.length
+    val n = Tables.embeddings(spark, dir).count()
+    val np = math.max(1, Ivf.defaultK(n) / 4)
+    val sd = model.subDim
+    val ncode = model.codebooks(0).length
+    val dot = metric == VectorMetric.Dot
+    // probe ranking: l2 family probes by list_distance; dot probes by
+    // the negated inner product (distCol's Dot branch)
+    val probeDist =
+      if (dot) "-list_inner_product(q.v, cv[t.j + 1])"
+      else "list_distance(q.v, cv[t.j + 1])"
+    // SDC cell: squared sub-l2, or negated partial dot (no sqrt later),
+    // built from the exploded per-(mi, code) sub-vector table
+    val cell =
+      if (dot) s"""-list_sum(list_transform(range(1, ${sd + 1}),
+                  |      i -> a.cvec[i] * b.cvec[i]))""".stripMargin
+      else s"""list_sum(list_transform(range(1, ${sd + 1}),
+              |      i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])))""".stripMargin
+    val fold =
+      if (dot) "list_sum(list(sd.v ORDER BY qc.mi))"
+      else "sqrt(list_sum(list(sd.v ORDER BY qc.mi)))"
+    val rankBody =
+      if (refine <= 1)
+        s"""SELECT query_id, neighbor_id,
+           |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+           |FROM pdist QUALIFY rank <= $k""".stripMargin
+      else {
+        val exact =
+          if (dot) "-list_inner_product(qe.v, ne.v)"
+          else "list_distance(qe.v, ne.v)"
+        s"""WITH_SHORT SELECT query_id, neighbor_id,
+           |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY edist, neighbor_id) AS INTEGER) AS rank
+           |FROM (
+           |  SELECT s.query_id, s.neighbor_id, $exact AS edist
+           |  FROM short s
+           |  JOIN corp qe ON qe.vec_id = s.query_id
+           |  JOIN corp ne ON ne.vec_id = s.neighbor_id) e
+           |QUALIFY rank <= $k""".stripMargin
+          .replace("WITH_SHORT", "")
+      }
+    val shortCte =
+      if (refine <= 1) ""
+      else
+        s""",
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS srn
+           |    FROM pdist) z
+           |  WHERE srn <= ${k * refine})""".stripMargin
+    s"""WITH cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
+       |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
+       |${corpCte(metric, None)},
+       |${codesCte(model)},
+       |sdct AS (
+       |  SELECT a.mi, a.code AS ca, b.code AS cb2,
+       |    $cell AS v
+       |  FROM cbt a JOIN cbt b USING (mi)),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT c0.vec_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY c0.vec_id ORDER BY
+       |        list_distance(c0.v, cv[t.j + 1]), t.j) AS rn
+       |    FROM corp c0, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $probeDist, t.j) AS crn
+       |    FROM corp q, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE crn <= $np),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |pdist AS (
+       |  SELECT pr.query_id, pr.neighbor_id, $fold AS dist
+       |  FROM pairs pr
+       |  JOIN codes qc ON qc.vec_id = pr.query_id
+       |  JOIN codes nc2 ON nc2.vec_id = pr.neighbor_id AND nc2.mi = qc.mi
+       |  JOIN sdct sd ON sd.mi = qc.mi AND sd.ca = qc.code AND sd.cb2 = nc2.code
+       |  GROUP BY 1, 2)$shortCte
+       |$rankBody
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }
