@@ -57,6 +57,9 @@ object SparkEntry {
     // SemDeDup-style semantic prune: exact cosine pairs → components →
     // one representative per group, kept flag per vector
     "semantic_prune"      -> (Dedup.semanticPrune _),
+    // the paper's within-cluster serving recipe — N^1.5 pair cost vs
+    // the exact key's O(N²) probe-all contract
+    "semantic_prune_clustered" -> (Dedup.semanticPruneClustered _),
     // duplicate-cluster size histogram over the exact component labels
     "dedup_cluster_stats" -> (Dedup.dedupClusterStats _),
     // cross-source shingle-vocabulary contamination matrix
@@ -99,6 +102,13 @@ object SparkEntry {
     "pca_topk"            -> ((s, d) => Pca.pcaTopk(s, d)),
     "lang_id"         -> (TextOps.langId _),
     "quality_score"   -> (TextOps.qualityScore _),
+    // E36: model-based quality filter — linear classifier logit over
+    // engineered features, thresholded at the decision boundary
+    "quality_classifier" -> (TextOps.qualityClassifier _),
+    // E37: mutual k-NN graph (both endpoints rank each other top-k)
+    "knn_graph_mutual" -> ((s, d) => Dedup.knnGraphMutual(s, d)),
+    // E38: k-means-residual embedding outliers (integer-exact test)
+    "embedding_outliers" -> (Ivf.embeddingOutliers _),
     // repetition rules (dup-word / top-bigram fractions) — the
     // boilerplate filters E8's composite doesn't cover
     "quality_gopher"  -> (TextOps.qualityGopher _),
@@ -169,6 +179,9 @@ object SparkEntry {
     // D10: continuous-ingest dedup — each micro-batch anti-joins the
     // persisted fingerprint store, survivors' hashes are absorbed
     "stream_dedup_incremental" -> (Streams.streamDedupIncremental _),
+    // D11: streaming quality gate — E36 scored in-flight, per-source
+    // admission counts as the one stateful aggregation
+    "stream_quality_filter" -> (Streams.streamQualityFilter _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -281,6 +294,10 @@ object SparkEntry {
     "hard_negative_mining" -> Dedup.hardNegativeMiningOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
+    "quality_classifier" -> TextOps.qualityClassifierOracleSql,
+    "knn_graph_mutual"   -> Dedup.knnGraphMutualOracleSql(),
+    // D11 ≡ the same classifier + per-source rollup in batch SQL
+    "stream_quality_filter" -> TextOps.qualityClassifierRollupOracleSql,
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
     "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,
@@ -432,5 +449,9 @@ object SparkEntry {
     "ann_topk_batch_pq_refined" -> ((s, d) => Pq.sdcBatchOracleSql(s, d, refine = 4)),
     "ann_topk_batch_pq_dot" -> ((s, d) =>
       Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Dot)),
+    // E38: residual outliers over the same centroid-literal replay
+    "embedding_outliers" -> ((s, d) => Ivf.embeddingOutliersOracleSql(s, d)),
+    // E33b: within-cluster SemDeDup — assignment replayed, same closure
+    "semantic_prune_clustered" -> ((s, d) => Dedup.semanticPruneClusteredOracleSql(s, d)),
   )
 }

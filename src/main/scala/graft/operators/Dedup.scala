@@ -701,6 +701,64 @@ object Dedup {
     * oracle) → recursive-CTE transitive closure (the E13 oracle) →
     * min-reachable representative, singletons self-representing.
     */
+  /** E33b: the SemDeDup paper's ACTUAL serving recipe — near-dup pairs
+    * only WITHIN each k-means cluster (Abbas et al. 2023 §3: "we
+    * cluster … and compute pairwise similarities within each cluster"),
+    * then components + representative-per-group exactly as E33. E33
+    * keeps the exact probe-all contract (its oracle is the full
+    * all-pairs closure), but probe-all is O(N²) pairs by construction —
+    * the 25× scale probe measured 194 s at 50k vectors where this
+    * variant's pair volume is Σ cluster² ≈ N²/k (k grows as √N, so
+    * pair cost is N^1.5 — the published trade). Deterministic given
+    * the trained coarse quantizer, so the dynamic oracle replays
+    * assignment over the centroid literal and closes the SAME
+    * within-cluster pair graph with a recursive CTE.
+    */
+  def semanticPruneClustered(spark: SparkSession, dir: String): DataFrame = {
+    val sim = lit(1.0) - VectorFunctions.cosineDistance(col("vec"), col("qvec"))
+    val pairs = Ivf.pairStream(spark, dir, Some(1))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), sim.as("sim"))
+      .filter(col("sim") >= CosineSimThreshold)
+      .select("vec_a", "vec_b")
+    val comps = componentsFromPairs(pairs)
+      .select(col("doc_id").as("vec_id"), col("component_id").as("rep"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep_id"),
+        (coalesce(col("rep"), col("vec_id")) === col("vec_id"))
+          .cast("long").as("kept"))
+      .orderBy("vec_id")
+  }
+
+  def semanticPruneClusteredOracleSql(spark: SparkSession, dir: String): String = {
+    val (_, cents) = Ivf.indexFor(spark, dir)
+    s"""WITH RECURSIVE ${Ivf.assignCtes(cents)},
+       |prs AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb
+       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN embeddings a ON a.vec_id = x.vec_id
+       |  JOIN embeddings b ON b.vec_id = y.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])) >= $CosineSimThreshold),
+       |edges AS (SELECT va AS src, vb AS dst FROM prs
+       |          UNION ALL SELECT vb, va FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS vec_id, CAST(least(src, min(dst)) AS BIGINT) AS rep
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id,
+       |  CAST(coalesce(c.rep, e.vec_id) AS BIGINT) AS rep_id,
+       |  CAST(CASE WHEN coalesce(c.rep, e.vec_id) = e.vec_id
+       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM embeddings e LEFT JOIN comp c USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   def semanticPruneOracleSql: String =
     s"""WITH RECURSIVE prs AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb
@@ -1166,6 +1224,47 @@ object Dedup {
     */
   def hardNegativeMining(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     Ivf.hardNegatives(spark, dir, k, graft.functions.VectorMetric.Cosine)
+
+  // ---------------------------------------------------------------- E37
+
+  /** E37: mutual k-NN graph — the undirected edge list where BOTH
+    * endpoints rank each other in their cosine top-k (the NN-descent /
+    * graph-clustering substrate: mutual edges are the high-precision
+    * backbone that one-directional kNN lists pollute with hub
+    * vectors). Built on the exact probe-all batch ANN over the IVF
+    * layout (E6's engine — no new model, no new shuffle machinery);
+    * the symmetrization is ONE self-join of the O(N·k) skinny edge
+    * list on the reversed pair key, which shuffles k rows per vector
+    * regardless of corpus size — hub-safe by construction.
+    */
+  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id"))
+    e.as("x")
+      .join(e.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id") &&
+          col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("vec_a"), col("x.neighbor_id").as("vec_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** E37 oracle: static SQL — probe-all batch ANN is exact, so the
+    * directed top-k ranks come straight from the all-pairs window and
+    * the mutual join mirrors the engine's reversed-key self-join.
+    */
+  def knnGraphMutualOracleSql(k: Int = 5): String =
+    s"""WITH r AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id),
+       |e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $k)
+       |SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b
+       |FROM e a JOIN e b
+       |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+       |WHERE a.query_id < a.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   def hardNegativeMiningOracleSql(k: Int = 5): String =
     s"""SELECT query_id, neighbor_id, rank FROM (

@@ -462,14 +462,16 @@ object Ivf {
 
   /** Shared assignment CTEs: `cents` (the literal) + `asg`
     * (vec_id → cluster id by L2 argmin, ties to the lower cid —
-    * exactly [[assignJoin]]'s min(struct(dist, cid)) contract).
+    * exactly [[assignJoin]]'s min(struct(dist, cid)) contract; the
+    * winning distance rides along for residual-based consumers).
     */
-  private def assignCtes(cents: Array[Array[Float]]): String = {
+  private[operators] def assignCtes(cents: Array[Array[Float]]): String = {
     val k = cents.length
     s"""cents AS (SELECT CAST(${centroidLiteral(cents)} AS DOUBLE[][]) AS cv),
        |asg AS (
-       |  SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, dist FROM (
        |    SELECT e.vec_id, t.j AS cid,
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), cv[t.j + 1]) AS dist,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        list_distance(CAST(e.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS rn
        |    FROM embeddings e, cents, UNNEST(range(0, $k)) t(j)) x
@@ -567,6 +569,63 @@ object Ivf {
        |  FROM cand) x
        |WHERE rnk <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E38
+
+  /** E38: embedding outlier detection — each vector's residual to its
+    * assigned coarse centroid, flagged when it exceeds 2× its CLUSTER's
+    * mean residual (the standard k-means-residual screen for mislabeled
+    * / corrupted / off-distribution embeddings before they pollute a
+    * training set or an ANN index; FAISS calls these "out-of-
+    * distribution" points in its index-health checks).
+    *
+    * Scale shape: one broadcast centroid join (the session IVF memo —
+    * no new k-means), one k-row aggregate, one broadcast join back —
+    * the corpus is scanned once and never pairwise. Cross-engine
+    * exactness: the residual quantizes to a BIGINT (floor, half-mode-
+    * free) BEFORE the per-cluster aggregation, so the cluster sums are
+    * integer — order-independent across partitions and engines — and
+    * the outlier test `dist_q · n > 2 · sum_q` is exact integer
+    * arithmetic, never a double mean.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, cents) = indexFor(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cdf = centroidDf(spark, cents)
+    val d = vecs.join(assign.select("id", "cluster_id"), "id")
+      .join(broadcast(cdf), col("cluster_id") === col("cid"))
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        floor(VectorFunctions.l2Distance(col("vec"), col("cvec")) * lit(1e6))
+          .cast("long").as("dist_q"))
+    val stats = d.groupBy("cluster_id")
+      .agg(sum(col("dist_q")).as("sum_q"), count(lit(1)).as("n"))
+    d.join(broadcast(stats), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("dist_q"),
+        (col("dist_q") * col("n") > col("sum_q") * lit(2L)).cast("long").as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  /** E38 oracle: assignment + residual replayed over the centroid
+    * literal (asg carries the winning distance), same integer
+    * quantize-then-aggregate arithmetic.
+    */
+  def embeddingOutliersOracleSql(spark: SparkSession, dir: String): String = {
+    val (_, cents) = indexFor(spark, dir)
+    s"""WITH ${assignCtes(cents)},
+       |d AS (
+       |  SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id,
+       |    CAST(floor(dist * 1e6) AS BIGINT) AS dist_q
+       |  FROM asg),
+       |stats AS (
+       |  SELECT cluster_id, CAST(sum(dist_q) AS BIGINT) AS sum_q,
+       |    count(*) AS n
+       |  FROM d GROUP BY 1)
+       |SELECT vec_id, cluster_id, dist_q,
+       |  CAST(dist_q * n > sum_q * 2 AS BIGINT) AS is_outlier
+       |FROM d JOIN stats USING (cluster_id)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Exact all-pairs stream in the cluster layout: every (query,

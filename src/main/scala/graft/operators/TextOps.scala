@@ -723,4 +723,97 @@ object TextOps {
        |      FROM d)
        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
        |WHERE rk <= target ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E36
+
+  /** E36: model-based quality classification — the "fasttext quality
+    * classifier" stage of the published pretraining recipes (LLaMA's
+    * Wikipedia-reference classifier, GPT-3's WebText LR filter), as a
+    * LINEAR model over engineered features with fixed weights: unlike
+    * E8's hand-tuned composite score, this is the learned-model SHAPE —
+    * a feature vector dotted with a weight vector and thresholded at
+    * the decision boundary — with the weights standing in for a
+    * trained model (the sigmoid is monotone, so thresholding the logit
+    * at 0 IS thresholding the probability at 0.5; no exp() enters the
+    * comparison).
+    *
+    * Everything is per-row column arithmetic fused into one codegen'd
+    * document scan — zero shuffles at any corpus size; the feature
+    * bases are exact integers (counts of words/digit/punct/upper
+    * chars), the logit is a FIXED-ORDER double expression mirrored
+    * op-for-op by the oracle, and the output quantizes via floor
+    * (half-mode-free) so both engines emit identical BIGINTs.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** E36 over an arbitrary (doc_id, source, text) frame — stateless
+    * per-row arithmetic, so it applies unchanged to a STREAMING frame
+    * (D11 runs it per micro-batch).
+    */
+  def qualityClassifierOn(docs: DataFrame): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), col("source"),
+        greatest(size(words).cast("long"), lit(1L)).as("n_words"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("n_chars"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
+        hits(split(lower(col("text")), " "), "en").cast("long").as("stop_hits"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("long").as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
+          .cast("long").as("n_upper"))
+      .select(col("doc_id"), col("source"),
+        floor((lit(-0.65)
+          + lit(0.9) * least(col("n_words").cast("double") / 400.0, lit(1.0))
+          + lit(0.8) * (col("stop_hits").cast("double") / col("n_words"))
+          + lit(0.6) * least(col("sum_wlen").cast("double") / col("n_words") / 6.0, lit(1.0))
+          - lit(1.5) * (col("n_digit").cast("double") / col("n_chars"))
+          - lit(0.7) * (col("n_punct").cast("double") / col("n_chars"))
+          - lit(0.5) * (col("n_upper").cast("double") / col("n_chars"))
+          ) * 1e6).cast("long").as("score_q"))
+      .select(col("doc_id"), col("source"), col("score_q"),
+        (col("score_q") >= 0L).cast("long").as("kept"))
+  }
+
+  /** Shared feats + scored CTEs of the E36 oracle (also the base of
+    * D11's rollup oracle).
+    */
+  private val qcScoredCtes: String =
+    """feats AS (
+      |  SELECT doc_id, source,
+      |    greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 1) AS n_words,
+      |    greatest(CAST(length(text) AS BIGINT), 1) AS n_chars,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w))) AS BIGINT) AS sum_wlen,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor((-0.65
+      |      + 0.9 * least(CAST(n_words AS DOUBLE) / 400.0, 1.0)
+      |      + 0.8 * (CAST(stop_hits AS DOUBLE) / n_words)
+      |      + 0.6 * least(CAST(sum_wlen AS DOUBLE) / n_words / 6.0, 1.0)
+      |      - 1.5 * (CAST(n_digit AS DOUBLE) / n_chars)
+      |      - 0.7 * (CAST(n_punct AS DOUBLE) / n_chars)
+      |      - 0.5 * (CAST(n_upper AS DOUBLE) / n_chars)
+      |      ) * 1e6) AS BIGINT) AS score_q
+      |  FROM feats)""".stripMargin
+
+  def qualityClassifierOracleSql: String =
+    s"""WITH $qcScoredCtes
+       |SELECT doc_id, source, score_q,
+       |  CAST(score_q >= 0 AS BIGINT) AS kept
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** D11 oracle: the same classifier rolled up per source. */
+  def qualityClassifierRollupOracleSql: String =
+    s"""WITH $qcScoredCtes
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(score_q >= 0 AS BIGINT)) AS BIGINT) AS n_kept
+       |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
 }

@@ -516,6 +516,30 @@ object Streams {
     * batch see the same arg-min domain; the cross-batch drop is pinned
     * by StreamsSpec with explicit multi-batch arrivals).
     */
+  /** D11: streaming quality gate — the E36 classifier applied per
+    * micro-batch (stateless per-row arithmetic fused into the stream's
+    * scan), rolled up to per-source admission counts with ONE stateful
+    * aggregation in complete mode. This is the front door of a
+    * continuous ingest pipeline: documents land, the model scores them
+    * in-flight, and the per-source pass-rate dashboard is the health
+    * signal operators actually watch (a source whose admission rate
+    * collapses mid-crawl is broken upstream). Oracle ≡ the same
+    * classifier + rollup in batch SQL over the full table — streaming
+    * and batch agree because the classifier is stateless and count/sum
+    * are order-insensitive over exact integers.
+    */
+  def streamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val schema = ss.read.parquet(s"$dir/documents.parq*").schema
+    val incoming = Sources
+      .streamDir(ss, s"$dir/documents.parq*", schema,
+        options = Map("basePath" -> dir))
+    val agg = graft.operators.TextOps.qualityClassifierOn(incoming)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+    sinkOf(agg, "complete").orderBy("source")
+  }
+
   def streamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
     val docs = Tables.documents(ss, dir)

@@ -47,6 +47,27 @@ object CorpusScaleProbe {
     timed("quality_gopher") { graft.operators.TextOps.qualityGopher(spark, dir).count() }
     timed("dsir_select") { graft.operators.Corpus.dsirSelect(spark, dir).count() }
     timed("source_overlap") { graft.operators.Corpus.sourceOverlap(spark, dir).count() }
+    // E35 rides the doc-pair component labels (the memoized E13 table):
+    // components + two small aggs over 125k docs with heavy shared
+    // vocabulary — the pair join and label propagation ARE the cost
+    timed("dedup_cluster_stats") { graft.operators.Dedup.dedupClusterStats(spark, dir).count() }
+
+    // E33 rides the vector tier: 25× the sf0.1 embedding count, built
+    // as ~nv/10 base vectors × 10 jittered copies so the cosine
+    // near-dup graph has real cliques for components to contract
+    val nv = n / 5 * 2 // 50k at the default 125k docs (25× sf0.1's 2k)
+    spark.range(nv.toLong)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(pmod(col("id"), lit(nv / 10)) * 131 + i), lit(1000L))
+            .cast("double") / 1000.0 - 0.5)
+            + (pmod(xxhash64(col("id") * 17 + i), lit(100L)).cast("double")
+               / 100.0 - 0.5) * 0.02).cast("float")).as("embedding"),
+        pmod(col("id"), lit(10L)).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    timed("semantic_prune") { graft.operators.Dedup.semanticPrune(spark, dir).count() }
+    timed("semantic_prune_clustered") { graft.operators.Dedup.semanticPruneClustered(spark, dir).count() }
     // cleanup
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala

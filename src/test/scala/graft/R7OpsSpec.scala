@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{Dedup, Ivf, TextOps}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operators: E36 quality_classifier, E37 knn_graph_mutual,
+  * E38 embedding_outliers, E33b semantic_prune_clustered, D11
+  * stream_quality_filter. The driver's DuckDB oracles pin cross-engine
+  * exactness; these pin the SEMANTICS against independent Scala
+  * recomputations and the structural contracts.
+  */
+class R7OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- E36
+
+  test("quality_classifier: clean prose keeps, digit/punct-heavy junk drops") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog is a friend of the house " * 8, "a"),
+      (2L, "0123456789 0123456789 0123456789 0123456789 0123456789", "a"),
+      (3L, ";;;;;; !!!!! ????? ;;;;; !!!!! ..... ;;;;; !!!!!", "a"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.qualityClassifierOn(docs)
+      .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L, "stopword-rich prose must pass the boundary")
+    assert(got(2L) == 0L, "digit-dominated text must fail")
+    assert(got(3L) == 0L, "punctuation-dominated text must fail")
+  }
+
+  test("quality_classifier: empty text survives the n_words/n_chars guards") {
+    val docs = Seq((1L, "", "a")).toDF("doc_id", "text", "source")
+    val r = TextOps.qualityClassifierOn(docs).collect()
+    assert(r.length == 1) // no NaN/null crash; score is finite
+    assert(!r(0).isNullAt(2))
+  }
+
+  test("quality_classifier: score matches a driver-side recomputation") {
+    val text = "The cat sat, on 42 mats! The dog is a friend."
+    val docs = Seq((7L, text, "s")).toDF("doc_id", "text", "source")
+    val words = text.trim.split("\\s+")
+    val nWords = math.max(words.length, 1).toDouble
+    val nChars = math.max(text.length, 1).toDouble
+    val sumWlen = words.map(_.length).sum.toDouble
+    val stop = Set("the", "a", "of", "and", "is")
+    val stopHits = text.toLowerCase.split(" ", -1).count(stop).toDouble
+    val nDigit = text.count(_.isDigit).toDouble
+    val nPunct = text.count(c => ".,!?;:".contains(c)).toDouble
+    val nUpper = text.count(c => c >= 'A' && c <= 'Z').toDouble
+    val logit = -0.65 +
+      0.9 * math.min(nWords / 400.0, 1.0) +
+      0.8 * (stopHits / nWords) +
+      0.6 * math.min(sumWlen / nWords / 6.0, 1.0) -
+      1.5 * (nDigit / nChars) -
+      0.7 * (nPunct / nChars) -
+      0.5 * (nUpper / nChars)
+    val want = math.floor(logit * 1e6).toLong
+    val got = TextOps.qualityClassifierOn(docs)
+      .select("score_q").as[Long].head()
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- E37
+
+  test("knn_graph_mutual: edges are exactly the mutually-ranked brute-force pairs") {
+    val k = 5
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val topk = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, s) => (-s, j) }.take(k).map(_._1).toSet
+    }.toMap
+    val want = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).sorted
+    val got = Dedup.knnGraphMutual(spark, sf, k)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- E38
+
+  test("embedding_outliers: covers the corpus once; flag consistent with integer stats") {
+    val out = Dedup // namespacing: operator lives in Ivf
+    val df = Ivf.embeddingOutliers(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(df.count() == n)
+    assert(df.select("vec_id").distinct().count() == n)
+    // recompute the cluster stats FROM the output and re-derive the flag
+    val rows = df.select("vec_id", "cluster_id", "dist_q", "is_outlier")
+      .as[(Long, Int, Long, Long)].collect()
+    val byCluster = rows.groupBy(_._2)
+    rows.foreach { case (id, c, dq, flag) =>
+      val grp = byCluster(c)
+      val sum = grp.map(_._3).sum
+      val want = if (dq * grp.length > sum * 2) 1L else 0L
+      assert(flag == want, s"vec $id cluster $c")
+    }
+    // residual screen fires somewhere but never everywhere
+    val flagged = rows.count(_._4 == 1L)
+    assert(flagged < n, "2x-mean screen cannot flag the whole corpus")
+    df.unpersist()
+    val _ = out // silence unused warning
+  }
+
+  // ------------------------------------------------------------- E33b
+
+  test("semantic_prune_clustered: exact prune's survivors are a subset (dropping cross-cluster edges only splits groups)") {
+    val exactKept = Dedup.semanticPrune(spark, sf)
+      .filter(col("kept") === 1L).select("vec_id").as[Long].collect().toSet
+    val clustered = Dedup.semanticPruneClustered(spark, sf).cache()
+    val clusKept = clustered.filter(col("kept") === 1L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactKept.subsetOf(clusKept),
+      "an exact-component minimum stays the minimum of its (subset) cluster component")
+    // structural contract shared with E33: kept == (rep_id == vec_id),
+    // reps are their own representative, rep_id <= vec_id
+    val rows = clustered.select("vec_id", "rep_id", "kept")
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (v, r, kf) =>
+      assert((r == v) == (kf == 1L)); assert(r <= v)
+    }
+    val reps = rows.map(_._2).toSet
+    assert(reps.subsetOf(rows.filter(_._3 == 1L).map(_._1).toSet))
+    clustered.unpersist()
+  }
+
+  // ------------------------------------------------------------- D11
+
+  test("stream_quality_filter: streamed per-source admission equals the batch rollup") {
+    val want = TextOps.qualityClassifier(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = Streams.streamQualityFilter(spark, sf)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+}
