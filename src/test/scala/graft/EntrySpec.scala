@@ -21,15 +21,19 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: every query key has oracle SQL or is documented rows-only") {
-    // spec-covered, no SQL-expressible oracle (k-means / probabilistic
-    // LSH / approximate-by-design serving path)
-    val rowsOnly = Set("ivf_build", "dedup_minhash_lsh", "dedup_simhash",
-      "embedding_neardup_lsh", "index_stats", "events_sketch",
-      "ivf_query_nprobe", "pq_topk", "pq_topk_opq", "ivfpq_topk", "ann_topk_batch_nprobe",
-      "ann_topk_batch_pq", "ann_topk_batch_pq_cos", "ann_topk_batch_pq_refined",
-      "ann_topk_batch_pq_dot", "sq8_topk", "bq_topk", "pca_topk",
-      "bpe_train", "token_count_bpe")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    // spec-covered, no SQL-expressible oracle: Spark-native xxhash64
+    // candidate generation (minhash/simhash), approximate-by-contract
+    // sketch estimates, and the inherently iterative BPE merge loop
+    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash",
+      "events_sketch", "bpe_train", "token_count_bpe")
+    val covered = SparkEntry.oracleSql.keySet ++ SparkEntry.dynamicOracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- covered -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    // rows-only means rows-only: a key with an oracle must not hide there
+    assert((rowsOnly & covered).isEmpty,
+      s"rows-only keys that actually have oracles: ${rowsOnly & covered}")
+    // every oracle belongs to a real query key
+    assert((covered -- SparkEntry.queries.keySet).isEmpty,
+      s"orphan oracles: ${covered -- SparkEntry.queries.keySet}")
   }
 }
