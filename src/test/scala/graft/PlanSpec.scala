@@ -186,6 +186,41 @@ class PlanSpec extends AnyFunSuite {
       s"source overlap fell back to an all-pairs plan:\n$plan")
   }
 
+  test("knn_graph_mutual: reversed-pair symmetrization is an equi-join, never all-pairs") {
+    val df = graft.operators.Dedup.knnGraphMutual(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"mutual-edge join fell back to an all-pairs plan:\n$plan")
+    // the symmetrization join itself must hash on the reversed pair key
+    // (the only sanctioned nested-loop in this plan is probeSelect's
+    // k-row broadcast centroid table)
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join \\[query_id".r
+      .findFirstIn(plan).isDefined,
+      s"reversed-pair symmetrization is not an equi-join:\n$plan")
+  }
+
+  test("embedding_outliers: centroid and stats joins broadcast (no corpus-sized shuffle join)") {
+    val df = graft.operators.Ivf.embeddingOutliers(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-row centroid/stats tables must broadcast into the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"residual computation fell back to an all-pairs plan:\n$plan")
+  }
+
+  test("quality_classifier: single scan, zero exchanges before the presentation sort") {
+    val df = graft.operators.TextOps.qualityClassifier(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-row arithmetic only: the one Exchange allowed is the final
+    // ORDER BY's range partitioning
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"classifier must not shuffle the corpus:\n$plan")
+    assert(scans(df).size == 1, "exactly one documents scan")
+  }
+
   test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
     val df = Analytics.q10ReturnedItems(spark, sf)
     val ss = scans(df)
