@@ -192,6 +192,7 @@ object Dedup {
     minhashSigMemo.remove(dir).foreach(_.unpersist())
     docComponentsMemo.remove(dir).foreach(_.unpersist())
     vecComponentsMemo.remove(dir).foreach(_.unpersist())
+    clusteredComponentsMemo.remove(dir).foreach(_.unpersist())
     saltMemo.keys.filter(_._1 == dir).foreach(saltMemo.remove)
   }
 
@@ -500,6 +501,7 @@ object Dedup {
   def warmComponents(spark: SparkSession, dir: String): Unit = {
     docComponentsFor(spark, dir)
     vecComponentsFor(spark, dir)
+    clusteredComponentsFor(spark, dir)
     ()
   }
 
@@ -714,14 +716,30 @@ object Dedup {
     * assignment over the centroid literal and closes the SAME
     * within-cluster pair graph with a recursive CTE.
     */
+  /** Per-corpus memo of the WITHIN-CLUSTER component labels (E33b's
+    * substrate) — same persistable-artifact contract as the exact
+    * labels above, released by [[invalidate]].
+    */
+  private val clusteredComponentsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def clusteredComponentsFor(spark: SparkSession, dir: String): DataFrame =
+    clusteredComponentsMemo.get(dir).getOrElse(synchronized {
+      clusteredComponentsMemo.getOrElseUpdate(dir, {
+        val sim = lit(1.0) - VectorFunctions.cosineDistance(col("vec"), col("qvec"))
+        val pairs = Ivf.pairStream(spark, dir, Some(1))
+          .filter(col("query_id") < col("neighbor_id"))
+          .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), sim.as("sim"))
+          .filter(col("sim") >= CosineSimThreshold)
+          .select("vec_a", "vec_b")
+        val c = componentsFromPairs(pairs).cache()
+        c.count()
+        c
+      })
+    })
+
   def semanticPruneClustered(spark: SparkSession, dir: String): DataFrame = {
-    val sim = lit(1.0) - VectorFunctions.cosineDistance(col("vec"), col("qvec"))
-    val pairs = Ivf.pairStream(spark, dir, Some(1))
-      .filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), sim.as("sim"))
-      .filter(col("sim") >= CosineSimThreshold)
-      .select("vec_a", "vec_b")
-    val comps = componentsFromPairs(pairs)
+    val comps = clusteredComponentsFor(spark, dir)
       .select(col("doc_id").as("vec_id"), col("component_id").as("rep"))
     Tables.embeddings(spark, dir).select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
