@@ -109,6 +109,9 @@ object SparkEntry {
     "knn_graph_mutual" -> ((s, d) => Dedup.knnGraphMutual(s, d)),
     // E38: k-means-residual embedding outliers (integer-exact test)
     "embedding_outliers" -> (Ivf.embeddingOutliers _),
+    // E39: per-source dataset card (counts, exact length percentiles,
+    // language mix, quality-gate admission) in one fused scan
+    "corpus_profile" -> (TextOps.corpusProfile _),
     // repetition rules (dup-word / top-bigram fractions) — the
     // boilerplate filters E8's composite doesn't cover
     "quality_gopher"  -> (TextOps.qualityGopher _),
@@ -295,6 +298,7 @@ object SparkEntry {
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
     "quality_classifier" -> TextOps.qualityClassifierOracleSql,
+    "corpus_profile"     -> TextOps.corpusProfileOracleSql,
     "knn_graph_mutual"   -> Dedup.knnGraphMutualOracleSql(),
     // D11 ≡ the same classifier + per-source rollup in batch SQL
     "stream_quality_filter" -> TextOps.qualityClassifierRollupOracleSql,

@@ -189,13 +189,14 @@ object TextOps {
       .select("doc_id", "lang", "predicted")
       .orderBy("doc_id")
 
-  def langIdOn(docs: DataFrame): DataFrame = {
+  def langIdOn(docs: DataFrame, carry: Seq[Column] = Nil): DataFrame = {
     val words = split(lower(col("text")), " ")
     val Seq(de, en, es, fr, zh) =
       Seq("de", "en", "es", "fr", "zh").map(l => hits(words, l))
     docs
-      .select(col("doc_id"), col("lang"),
+      .select(Seq(col("doc_id"), col("lang"),
         de.as("c_de"), en.as("c_en"), es.as("c_es"), fr.as("c_fr"), zh.as("c_zh"))
+        ++ carry: _*)
       .withColumn("predicted",
         when(col("c_de") + col("c_en") + col("c_es") + col("c_fr") + col("c_zh") === 0, "und")
           .when(col("c_de") >= greatest(col("c_en"), col("c_es"), col("c_fr"), col("c_zh")), "de")
@@ -751,10 +752,11 @@ object TextOps {
     * per-row arithmetic, so it applies unchanged to a STREAMING frame
     * (D11 runs it per micro-batch).
     */
-  def qualityClassifierOn(docs: DataFrame): DataFrame = {
+  def qualityClassifierOn(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
+    val carried = carry.map(col)
     docs
-      .select(col("doc_id"), col("source"),
+      .select(Seq(col("doc_id"), col("source"),
         greatest(size(words).cast("long"), lit(1L)).as("n_words"),
         greatest(length(col("text")).cast("long"), lit(1L)).as("n_chars"),
         aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
@@ -765,7 +767,8 @@ object TextOps {
           .cast("long").as("n_punct"),
         (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
           .cast("long").as("n_upper"))
-      .select(col("doc_id"), col("source"),
+        ++ carried: _*)
+      .select(Seq(col("doc_id"), col("source"),
         floor((lit(-0.65)
           + lit(0.9) * least(col("n_words").cast("double") / 400.0, lit(1.0))
           + lit(0.8) * (col("stop_hits").cast("double") / col("n_words"))
@@ -774,8 +777,10 @@ object TextOps {
           - lit(0.7) * (col("n_punct").cast("double") / col("n_chars"))
           - lit(0.5) * (col("n_upper").cast("double") / col("n_chars"))
           ) * 1e6).cast("long").as("score_q"))
-      .select(col("doc_id"), col("source"), col("score_q"),
+        ++ carried: _*)
+      .select(Seq(col("doc_id"), col("source"), col("score_q"),
         (col("score_q") >= 0L).cast("long").as("kept"))
+        ++ carried: _*)
   }
 
   /** Shared feats + scored CTEs of the E36 oracle (also the base of
@@ -816,4 +821,82 @@ object TextOps {
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CAST(score_q >= 0 AS BIGINT)) AS BIGINT) AS n_kept
        |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- E39
+
+  /** E39: the dataset card — per-source corpus report every release
+    * ships (doc counts, token volume + exact p50/p95 length, language
+    * mix, quality-gate admission). ONE fused document scan: language ID
+    * (E7's argmax chain, carried through langIdOn) and the E36
+    * classifier (carried through qualityClassifierOn) are per-row
+    * expressions chained over the same scan — no self-join of derived
+    * frames — then one window shuffle on source for the exact integer
+    * percentiles (C20's rank-index arithmetic: value at ceil(p·n/100),
+    * deterministic under ties because equal values are equal at every
+    * rank) and a map-side-combined rollup. Every output is an exact
+    * BIGINT, so cross-engine hashing is trivial.
+    */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val perDoc = qualityClassifierOn(
+      langIdOn(docs, carry = Seq(col("source"), col("text"), col("n_tokens")))
+        .select("doc_id", "source", "text", "n_tokens", "predicted"),
+      carry = Seq("predicted", "n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def idx(p: Int) = expr(s"($p * n + 99) div 100")
+    perDoc
+      .select(col("source"), col("n_tokens"), col("predicted"), col("kept"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(when(col("rn") === idx(50), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === idx(95), col("n_tokens"))).as("p95_tokens"),
+        sum(when(col("predicted") === "en", lit(1L)).otherwise(lit(0L))).as("n_en"),
+        sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  def corpusProfileOracleSql: String = {
+    def h(l: String) =
+      Stopwords(l).map(w => s"'$w'").mkString(
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (", ", ", s"))) AS INT)")
+    s"""WITH $qcScoredCtes,
+       |lcounts AS (
+       |  SELECT doc_id,
+       |    ${h("de")} AS c_de, ${h("en")} AS c_en, ${h("es")} AS c_es,
+       |    ${h("fr")} AS c_fr, ${h("zh")} AS c_zh
+       |  FROM documents),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN c_de + c_en + c_es + c_fr + c_zh = 0 THEN 'und'
+       |         WHEN c_de >= greatest(c_en, c_es, c_fr, c_zh) THEN 'de'
+       |         WHEN c_en >= greatest(c_es, c_fr, c_zh) THEN 'en'
+       |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+       |         WHEN c_fr >= c_zh THEN 'fr'
+       |         ELSE 'zh' END AS predicted
+       |  FROM lcounts),
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents d),
+       |win AS (
+       |  SELECT b.source, b.n_tokens, l.predicted,
+       |    CAST(s.score_q >= 0 AS BIGINT) AS kept,
+       |    row_number() OVER (PARTITION BY b.source ORDER BY b.n_tokens) AS rn,
+       |    count(*) OVER (PARTITION BY b.source) AS n
+       |  FROM base b JOIN lang l USING (doc_id) JOIN scored s USING (doc_id))
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(max(CASE WHEN rn = (50*n + 99) // 100 THEN n_tokens END) AS BIGINT) AS p50_tokens,
+       |  CAST(max(CASE WHEN rn = (95*n + 99) // 100 THEN n_tokens END) AS BIGINT) AS p95_tokens,
+       |  CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept
+       |FROM win GROUP BY source ORDER BY source""".stripMargin
+  }
 }

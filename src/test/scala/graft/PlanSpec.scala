@@ -221,6 +221,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans(df).size == 1, "exactly one documents scan")
   }
 
+  test("corpus_profile: one fused document scan (lang + classifier chained, no self-join)") {
+    val df = graft.operators.TextOps.corpusProfile(spark, sf)
+    df.collect()
+    assert(scans(df).size == 1,
+      "per-row signals must chain over ONE scan, not join derived frames")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"dataset card must not join:\n$plan")
+  }
+
   test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
     val df = Analytics.q10ReturnedItems(spark, sf)
     val ss = scans(df)
