@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorMetric
-import graft.operators.{Corpus, Dedup, IndexLifecycle, Knn}
+import graft.operators.{Corpus, Dedup, IndexLifecycle, Ivf, Knn, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -105,6 +105,36 @@ class EdgeSpec extends AnyFunSuite {
     // component propagation over an empty pair graph converges empty
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.componentsFromPairs(noPairs).count() == 0)
+  }
+
+  test("round-7 operator edges: tiny corpus, degenerate features, k > n") {
+    import spark.implicits._
+    // classifier on whitespace-only and single-word docs: finite scores,
+    // no divide-by-zero NaN (the greatest(·,1) guards)
+    val weird = Seq((1L, "   ", "a"), (2L, "x", "a"), (3L, "THE THE THE", "a"))
+      .toDF("doc_id", "text", "source")
+    val scored = TextOps.qualityClassifierOn(weird).collect()
+    assert(scored.length == 3 && scored.forall(!_.isNullAt(2)))
+    // mutual kNN at k >= n-1: every directed edge is mutual → the full
+    // undirected graph on n vertices
+    val tiny = java.nio.file.Files.createTempDirectory("graft_tinyvec").toString
+    Tables.embeddings(spark, sf).filter(col("vec_id") < 4)
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    assert(Dedup.knnGraphMutual(spark, tiny, k = 10).count() == 4L * 3 / 2)
+    // outliers on the same tiny corpus: full coverage, never all flagged
+    val o = Ivf.embeddingOutliers(spark, tiny)
+    assert(o.count() == 4)
+    assert(o.filter(col("is_outlier") === 1L).count() < 4)
+    // dataset card on a single-source corpus: one row, exact integers
+    val oneDir = java.nio.file.Files.createTempDirectory("graft_onecard").toString
+    Seq((0L, "the cat", "en", "s0", 7L), (1L, "a dog", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$oneDir/documents.parquet")
+    val card = TextOps.corpusProfile(spark, oneDir).collect()
+    assert(card.length == 1)
+    assert(card(0).getAs[Long]("n_docs") == 2)
+    assert(card(0).getAs[Long]("sum_tokens") == 4)
+    assert(card(0).getAs[Long]("p50_tokens") == 2) // both docs are 2 tokens
   }
 
   test("empty corpora flow through the pipelines as empty results") {
