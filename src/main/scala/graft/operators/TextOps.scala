@@ -830,11 +830,17 @@ object TextOps {
     * (E7's argmax chain, carried through langIdOn) and the E36
     * classifier (carried through qualityClassifierOn) are per-row
     * expressions chained over the same scan — no self-join of derived
-    * frames — then one window shuffle on source for the exact integer
-    * percentiles (C20's rank-index arithmetic: value at ceil(p·n/100),
-    * deterministic under ties because equal values are equal at every
-    * rank) and a map-side-combined rollup. Every output is an exact
-    * BIGINT, so cross-engine hashing is trivial.
+    * frames. The percentiles are exact via the HISTOGRAM formulation,
+    * not a corpus-sized rank window: one map-side-combined aggregation
+    * to (source, n_tokens) rows (token counts have bounded
+    * cardinality, so the histogram is tiny regardless of corpus size),
+    * then the running-count window and the final rollup run over
+    * histogram rows only. A rank window partitioned by source would
+    * put a hot source's entire row set in one task at 100 TB; the
+    * histogram shape has no such straggler. Value-at-rank equivalence:
+    * the value at rank ceil(p·n/100) is the smallest distinct value
+    * whose cumulative count reaches that rank. Every output is an
+    * exact BIGINT, so cross-engine hashing is trivial.
     */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -844,20 +850,23 @@ object TextOps {
       langIdOn(docs, carry = Seq(col("source"), col("text"), col("n_tokens")))
         .select("doc_id", "source", "text", "n_tokens", "predicted"),
       carry = Seq("predicted", "n_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
-    val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def idx(p: Int) = expr(s"($p * n + 99) div 100")
-    perDoc
-      .select(col("source"), col("n_tokens"), col("predicted"), col("kept"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+    val hist = perDoc.groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("predicted") === "en", lit(1L)).otherwise(lit(0L))).as("cnt_en"),
+        sum(col("kept")).as("cnt_kept"))
+    val wh = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val whn = wh.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(col("source"), col("n_tokens"), col("cnt"), col("cnt_en"), col("cnt_kept"),
+        sum(col("cnt")).over(wh).as("cum"), sum(col("cnt")).over(whn).as("n"))
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("sum_tokens"),
-        max(when(col("rn") === idx(50), col("n_tokens"))).as("p50_tokens"),
-        max(when(col("rn") === idx(95), col("n_tokens"))).as("p95_tokens"),
-        sum(when(col("predicted") === "en", lit(1L)).otherwise(lit(0L))).as("n_en"),
-        sum(col("kept")).as("n_kept"))
+        sum(col("cnt")).as("n_docs"),
+        sum(col("n_tokens") * col("cnt")).as("sum_tokens"),
+        min(when(col("cum") >= expr("(50 * n + 99) div 100"), col("n_tokens"))).as("p50_tokens"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("n_tokens"))).as("p95_tokens"),
+        sum(col("cnt_en")).as("n_en"),
+        sum(col("cnt_kept")).as("n_kept"))
       .orderBy("source")
   }
 
