@@ -120,6 +120,9 @@ object SparkEntry {
     // temperature (n^1/2) language rebalancing: deterministic
     // hash-ranked subsample to flattened per-lang targets
     "mix_langs_temperature" -> (TextOps.mixLangsTemperature _),
+    // E40: stride-scheduled source interleave — the deterministic
+    // training-ORDER stage (weighted fair queueing over sources)
+    "mix_schedule_interleave" -> (TextOps.mixScheduleInterleave _),
     // corpus-trained bigram-LM familiarity (integer-quantized; held-out
     // source scored under a model that never saw it)
     "lm_bigram_score" -> ((s, d) => Corpus.lmBigramScore(s, d)),
@@ -305,6 +308,7 @@ object SparkEntry {
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
     "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,
+    "mix_schedule_interleave" -> TextOps.mixScheduleInterleaveOracleSql,
     "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
     "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
     "pii_redact"      -> Corpus.piiRedactOracleSql,

@@ -725,6 +725,64 @@ object TextOps {
        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
        |WHERE rk <= target ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- E40
+
+  /** E40: deterministic training-order interleave — the data-ORDERING
+    * stage after selection/dedup/packing: sources are interleaved by
+    * stride scheduling (weighted fair queueing: doc r of source s runs
+    * at virtual time r/weight_s, weight_s = √n_s — the same
+    * temperature-0.5 flattening as E31, applied to ORDER instead of
+    * counts), so a small curated source spreads evenly through the
+    * epoch instead of clumping at one offset, and the schedule is a
+    * pure function of the corpus (reproducible run to run — the
+    * training-data provenance contract).
+    *
+    * Scale shape: the global position is NOT a single-partition
+    * window — rows repartitionByRange + sortWithinPartitions on the
+    * (unique) schedule key, then zipWithIndex assigns contiguous ranks
+    * with one extra count job (the two-pass offset pattern; the only
+    * RDD use in the library, exactly the "genuine per-partition
+    * imperative logic" carve-out). The per-source sequence numbers are
+    * a source-partitioned window; a pathologically hot source would
+    * sub-partition that rank the same two-pass way.
+    *
+    * Cross-engine exactness: vtime = r/√n_s with both the sqrt and
+    * the division correctly rounded IEEE doubles in both engines, and
+    * (vtime, source, doc_id) is a STRICT total order (doc_id unique),
+    * so the zipWithIndex rank equals the oracle's row_number.
+    */
+  def mixScheduleInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val keyed = docs
+      .join(broadcast(counts), "source")
+      .select(col("doc_id"), col("source"),
+        (row_number().over(w).cast("double") / sqrt(col("n_src").cast("double")))
+          .as("vtime"))
+    val sorted = keyed
+      .repartitionByRange(col("vtime"), col("source"), col("doc_id"))
+      .sortWithinPartitions(col("vtime"), col("source"), col("doc_id"))
+    sorted.as[(Long, String, Double)].rdd.zipWithIndex()
+      .map { case ((id, src, _), i) => (id, src, i + 1L) }
+      .toDF("doc_id", "source", "position")
+      .orderBy("position")
+  }
+
+  def mixScheduleInterleaveOracleSql: String =
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      |           FROM documents GROUP BY 1),
+      |k AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS DOUBLE)
+      |      / sqrt(CAST(c.n_src AS DOUBLE)) AS vtime
+      |  FROM documents d JOIN c USING (source))
+      |SELECT doc_id, source,
+      |  CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT) AS position
+      |FROM k ORDER BY position""".stripMargin
+
   // ---------------------------------------------------------------- E36
 
   /** E36: model-based quality classification — the "fasttext quality

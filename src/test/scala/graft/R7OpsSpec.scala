@@ -141,6 +141,30 @@ class R7OpsSpec extends AnyFunSuite {
     clustered.unpersist()
   }
 
+  // ------------------------------------------------------------- E40
+
+  test("mix_schedule_interleave: positions contiguous, per-source order kept, small sources spread") {
+    val rows = TextOps.mixScheduleInterleave(spark, sf)
+      .as[(Long, String, Long)].collect()
+    val n = rows.length
+    assert(rows.map(_._3).toSet == (1L to n).toSet, "positions must be 1..n exactly once")
+    // stride scheduling never reorders within a source
+    rows.groupBy(_._2).values.foreach { grp =>
+      val byPos = grp.sortBy(_._3).map(_._1)
+      assert(byPos.sameElements(byPos.sorted), "per-source doc order must be preserved")
+    }
+    // interleave property: every source appears in the first
+    // ceil(2n/minShare) positions (clumped-at-the-end schedules fail)
+    val sources = rows.map(_._2).distinct
+    val firstHalf = rows.filter(_._3 <= n / 2).map(_._2).toSet
+    assert(sources.forall(firstHalf), "every source must surface in the first half")
+    // deterministic: a second run is identical (the zipWithIndex
+    // two-pass is a pure function of the corpus)
+    val again = TextOps.mixScheduleInterleave(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(rows.sortBy(_._3).sameElements(again.sortBy(_._3)))
+  }
+
   // ------------------------------------------------------------- D11
 
   test("stream_quality_filter: streamed per-source admission equals the batch rollup") {
