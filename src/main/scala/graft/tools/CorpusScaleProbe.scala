@@ -47,6 +47,12 @@ object CorpusScaleProbe {
     timed("quality_gopher") { graft.operators.TextOps.qualityGopher(spark, dir).count() }
     timed("dsir_select") { graft.operators.Corpus.dsirSelect(spark, dir).count() }
     timed("source_overlap") { graft.operators.Corpus.sourceOverlap(spark, dir).count() }
+    // round-7 per-row/report tier: classifier is a pure scan,
+    // corpus_profile aggregates the token histogram, the interleave
+    // pays one range-sort + the zipWithIndex count job
+    timed("quality_classifier") { graft.operators.TextOps.qualityClassifier(spark, dir).count() }
+    timed("corpus_profile") { graft.operators.TextOps.corpusProfile(spark, dir).count() }
+    timed("mix_schedule_interleave") { graft.operators.TextOps.mixScheduleInterleave(spark, dir).count() }
     // E35 rides the doc-pair component labels (the memoized E13 table):
     // components + two small aggs over 125k docs with heavy shared
     // vocabulary — the pair join and label propagation ARE the cost
