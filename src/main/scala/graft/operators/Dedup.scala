@@ -687,8 +687,17 @@ object Dedup {
     * label table. The kept/total ratio IS the dedup rate a curation
     * run reports.
     */
-  def semanticPrune(spark: SparkSession, dir: String): DataFrame = {
-    val comps = vecComponentsFor(spark, dir)
+  def semanticPrune(spark: SparkSession, dir: String): DataFrame =
+    pruneFromComponents(spark, dir, vecComponentsFor(spark, dir))
+
+  /** Shared prune projection (E33 + E33b): component labels →
+    * (vec_id, rep_id, kept) with singletons self-keeping — ONE
+    * definition of the prune contract, so the exact and within-cluster
+    * variants can never drift.
+    */
+  private def pruneFromComponents(spark: SparkSession, dir: String,
+                                  components: DataFrame): DataFrame = {
+    val comps = components
       .select(col("doc_id").as("vec_id"), col("component_id").as("rep"))
     Tables.embeddings(spark, dir).select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
@@ -738,17 +747,8 @@ object Dedup {
       })
     })
 
-  def semanticPruneClustered(spark: SparkSession, dir: String): DataFrame = {
-    val comps = clusteredComponentsFor(spark, dir)
-      .select(col("doc_id").as("vec_id"), col("component_id").as("rep"))
-    Tables.embeddings(spark, dir).select(col("vec_id"))
-      .join(comps, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("rep"), col("vec_id")).as("rep_id"),
-        (coalesce(col("rep"), col("vec_id")) === col("vec_id"))
-          .cast("long").as("kept"))
-      .orderBy("vec_id")
-  }
+  def semanticPruneClustered(spark: SparkSession, dir: String): DataFrame =
+    pruneFromComponents(spark, dir, clusteredComponentsFor(spark, dir))
 
   def semanticPruneClusteredOracleSql(spark: SparkSession, dir: String): String = {
     val (_, cents) = Ivf.indexFor(spark, dir)
@@ -1268,14 +1268,17 @@ object Dedup {
   }
 
   /** E37 oracle: static SQL — probe-all batch ANN is exact, so the
-    * directed top-k ranks come straight from the all-pairs window and
-    * the mutual join mirrors the engine's reversed-key self-join.
+    * directed top-k ranks come straight from the all-pairs window
+    * (ordered by the engine's computed `1.0 − similarity`, not
+    * similarity DESC — the near-zero-sim tie-break rule, same as
+    * annBatchNprobeOracleSql) and the mutual join mirrors the
+    * engine's reversed-key self-join.
     */
   def knnGraphMutualOracleSql(k: Int = 5): String =
     s"""WITH r AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |      ORDER BY 1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
        |  FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id),
        |e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $k)
        |SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b

@@ -160,7 +160,9 @@ object Sq8 {
       |  FROM embeddings e, model m),
       |d AS (
       |  SELECT cc.vec_id,
-      |    sqrt(sum(((cc.code - qc.code) / qc.scale) * ((cc.code - qc.code) / qc.scale))) AS dist
+      |    sqrt(list_sum(list(
+      |      ((cc.code - qc.code) / qc.scale) * ((cc.code - qc.code) / qc.scale)
+      |      ORDER BY cc.pos))) AS dist
       |  FROM cc JOIN qc USING (pos) GROUP BY 1)
       |SELECT vec_id AS neighbor_id,
       |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,

@@ -844,13 +844,14 @@ object TextOps {
   /** Shared feats + scored CTEs of the E36 oracle (also the base of
     * D11's rollup oracle).
     */
-  private val qcScoredCtes: String =
-    """feats AS (
+  private def qcScoredCtes: String = {
+    val stops = Stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""feats AS (
       |  SELECT doc_id, source,
-      |    greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 1) AS n_words,
+      |    greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS n_words,
       |    greatest(CAST(length(text) AS BIGINT), 1) AS n_chars,
-      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w))) AS BIGINT) AS sum_wlen,
-      |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w))) AS BIGINT) AS sum_wlen,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ($stops))) AS BIGINT) AS stop_hits,
       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
@@ -866,6 +867,7 @@ object TextOps {
       |      - 0.5 * (CAST(n_upper AS DOUBLE) / n_chars)
       |      ) * 1e6) AS BIGINT) AS score_q
       |  FROM feats)""".stripMargin
+  }
 
   def qualityClassifierOracleSql: String =
     s"""WITH $qcScoredCtes

@@ -131,11 +131,20 @@ object Streams {
       .start()
     try { q.processAllAvailable() } finally {
       q.stop()
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      deleteTree(ckpt)
     }
     spark.table(sink)
+  }
+
+  /** Recursively delete a temp tree (checkpoints, landing zones) — the
+    * ephemeral harness dirs are RAM-backed (/dev/shm) or /tmp, so a
+    * leak accumulates across bench passes until the tmpfs fills.
+    */
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** Run `job` on a streaming Dataset, write to a memory sink, return
@@ -500,12 +509,16 @@ object Streams {
     * MemoryStream spec harness.
     */
   private[graft] def runDedupIncremental(incoming: DataFrame, store: String,
-                                         out: String): org.apache.spark.sql.streaming.StreamingQuery =
-    incoming.writeStream
+                                         out: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val ckpt = tmpCheckpoint()
+    val q = incoming.writeStream
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
         dedupIncrementalBatch(store, out)(b.toDF()))
-      .option("checkpointLocation", tmpCheckpoint().toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
+    (q, ckpt)
+  }
 
   /** D10 driver entry: streaming twin of E1b — the standing corpus
     * (doc_id % 5 != 0) seeds the persisted fingerprint store, the
@@ -562,8 +575,14 @@ object Streams {
         options = Map("basePath" -> dir))
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"), col("source"))
-    val q = runDedupIncremental(incoming, store, out)
+    val (q, ckpt) = runDedupIncremental(incoming, store, out)
     try q.processAllAvailable() finally q.stop()
-    ss.read.parquet(out).orderBy("doc_id")
+    // pin the (tiny) survivor table into Spark block storage so the
+    // landing-zone temp tree and the RAM-backed checkpoint can be
+    // deleted NOW instead of leaking one set per bench/verify pass
+    val result = ss.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    deleteTree(ckpt)
+    deleteTree(tmp)
+    result
   }
 }

@@ -158,8 +158,8 @@ class StreamsSpec extends AnyFunSuite {
         "doc_id BIGINT, text STRING, source STRING"))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$landing/f*")
-    val q = Streams.runDedupIncremental(incoming, store, out)
-    try q.processAllAvailable() finally q.stop()
+    val (q, ckpt) = Streams.runDedupIncremental(incoming, store, out)
+    try q.processAllAvailable() finally { q.stop(); Streams.deleteTree(ckpt) }
     val survivors = spark.read.parquet(out).collect()
       .map(r => r.getAs[Long]("doc_id")).toSet
     assert(survivors == Set(100L, 101L, 103L),
