@@ -215,8 +215,10 @@ object Pca {
        |  GROUP BY 1, 2),
        |rd AS (
        |  SELECT rc.vec_id,
-       |    sqrt(sum((CAST(rc.x AS DOUBLE) - CAST(rq.x AS DOUBLE))
-       |           * (CAST(rc.x AS DOUBLE) - CAST(rq.x AS DOUBLE)))) AS dist
+       |    sqrt(list_sum(list(
+       |      (CAST(rc.x AS DOUBLE) - CAST(rq.x AS DOUBLE))
+       |      * (CAST(rc.x AS DOUBLE) - CAST(rq.x AS DOUBLE))
+       |      ORDER BY rc.comp))) AS dist
        |  FROM rc JOIN rq USING (comp) GROUP BY 1),
        |short AS (SELECT vec_id FROM rd ORDER BY dist, vec_id LIMIT ${k * refine}),
        |ref AS (
