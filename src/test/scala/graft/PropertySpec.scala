@@ -218,4 +218,71 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("quality_classifier score == reference recomputation on random texts") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(23)
+    val pieces = Array("the", "a", "of", "and", "is", "Word", "UPPER", "42",
+      "x1y2", "!!", "no.stop", "mixedCase7", ";", "plain", "word")
+    val texts = (0 until 60).map { i =>
+      val n = rnd.nextInt(25)
+      (i.toLong, Array.fill(n)(pieces(rnd.nextInt(pieces.length))).mkString(" "), "s")
+    }
+    def ref(text: String): Long = {
+      val words = text.trim.split("\\s+")
+      val nW = math.max(words.length, 1).toDouble
+      val nC = math.max(text.length, 1).toDouble
+      val sumWlen = words.map(_.length).sum.toDouble
+      val stop = Set("the", "a", "of", "and", "is")
+      val stopHits = text.toLowerCase.split(" ", -1).count(stop).toDouble
+      val nDigit = text.count(_.isDigit).toDouble
+      val nPunct = text.count(c => ".,!?;:".contains(c)).toDouble
+      val nUpper = text.count(c => c >= 'A' && c <= 'Z').toDouble
+      val logit = -0.65 +
+        0.9 * math.min(nW / 400.0, 1.0) +
+        0.8 * (stopHits / nW) +
+        0.6 * math.min(sumWlen / nW / 6.0, 1.0) -
+        1.5 * (nDigit / nC) -
+        0.7 * (nPunct / nC) -
+        0.5 * (nUpper / nC)
+      math.floor(logit * 1e6).toLong
+    }
+    val got = TextOps.qualityClassifierOn(texts.toDF("doc_id", "text", "source"))
+      .select("doc_id", "score_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, text, _) =>
+      assert(got(id) == ref(text), s"doc $id text='$text'")
+    }
+  }
+
+  test("mix_schedule_interleave == driver-side stride schedule on random source splits") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(31)
+    for (round <- 0 until 3) {
+      // skewed random split over 2-5 sources, ids shuffled across them
+      val nSrc = 2 + rnd.nextInt(4)
+      val docs = (0 until 40 + rnd.nextInt(40)).map { i =>
+        (i.toLong, s"doc $i text", "en",
+          s"s${(math.sqrt(rnd.nextInt(nSrc * nSrc))).toInt}", 10L)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_mix$round").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // reference: stride scheduling computed directly
+      val bySrc = docs.groupBy(_._4)
+      val keyed = bySrc.toSeq.flatMap { case (src, ds) =>
+        val n = ds.size
+        ds.map(_._1).sorted.zipWithIndex.map { case (id, r0) =>
+          ((r0 + 1).toDouble / math.sqrt(n.toDouble), src, id)
+        }
+      }
+      val want = keyed.sorted.zipWithIndex
+        .map { case ((_, src, id), i) => (id, src, i + 1L) }
+      val got = TextOps.mixScheduleInterleave(spark, dir)
+        .as[(Long, String, Long)].collect().sortBy(_._3).toSeq
+      assert(got == want, s"round=$round nSrc=$nSrc")
+    }
+  }
 }
