@@ -74,6 +74,8 @@ object CorpusScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     timed("semantic_prune") { graft.operators.Dedup.semanticPrune(spark, dir).count() }
     timed("semantic_prune_clustered") { graft.operators.Dedup.semanticPruneClustered(spark, dir).count() }
+    // E38 rides the same coarse assignment: one scan + k-row stats
+    timed("embedding_outliers") { graft.operators.Ivf.embeddingOutliers(spark, dir).count() }
     // cleanup
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
