@@ -126,6 +126,9 @@ object SparkEntry {
     // corpus-trained bigram-LM familiarity (integer-quantized; held-out
     // source scored under a model that never saw it)
     "lm_bigram_score" -> ((s, d) => Corpus.lmBigramScore(s, d)),
+    // E41: CCNet-style perplexity bucketing + graded resample over
+    // E25's integer familiarity (head kept, middle 50%, tail 10%)
+    "perplexity_buckets" -> (Corpus.perplexityBuckets _),
     // corpus-wide boilerplate shingles (df over per-doc distinct 3-grams)
     "boilerplate_ngrams" -> ((s, d) => Corpus.boilerplateNgrams(s, d)),
     // PII detect + redact over the deterministically seeded corpus
@@ -310,6 +313,7 @@ object SparkEntry {
     "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,
     "mix_schedule_interleave" -> TextOps.mixScheduleInterleaveOracleSql,
     "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
+    "perplexity_buckets" -> Corpus.perplexityBucketsOracleSql,
     "boilerplate_ngrams" -> Corpus.boilerplateNgramsOracleSql,
     "pii_redact"      -> Corpus.piiRedactOracleSql,
     "dedup_spans"     -> Corpus.dedupSpansOracleSql,

@@ -613,4 +613,72 @@ object Corpus {
       |  CAST(coalesce(sum(r.r), 0) AS BIGINT) AS familiarity
       |FROM bigrams b LEFT JOIN ratio r ON b.bg = r.bg
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- E41
+
+  /** E41: CCNet-style perplexity bucketing + graded resample (Wenzek
+    * et al. 2020 §4.3: rank documents by LM score, split head/middle/
+    * tail, keep the head and downsample the rest) — composed on E25's
+    * integer-quantized bigram-LM familiarity (per-bigram normalized by
+    * integer division, so the score stays an exact BIGINT). Per-SOURCE
+    * exact tertiles via the rank window (ties broken by doc_id — a
+    * per-doc bucket assignment needs per-doc ranks, unlike E39's
+    * value-only percentiles, so the histogram trick does not apply;
+    * the source-partitioned window is the documented skew caveat,
+    * sub-partitionable the same two-pass way as E40's rank). The
+    * graded keep (head 100%, middle 50%, tail 10%) reuses E14's
+    * multiplicative-hash sampler, so kept is a pure function of
+    * doc_id — reproducible and join-free.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = lmBigramScore(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val scored = docs.join(scores, "doc_id")
+      .select(col("doc_id"), col("source"),
+        expr("familiarity div greatest(n_bigrams, 1)").as("score"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val h = pmod(col("doc_id") * lit(graft.operators.TextOps.SampleHashMult), lit(100L))
+    scored
+      .select(col("doc_id"), col("source"), col("score"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .select(col("doc_id"), col("source"), col("score"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .select(col("doc_id"), col("source"), col("score"), col("bucket"),
+        (col("bucket") === "head" ||
+          (col("bucket") === "middle" && h < 50) ||
+          (col("bucket") === "tail" && h < 10)).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** E41 oracle: the E25 oracle as a subquery (DuckDB allows WITH
+    * inside a derived table), then the same integer rank/tertile/hash
+    * arithmetic.
+    */
+  def perplexityBucketsOracleSql: String =
+    s"""WITH sc AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(q.familiarity // greatest(q.n_bigrams, 1) AS BIGINT) AS score
+       |  FROM documents d JOIN (
+       |$lmBigramScoreOracleSql
+       |  ) q USING (doc_id)),
+       |w AS (
+       |  SELECT doc_id, source, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM sc),
+       |b AS (
+       |  SELECT doc_id, source, score,
+       |    CASE WHEN rn * 3 <= n THEN 'head'
+       |         WHEN rn * 3 <= n * 2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM w)
+       |SELECT doc_id, source, score, bucket,
+       |  CAST(bucket = 'head'
+       |    OR (bucket = 'middle' AND (doc_id * ${graft.operators.TextOps.SampleHashMult}) % 100 < 50)
+       |    OR (bucket = 'tail' AND (doc_id * ${graft.operators.TextOps.SampleHashMult}) % 100 < 10) AS BIGINT) AS kept
+       |FROM b ORDER BY doc_id""".stripMargin
 }

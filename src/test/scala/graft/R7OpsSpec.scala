@@ -165,6 +165,35 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rows.sortBy(_._3).sameElements(again.sortBy(_._3)))
   }
 
+  // ------------------------------------------------------------- E41
+
+  test("perplexity_buckets: per-source tertiles partition exactly; keep rates grade head>middle>tail") {
+    val rows = graft.operators.Corpus.perplexityBuckets(spark, sf)
+      .as[(Long, String, Long, String, Long)].collect()
+    rows.groupBy(_._2).values.foreach { grp =>
+      val n = grp.length
+      val byB = grp.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(byB.getOrElse("head", 0) == n / 3, s"head must be floor(n/3) of $n")
+      assert(byB.getOrElse("middle", 0) == n * 2 / 3 - n / 3)
+      assert(byB.getOrElse("tail", 0) == n - n * 2 / 3)
+      // within a source, every head score >= every middle score >= tail
+      def minS(b: String) = grp.filter(_._4 == b).map(_._3).minOption.getOrElse(Long.MaxValue)
+      def maxS(b: String) = grp.filter(_._4 == b).map(_._3).maxOption.getOrElse(Long.MinValue)
+      assert(minS("head") >= maxS("middle") - 0 || grp.count(_._4 == "middle") == 0 ||
+        minS("head") >= grp.filter(_._4 == "middle").map(_._3).max,
+        "head scores dominate middle")
+      assert(grp.count(_._4 == "tail") == 0 || grp.count(_._4 == "middle") == 0 ||
+        grp.filter(_._4 == "middle").map(_._3).min >= grp.filter(_._4 == "tail").map(_._3).max,
+        "middle scores dominate tail")
+    }
+    // head kept fully; the graded sampler actually drops from the tail
+    assert(rows.filter(_._4 == "head").forall(_._5 == 1L))
+    val tailRate = { val t = rows.filter(_._4 == "tail"); t.count(_._5 == 1L).toDouble / t.length }
+    val midRate = { val m = rows.filter(_._4 == "middle"); m.count(_._5 == 1L).toDouble / m.length }
+    assert(tailRate < midRate && midRate < 1.0,
+      s"keep rates must grade: tail=$tailRate middle=$midRate")
+  }
+
   // ------------------------------------------------------------- D11
 
   test("stream_quality_filter: streamed per-source admission equals the batch rollup") {
