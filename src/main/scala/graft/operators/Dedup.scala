@@ -758,8 +758,8 @@ object Dedup {
        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
        |  JOIN embeddings a ON a.vec_id = x.vec_id
        |  JOIN embeddings b ON b.vec_id = y.vec_id
-       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |          CAST(b.embedding AS DOUBLE[])) >= $CosineSimThreshold),
+       |  WHERE 1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[]))) >= $CosineSimThreshold),
        |edges AS (SELECT va AS src, vb AS dst FROM prs
        |          UNION ALL SELECT vb, va FROM prs),
        |reach(src, dst) AS (

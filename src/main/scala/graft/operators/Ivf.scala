@@ -588,6 +588,18 @@ object Ivf {
     * integer — order-independent across partitions and engines — and
     * the outlier test `dist_q · n > 2 · sum_q` is exact integer
     * arithmetic, never a double mean.
+    *
+    * DuckDB-version sensitivity (known, accepted): `floor(l2 * 1e6)`
+    * is bit-identical between Spark's VectorDistance and DuckDB's
+    * list_distance only while BOTH fold the squared-difference sum in
+    * the same sequential double order. A DuckDB upgrade that switches
+    * list_distance to pairwise/SIMD summation could move a residual by
+    * 1 ulp across a floor boundary and flip dist_q — unlike the
+    * ranking-only consumers (A1-A8, E6) where ulp noise is absorbed
+    * by the distance ORDER BY unless two candidates tie exactly. If a
+    * future DuckDB breaks the gate, re-derive dist_q from integer-
+    * quantized vector COMPONENTS (quantize before the distance) — the
+    * screen's semantics don't care about the 1e-6 grid's provenance.
     */
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val (assign, cents) = indexFor(spark, dir)

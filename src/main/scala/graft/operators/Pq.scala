@@ -301,7 +301,11 @@ object Pq {
           while (i < c.length) { acc += c(i).toDouble * q0(i); i += 1 }
           (-acc, j)
         } else {
-          while (i < c.length) { val d = c(i) - q0(i); acc += d * d; i += 1 }
+          // widen BEFORE subtracting: the dynamic oracle replays this
+          // ranking with DuckDB list_distance over exact double
+          // widenings, and a float-rounded difference can flip
+          // near-tied centroids (= a different probed candidate set)
+          while (i < c.length) { val d = c(i).toDouble - q0(i); acc += d * d; i += 1 }
           (acc, j)
         }
       }

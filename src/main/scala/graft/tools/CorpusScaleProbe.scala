@@ -62,10 +62,13 @@ object CorpusScaleProbe {
     // as ~nv/10 base vectors × 10 jittered copies so the cosine
     // near-dup graph has real cliques for components to contract
     val nv = n / 5 * 2 // 50k at the default 125k docs (25× sf0.1's 2k)
+    // base-vector modulus must stay >= 1: n < 25 would make nv/10 == 0
+    // and pmod(_, 0) nulls would corrupt the synthetic embeddings
+    val nBase = math.max(1, nv / 10)
     spark.range(nv.toLong)
       .select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(63)), i =>
-          ((pmod(xxhash64(pmod(col("id"), lit(nv / 10)) * 131 + i), lit(1000L))
+          ((pmod(xxhash64(pmod(col("id"), lit(nBase)) * 131 + i), lit(1000L))
             .cast("double") / 1000.0 - 0.5)
             + (pmod(xxhash64(col("id") * 17 + i), lit(100L)).cast("double")
                / 100.0 - 0.5) * 0.02).cast("float")).as("embedding"),
