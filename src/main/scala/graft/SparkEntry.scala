@@ -191,6 +191,10 @@ object SparkEntry {
     // D11: streaming quality gate — E36 scored in-flight, per-source
     // admission counts as the one stateful aggregation
     "stream_quality_filter" -> (Streams.streamQualityFilter _),
+    // D12: continuous embedding ingest into the persisted IVF-PQ index —
+    // foreachBatch → PqLifecycle.append per trigger (frozen model,
+    // crash-consistent staging), state + disk read-back as the output
+    "stream_index_append" -> (Streams.streamIndexAppend _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -308,6 +312,7 @@ object SparkEntry {
     "knn_graph_mutual"   -> Dedup.knnGraphMutualOracleSql(),
     // D11 ≡ the same classifier + per-source rollup in batch SQL
     "stream_quality_filter" -> TextOps.qualityClassifierRollupOracleSql,
+    "stream_index_append"   -> Streams.streamIndexAppendOracleSql,
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
     "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,

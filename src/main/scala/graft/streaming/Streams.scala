@@ -553,6 +553,122 @@ object Streams {
     sinkOf(agg, "complete").orderBy("source")
   }
 
+  // --------------------------------------------------------------- D12
+
+  /** D12 core: ONE micro-batch of continuous index ingest — the
+    * reference's add_vector → dirty → rebuild-policy mutation path
+    * (services/index_service.py:56-198, indexes/base.py:36-46) run per
+    * trigger against the PERSISTED IVF-PQ index. Each batch of raw
+    * (id, vec) arrivals encodes against the index's own FROZEN model
+    * (coarse centroids + codebooks + rotation read from the sidecars —
+    * nothing retrains in-flight) and lands crash-consistently through
+    * PqLifecycle.append's `_append_tmp` staging; the growth accumulates
+    * as dirt, so the standing rebuild policy (shouldRebuild at the
+    * dirty-ratio threshold) decides retraining OUT of band, exactly the
+    * reference's lazy-rebuild contract. Everything is O(micro-batch):
+    * appended rows are M-byte codes landing in their cluster
+    * partitions, untouched lists are never opened — the continuous
+    * embedding-ingest shape a 100 TB vector store actually runs.
+    *
+    * Empty triggers are skipped outright: an empty append would still
+    * write state + staging for nothing (and flip isDirty before any
+    * row arrived).
+    */
+  private[graft] def indexAppendBatch(indexPath: String)(batch: DataFrame): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.PqLifecycle.append(batch.select("id", "vec"), indexPath)
+      ()
+    }
+
+  /** Attach the D12 foreachBatch sink to an incoming (id, vec) vector
+    * stream — shared by the driver file harness and the MemoryStream
+    * spec harness (which proves cross-batch accumulation, untouched-
+    * partition immutability, and the half-applied-marker refusal).
+    */
+  private[graft] def runIndexAppend(incoming: DataFrame, indexPath: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val ckpt = tmpCheckpoint()
+    val q = incoming.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        indexAppendBatch(indexPath)(b.toDF()))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    (q, ckpt)
+  }
+
+  /** D12 driver entry: build the persisted IVF-PQ index over the
+    * corpus, then stream the arrival set — the first ceil(0.2·n)
+    * vectors re-keyed past the corpus (new ids, existing vector
+    * content: deterministic at any SF, same convention as
+    * ivfpq_lifecycle) — through a multi-file landing zone with
+    * maxFilesPerTrigger=1, so the ingest really runs as SEVERAL
+    * appends whose dirt accumulates across micro-batches. The output
+    * is the lifecycle state machine plus a full disk read-back:
+    *   phase 1  built state (clean, size = n)
+    *   phase 2  state AFTER the stream drains (dirt = arrivals,
+    *            0.2 ≥ 0.1 → the rebuild policy fires)
+    *   phase 3  read-back: size = total rows ON DISK, dirty_count =
+    *            arrived rows ON DISK (id ≥ n) — the landed codes are
+    *            really there and accounted for, not just recorded in
+    *            the state file.
+    * Every value is arithmetic on the corpus count — the key is
+    * oracle-checked, not rows-only; batch-split invariance (the final
+    * state is the same no matter how arrivals split into triggers) is
+    * exactly what the arithmetic proves, since the oracle has no idea
+    * how many micro-batches ran. Code-level equality with a single
+    * batch append of the same arrival set is pinned in StreamsSpec.
+    */
+  def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+    val indexPath = tmpRoot.resolve("index").toString
+    val landing = tmpRoot.resolve("landing").toString
+    try {
+      val n = Tables.embeddings(ss, dir).count()
+      val vecs = Tables.embeddings(ss, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s1 = graft.operators.PqLifecycle.build(ss, dir, indexPath)
+      val d = math.ceil(0.2 * n).toLong
+      vecs.filter(col("id") < d)
+        .select((col("id") + n).as("id"), col("vec"))
+        .repartition(3) // 3 landing files → 3 triggers → 3 appends
+        .write.mode("overwrite").parquet(landing)
+      val schema = ss.read.parquet(landing).schema
+      val incoming = Sources.streamDir(ss, landing, schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val (q, ckpt) = runIndexAppend(incoming, indexPath)
+      try q.processAllAvailable() finally q.stop()
+      deleteTree(ckpt)
+      val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
+      val disk = ss.read.parquet(indexPath)
+      val total = disk.count()
+      val arrived = disk.filter(col("id") >= n).count()
+      val thr = graft.operators.IndexLifecycle.RebuildThreshold
+      import ss.implicits._
+      Seq(
+        (1, s1.version, s1.isDirty, s1.dirtyCount, s1.size, s1.shouldRebuild(thr)),
+        (2, s2.version, s2.isDirty, s2.dirtyCount, s2.size, s2.shouldRebuild(thr)),
+        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)))
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        // eager: materialize before the temp index tree is deleted
+        .localCheckpoint()
+    } finally deleteTree(tmpRoot)
+  }
+
+  /** d = ceil(0.2·n) arrivals (crossing the 0.1 dirty threshold);
+    * phase 3 re-reads both counts from the landed code lists.
+    */
+  def streamIndexAppendOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n,
+      |  CAST(ceil(0.2*count(*)) AS BIGINT) AS d FROM embeddings)
+      |SELECT 1 AS phase, 1 AS version, false AS is_dirty,
+      |       CAST(0 AS BIGINT) AS dirty_count, n AS size,
+      |       false AS should_rebuild FROM p
+      |UNION ALL SELECT 2, 1, true, d, n + d, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 3, 1, true, d, n + d, (1.0*d/n >= 0.1) FROM p
+      |ORDER BY phase""".stripMargin
+
   def streamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
     val docs = Tables.documents(ss, dir)

@@ -168,6 +168,83 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 4)
   }
 
+  test("D12 streamed appends accumulate, leave untouched lists byte-identical, " +
+      "tie with one batch append, and refuse a half-applied marker") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IndexLifecycle, PqLifecycle}
+    val root = java.nio.file.Files.createTempDirectory("graft_d12")
+    val idxA = root.resolve("idxA").toString // streamed
+    val idxB = root.resolve("idxB").toString // one-shot batch twin
+    val landing = root.resolve("landing").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = vecs.count()
+    PqLifecycle.build(spark, sf, idxA)
+    PqLifecycle.build(spark, sf, idxB)
+    // batch 1: four arrivals; batch 2: ONE arrival (so ≥ one cluster
+    // list is touched in batch 2 and the other ~15 stay untouched)
+    val b1 = vecs.filter(col("id") < 4).select((col("id") + n).as("id"), col("vec"))
+    val b2 = vecs.filter(col("id") === 4).select((col("id") + n).as("id"), col("vec"))
+    def land(name: String, df: org.apache.spark.sql.DataFrame, stamp: Long): Unit = {
+      df.coalesce(1).write.parquet(s"$landing/$name")
+      new java.io.File(s"$landing/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(stamp))
+    }
+    def codeFiles(idx: String): Map[String, Seq[Byte]] = {
+      val base = new java.io.File(idx)
+      base.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cluster_id="))
+        .flatMap(_.listFiles().filter(_.getName.startsWith("part-")))
+        .map(f => f.getPath ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    land("f1", b1, 1000000L)
+    val schema = spark.read.parquet(s"$landing/f1").schema
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/f*")
+    val (q, ckpt) = Streams.runIndexAppend(incoming, idxA)
+    try {
+      q.processAllAvailable() // batch 1 landed
+      val snap1 = codeFiles(idxA)
+      land("f2", b2, 2000000L)
+      q.processAllAvailable() // batch 2 landed
+      val after = codeFiles(idxA)
+      // append never rewrites: every batch-1-era file survives bytewise
+      snap1.foreach { case (p, bytes) =>
+        assert(after.get(p).contains(bytes), s"pre-existing list file $p changed") }
+      // batch 2 landed exactly one new file, in exactly one list dir
+      val fresh = after.keySet -- snap1.keySet
+      assert(fresh.size == 1, s"expected one new part file, got $fresh")
+    } finally { q.stop(); Streams.deleteTree(ckpt) }
+    // cross-batch accumulation: streamed state == one batch append of
+    // the SAME arrival set, and the landed codes are row-identical
+    PqLifecycle.append(b1.union(b2), idxB)
+    val sA = IndexLifecycle.status(spark, idxA)
+    val sB = IndexLifecycle.status(spark, idxB)
+    assert(sA.size == sB.size && sA.dirtyCount == sB.dirtyCount &&
+      sA.isDirty && sA.dirtyCount == 5L)
+    def codeRows(idx: String) = spark.read.parquet(idx)
+      .select(col("cluster_id").cast("int"), col("id"), col("codes"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(codeRows(idxA) == codeRows(idxB))
+    // a half-applied marker refuses further ingest LOUDLY mid-stream
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(idxA).resolve("_append_tmp"))
+    val incoming2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/f*")
+    val (q2, ckpt2) = Streams.runIndexAppend(incoming2, idxA) // fresh ckpt → re-reads f1
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop(); Streams.deleteTree(ckpt2)
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(causes(ex).exists(_.contains("half-applied")),
+      s"expected the half-applied refusal, got: ${causes(ex)}")
+    Streams.deleteTree(root)
+  }
+
   test("D9 stream_heavy_hitters == C22 batch heavy hitters") {
     assert(rows(Streams.streamHeavyHitters(spark, sf)) ==
       rows(Analytics.eventsHeavyHitters(spark, sf)))
