@@ -84,7 +84,15 @@ object Bench {
     // Ivf.pairStream, and warming first would bill the k-means build
     // to this line (the memo-attribution artifact this list exists to
     // prevent)
-    "memo_components"   -> (() => operators.Dedup.warmComponents(spark, dir)),
+    // ONE line per label table (a single memo_components line hid three
+    // builds — growth now attributes to the table that grew)
+    "memo_components_doc" -> (() => operators.Dedup.warmDocComponents(spark, dir)),
+    // E42's substrate: LSH candidates + exact verify + contraction —
+    // after memo_minhash_sig so the signature build isn't billed here
+    "memo_components_lsh" -> (() => operators.Dedup.warmLshComponents(spark, dir)),
+    "memo_components_vec" -> (() => operators.Dedup.warmVecComponents(spark, dir)),
+    "memo_components_clustered" ->
+      (() => operators.Dedup.warmClusteredComponents(spark, dir)),
     "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
     "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),
     "memo_bq_codes"     -> (() => { operators.Bq.encode(spark, dir); () }),

@@ -168,6 +168,10 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     // the full cleanup pass: + near-dup CLUSTER canonicalization (E13)
     "pipeline_dedup_corpus" -> ((s, d) => TextOps.pipelineDedupCorpus(s, d)),
+    // the AT-SCALE fuzzy twin: MinHash-LSH candidates → exact Jaccard
+    // verify → star-contraction → same survivor rule (rows-only —
+    // xxhash64 candidates; containment + ≥0.95 agreement in DedupSpec)
+    "pipeline_fuzzy_dedup" -> ((s, d) => TextOps.pipelineFuzzyDedup(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "multimodal_resize"       -> ((s, d) => Multimodal.multimodalResize(s, d)),

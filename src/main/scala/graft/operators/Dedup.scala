@@ -191,6 +191,7 @@ object Dedup {
     orderedPrefixMemo.remove(dir).foreach(_.unpersist())
     minhashSigMemo.remove(dir).foreach(_.unpersist())
     docComponentsMemo.remove(dir).foreach(_.unpersist())
+    lshComponentsMemo.remove(dir).foreach(_.unpersist())
     vecComponentsMemo.remove(dir).foreach(_.unpersist())
     clusteredComponentsMemo.remove(dir).foreach(_.unpersist())
     saltMemo.keys.filter(_._1 == dir).foreach(saltMemo.remove)
@@ -481,6 +482,45 @@ object Dedup {
       })
     })
 
+  /** Per-corpus memo of the LSH-VERIFIED pair component labels (E42's
+    * substrate): the same star-contraction closure as the exact E2
+    * graph, but over MinHash-LSH candidates verified by exact Jaccard —
+    * the pair graph a 100 TB fuzzy-dedup pass actually builds (LSH
+    * proposes O(docs × bands) bucket rows; the exact prefix-filtered
+    * all-pairs graph is the oracle contract, not the default).
+    * Verified edges ⊆ exact edges (every surviving pair passed the
+    * same Jaccard ≥ t check), so LSH components REFINE exact
+    * components — the containment DedupSpec pins end-to-end.
+    */
+  private val lshComponentsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[operators] def lshComponentsFor(spark: SparkSession, dir: String): DataFrame =
+    lshComponentsMemo.get(dir).getOrElse(synchronized {
+      lshComponentsMemo.getOrElseUpdate(dir, {
+        val c = componentsFromPairs(
+          dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))).cache()
+        c.count()
+        c
+      })
+    })
+
+  /** Non-canonical members of the LSH-verified near-dup components —
+    * the fuzzy pipeline's drop set (tiny: one row per dropped dup).
+    */
+  def fuzzyNonCanonical(spark: SparkSession, dir: String): DataFrame =
+    lshComponentsFor(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+
+  /** Materialize the LSH component-label memo — its own Bench line
+    * item, same attribution contract as [[warmComponents]].
+    */
+  def warmLshComponents(spark: SparkSession, dir: String): Unit = {
+    lshComponentsFor(spark, dir)
+    ()
+  }
+
   /** Per-corpus memo of the E5-pair (semantic) component labels. */
   private val vecComponentsMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -495,14 +535,26 @@ object Dedup {
       })
     })
 
-  /** Materialize the component-label memos — Bench line items, same
-    * attribution contract as [[warmShingles]].
+  /** Materialize the component-label memos — one Bench line item PER
+    * label table (round-7 verdict: a single memo_components line hid
+    * three builds, so growth couldn't be attributed), same attribution
+    * contract as [[warmShingles]].
     */
+  def warmDocComponents(spark: SparkSession, dir: String): Unit = {
+    docComponentsFor(spark, dir); ()
+  }
+  def warmVecComponents(spark: SparkSession, dir: String): Unit = {
+    vecComponentsFor(spark, dir); ()
+  }
+  def warmClusteredComponents(spark: SparkSession, dir: String): Unit = {
+    clusteredComponentsFor(spark, dir); ()
+  }
+
+  /** All component-label memos at once (scale probes / tests). */
   def warmComponents(spark: SparkSession, dir: String): Unit = {
-    docComponentsFor(spark, dir)
-    vecComponentsFor(spark, dir)
-    clusteredComponentsFor(spark, dir)
-    ()
+    warmDocComponents(spark, dir)
+    warmVecComponents(spark, dir)
+    warmClusteredComponents(spark, dir)
   }
 
   /** Max alternation rounds before declaring non-convergence. The

@@ -464,7 +464,33 @@ object TextOps {
     */
   def pipelineDedupCorpus(spark: SparkSession, dir: String,
                           lang: String = "en",
-                          minScore: Double = 0.3): DataFrame = {
+                          minScore: Double = 0.3): DataFrame =
+    survivorRollup(pipelineDedupSurvivors(spark, dir, lang, minScore))
+
+  /** E16 survivor set (doc_id, source) — the rollup's input, exposed so
+    * DedupSpec can compare survivor SETS between the exact and fuzzy
+    * pipelines, not just their per-source counts.
+    */
+  private[graft] def pipelineDedupSurvivors(spark: SparkSession, dir: String,
+                                            lang: String = "en",
+                                            minScore: Double = 0.3): DataFrame =
+    dedupSurvivorsOn(spark, dir,
+      Dedup.dedupComponents(spark, dir)
+        .filter(col("doc_id") =!= col("component_id"))
+        .select("doc_id"),
+      lang, minScore)
+
+  /** Shared E16/E42 survivor core: clean gate (language + quality) →
+    * exact-dup canonicalization → drop non-canonical members of the
+    * given near-dup components — the pipeline's survivor rule with the
+    * near-dup PAIR GRAPH as the one degree of freedom (exact E2 graph
+    * for the oracle contract, LSH-verified graph for the 100 TB
+    * default). One definition, so the two pipelines can never drift on
+    * anything but the graph.
+    */
+  private def dedupSurvivorsOn(spark: SparkSession, dir: String,
+                               nonCanonical: DataFrame,
+                               lang: String, minScore: Double): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val predicted = langIdOn(docs).select(col("doc_id"), col("predicted"))
     val quality = qualityScore(spark, dir).select(col("doc_id"), col("score"))
@@ -476,15 +502,45 @@ object TextOps {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val nonCanonical = Dedup.dedupComponents(spark, dir)
-      .filter(col("doc_id") =!= col("component_id"))
-      .select("doc_id")
     clean.join(exactCanon, "doc_id")
       .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
+  }
+
+  private def survivorRollup(survivors: DataFrame): DataFrame =
+    survivors
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_clean"))
       .orderBy("source")
-  }
+
+  /** E42: the AT-SCALE composed fuzzy-dedup pass — the published
+    * big-corpus recipe (Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" §4; Penedo et al. 2023 RefinedWeb
+    * §3.3) end-to-end as one key: MinHash-LSH band buckets propose
+    * candidates (E3), exact Jaccard verifies them, star-contraction
+    * closes the verified graph into components (E13's engine), and the
+    * same clean gate + canonical-survivor rule as E16 rolls up
+    * per-source counts. E16 keeps the EXACT prefix-filtered pair graph
+    * as the oracle contract; this key is what actually runs at 100 TB —
+    * O(docs × bands) bucket rows instead of an all-pairs prefix join.
+    * Verified LSH edges ⊆ exact edges (identical Jaccard ≥ t check on
+    * every candidate), so E16's survivors ⊆ E42's: LSH can only MISS
+    * pairs, never invent them — the containment + ≥ 0.95 survivor-set
+    * agreement is pinned end-to-end in DedupSpec at two SFs.
+    * Rows-only by design: the candidate set rides Spark-native
+    * xxhash64 minhashes (same structural reason as E3/E4).
+    */
+  def pipelineFuzzyDedup(spark: SparkSession, dir: String,
+                         lang: String = "en",
+                         minScore: Double = 0.3): DataFrame =
+    survivorRollup(pipelineFuzzySurvivors(spark, dir, lang, minScore))
+
+  /** E42 survivor set — DedupSpec's comparison handle. */
+  private[graft] def pipelineFuzzySurvivors(spark: SparkSession, dir: String,
+                                            lang: String = "en",
+                                            minScore: Double = 0.3): DataFrame =
+    dedupSurvivorsOn(spark, dir, Dedup.fuzzyNonCanonical(spark, dir),
+      lang, minScore)
 
   /** Oracle: the E12 CTE chain plus the E13 recursive-CTE closure; the
     * survivor rule is identical (exact canon ∧ not a non-canonical

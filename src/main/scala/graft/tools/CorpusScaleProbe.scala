@@ -57,6 +57,15 @@ object CorpusScaleProbe {
     // components + two small aggs over 125k docs with heavy shared
     // vocabulary — the pair join and label propagation ARE the cost
     timed("dedup_cluster_stats") { graft.operators.Dedup.dedupClusterStats(spark, dir).count() }
+    // E42 budget: the LSH-verified pair graph + contraction vs the
+    // exact E2 graph the line above just paid for (each line includes
+    // its own memo builds — shingle/prefix for exact, shingle/signature
+    // for LSH — so the comparison is end-to-end honest)
+    timed("components_lsh_e42") { graft.operators.Dedup.warmLshComponents(spark, dir) }
+    // the composed passes themselves: with both pair graphs memoized,
+    // the increments are the clean gate + survivor rollup
+    timed("pipeline_dedup_corpus") { graft.operators.TextOps.pipelineDedupCorpus(spark, dir).count() }
+    timed("pipeline_fuzzy_dedup") { graft.operators.TextOps.pipelineFuzzyDedup(spark, dir).count() }
 
     // E33 rides the vector tier: 25× the sf0.1 embedding count, built
     // as ~nv/10 base vectors × 10 jittered copies so the cosine

@@ -21,6 +21,28 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
   }
 
+  test("pipeline_fuzzy_dedup: exact survivors ⊆ fuzzy survivors, agreement ≥ 0.95 (two SFs)") {
+    // LSH-verified edges ⊆ exact edges (same Jaccard ≥ t on every
+    // candidate), so LSH components REFINE exact components and a doc
+    // canonical under the exact graph (min of its component) stays
+    // canonical under any refinement — exact survivors are contained
+    // in fuzzy survivors BY THEOREM; the ≥0.95 agreement bounds the
+    // extra dups the fuzzy pass lets through end-to-end.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val exact = ids(graft.operators.TextOps.pipelineDedupSurvivors(spark, d))
+      val fuzzy = ids(graft.operators.TextOps.pipelineFuzzySurvivors(spark, d))
+      assert(exact.nonEmpty, s"$d: exact pipeline kept nothing")
+      assert(exact.subsetOf(fuzzy),
+        s"$d: exact survivors missing from fuzzy: ${exact -- fuzzy}")
+      val agreement = exact.size.toDouble / fuzzy.size
+      assert(agreement >= 0.95,
+        s"$d: survivor agreement $agreement < 0.95 " +
+          s"(${exact.size} exact, ${fuzzy.size} fuzzy)")
+    }
+  }
+
   private def vecPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -25,7 +25,11 @@ class EntrySpec extends AnyFunSuite {
     // candidate generation (minhash/simhash), approximate-by-contract
     // sketch estimates, and the inherently iterative BPE merge loop
     val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash",
-      "events_sketch", "bpe_train", "token_count_bpe")
+      "events_sketch", "bpe_train", "token_count_bpe",
+      // the composed fuzzy pass rides E3's xxhash64 candidates; its
+      // end-to-end agreement with the oracle-checked E16 is pinned in
+      // DedupSpec (containment + ≥0.95 survivor-set agreement, two SFs)
+      "pipeline_fuzzy_dedup")
     val covered = SparkEntry.oracleSql.keySet ++ SparkEntry.dynamicOracleSql.keySet
     val missing = SparkEntry.queries.keySet -- covered -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
