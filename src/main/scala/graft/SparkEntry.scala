@@ -107,6 +107,9 @@ object SparkEntry {
     "quality_classifier" -> (TextOps.qualityClassifier _),
     // E37: mutual k-NN graph (both endpoints rank each other top-k)
     "knn_graph_mutual" -> ((s, d) => Dedup.knnGraphMutual(s, d)),
+    // E37b: the serving twin — same symmetrization over the nprobe
+    // batch ANN (E6b's engine) instead of exact probe-all
+    "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobe(s, d)),
     // E38: k-means-residual embedding outliers (integer-exact test)
     "embedding_outliers" -> (Ivf.embeddingOutliers _),
     // E39: per-source dataset card (counts, exact length percentiles,
@@ -457,6 +460,8 @@ object SparkEntry {
     "index_stats"           -> ((s, d) => Ivf.indexStatsOracleSql(s, d)),
     "ivf_query_nprobe"      -> ((s, d) => Ivf.ivfQueryNprobeOracleSql(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Ivf.annBatchNprobeOracleSql(s, d)),
+    // E37b: the E6b oracle as a derived table + the mutual join
+    "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobeOracleSql(s, d)),
     // the hyperplane matrix is seeded, so the LSH banding replays too
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLshOracleSql(s, d)),
     // the PQ family: codebooks/rotation/ADC tables inlined, encode

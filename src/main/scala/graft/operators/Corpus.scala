@@ -621,31 +621,39 @@ object Corpus {
     * tail, keep the head and downsample the rest) — composed on E25's
     * integer-quantized bigram-LM familiarity (per-bigram normalized by
     * integer division, so the score stays an exact BIGINT). Per-SOURCE
-    * exact tertiles via the rank window (ties broken by doc_id — a
+    * exact tertiles via per-doc ranks (ties broken by doc_id — a
     * per-doc bucket assignment needs per-doc ranks, unlike E39's
-    * value-only percentiles, so the histogram trick does not apply;
-    * the source-partitioned window is the documented skew caveat,
-    * sub-partitionable the same two-pass way as E40's rank). The
+    * value-only percentiles, so the histogram trick does not apply).
+    * The rank comes from Ranks.groupedRowNumber — E15's two-pass
+    * prefix-sum over fixed-width SCORE buckets, not a
+    * source-partitioned window — so a source holding most of the
+    * corpus ranks across parallel tasks (the round-7 skew caveat,
+    * closed), and the tertile denominator grp_n rides the same
+    * stage-1 sums instead of a per-source count window. The
     * graded keep (head 100%, middle 50%, tail 10%) reuses E14's
     * multiplicative-hash sampler, so kept is a pure function of
     * doc_id — reproducible and join-free.
     */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scores = lmBigramScore(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // pin the SKINNY (doc_id, source, score) table before ranking:
+    // groupedRowNumber makes three passes over its input (min/max,
+    // stage-1 counts, the ranked plan), and each un-pinned pass would
+    // re-run the whole bigram-LM pipeline upstream — measured 3× the
+    // key's cost at the 125k probe tier. An eager localCheckpoint is
+    // the at-scale shape too: materialize the scored table once, rank
+    // the materialization (blocks are GC'd with the DataFrame).
     val scored = docs.join(scores, "doc_id")
       .select(col("doc_id"), col("source"),
         expr("familiarity div greatest(n_bigrams, 1)").as("score"))
-    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
-    val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      .localCheckpoint()
     val h = pmod(col("doc_id") * lit(graft.operators.TextOps.SampleHashMult), lit(100L))
-    scored
+    Ranks.groupedRowNumber(scored, "source", "score", descending = true,
+        tieCol = "doc_id")
       .select(col("doc_id"), col("source"), col("score"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
-      .select(col("doc_id"), col("source"), col("score"),
-        when(col("rn") * 3 <= col("n"), "head")
-          .when(col("rn") * 3 <= col("n") * 2, "middle")
+        when(col("rn") * 3 <= col("grp_n"), "head")
+          .when(col("rn") * 3 <= col("grp_n") * 2, "middle")
           .otherwise("tail").as("bucket"))
       .select(col("doc_id"), col("source"), col("score"), col("bucket"),
         (col("bucket") === "head" ||

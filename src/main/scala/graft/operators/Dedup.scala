@@ -1307,9 +1307,44 @@ object Dedup {
     * list on the reversed pair key, which shuffles k rows per vector
     * regardless of corpus size — hub-safe by construction.
     */
-  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine)
-      .select(col("query_id"), col("neighbor_id"))
+  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    mutualize(Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine))
+
+  /** E37b: the SERVING configuration of the mutual k-NN graph — the
+    * same reversed-key symmetrization over the nprobe batch ANN (E6b's
+    * engine), at nprobe = nClusters/2 rather than the directed
+    * default nClusters/4: a mutual edge survives only if BOTH
+    * directed lookups recover it, so directed recall r compounds to
+    * ~r² on edges (measured by tools/MutualProbe: nc/4 gives 0.41-0.44
+    * mutual recall where the directed floor is ~0.8; nc/2 gives
+    * 0.70-0.74 with near-miss quality ≥ 0.999) — the serving config
+    * pays 2× the list scans of E6b precisely because the consumer is a
+    * conjunction. E37 pays the exact probe-all contract; this is the
+    * shape that runs at 100 TB. Deterministic given the trained coarse
+    * quantizer, so the dynamic oracle replays the E6b directed edges
+    * over the centroid literal at the SAME nprobe and closes the same
+    * mutual join — oracle-checked, not rows-only; the measured recall
+    * floor and the top-2k near-miss quality bound are pinned in
+    * R7OpsSpec.
+    */
+  def knnGraphMutualNprobe(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    mutualize(Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine,
+      nprobeOpt = Some(mutualNprobe(spark, dir))))
+
+  /** E37b's serving probe count: half the lists (see above). */
+  private def mutualNprobe(spark: SparkSession, dir: String): Int =
+    math.max(1, Ivf.defaultK(Tables.embeddings(spark, dir).count()) / 2)
+
+  /** Probe-only handle on [[mutualize]] (tools/MutualProbe). */
+  private[graft] def mutualizeForProbe(edges: DataFrame): DataFrame =
+    mutualize(edges)
+
+  /** Shared E37/E37b symmetrization: one self-join of the O(N·k)
+    * skinny directed edge list on the reversed pair key — shuffles k
+    * rows per vector regardless of corpus size, hub-safe.
+    */
+  private def mutualize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("query_id"), col("neighbor_id"))
     e.as("x")
       .join(e.as("y"),
         col("x.query_id") === col("y.neighbor_id") &&
@@ -1318,6 +1353,22 @@ object Dedup {
       .select(col("x.query_id").as("vec_a"), col("x.neighbor_id").as("vec_b"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** E37b oracle: the E6b dynamic oracle (nprobe directed edges over
+    * the centroid literal) as a derived table, then the same mutual
+    * join — nothing re-derived, so the two oracles cannot drift.
+    */
+  def knnGraphMutualNprobeOracleSql(spark: SparkSession, dir: String,
+                                    k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${Ivf.annBatchNprobeOracleSql(spark, dir, k, Some(mutualNprobe(spark, dir)))}
+       |  ) t)
+       |SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b
+       |FROM e a JOIN e b
+       |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+       |WHERE a.query_id < a.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** E37 oracle: static SQL — probe-all batch ANN is exact, so the
     * directed top-k ranks come straight from the all-pairs window

@@ -542,10 +542,11 @@ object Ivf {
     * reproduces the engine's (dist, id) tie-break there.
     */
   def annBatchNprobeOracleSql(spark: SparkSession, dir: String,
-                              k: Int = 5): String = {
+                              k: Int = 5,
+                              nprobeOpt: Option[Int] = None): String = {
     val (_, cents) = indexFor(spark, dir)
     val nc = cents.length
-    val np = math.max(1, nc / 4)
+    val np = nprobeOpt.getOrElse(math.max(1, nc / 4))
     s"""WITH ${assignCtes(cents)},
        |probes AS (
        |  SELECT query_id, cid FROM (

@@ -798,9 +798,11 @@ object TextOps {
     * (unique) schedule key, then zipWithIndex assigns contiguous ranks
     * with one extra count job (the two-pass offset pattern; the only
     * RDD use in the library, exactly the "genuine per-partition
-    * imperative logic" carve-out). The per-source sequence numbers are
-    * a source-partitioned window; a pathologically hot source would
-    * sub-partition that rank the same two-pass way.
+    * imperative logic" carve-out). The per-source sequence numbers
+    * come from Ranks.groupedRowNumber — the E15 two-pass prefix-sum,
+    * NOT a source-partitioned window, so a source holding 90% of the
+    * corpus ranks across `buckets` parallel tasks instead of one
+    * straggler (the round-7 skew caveat, closed).
     *
     * Cross-engine exactness: vtime = r/√n_s with both the sqrt and
     * the division correctly rounded IEEE doubles in both engines, and
@@ -808,15 +810,13 @@ object TextOps {
     * so the zipWithIndex rank equals the oracle's row_number.
     */
   def mixScheduleInterleave(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val keyed = docs
-      .join(broadcast(counts), "source")
+    val keyed = Ranks
+      .groupedRowNumber(docs, "source", "doc_id", descending = false,
+        tieCol = "doc_id")
       .select(col("doc_id"), col("source"),
-        (row_number().over(w).cast("double") / sqrt(col("n_src").cast("double")))
+        (col("rn").cast("double") / sqrt(col("grp_n").cast("double")))
           .as("vtime"))
     val sorted = keyed
       .repartitionByRange(col("vtime"), col("source"), col("doc_id"))

@@ -67,6 +67,33 @@ object CorpusScaleProbe {
     timed("pipeline_dedup_corpus") { graft.operators.TextOps.pipelineDedupCorpus(spark, dir).count() }
     timed("pipeline_fuzzy_dedup") { graft.operators.TextOps.pipelineFuzzyDedup(spark, dir).count() }
 
+    // SKEWED variant (round-7 verdict item 3): 90% of docs in ONE
+    // source — the shape that made the old per-source rank windows a
+    // single-task straggler. The two-pass groupedRowNumber spreads the
+    // hot source over its order-key buckets; the timings below should
+    // sit near the uniform-corpus numbers above, not 10× them.
+    val skewDir = java.nio.file.Files.createTempDirectory("graft_cskew").toString
+    spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(119)), i =>
+          concat(lit("w"), pmod(
+            xxhash64(col("id") * 7 + i) % 71 + i * i % 997,
+            lit(5000L))))).as("text"),
+        lit("en").as("lang"),
+        when(pmod(col("id"), lit(10)) =!= 0, lit("src_hot"))
+          .otherwise(concat(lit("src"), pmod(col("id"), lit(20)))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    timed("mix_schedule_interleave_skew") {
+      graft.operators.TextOps.mixScheduleInterleave(spark, skewDir).count() }
+    // the LM build on the skew corpus times separately so the buckets
+    // line measures the rank/tertile machinery, not the bigram join
+    timed("lm_bigram_score_skew") {
+      graft.operators.Corpus.lmBigramScore(spark, skewDir).count() }
+    timed("perplexity_buckets_skew") {
+      graft.operators.Corpus.perplexityBuckets(spark, skewDir).count() }
+
     // E33 rides the vector tier: 25× the sf0.1 embedding count, built
     // as ~nv/10 base vectors × 10 jittered copies so the cosine
     // near-dup graph has real cliques for components to contract
@@ -90,8 +117,10 @@ object CorpusScaleProbe {
     timed("embedding_outliers") { graft.operators.Ivf.embeddingOutliers(spark, dir).count() }
     // cleanup
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    Seq(dir, skewDir).foreach { d =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     spark.stop()
   }
 }

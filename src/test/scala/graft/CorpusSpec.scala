@@ -10,6 +10,43 @@ class CorpusSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("groupedRowNumber == single-window row_number on a 90%-skewed corpus (asc+desc, ties)") {
+    import org.apache.spark.sql.expressions.Window
+    // one source holds 90% of the rows; score = id·37 mod 101 collides
+    // heavily, so the tie-break path is exercised in every bucket
+    val df = spark.range(2000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) =!= 0, lit("hot"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(7)))).as("source"),
+      pmod(col("id") * 37, lit(101L)).as("score"))
+    for (desc <- Seq(true, false)) {
+      val fast = graft.operators.Ranks
+        .groupedRowNumber(df, "source", "score", descending = desc, tieCol = "doc_id")
+        .select(col("doc_id"), col("rn"), col("grp_n"))
+      val order = if (desc) col("score").desc else col("score").asc
+      val ref = df
+        .withColumn("rn_ref", row_number()
+          .over(Window.partitionBy("source").orderBy(order, col("doc_id"))).cast("long"))
+        .withColumn("n_ref", count(lit(1)).over(Window.partitionBy("source")))
+        .select(col("doc_id"), col("rn_ref"), col("n_ref"))
+      val diff = fast.join(ref, "doc_id")
+        .filter(col("rn") =!= col("rn_ref") || col("grp_n") =!= col("n_ref"))
+      assert(diff.count() == 0, s"desc=$desc: two-pass rank diverged from the window")
+    }
+    // and the plan shape it exists for: no window partitioned by the
+    // group ALONE — every Window in E40/E41 must carry the bucket key
+    for (plan <- Seq(
+        graft.operators.TextOps.mixScheduleInterleave(spark, sf),
+        Corpus.perplexityBuckets(spark, sf)).map(_.queryExecution.optimizedPlan)) {
+      val soloGroupWindows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.length < 2 => w
+      }
+      assert(soloGroupWindows.isEmpty,
+        s"found a single-key (skew-prone) window partition: $soloGroupWindows")
+    }
+  }
+
   test("boilerplate_ngrams: df is bounded by corpus size and ranking is (df desc, shingle asc)") {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     val rows = Corpus.boilerplateNgrams(spark, sf, k = 15).collect()

