@@ -164,6 +164,9 @@ object SparkEntry {
     "bpe_train"       -> (Bpe.bpeTrain _),
     // ...and its application as a codegen'd per-doc token-count kernel
     "token_count_bpe" -> (Bpe.tokenCountBpe _),
+    // E39b: the card's learned-tokenizer slice (per-source BPE volume;
+    // rows-only — the merge loop is iterative, BpeSpec pins the rollup)
+    "corpus_profile_bpe" -> (Bpe.corpusProfileBpe _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // deterministic corpus shrink + training-shard assignment
     "sample_stratified"  -> (TextOps.sampleStratified _),

@@ -122,4 +122,28 @@ object Bpe {
         BpeFunctions.bpeTokenCount(col("text"), m.merges).as("bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** E39b: the learned-tokenizer slice of the dataset card — per-source
+    * whitespace vs LEARNED-BPE token volume (the number a release
+    * actually reports: how many TOKENIZER tokens each source
+    * contributes, and the compression the merges buy on it). Same
+    * codegen'd kernel as E22b, aggregated per source in one scan.
+    * Rows-only by design, same structural reason as E22/E22b — the
+    * trained merge loop is inherently iterative, and folding these
+    * columns into the oracle-backed E39 card would demote its exact
+    * columns from the hash gate; BpeSpec pins this rollup ≡ E22b's
+    * per-doc counts aggregated per source.
+    */
+  def corpusProfileBpe(spark: SparkSession, dir: String): DataFrame = {
+    val m = train(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ws"),
+        BpeFunctions.bpeTokenCount(col("text"), m.merges).as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("bpe")).as("sum_bpe_tokens"))
+      .orderBy("source")
+  }
 }

@@ -957,6 +957,17 @@ object TextOps {
     * the value at rank ceil(p·n/100) is the smallest distinct value
     * whose cumulative count reaches that rank. Every output is an
     * exact BIGINT, so cross-engine hashing is trivial.
+    *
+    * Round 8 extends the card with the CCNet resample outcome: per
+    * source, how many docs the E41 graded resample KEEPS from each
+    * perplexity tertile (head is kept whole by construction, so
+    * n_ppl_head doubles as the tertile size; middle/tail reflect the
+    * 50%/10% hash sample on this corpus). Oracle-backed — the E41
+    * oracle nests as a derived table. The learned-tokenizer volume
+    * lives in the separate rows-only card key (corpus_profile_bpe):
+    * BPE counts ride the iterative merge loop no SQL replays, and
+    * folding them in here would demote the card's EXACT columns from
+    * the hash gate to a rows-only check.
     */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -972,6 +983,15 @@ object TextOps {
         sum(col("kept")).as("cnt_kept"))
     val wh = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
     val whn = wh.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ppl = Corpus.perplexityBuckets(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("bucket") === "head", col("kept")).otherwise(lit(0L)))
+          .as("n_ppl_head"),
+        sum(when(col("bucket") === "middle", col("kept")).otherwise(lit(0L)))
+          .as("n_ppl_middle"),
+        sum(when(col("bucket") === "tail", col("kept")).otherwise(lit(0L)))
+          .as("n_ppl_tail"))
     hist
       .select(col("source"), col("n_tokens"), col("cnt"), col("cnt_en"), col("cnt_kept"),
         sum(col("cnt")).over(wh).as("cum"), sum(col("cnt")).over(whn).as("n"))
@@ -983,6 +1003,7 @@ object TextOps {
         min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("n_tokens"))).as("p95_tokens"),
         sum(col("cnt_en")).as("n_en"),
         sum(col("cnt_kept")).as("n_kept"))
+      .join(ppl, Seq("source"))
       .orderBy("source")
   }
 
@@ -1014,14 +1035,26 @@ object TextOps {
        |    CAST(s.score_q >= 0 AS BIGINT) AS kept,
        |    row_number() OVER (PARTITION BY b.source ORDER BY b.n_tokens) AS rn,
        |    count(*) OVER (PARTITION BY b.source) AS n
-       |  FROM base b JOIN lang l USING (doc_id) JOIN scored s USING (doc_id))
+       |  FROM base b JOIN lang l USING (doc_id) JOIN scored s USING (doc_id)),
+       |ppl AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN bucket = 'head' THEN kept ELSE 0 END) AS BIGINT) AS n_ppl_head,
+       |    CAST(sum(CASE WHEN bucket = 'middle' THEN kept ELSE 0 END) AS BIGINT) AS n_ppl_middle,
+       |    CAST(sum(CASE WHEN bucket = 'tail' THEN kept ELSE 0 END) AS BIGINT) AS n_ppl_tail
+       |  FROM (
+       |${Corpus.perplexityBucketsOracleSql}
+       |  ) pb GROUP BY source)
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        |  CAST(max(CASE WHEN rn = (50*n + 99) // 100 THEN n_tokens END) AS BIGINT) AS p50_tokens,
        |  CAST(max(CASE WHEN rn = (95*n + 99) // 100 THEN n_tokens END) AS BIGINT) AS p95_tokens,
        |  CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       |  CAST(sum(kept) AS BIGINT) AS n_kept
-       |FROM win GROUP BY source ORDER BY source""".stripMargin
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  max(n_ppl_head) AS n_ppl_head,
+       |  max(n_ppl_middle) AS n_ppl_middle,
+       |  max(n_ppl_tail) AS n_ppl_tail
+       |FROM win JOIN ppl USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 }

@@ -52,6 +52,11 @@ object CorpusScaleProbe {
     // pays one range-sort + the zipWithIndex count job
     timed("quality_classifier") { graft.operators.TextOps.qualityClassifier(spark, dir).count() }
     timed("corpus_profile") { graft.operators.TextOps.corpusProfile(spark, dir).count() }
+    // D11 at the 125k tier: the streamed quality gate over the same
+    // corpus (file-streamed landing zone → classifier per micro-batch
+    // → one stateful per-source rollup)
+    timed("stream_quality_filter") {
+      graft.streaming.Streams.streamQualityFilter(spark, dir).count() }
     timed("mix_schedule_interleave") { graft.operators.TextOps.mixScheduleInterleave(spark, dir).count() }
     // E35 rides the doc-pair component labels (the memoized E13 table):
     // components + two small aggs over 125k docs with heavy shared

@@ -114,4 +114,23 @@ class BpeSpec extends AnyFunSuite {
         s"doc $id: invariant ws($ws) <= bpe($bpe) <= chars($chars) violated")
     }
   }
+
+  test("corpus_profile_bpe: rollup equals token_count_bpe aggregated per source") {
+    import org.apache.spark.sql.functions._
+    val want = Bpe.tokenCountBpe(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("bpe_tokens")).as("sum_bpe_tokens"))
+      .orderBy("source")
+      .collect().toSeq.map(_.toSeq)
+    val got = Bpe.corpusProfileBpe(spark, sf).collect().toSeq.map(_.toSeq)
+    assert(got == want)
+    // the card's one-line sanity: learned tokens never undercut
+    // whitespace tokens (merges only ever join within words)
+    got.foreach { r =>
+      assert(r(3).asInstanceOf[Long] >= r(2).asInstanceOf[Long])
+    }
+  }
 }

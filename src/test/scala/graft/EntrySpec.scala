@@ -26,6 +26,9 @@ class EntrySpec extends AnyFunSuite {
     // sketch estimates, and the inherently iterative BPE merge loop
     val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash",
       "events_sketch", "bpe_train", "token_count_bpe",
+      // the card's learned-tokenizer slice rides the BPE merge loop
+      // (BpeSpec pins the rollup ≡ E22b's per-doc counts)
+      "corpus_profile_bpe",
       // the composed fuzzy pass rides E3's xxhash64 candidates; its
       // end-to-end agreement with the oracle-checked E16 is pinned in
       // DedupSpec (containment + ≥0.95 survivor-set agreement, two SFs)
