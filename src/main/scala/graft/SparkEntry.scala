@@ -205,6 +205,10 @@ object SparkEntry {
     // foreachBatch → PqLifecycle.append per trigger (frozen model,
     // crash-consistent staging), state + disk read-back as the output
     "stream_index_append" -> (Streams.streamIndexAppend _),
+    // D13: continuous FUZZY-dedup ingest — arrivals near-dup-checked
+    // against a persisted MinHash signature store per micro-batch
+    // (rows-only: xxhash64 minhashes; StreamsSpec multi-batch proof)
+    "stream_dedup_fuzzy" -> (Streams.streamDedupFuzzy _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),

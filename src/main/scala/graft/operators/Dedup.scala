@@ -965,21 +965,34 @@ object Dedup {
     case None => minhashFromSets(sets)
   }
 
+  /** (doc_id, band_id, band_hash) LSH band keys of a signature table —
+    * ONE definition shared by E3's self-join and D13's arrival-vs-store
+    * ingest join, so the banding can never drift between them.
+    */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until LshBands).map { k =>
+      struct(lit(k).as("band_id"),
+        xxhash64((k * LshRows until (k + 1) * LshRows)
+          .map(j => element_at(col("mh"), j + 1)): _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** D13's verify bar: minimum matching minhash positions for an
+    * estimated Jaccard ≥ [[JaccardThreshold]] (E[match share] = J;
+    * ceil keeps the comparison exact-integer).
+    */
+  val MinhashMatchMin: Int = math.ceil(JaccardThreshold * MinhashPerms).toInt
+
   private def dedupMinhashLshFromSets(spark: SparkSession, sets: DataFrame,
                                       memoDir: Option[String]): DataFrame = {
     // sig feeds both the bucket join and the verify join-back: on the
     // per-corpus driver path it is the memoized table (at scale the
     // signature table is likewise materialized once and persisted)
     val sig = sigFor(spark, sets, memoDir)
-    val bandCols = (0 until LshBands).map { k =>
-      struct(lit(k).as("band_id"),
-        xxhash64((k * LshRows until (k + 1) * LshRows)
-          .map(j => element_at(col("mh"), j + 1)): _*).as("band_hash"))
-    }
     // bucket rows carry only ids — signatures/sets joined back later
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val buckets = bandsOf(sig)
     val capped = buckets
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -27,68 +27,57 @@ object Ranks {
     * serializes a hot group's ENTIRE row set through one task, the
     * straggler that killed E40/E41 on the first genuinely skewed
     * corpus (one source holding 90% of a crawl is normal, not
-    * pathological). This is E15's two-pass prefix-sum generalized to
-    * an arbitrary LONG order key:
+    * pathological).
     *
-    *   1. rows bucket by fixed-width ranges of the ORDER column
-    *      (deterministic, order-aligned: bucket k's value range
-    *      strictly precedes bucket k+1's in rank order, descending
-    *      keys bucket on (max − v) so the alignment holds both ways);
-    *   2. stage 1 aggregates ONE count per (group, bucket) — a bounded
-    *      driver collect of ≤ groups × (buckets+1) tiny rows — and
-    *      prefix-sums them per group on the driver;
-    *   3. stage 2 ranks within (group, bucket) — parallel across
-    *      buckets, so a hot group spreads over `buckets` tasks — and
-    *      adds the broadcast per-(group,bucket) offset.
+    * Shape: ONE global range-partitioned sort on the compound key
+    * (group, order, tie) + zipWithIndex for contiguous global
+    * positions (E40's sanctioned two-pass RDD pattern), then
+    * per-group rank = global position − the group's broadcast row
+    * offset (groups sort contiguously under the compound key, so the
+    * offset is just the exclusive prefix of per-group counts — a
+    * bounded driver collect of one row per group). The range
+    * partitioner keys on the FULL compound key, and tieCol must be
+    * unique, so the key is unique: a hot group splits across as many
+    * partitions as its row share demands, and — unlike a first-cut
+    * fixed-width value-bucket design — a group whose order values all
+    * COLLIDE (millions of equal scores) still spreads, because the
+    * unique tie column keeps the range key splittable. Measured on the
+    * 125k probe with 90% of docs in one source AND heavily colliding
+    * scores: the bucket design ranked in one straggler task; this one
+    * doesn't.
     *
-    * Equal order values land in one bucket by construction, so the
-    * within-bucket (orderCol, tieCol) window reproduces the global
-    * tie-break exactly: rn ≡ the single-window row_number, just
-    * computed in parallel (RanksSpec pins the equivalence on a skewed
-    * corpus). Also returns `grp_n`, the group's total row count (the
-    * tertile denominators E41 needs), from the SAME stage-1 sums — no
-    * second per-group pass.
-    *
-    * Value-skew caveat (documented, accepted): buckets split the ORDER
-    * key's value range, so a group whose order values all collide into
-    * one bucket still ranks in one task — that is tie-skew in the DATA
-    * (a million equal scores), not group-skew, and no order-preserving
-    * split can separate exact ties without changing the tie-break.
+    * Also returns `grp_n`, the group's total row count (E41's tertile
+    * denominators), from the same bounded counts — no per-group count
+    * window. Cost: the range sampling pass + sort + the zipWithIndex
+    * count job + the counts aggregate — callers with an expensive
+    * upstream pin their input first (perplexity_buckets
+    * localCheckpoints its scored table).
     */
   def groupedRowNumber(df: DataFrame, group: String, orderCol: String,
-                       descending: Boolean, tieCol: String,
-                       buckets: Int = 32): DataFrame = {
+                       descending: Boolean, tieCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val mm = df.agg(min(col(orderCol)).cast("long").as("lo"),
-      max(col(orderCol)).cast("long").as("hi")).head()
-    if (mm.isNullAt(0)) // empty input: keep the schema, nothing to rank
-      return df.withColumn("rn", lit(1L)).withColumn("grp_n", lit(0L))
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (hi - lo) / buckets + 1L)
-    val bkt =
-      if (descending) expr(s"($hi - CAST($orderCol AS BIGINT)) DIV $width")
-      else expr(s"(CAST($orderCol AS BIGINT) - $lo) DIV $width")
-    val b = df.withColumn("_rank_bkt", bkt)
-    // stage 1: ≤ groups × (buckets+1) rows to the driver
-    val sums = b.groupBy(col(group), col("_rank_bkt"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val offsets = sums.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
-      var acc = 0L
-      rs.sortBy(_._2).map { case (_, k, c) => val row = (g, k, acc); acc += c; row }
+    val order = if (descending) col(orderCol).desc else col(orderCol).asc
+    val sortKeys = Seq(col(group).asc, order, col(tieCol).asc)
+    // one row per group to the driver; exclusive prefix in GROUP-ASC
+    // order (the same order the compound sort key groups by)
+    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (g, c) =>
+      val row = (g, acc, c); acc += c; row
     }
-    val grpN = sums.groupBy(_._1).toSeq
-      .map { case (g, rs) => (g, rs.map(_._3).sum) }
-    // stage 2: parallel within-(group,bucket) rank + broadcast offsets
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(group), col("_rank_bkt"))
-      .orderBy(if (descending) col(orderCol).desc else col(orderCol).asc,
-        col(tieCol).asc)
-    b.join(broadcast(offsets.toDF(group, "_rank_bkt", "_rank_off")),
-        Seq(group, "_rank_bkt"))
-      .join(broadcast(grpN.toDF(group, "grp_n")), group)
-      .withColumn("rn", row_number().over(w).cast("long") + col("_rank_off"))
-      .drop("_rank_bkt", "_rank_off")
+    val sorted = df
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      sorted.schema.add("_gpos", org.apache.spark.sql.types.LongType))
+    withPos
+      .join(broadcast(offsets.toSeq.toDF(group, "_grp_off", "grp_n")), group)
+      .withColumn("rn", col("_gpos") - col("_grp_off"))
+      .drop("_gpos", "_grp_off")
   }
 }

@@ -553,6 +553,128 @@ object Streams {
     sinkOf(agg, "complete").orderBy("source")
   }
 
+  // --------------------------------------------------------------- D13
+
+  /** D13 core: ONE micro-batch of continuous FUZZY-dedup ingest — the
+    * near-dup twin of D10's exact hash store, and the streaming face of
+    * E42's composed fuzzy pass: arrivals are near-dup-checked against a
+    * PERSISTED MinHash signature store instead of an md5 store. Per
+    * trigger: (1) signatures of the batch (E3's kernel — docs under 3
+    * words have no signature and pass unconditionally, near-dup
+    * semantics need ≥ one shingle); (2) within-batch greedy drop — an
+    * arrival drops if it VERIFIES against any smaller-id batch doc
+    * (fuzzy matching is not transitive, so unlike D10's exact arg-min
+    * this is a documented conservative policy: a chain a~b~c can drop
+    * c for matching an already-dropped b — over-dropping near-dups is
+    * the safe side for a training corpus); (3) store drop — band keys
+    * join the persisted band table (key-partitioned on the band hash,
+    * O(batch × matching bands), never a store scan), candidates verify
+    * by minhash agreement ≥ MinhashMatchMin of 128 positions
+    * (estimated Jaccard ≥ t as an exact integer comparison — the
+    * signature-only store is the published at-scale recipe: no shingle
+    * sets persisted, storage is 128 longs/doc); (4) survivors append
+    * to the output AND their signatures+bands to the store, so a
+    * near-dup of a batch-N survivor arriving in batch N+1 drops via
+    * the STORE (StreamsSpec proves it across explicit batches).
+    * Everything is O(micro-batch + matched band rows): the store is
+    * only ever band-joined and appended, never rewritten.
+    */
+  private[graft] def dedupFuzzyBatch(store: String, out: String)
+                                    (batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.Dedup
+    // pinned: the signature table feeds three joins below, and an
+    // un-pinned plan would recompute the shingle+minhash pass each time
+    val sig = Dedup.minhashSignatures(batch.select(col("doc_id"), col("text")))
+      .select("doc_id", "mh").localCheckpoint()
+    val bands = Dedup.bandsOf(sig)
+    val agree = aggregate(
+      zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
+    def verifiedDrops(cand: DataFrame, right: DataFrame,
+                      dropSide: String): DataFrame =
+      cand
+        .join(sig.select(col("doc_id").as("cand_a"), col("mh").as("mh_a")), "cand_a")
+        .join(right.select(col("doc_id").as("cand_b"), col("mh").as("mh_b")), "cand_b")
+        .filter(agree >= Dedup.MinhashMatchMin)
+        .select(col(dropSide).as("doc_id")).distinct()
+    val withinCand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("cand_a"), col("b.doc_id").as("cand_b"))
+      .dropDuplicates("cand_a", "cand_b")
+    val withinDrop = verifiedDrops(withinCand, sig, dropSide = "cand_b")
+    val storeBands = spark.read.parquet(s"$store/bands")
+    val storeSigs = spark.read.parquet(s"$store/sigs")
+    val storeCand = bands
+      .join(storeBands.select(col("doc_id").as("cand_b"),
+        col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("cand_a"), col("cand_b"))
+      .dropDuplicates("cand_a", "cand_b")
+    val storeDrop = verifiedDrops(storeCand, storeSigs, dropSide = "cand_a")
+    val survivors = batch.select("doc_id", "source", "text")
+      .join(withinDrop.union(storeDrop).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    survivors.select("doc_id", "source").write.mode("append").parquet(out)
+    val keptSigs = sig.join(survivors.select("doc_id"), "doc_id").localCheckpoint()
+    keptSigs.write.mode("append").parquet(s"$store/sigs")
+    Dedup.bandsOf(keptSigs).write.mode("append").parquet(s"$store/bands")
+  }
+
+  /** Attach the D13 foreachBatch sink — shared by the driver file
+    * harness and the MemoryStream spec harness.
+    */
+  private[graft] def runDedupFuzzy(incoming: DataFrame, store: String,
+                                   out: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val ckpt = tmpCheckpoint()
+    val q = incoming.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedupFuzzyBatch(store, out)(b.toDF()))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    (q, ckpt)
+  }
+
+  /** D13 driver entry: the standing corpus (doc_id % 5 != 0) seeds the
+    * persisted signature+band store, the remaining docs arrive through
+    * the file-streamed landing zone, and each micro-batch runs the
+    * fuzzy ingest above. Rows-only by design (the E3/E42 reason:
+    * xxhash64 minhashes); StreamsSpec pins the cross-batch store drop
+    * and the agreement with the batch fuzzy policy on planted docs.
+    */
+  def streamDedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val docs = Tables.documents(ss, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fz")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("survivors").toString
+    val standingSigs = graft.operators.Dedup
+      .minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text")))
+      .select("doc_id", "mh").localCheckpoint()
+    standingSigs.write.mode("overwrite").parquet(s"$store/sigs")
+    graft.operators.Dedup.bandsOf(standingSigs)
+      .write.mode("overwrite").parquet(s"$store/bands")
+    docs.filter(lit(false)).select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(out)
+    val schema = ss.read.parquet(s"$dir/documents.parq*").schema
+    val incoming = Sources
+      .streamDir(ss, s"$dir/documents.parq*", schema,
+        options = Map("basePath" -> dir))
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (q, ckpt) = runDedupFuzzy(incoming, store, out)
+    try q.processAllAvailable() finally q.stop()
+    val result = ss.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    deleteTree(ckpt)
+    deleteTree(tmp)
+    result
+  }
+
   // --------------------------------------------------------------- D12
 
   /** D12 core: ONE micro-batch of continuous index ingest — the

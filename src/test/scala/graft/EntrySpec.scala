@@ -32,7 +32,10 @@ class EntrySpec extends AnyFunSuite {
       // the composed fuzzy pass rides E3's xxhash64 candidates; its
       // end-to-end agreement with the oracle-checked E16 is pinned in
       // DedupSpec (containment + ≥0.95 survivor-set agreement, two SFs)
-      "pipeline_fuzzy_dedup")
+      "pipeline_fuzzy_dedup",
+      // its continuous-ingest twin (same hash reason; StreamsSpec pins
+      // the cross-batch store drop on planted multi-batch arrivals)
+      "stream_dedup_fuzzy")
     val covered = SparkEntry.oracleSql.keySet ++ SparkEntry.dynamicOracleSql.keySet
     val missing = SparkEntry.queries.keySet -- covered -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

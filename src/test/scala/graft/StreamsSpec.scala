@@ -245,6 +245,62 @@ class StreamsSpec extends AnyFunSuite {
     Streams.deleteTree(root)
   }
 
+  test("D13 cross-batch fuzzy: near-dup of a batch-1 survivor drops in batch 2 via the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_d13")
+    val store = root.resolve("store").toString
+    val out = root.resolve("survivors").toString
+    val landing = root.resolve("landing").toString
+    // 50-word deterministic texts: long enough that a one-word edit
+    // keeps shingle-Jaccard ≈ 0.98 (minhash agreement ≥ the 103/128
+    // bar with overwhelming concentration)
+    def text(seed: Int): String =
+      (0 until 50).map(i => s"w${(i * 7 + seed * 13) % 97}").mkString(" ")
+    def nearDup(t: String): String = t + " extraword"
+    val standing = text(1)
+    // seed the persisted signature+band store with ONE standing doc
+    val seedSigs = graft.operators.Dedup
+      .minhashSignatures(Seq((1L, standing)).toDF("doc_id", "text"))
+      .select("doc_id", "mh").localCheckpoint()
+    seedSigs.write.parquet(s"$store/sigs")
+    graft.operators.Dedup.bandsOf(seedSigs).write.parquet(s"$store/bands")
+    Seq.empty[(Long, String)].toDF("doc_id", "source").write.parquet(out)
+    def land(name: String, stamp: Long, rows: Seq[(Long, String)]): Unit = {
+      rows.map { case (id, t) => (id, t, "src") }.toDF("doc_id", "text", "source")
+        .coalesce(1).write.parquet(s"$landing/$name")
+      new java.io.File(s"$landing/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(stamp))
+    }
+    // batch 1: 100 near-dups the STANDING doc (drops via seed store);
+    // 101 is novel (survives, its signature+bands absorbed)
+    land("f1", 1000000L, Seq((100L, nearDup(standing)), (101L, text(2))))
+    // batch 2: 50 near-dups batch-1's SURVIVOR — only the store can
+    // drop it (50 < 101, a within-batch-greedy union would keep 50);
+    // 102 repeats the standing text verbatim (seed-store hit);
+    // 200/201 are mutual near-dups, both novel vs the store — the
+    // within-batch greedy keeps the smaller id, drops the larger;
+    // 103 is novel (survives)
+    land("f2", 2000000L, Seq(
+      (50L, nearDup(text(2))), (102L, standing),
+      (200L, text(3)), (201L, nearDup(text(3))), (103L, text(4))))
+    val incoming = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, source STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$landing/f*")
+    val (q, ckpt) = Streams.runDedupFuzzy(incoming, store, out)
+    try q.processAllAvailable() finally { q.stop(); Streams.deleteTree(ckpt) }
+    val survivors = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(101L, 200L, 103L),
+      s"expected store-drop of 50/100/102 and within-batch drop of 201: $survivors")
+    // the store absorbed exactly the survivors' signatures atop the seed
+    assert(spark.read.parquet(s"$store/sigs").count() == 4)
+    Streams.deleteTree(root)
+  }
+
   test("D9 stream_heavy_hitters == C22 batch heavy hitters") {
     assert(rows(Streams.streamHeavyHitters(spark, sf)) ==
       rows(Analytics.eventsHeavyHitters(spark, sf)))
