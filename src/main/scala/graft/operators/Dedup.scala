@@ -943,6 +943,14 @@ object Dedup {
   /** Materialize the signature-table memo for `dir` — its own Bench
     * line item, same attribution contract as [[warmShingles]].
     */
+  /** The memoized per-corpus signature table (doc_id, g, mh) — D13
+    * seeds its standing store from this instead of recomputing
+    * signatures per invocation (the memo_minhash_sig bench line pays
+    * the build once, same attribution as E3).
+    */
+  def signaturesFor(spark: SparkSession, dir: String): DataFrame =
+    sigFor(spark, shingleSetsFor(spark, dir), Some(dir))
+
   def warmMinhashSig(spark: SparkSession, dir: String): Unit = {
     sigFor(spark, shingleSetsFor(spark, dir), Some(dir))
     ()

@@ -652,9 +652,11 @@ object Streams {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fz")
     val store = tmp.resolve("store").toString
     val out = tmp.resolve("survivors").toString
-    val standingSigs = graft.operators.Dedup
-      .minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), col("text")))
+    // standing signatures come from the per-corpus session memo (the
+    // same table E3 serves from), filtered to the standing ids — no
+    // per-invocation recompute of the corpus signature pass
+    val standingSigs = graft.operators.Dedup.signaturesFor(ss, dir)
+      .filter(col("doc_id") % 5 =!= 0)
       .select("doc_id", "mh").localCheckpoint()
     standingSigs.write.mode("overwrite").parquet(s"$store/sigs")
     graft.operators.Dedup.bandsOf(standingSigs)

@@ -45,6 +45,11 @@ class CorpusSpec extends AnyFunSuite {
       assert(soloGroupWindows.isEmpty,
         s"found a single-key (skew-prone) window partition: $soloGroupWindows")
     }
+    // empty input: typed empty result with the rank columns, no crash
+    val empty = graft.operators.Ranks.groupedRowNumber(
+      df.filter(lit(false)), "source", "score", descending = false,
+      tieCol = "doc_id")
+    assert(empty.columns.toSeq.contains("rn") && empty.count() == 0)
   }
 
   test("boilerplate_ngrams: df is bounded by corpus size and ranking is (df desc, shingle asc)") {

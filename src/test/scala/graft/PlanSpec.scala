@@ -221,14 +221,21 @@ class PlanSpec extends AnyFunSuite {
     assert(scans(df).size == 1, "exactly one documents scan")
   }
 
-  test("corpus_profile: one fused document scan (lang + classifier chained, no self-join)") {
+  test("corpus_profile: one fused document scan; rollup joins broadcast, never corpus-shuffled") {
     val df = graft.operators.TextOps.corpusProfile(spark, sf)
     df.collect()
+    // the histogram side still chains lang + classifier over ONE
+    // documents scan (the E41 nest's own scan is pinned behind its
+    // eager localCheckpoint, so it cannot re-scan here)
     assert(scans(df).size == 1,
       "per-row signals must chain over ONE scan, not join derived frames")
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
-      s"dataset card must not join:\n$plan")
+    // round 8: the card joins the per-source E41 resample rollup —
+    // a ≤ sources-row frame — so joins are allowed but must ALL be
+    // broadcast: a SortMergeJoin here would shuffle the corpus to
+    // meet a 20-row table
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"dataset card joins must stay broadcast:\n$plan")
   }
 
   test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
