@@ -834,8 +834,8 @@ object Dedup {
        |  SELECT a.vec_id AS va, b.vec_id AS vb
        |  FROM embeddings a, embeddings b
        |  WHERE a.vec_id < b.vec_id
-       |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |          CAST(b.embedding AS DOUBLE[])) >= $CosineSimThreshold),
+       |    AND 1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[]))) >= $CosineSimThreshold),
        |edges AS (SELECT va AS src, vb AS dst FROM prs
        |          UNION ALL SELECT vb, va FROM prs),
        |reach(src, dst) AS (
@@ -1119,11 +1119,14 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // the 1.0 - (1.0 - s) mirrors the engine's sim = 1.0 - cosineDistance
+  // double round-trip (a >= comparison can flip on boundary bits) —
+  // same rule as the E5b/E33b oracles
   def embeddingNeardupOracleSql: String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |FROM embeddings a, embeddings b
        |WHERE a.vec_id < b.vec_id
-       |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineSimThreshold
+       |  AND 1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $CosineSimThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- E5b

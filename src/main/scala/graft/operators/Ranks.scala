@@ -59,10 +59,18 @@ object Ranks {
     import spark.implicits._
     val order = if (descending) col(orderCol).desc else col(orderCol).asc
     val sortKeys = Seq(col(group).asc, order, col(tieCol).asc)
-    // one row per group to the driver; exclusive prefix in GROUP-ASC
-    // order (the same order the compound sort key groups by)
+    // one row per group to the driver; the exclusive prefix MUST use
+    // the same group collation as the range sort below, so the rows
+    // come back through Spark's own orderBy — a driver-side Scala
+    // sortBy compares UTF-16 code units while Spark's string sort is
+    // UTF-8 binary, and the two disagree on supplementary-plane
+    // characters (an emoji-named source would mis-attach every offset)
     val counts = df.groupBy(col(group)).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .orderBy(col(group).asc)
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"groupedRowNumber: null $group value")
+        (r.getString(0), r.getLong(1))
+      }
     var acc = 0L
     val offsets = counts.map { case (g, c) =>
       val row = (g, acc, c); acc += c; row

@@ -1003,7 +1003,17 @@ object TextOps {
         min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("n_tokens"))).as("p95_tokens"),
         sum(col("cnt_en")).as("n_en"),
         sum(col("cnt_kept")).as("n_kept"))
-      .join(ppl, Seq("source"))
+      // LEFT join + zero-fill: a source whose every doc lacks bigrams
+      // (≤ 1 word) has no E41 rows at all, and an inner join would
+      // silently drop its ENTIRE card row — the card reports every
+      // source, with an empty resample outcome where none exists.
+      // Explicit broadcast: the rollup is ≤ sources rows but derives
+      // from a checkpoint (no stats), so AQE would otherwise plan a
+      // corpus-shuffling SortMergeJoin to meet a 20-row table
+      .join(broadcast(ppl), Seq("source"), "left")
+      .withColumn("n_ppl_head", coalesce(col("n_ppl_head"), lit(0L)))
+      .withColumn("n_ppl_middle", coalesce(col("n_ppl_middle"), lit(0L)))
+      .withColumn("n_ppl_tail", coalesce(col("n_ppl_tail"), lit(0L)))
       .orderBy("source")
   }
 
@@ -1051,10 +1061,10 @@ object TextOps {
        |  CAST(max(CASE WHEN rn = (95*n + 99) // 100 THEN n_tokens END) AS BIGINT) AS p95_tokens,
        |  CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        |  CAST(sum(kept) AS BIGINT) AS n_kept,
-       |  max(n_ppl_head) AS n_ppl_head,
-       |  max(n_ppl_middle) AS n_ppl_middle,
-       |  max(n_ppl_tail) AS n_ppl_tail
-       |FROM win JOIN ppl USING (source)
+       |  CAST(coalesce(max(n_ppl_head), 0) AS BIGINT) AS n_ppl_head,
+       |  CAST(coalesce(max(n_ppl_middle), 0) AS BIGINT) AS n_ppl_middle,
+       |  CAST(coalesce(max(n_ppl_tail), 0) AS BIGINT) AS n_ppl_tail
+       |FROM win LEFT JOIN ppl USING (source)
        |GROUP BY source ORDER BY source""".stripMargin
   }
 }

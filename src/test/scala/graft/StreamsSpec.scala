@@ -135,10 +135,11 @@ class StreamsSpec extends AnyFunSuite {
     val out = root.resolve("survivors").toString
     val landing = root.resolve("landing").toString
     // persisted fingerprint store seeded with one standing hash
+    // (subdir layout: the exactly-once protocol globs store subdirs)
     Seq("stored text").toDF("text").select(md5(col("text")).as("text_hash"))
-      .write.parquet(store)
+      .write.parquet(s"$store/seed")
     Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text_hash")
-      .write.parquet(out)
+      .write.parquet(s"$out/seed")
     def write(name: String, stamp: Long, rows: Seq[(Long, String)]): Unit = {
       rows.map { case (id, t) => (id, t, "src") }.toDF("doc_id", "text", "source")
         .coalesce(1).write.parquet(s"$landing/$name")
@@ -160,12 +161,22 @@ class StreamsSpec extends AnyFunSuite {
       .parquet(s"$landing/f*")
     val (q, ckpt) = Streams.runDedupIncremental(incoming, store, out)
     try q.processAllAvailable() finally { q.stop(); Streams.deleteTree(ckpt) }
-    val survivors = spark.read.parquet(out).collect()
+    val survivors = spark.read.parquet(s"$out/*").collect()
       .map(r => r.getAs[Long]("doc_id")).toSet
     assert(survivors == Set(100L, 101L, 103L),
       s"expected batch-1 winner kept, batch-2 dup + stored hash dropped: $survivors")
     // the store absorbed exactly the survivors' hashes on top of the seed
-    assert(spark.read.parquet(store).count() == 4)
+    assert(spark.read.parquet(s"$store/*").count() == 4)
+    // the exactly-once protocol: re-running a batch's computation with
+    // its own subdir EXCLUDED reproduces it byte-for-byte — a
+    // foreachBatch retry overwrites the same rows instead of
+    // duplicating (append) or losing them (self-anti-join)
+    val b2 = spark.read.parquet(s"$landing/f2")
+    Streams.dedupIncrementalBatch(store, out)(b2, 1L) // simulate retry of batch 1
+    val after = spark.read.parquet(s"$out/*").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(after == survivors, s"retry changed the output: $after")
+    assert(spark.read.parquet(s"$store/*").count() == 4)
   }
 
   test("D12 streamed appends accumulate, leave untouched lists byte-identical, " +
@@ -263,9 +274,9 @@ class StreamsSpec extends AnyFunSuite {
     val seedSigs = graft.operators.Dedup
       .minhashSignatures(Seq((1L, standing)).toDF("doc_id", "text"))
       .select("doc_id", "mh").localCheckpoint()
-    seedSigs.write.parquet(s"$store/sigs")
-    graft.operators.Dedup.bandsOf(seedSigs).write.parquet(s"$store/bands")
-    Seq.empty[(Long, String)].toDF("doc_id", "source").write.parquet(out)
+    seedSigs.write.parquet(s"$store/sigs/seed")
+    graft.operators.Dedup.bandsOf(seedSigs).write.parquet(s"$store/bands/seed")
+    Seq.empty[(Long, String)].toDF("doc_id", "source").write.parquet(s"$out/seed")
     def land(name: String, stamp: Long, rows: Seq[(Long, String)]): Unit = {
       rows.map { case (id, t) => (id, t, "src") }.toDF("doc_id", "text", "source")
         .coalesce(1).write.parquet(s"$landing/$name")
@@ -292,12 +303,21 @@ class StreamsSpec extends AnyFunSuite {
       .parquet(s"$landing/f*")
     val (q, ckpt) = Streams.runDedupFuzzy(incoming, store, out)
     try q.processAllAvailable() finally { q.stop(); Streams.deleteTree(ckpt) }
-    val survivors = spark.read.parquet(out).collect()
+    val survivors = spark.read.parquet(s"$out/*").collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(survivors == Set(101L, 200L, 103L),
       s"expected store-drop of 50/100/102 and within-batch drop of 201: $survivors")
     // the store absorbed exactly the survivors' signatures atop the seed
-    assert(spark.read.parquet(s"$store/sigs").count() == 4)
+    assert(spark.read.parquet(s"$store/sigs/*").count() == 4)
+    // exactly-once: retrying batch 2 (own subdir excluded from store
+    // reads, batch-scoped overwrite) reproduces the same state — the
+    // retried arrivals cannot match their OWN half-landed signatures
+    val b2 = spark.read.parquet(s"$landing/f2")
+    Streams.dedupFuzzyBatch(store, out)(b2, 1L)
+    val after = spark.read.parquet(s"$out/*").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(after == survivors, s"retry changed the output: $after")
+    assert(spark.read.parquet(s"$store/sigs/*").count() == 4)
     Streams.deleteTree(root)
   }
 
