@@ -110,6 +110,12 @@ object SparkEntry {
     // E37b: the serving twin — same symmetrization over the nprobe
     // batch ANN (E6b's engine) instead of exact probe-all
     "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobe(s, d)),
+    // E43: serving-quality dashboard — per-query recall@k histogram
+    // of the nprobe tier vs the exact contract, exact integers
+    "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
+    // A23: one-row index-health summary (list sizes + imbalance
+    // permille — the alert signal; index_stats is the detail view)
+    "ivf_balance_report" -> (Ivf.ivfBalanceReport _),
     // E38: k-means-residual embedding outliers (integer-exact test)
     "embedding_outliers" -> (Ivf.embeddingOutliers _),
     // E39: per-source dataset card (counts, exact length percentiles,
@@ -469,6 +475,10 @@ object SparkEntry {
     "ann_topk_batch_nprobe" -> ((s, d) => Ivf.annBatchNprobeOracleSql(s, d)),
     // E37b: the E6b oracle as a derived table + the mutual join
     "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobeOracleSql(s, d)),
+    // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
+    "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
+    // A23: assignment replay → the same list-size aggregate arithmetic
+    "ivf_balance_report" -> ((s, d) => Ivf.ivfBalanceReportOracleSql(s, d)),
     // the hyperplane matrix is seeded, so the LSH banding replays too
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLshOracleSql(s, d)),
     // the PQ family: codebooks/rotation/ADC tables inlined, encode

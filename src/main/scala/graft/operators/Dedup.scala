@@ -1414,6 +1414,54 @@ object Dedup {
        |WHERE a.query_id < a.neighbor_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** E43: ANN serving-quality report — the recall@k of the nprobe
+    * serving tier measured BY THE ENGINE, as a first-class key: the
+    * per-query hit-count histogram (0..k exact top-k neighbors
+    * recovered by the nprobe configuration). This is the dashboard a
+    * vector store ships next to its index: recall floors live in specs
+    * at build time, but an OPERATOR needs the number re-measured on
+    * the corpus actually being served (drift, appends, and skew all
+    * move it). Exact integers end to end — hits per query, queries per
+    * hit level — so the key is oracle-checked, not a float summary.
+    * Cost is one exact batch ANN + one nprobe batch ANN (both already
+    * keys); at 100 TB the standard practice is measuring on a query
+    * SAMPLE — the report composes with any query-side filter.
+    */
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = annTopkBatchNprobe(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(served, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .groupBy(col("hits"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("hits")
+  }
+
+  /** E43 oracle: the exact top-k window ∩ the nprobe centroid-literal
+    * replay (both already exist as this family's oracles), folded to
+    * the same histogram — nothing re-derived.
+    */
+  def annRecallReportOracleSql(spark: SparkSession, dir: String,
+                               k: Int = 5): String =
+    s"""WITH ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${annTopkBatchOracleSql(k)}
+       |  ) t),
+       |sv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${Ivf.annBatchNprobeOracleSql(spark, dir, k)}
+       |  ) t),
+       |h AS (
+       |  SELECT e.query_id, CAST(count(s.query_id) AS BIGINT) AS hits
+       |  FROM ex e LEFT JOIN sv s
+       |    ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+       |  GROUP BY 1)
+       |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
+       |FROM h GROUP BY hits ORDER BY hits""".stripMargin
+
   def hardNegativeMiningOracleSql(k: Int = 5): String =
     s"""SELECT query_id, neighbor_id, rank FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -441,6 +441,66 @@ object Ivf {
       .orderBy("cluster_id")
   }
 
+  /** A23: the one-row index-health summary an operator ALERTS on —
+    * index_stats (A14) is the per-list detail view, this is the
+    * signal: list count, non-empty count, min/max/p95 list size, and
+    * the imbalance factor max·k/n as an exact permille integer
+    * (balanced = 1000; a mega-list pushes it toward k·1000 and
+    * predicts probe-latency variance — FAISS's imbalance_factor, made
+    * integer-exact for the cross-engine gate). One aggregation over
+    * the session assignment memo; the p95 uses the same
+    * value-at-rank-over-histogram formulation as E39 (k rows, trivial).
+    */
+  def ivfBalanceReport(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val k = defaultK(n)
+    val (assign, _) = buildIndex(spark, dir, k)
+    val sizes = assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+    // k ≤ √(n/2) rows: the unpartitioned windows are trivial here
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sz"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sz"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sizes
+      .select(col("sz"), sum(lit(1L)).over(w).as("cum"),
+        count(lit(1)).over(wAll).as("m"))
+      .agg(
+        count(lit(1)).as("n_nonempty"),
+        min(col("sz")).as("min_list"),
+        max(col("sz")).as("max_list"),
+        min(when(col("cum") * 100 >= col("m") * 95, col("sz"))).as("p95_list"))
+      .select(lit(k.toLong).as("n_lists"), col("n_nonempty"),
+        col("min_list"), col("max_list"), col("p95_list"),
+        // integer division end to end: a double quotient would round
+        // differently from the oracle's // once sz·1000·k nears 2^53
+        expr(s"max_list * 1000 * $k DIV $n").as("imbalance_permille"))
+  }
+
+  /** A23 oracle: assignment replay over the centroid literal → the
+    * same list-size aggregate arithmetic.
+    */
+  def ivfBalanceReportOracleSql(spark: SparkSession, dir: String): String = {
+    val (_, cents) = indexFor(spark, dir)
+    val k = cents.length
+    s"""WITH ${assignCtes(cents)},
+       |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1),
+       |ranked AS (
+       |  SELECT sz,
+       |    CAST(sum(1) OVER (ORDER BY sz) AS BIGINT) AS cum,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM sizes),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT CAST($k AS BIGINT) AS n_lists,
+       |  CAST(count(*) AS BIGINT) AS n_nonempty,
+       |  CAST(min(sz) AS BIGINT) AS min_list,
+       |  CAST(max(sz) AS BIGINT) AS max_list,
+       |  CAST(min(CASE WHEN cum * 100 >= m * 95 THEN sz END) AS BIGINT) AS p95_list,
+       |  CAST(max(sz) * 1000 * $k // (SELECT n FROM n) AS BIGINT) AS imbalance_permille
+       |FROM ranked""".stripMargin
+  }
+
   // ------------------------------------------------- dynamic oracles
   //
   // The IVF family was rows-only ("k-means has no SQL oracle") — but
