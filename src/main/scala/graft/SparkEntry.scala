@@ -70,6 +70,8 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"       -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "embedding_neardup"   -> (Dedup.embeddingNeardup _),
+    // E45: threshold-sensitivity sweep over the exact pair stream
+    "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweep _),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLsh(s, d)),
     // train/eval overlap check: broadcast eval shingle sets, one corpus
     // scan, no pair generation — the decontamination pass
@@ -129,6 +131,8 @@ object SparkEntry {
     // temperature (n^1/2) language rebalancing: deterministic
     // hash-ranked subsample to flattened per-lang targets
     "mix_langs_temperature" -> (TextOps.mixLangsTemperature _),
+    // E46: the per-source token-budget / epochs planning table
+    "token_budget_plan" -> (TextOps.tokenBudgetPlan _),
     // E40: stride-scheduled source interleave — the deterministic
     // training-ORDER stage (weighted fair queueing over sources)
     "mix_schedule_interleave" -> (TextOps.mixScheduleInterleave _),
@@ -184,6 +188,9 @@ object SparkEntry {
     // verify → star-contraction → same survivor rule (rows-only —
     // xxhash64 candidates; containment + ≥0.95 agreement in DedupSpec)
     "pipeline_fuzzy_dedup" -> ((s, d) => TextOps.pipelineFuzzyDedup(s, d)),
+    // E44: per-source per-STAGE attrition funnel of the cleanup pass
+    // (raw → lang → quality → exact canon → near-dup survivors)
+    "pipeline_attrition_report" -> ((s, d) => TextOps.pipelineAttritionReport(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "multimodal_resize"       -> ((s, d) => Multimodal.multimodalResize(s, d)),
@@ -323,6 +330,7 @@ object SparkEntry {
     "dsir_select"         -> Corpus.dsirSelectOracleSql,
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
+    "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
     "hard_negative_mining" -> Dedup.hardNegativeMiningOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,
@@ -336,6 +344,7 @@ object SparkEntry {
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
     "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,
+    "token_budget_plan" -> TextOps.tokenBudgetPlanOracleSql,
     "mix_schedule_interleave" -> TextOps.mixScheduleInterleaveOracleSql,
     "lm_bigram_score" -> Corpus.lmBigramScoreOracleSql,
     "perplexity_buckets" -> Corpus.perplexityBucketsOracleSql,
@@ -356,6 +365,7 @@ object SparkEntry {
     "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "pipeline_dedup_corpus" -> TextOps.pipelineDedupCorpusOracleSql(),
+    "pipeline_attrition_report" -> TextOps.pipelineAttritionReportOracleSql(),
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
     "multimodal_resize"       -> Multimodal.multimodalResizeOracleSql(),

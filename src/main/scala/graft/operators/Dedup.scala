@@ -1129,6 +1129,89 @@ object Dedup {
        |  AND 1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $CosineSimThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- E45
+
+  /** The sweep grid, as exact permille integers — the output key column
+    * stays BIGINT and the double each engine compares against is the
+    * IDENTICAL division t/1000.0 (IEEE division is correctly rounded,
+    * so both engines materialize the same double), never a parsed
+    * decimal literal the output would then have to re-derive.
+    */
+  val SweepThresholdsPermille: Seq[Long] =
+    Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L)
+
+  /** E45: near-dup threshold SENSITIVITY sweep — per candidate cosine
+    * threshold, the pair count, the count of vectors touched by ≥ 1
+    * pair, and the hottest vector's pair degree. This is the dashboard
+    * a dedup operator reads BEFORE committing a threshold to a 100 TB
+    * pass: the pair-count elbow locates the near-dup regime, the
+    * affected-vector share is the prune rate being signed up for, and
+    * a max_degree spike at low thresholds is the hub/template cluster
+    * that will dominate component sizes (E35's histogram, previewed
+    * per threshold for the price of one pair scan).
+    *
+    * ONE exact pair materialization at the grid minimum (E5's
+    * cluster-layout pair stream — never a corpus broadcast), then the
+    * grid explodes each surviving pair into its qualifying thresholds
+    * (≤ |grid| small rows per pair) and two map-side-combined
+    * aggregates fold counts and degrees; thresholds that catch nothing
+    * still report a zero row (grid left join). Exact by contract, like
+    * E5 — at 100 TB the same sweep composes over E33b's within-cluster
+    * pair stream instead (the measured N^1.5 path).
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sim = lit(1.0) - VectorFunctions.cosineDistance(col("vec"), col("qvec"))
+    val pairs = Ivf.pairStream(spark, dir)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        sim.as("sim"))
+      .filter(col("sim") >= lit(SweepThresholdsPermille.min) / lit(1000.0))
+    val tagged = pairs
+      .select(col("vec_a"), col("vec_b"), col("sim"),
+        explode(array(SweepThresholdsPermille.map(lit): _*)).as("t_permille"))
+      .filter(col("sim") >= col("t_permille") / lit(1000.0))
+    val pairCounts = tagged.groupBy("t_permille")
+      .agg(count(lit(1)).as("n_pairs"))
+    val degrees = tagged
+      .select(col("t_permille"),
+        explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .groupBy("t_permille", "vec_id").agg(count(lit(1)).as("deg"))
+      .groupBy("t_permille")
+      .agg(count(lit(1)).as("n_vecs"), max(col("deg")).as("max_degree"))
+    SweepThresholdsPermille.toDF("t_permille")
+      .join(pairCounts, Seq("t_permille"), "left")
+      .join(degrees, Seq("t_permille"), "left")
+      .select(col("t_permille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("max_degree"), lit(0L)).as("max_degree"))
+      .orderBy("t_permille")
+  }
+
+  def dedupThresholdSweepOracleSql: String = {
+    val grid = SweepThresholdsPermille.mkString(", ")
+    s"""WITH prs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS sim
+       |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+       |ths AS (SELECT CAST(unnest([$grid]) AS BIGINT) AS t_permille),
+       |tagged AS (
+       |  SELECT t_permille, va, vb FROM ths JOIN prs ON sim >= t_permille / 1000.0),
+       |pc AS (SELECT t_permille, count(*) AS n_pairs FROM tagged GROUP BY 1),
+       |dg AS (SELECT t_permille, v AS vec_id, count(*) AS deg
+       |       FROM (SELECT t_permille, unnest([va, vb]) AS v FROM tagged)
+       |       GROUP BY 1, 2),
+       |ds AS (SELECT t_permille, count(*) AS n_vecs, max(deg) AS max_degree
+       |       FROM dg GROUP BY 1)
+       |SELECT t.t_permille,
+       |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs,
+       |  CAST(coalesce(max_degree, 0) AS BIGINT) AS max_degree
+       |FROM ths t LEFT JOIN pc USING (t_permille) LEFT JOIN ds USING (t_permille)
+       |ORDER BY t_permille""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E5b
 
   /** Random-hyperplane LSH banding parameters. sign(v·h) bits agree

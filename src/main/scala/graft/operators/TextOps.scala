@@ -542,6 +542,101 @@ object TextOps {
     dedupSurvivorsOn(spark, dir, Dedup.fuzzyNonCanonical(spark, dir),
       lang, minScore)
 
+  /** E44: the cleanup-pipeline ATTRITION funnel — per source, how many
+    * documents survive each stage of the E16 pass: raw → language
+    * gate → + quality floor → + exact-dup canonicalization → + near-dup
+    * cluster canonicalization. This is the per-stage loss report every
+    * pretraining-data release publishes next to its card (a stage that
+    * suddenly eats a source is the bug signal operators watch; the
+    * end-to-end count alone can't say WHICH gate moved). One document
+    * scan: the language and quality signals are per-row expressions,
+    * each stage is a conjunction of flags, and the per-source rollup
+    * is conditional sums over the SAME rows — no per-stage re-scan, no
+    * self-joins; the two canonicalization flags join back as skinny
+    * (doc_id)-keyed tables the stages already compute. Exact BIGINTs
+    * throughout; the oracle replays the E12/E16 CTE chain.
+    */
+  def pipelineAttritionReport(spark: SparkSession, dir: String,
+                              lang: String = "en",
+                              minScore: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val predicted = langIdOn(docs).select(col("doc_id"), col("predicted"))
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val flagged = docs.select("doc_id", "source", "text")
+      .join(predicted, "doc_id")
+      .join(quality, "doc_id")
+      .withColumn("pass_lang", (col("predicted") === lang).cast("long"))
+      .withColumn("pass_qual",
+        (col("predicted") === lang && col("score") >= minScore).cast("long"))
+    val clean = flagged.filter(col("pass_qual") === 1L)
+    val exactCanon = clean
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_canon"))
+    val nonCanonical = Dedup.dedupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"), lit(1L).as("is_neardup"))
+    flagged
+      .join(exactCanon, Seq("doc_id"), "left")
+      .join(nonCanonical, Seq("doc_id"), "left")
+      .withColumn("pass_exact", col("pass_qual") * coalesce(col("is_canon"), lit(0L)))
+      .withColumn("pass_all",
+        col("pass_exact") * (lit(1L) - coalesce(col("is_neardup"), lit(0L))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pass_lang")).as("n_lang"),
+        sum(col("pass_qual")).as("n_quality"),
+        sum(col("pass_exact")).as("n_exact_canon"),
+        sum(col("pass_all")).as("n_survivors"))
+      .orderBy("source")
+  }
+
+  /** E44 oracle: the E12/E16 CTE chain, rolled up per stage. */
+  def pipelineAttritionReportOracleSql(lang: String = "en",
+                                       minScore: Double = 0.3): String =
+    s"""WITH RECURSIVE lang_pred AS (${langIdOracleSql}),
+       |qual AS (${qualityScoreOracleSql}),
+       |flagged AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    CAST(lang_pred.predicted = '$lang' AS BIGINT) AS pass_lang,
+       |    CAST(lang_pred.predicted = '$lang' AND qual.score >= $minScore AS BIGINT) AS pass_qual
+       |  FROM documents d
+       |  JOIN lang_pred ON d.doc_id = lang_pred.doc_id
+       |  JOIN qual ON d.doc_id = qual.doc_id),
+       |canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM flagged WHERE pass_qual = 1
+       |  GROUP BY md5(text)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= ${Dedup.JaccardThreshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |noncanon AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING least(src, min(dst)) <> src)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pass_lang) AS BIGINT) AS n_lang,
+       |  CAST(sum(pass_qual) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN f.doc_id IN (SELECT doc_id FROM canon)
+       |    THEN pass_qual ELSE 0 END) AS BIGINT) AS n_exact_canon,
+       |  CAST(sum(CASE WHEN f.doc_id IN (SELECT doc_id FROM canon)
+       |    AND f.doc_id NOT IN (SELECT doc_id FROM noncanon)
+       |    THEN pass_qual ELSE 0 END) AS BIGINT) AS n_survivors
+       |FROM flagged f
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Oracle: the E12 CTE chain plus the E13 recursive-CTE closure; the
     * survivor rule is identical (exact canon ∧ not a non-canonical
     * component member).
@@ -780,6 +875,60 @@ object TextOps {
        |      FROM d)
        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
        |WHERE rk <= target ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E46
+
+  /** E46: the token-budget PLAN table — the "how many epochs of each
+    * source at this budget" sheet every pretraining run publishes
+    * (LLaMA Table 1, the Pile §2's per-set epochs): redistribute the
+    * corpus's own total token count across sources under temperature
+    * n^(1/2) weights (E31's flattening, applied to TOKEN mass), and
+    * report each source's natural share, planned share, and the
+    * resulting repeat factor. epochs_permille > 1000 means the source
+    * is upsampled/repeated at training time (small curated sources),
+    * < 1000 means subsampled (the bulk crawl) — the table is the
+    * mixture DECISION artifact, upstream of E14/E31's selection and
+    * E40's ordering.
+    *
+    * All-integer after the one isqrt floor (E31's cross-engine
+    * contract): weight = sq·1000 div Σsq, planned = budget·sq div Σsq,
+    * epochs = planned·1000 div n_tokens. budget·sq stays inside BIGINT
+    * to ~10¹² tokens × 10⁶ isqrt — past that the product needs DECIMAL
+    * staging (the E29/E31 note). Scale shape: one map-side-combined
+    * per-source aggregate (rows = source catalog), a one-row totals
+    * broadcast, zero joins on data rows.
+    */
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("sq"))
+    val totals = perSource.agg(sum("sq").as("tot_sq"), sum("n_tokens").as("budget"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("sq * 1000 div tot_sq").as("weight_permille"),
+        expr("budget * sq div tot_sq").as("planned_tokens"),
+        expr("(budget * sq div tot_sq) * 1000 div n_tokens").as("epochs_permille"))
+      .orderBy("source")
+  }
+
+  def tokenBudgetPlanOracleSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |        CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sq FROM s),
+      |t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot_sq,
+      |             CAST(sum(n_tokens) AS BIGINT) AS budget FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(sq * 1000 // tot_sq AS BIGINT) AS weight_permille,
+      |  CAST(budget * sq // tot_sq AS BIGINT) AS planned_tokens,
+      |  CAST((budget * sq // tot_sq) * 1000 // n_tokens AS BIGINT) AS epochs_permille
+      |FROM w, t ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- E40
 

@@ -47,6 +47,29 @@ class DedupSpec extends AnyFunSuite {
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dedup_threshold_sweep: monotone in threshold, and the 400‰ row == E5 exactly") {
+    val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Dedup.SweepThresholdsPermille.toSet)
+    // every stat is non-increasing as the threshold tightens
+    Dedup.SweepThresholdsPermille.sliding(2).foreach { case Seq(lo, hi) =>
+      val ((pl, vl, dl), (ph, vh, dh)) = (rows(lo), rows(hi))
+      assert(pl >= ph && vl >= vh && dl >= dh,
+        s"sweep not monotone between $lo‰ and $hi‰")
+    }
+    rows.foreach { case (t, (p, v, d)) =>
+      assert(v <= 2 * p && d <= math.max(v - 1, 0),
+        s"$t‰: impossible shape pairs=$p vecs=$v maxdeg=$d")
+    }
+    // the grid point at E5's threshold (400/1000.0 == the 0.4 literal
+    // bit for bit) must reproduce E5's pair count and vector set size
+    val e5 = Dedup.embeddingNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows(400L)._1 == e5.length.toLong,
+      s"400‰ pairs ${rows(400L)._1} != E5 ${e5.length}")
+    assert(rows(400L)._2 == e5.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+  }
+
   test("hyperplane-LSH embedding near-dup: high recall vs exact, exact precision") {
     val exact = vecPairs(Dedup.embeddingNeardup(spark, sf))
     val lsh = vecPairs(Dedup.embeddingNeardupLsh(spark, sf))

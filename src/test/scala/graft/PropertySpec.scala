@@ -285,4 +285,41 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"round=$round nSrc=$nSrc")
     }
   }
+
+  test("groupedRowNumber == per-group reference under random skew, ties, and non-BMP group names") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // the supplementary-plane name (U+1F600) vs the high-BMP name
+    // (U+FFFD…) ORDER DIFFERENTLY under UTF-16 code units (surrogate
+    // 0xD83D < 0xFFFD) and UTF-8 bytes (U+1F600 > U+FFFD) — exactly
+    // the offset-attachment hazard the Ranks scaladoc argues; a
+    // mis-sorted driver prefix would shift every rank in both groups
+    val groupPool = Seq("a", "hot", "\uD83D\uDE00src", "\uFFFDz", "b0")
+    for (round <- 0 until 3; desc <- Seq(false, true)) {
+      val n = 60 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        // 70% of rows land in the hot group; scores collide heavily
+        val g = if (rnd.nextInt(10) < 7) groupPool(1)
+                else groupPool(rnd.nextInt(groupPool.length))
+        (i.toLong, g, rnd.nextInt(4).toLong)
+      }
+      val got = graft.operators.Ranks
+        .groupedRowNumber(rows.toDF("id", "src", "score"), "src", "score",
+          descending = desc, tieCol = "id")
+        .select("id", "src", "rn", "grp_n")
+        .as[(Long, String, Long, Long)].collect()
+      val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val ordered = if (desc) rs.sortBy(r => (-r._3, r._1))
+                      else rs.sortBy(r => (r._3, r._1))
+        ordered.zipWithIndex.map { case (r, i) =>
+          r._1 -> (g, i + 1L, rs.size.toLong)
+        }
+      }
+      assert(got.length == n)
+      got.foreach { case (id, src, rn, gn) =>
+        assert(want(id) == ((src, rn, gn)),
+          s"round=$round desc=$desc id=$id: got ($src,$rn,$gn) want ${want(id)}")
+      }
+    }
+  }
 }

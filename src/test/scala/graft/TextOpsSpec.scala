@@ -104,6 +104,53 @@ class TextOpsSpec extends AnyFunSuite {
       s"removed $removed docs but only ${nonCanon.size} non-canonical members exist")
   }
 
+  test("token_budget_plan == driver-side integer recomputation; budget conserved; flattening") {
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.tokenBudgetPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // exact mirror from the collected per-source token counts
+    val sq = rows.map { case (_, _, nt, _, _, _) => math.sqrt(nt.toDouble).toLong }
+    val totSq = sq.sum
+    val budget = rows.map(_._3).sum
+    rows.zip(sq).foreach { case ((src, _, nt, w, planned, epochs), s) =>
+      assert(w == s * 1000 / totSq, s"$src weight")
+      assert(planned == budget * s / totSq, s"$src planned")
+      assert(epochs == (budget * s / totSq) * 1000 / nt, s"$src epochs")
+    }
+    // integer-floor division can only lose mass, never mint it
+    assert(rows.map(_._5).sum <= budget)
+    // temperature flattening: the token-poorest source repeats at least
+    // as hard as the token-richest one
+    val poorest = rows.minBy(_._3)
+    val richest = rows.maxBy(_._3)
+    assert(poorest._6 >= richest._6,
+      s"flattening violated: ${poorest._1}=${poorest._6} < ${richest._1}=${richest._6}")
+  }
+
+  test("pipeline_attrition_report: monotone funnel, and n_survivors ≡ E16 per source") {
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.pipelineAttritionReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l, q, e, s) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n >= l && l >= q && q >= e && e >= s,
+        s"source ${r.getString(0)}: funnel not monotone ($n,$l,$q,$e,$s)")
+    }
+    // the funnel's last column IS the E16 survivor count — same rule,
+    // same graph; E16 omits zero-survivor sources, the funnel keeps them
+    val e16 = TextOps.pipelineDedupCorpus(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(5) == e16.getOrElse(r.getString(0), 0L),
+        s"source ${r.getString(0)}: funnel survivors ${r.getLong(5)} != E16")
+    }
+  }
+
   test("MAD outliers match an independent scala recomputation (lower-median semantics)") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf)
