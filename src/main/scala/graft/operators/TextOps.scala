@@ -895,8 +895,10 @@ object TextOps {
     * epochs = planned·1000 div n_tokens. budget·sq stays inside BIGINT
     * to ~10¹² tokens × 10⁶ isqrt — past that the product needs DECIMAL
     * staging (the E29/E31 note). Scale shape: one map-side-combined
-    * per-source aggregate (rows = source catalog), a one-row totals
-    * broadcast, zero joins on data rows.
+    * per-source aggregate off ONE corpus scan, then totals via a
+    * whole-frame window over the catalog-sized result (bounded rows —
+    * a separate agg + cross join would recompute the subtree and scan
+    * the corpus twice); zero joins on data rows.
     */
   def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(spark, dir)
@@ -906,8 +908,15 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("sq"))
-    val totals = perSource.agg(sum("sq").as("tot_sq"), sum("n_tokens").as("budget"))
-    perSource.crossJoin(broadcast(totals))
+    // totals via a whole-frame window over the CATALOG-sized aggregate
+    // (bounded rows, one task over ≤ |sources|): a separate totals agg
+    // + cross join would recompute the subtree and bill the corpus
+    // scan twice (PlanSpec pins the single scan)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    perSource
+      .withColumn("tot_sq", sum(col("sq")).over(whole))
+      .withColumn("budget", sum(col("n_tokens")).over(whole))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("sq * 1000 div tot_sq").as("weight_permille"),
         expr("budget * sq div tot_sq").as("planned_tokens"),

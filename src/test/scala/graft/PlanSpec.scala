@@ -238,6 +238,43 @@ class PlanSpec extends AnyFunSuite {
       s"dataset card joins must stay broadcast:\n$plan")
   }
 
+  test("dedup_threshold_sweep: pair join stays cluster-keyed; grid joins never shuffle pairs") {
+    val df = graft.operators.Dedup.dedupThresholdSweep(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only pair generator is E5's cluster-layout stream — the grid
+    // explode and the final ≤7-row grid joins must not reintroduce an
+    // all-pairs plan (the one sanctioned nested-loop is probeSelect's
+    // k-row broadcast centroid table, same as the knn_graph_mutual pin)
+    assert(!plan.contains("CartesianProduct"),
+      s"sweep fell back to an all-pairs plan:\n$plan")
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join".r.findFirstIn(plan).isDefined,
+      s"pair stream must join on the cluster key:\n$plan")
+  }
+
+  test("token_budget_plan: one pruned documents scan, totals join broadcast") {
+    val df = graft.operators.TextOps.tokenBudgetPlan(spark, sf)
+    df.collect()
+    val ss = scans(df)
+    assert(ss.size == 1, "exactly one documents scan")
+    val read = ss.head.metadata("ReadSchema")
+    assert(!read.contains("lang") && !read.contains("doc_id"),
+      s"plan table must read only (source, text): $read")
+    val plan = df.queryExecution.executedPlan.toString
+    // totals come from a whole-frame window over the catalog-sized
+    // aggregate — no join may touch the corpus, and no second scan
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"totals must ride the bounded window, never a corpus join:\n$plan")
+  }
+
+  test("pipeline_attrition_report: flag joins stay equi-joins, no cartesian") {
+    val df = graft.operators.TextOps.pipelineAttritionReport(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"attrition funnel fell back to an all-pairs plan:\n$plan")
+  }
+
   test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
     val df = Analytics.q10ReturnedItems(spark, sf)
     val ss = scans(df)
