@@ -222,6 +222,9 @@ object SparkEntry {
     // against a persisted MinHash signature store per micro-batch
     // (rows-only: xxhash64 minhashes; StreamsSpec multi-batch proof)
     "stream_dedup_fuzzy" -> (Streams.streamDedupFuzzy _),
+    // D14: continuous-ingest attrition funnel (lang/quality/exact-canon
+    // stages per micro-batch; the streaming face of E44)
+    "stream_attrition" -> (Streams.streamAttrition _),
     // C-series: analytics engine
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_topk_join"       -> (Analytics.q3TopkJoin _),
@@ -341,6 +344,7 @@ object SparkEntry {
     // D11 ≡ the same classifier + per-source rollup in batch SQL
     "stream_quality_filter" -> TextOps.qualityClassifierRollupOracleSql,
     "stream_index_append"   -> Streams.streamIndexAppendOracleSql,
+    "stream_attrition"      -> TextOps.attritionIngestOracleSql(),
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),
     "mix_langs_temperature" -> TextOps.mixLangsTemperatureOracleSql,

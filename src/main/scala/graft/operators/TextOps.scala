@@ -556,30 +556,52 @@ object TextOps {
     * (doc_id)-keyed tables the stages already compute. Exact BIGINTs
     * throughout; the oracle replays the E12/E16 CTE chain.
     */
-  def pipelineAttritionReport(spark: SparkSession, dir: String,
-                              lang: String = "en",
-                              minScore: Double = 0.3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val predicted = langIdOn(docs).select(col("doc_id"), col("predicted"))
-    val quality = qualityScore(spark, dir).select(col("doc_id"), col("score"))
-    val flagged = docs.select("doc_id", "source", "text")
-      .join(predicted, "doc_id")
-      .join(quality, "doc_id")
+  /** Per-row clean-gate flags over a (doc_id, lang, source, text)
+    * frame: language prediction (E7's chain) and the quality floor
+    * (E8's formula, expression-for-expression — the composed double
+    * must match the composed oracle bit for bit) as ONE projection
+    * chain with NO joins — a corpus-sized join per signal would
+    * shuffle the corpus twice for values that are pure per-row
+    * functions. Shared by E44 (batch funnel) and D14 (streaming
+    * ingest funnel), so the two can never drift on a gate.
+    */
+  private[graft] def attritionFlagsOn(docs: DataFrame,
+                                      lang: String = "en",
+                                      minScore: Double = 0.3): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    langIdOn(docs, carry = Seq(col("source"), col("text")))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("sum_wlen",
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("stop_hits",
+        hits(split(lower(col("text")), " "), "en").cast("long"))
+      .withColumn("score",
+        least(col("n_words") / lit(100.0), lit(1.0)) * 0.3 +
+          least(col("sum_wlen").cast("double") / col("n_words") / lit(8.0), lit(1.0)) * 0.3 +
+          (col("stop_hits").cast("double") / col("n_words")) * lit(0.4))
       .withColumn("pass_lang", (col("predicted") === lang).cast("long"))
       .withColumn("pass_qual",
         (col("predicted") === lang && col("score") >= minScore).cast("long"))
-    val clean = flagged.filter(col("pass_qual") === 1L)
-    val exactCanon = clean
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), lit(1L).as("is_canon"))
+      .select("doc_id", "source", "text", "pass_lang", "pass_qual")
+  }
+
+  def pipelineAttritionReport(spark: SparkSession, dir: String,
+                              lang: String = "en",
+                              minScore: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact canon as a window over the hash (min pass_qual doc_id per
+    // text group): one hash shuffle, no groupBy + join-back pair
+    val canonWin = Window.partitionBy(md5(col("text")))
+    val flagged = attritionFlagsOn(Tables.documents(spark, dir), lang, minScore)
+      .withColumn("canon_id",
+        min(when(col("pass_qual") === 1L, col("doc_id"))).over(canonWin))
+      .withColumn("pass_exact",
+        (col("pass_qual") === 1L && col("doc_id") === col("canon_id")).cast("long"))
     val nonCanonical = Dedup.dedupComponents(spark, dir)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id"), lit(1L).as("is_neardup"))
     flagged
-      .join(exactCanon, Seq("doc_id"), "left")
       .join(nonCanonical, Seq("doc_id"), "left")
-      .withColumn("pass_exact", col("pass_qual") * coalesce(col("is_canon"), lit(0L)))
       .withColumn("pass_all",
         col("pass_exact") * (lit(1L) - coalesce(col("is_neardup"), lit(0L))))
       .groupBy(col("source"))
@@ -592,10 +614,12 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** E44 oracle: the E12/E16 CTE chain, rolled up per stage. */
-  def pipelineAttritionReportOracleSql(lang: String = "en",
-                                       minScore: Double = 0.3): String =
-    s"""WITH RECURSIVE lang_pred AS (${langIdOracleSql}),
+  /** Shared flag/canon CTE block for the two funnel oracles (E44 batch,
+    * D14 streaming ingest) — one definition, so the gates cannot drift
+    * between the batch and streaming replays.
+    */
+  private def attritionFlaggedCtes(lang: String, minScore: Double): String =
+    s"""lang_pred AS (${langIdOracleSql}),
        |qual AS (${qualityScoreOracleSql}),
        |flagged AS (
        |  SELECT d.doc_id, d.source, d.text,
@@ -606,7 +630,27 @@ object TextOps {
        |  JOIN qual ON d.doc_id = qual.doc_id),
        |canon AS (
        |  SELECT min(doc_id) AS doc_id FROM flagged WHERE pass_qual = 1
-       |  GROUP BY md5(text)),
+       |  GROUP BY md5(text))""".stripMargin
+
+  /** D14 oracle: the ingest-stage funnel (no near-dup column — the
+    * component pass is the batch periodical, not an ingest gate).
+    */
+  def attritionIngestOracleSql(lang: String = "en",
+                               minScore: Double = 0.3): String =
+    s"""WITH ${attritionFlaggedCtes(lang, minScore)}
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pass_lang) AS BIGINT) AS n_lang,
+       |  CAST(sum(pass_qual) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN f.doc_id IN (SELECT doc_id FROM canon)
+       |    THEN pass_qual ELSE 0 END) AS BIGINT) AS n_exact_canon
+       |FROM flagged f
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** E44 oracle: the E12/E16 CTE chain, rolled up per stage. */
+  def pipelineAttritionReportOracleSql(lang: String = "en",
+                                       minScore: Double = 0.3): String =
+    s"""WITH RECURSIVE ${attritionFlaggedCtes(lang, minScore)},
        |sh AS (
        |  SELECT doc_id,
        |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g

@@ -732,6 +732,105 @@ object Streams {
     result
   }
 
+  // --------------------------------------------------------------- D14
+
+  /** D14 core: ONE micro-batch of the continuous-ingest ATTRITION
+    * funnel — the streaming face of E44's per-stage loss report,
+    * restricted to the INGEST gates (language, quality floor, exact
+    * canonicalization; the near-dup component pass is the batch
+    * periodical, not a per-trigger gate). Per trigger: the shared
+    * per-row flag seam (TextOps.attritionFlagsOn — one projection
+    * chain, no joins, the same expressions as the batch funnel so the
+    * two cannot drift), within-batch first-wins canon per text hash
+    * (D10's arg-min contract), a store anti-check for cross-batch
+    * duplicates, then the per-doc flag rows land batch-scoped and the
+    * canon survivors' hashes absorb into the store. O(micro-batch +
+    * store matches) per trigger; the rollup the driver reads is over
+    * the accumulated flag rows, so the dashboard can be re-cut by any
+    * stage/source slice without re-running a gate.
+    */
+  private[graft] def attritionBatch(store: String, out: String)
+                                   (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val flagged = graft.operators.TextOps.attritionFlagsOn(batch)
+        .withColumn("text_hash", md5(col("text")))
+      val firstInBatch = flagged.filter(col("pass_qual") === 1L)
+        .groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+      // pinned before the two writes below (the E1b lesson, per batch)
+      val rows = flagged
+        .join(firstInBatch, Seq("text_hash"), "left")
+        .join(readStoreExcept(spark, store, batchId)
+          .select(col("text_hash")).distinct()
+          .withColumn("in_store", lit(1L)), Seq("text_hash"), "left")
+        .withColumn("pass_exact",
+          (col("pass_qual") === 1L && col("doc_id") === col("keep_id") &&
+            col("in_store").isNull).cast("long"))
+        .select("doc_id", "source", "text_hash",
+          "pass_lang", "pass_qual", "pass_exact")
+        .localCheckpoint()
+      rows.write.mode("overwrite").parquet(s"$out/b$batchId")
+      rows.filter(col("pass_exact") === 1L).select("text_hash")
+        .write.mode("overwrite").parquet(s"$store/b$batchId")
+    }
+
+  /** Attach the D14 foreachBatch sink — shared by the driver file
+    * harness and the MemoryStream spec harness.
+    */
+  private[graft] def runAttrition(incoming: DataFrame, store: String,
+                                  out: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val ckpt = tmpCheckpoint()
+    val q = incoming.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        attritionBatch(store, out)(b.toDF(), id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    (q, ckpt)
+  }
+
+  /** D14 driver entry: the WHOLE corpus arrives through the landing
+    * zone (the funnel reports total ingest, so nothing seeds the
+    * store), the per-batch core above flags every document, and the
+    * result is the per-source per-stage rollup over the accumulated
+    * flag rows. Oracle ≡ the batch flag/canon CTE chain over the full
+    * arrival set (one landing file → the within-batch arg-min IS the
+    * global min, the same argument as D10); cross-batch store drops
+    * and stage monotonicity under explicit multi-batch arrivals are
+    * pinned in StreamsSpec.
+    */
+  def streamAttrition(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val docs = Tables.documents(ss, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_attr")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("flags").toString
+    docs.filter(lit(false)).select(md5(col("text")).as("text_hash"))
+      .write.mode("overwrite").parquet(s"$store/seed")
+    docs.filter(lit(false))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"),
+        lit(0L).as("pass_lang"), lit(0L).as("pass_qual"),
+        lit(0L).as("pass_exact"))
+      .write.mode("overwrite").parquet(s"$out/seed")
+    val schema = ss.read.parquet(s"$dir/documents.parq*").schema
+    val incoming = Sources
+      .streamDir(ss, s"$dir/documents.parq*", schema,
+        options = Map("basePath" -> dir))
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    val (q, ckpt) = runAttrition(incoming, store, out)
+    try q.processAllAvailable() finally q.stop()
+    val result = ss.read.parquet(s"$out/*")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass_lang")).as("n_lang"),
+        sum(col("pass_qual")).as("n_quality"),
+        sum(col("pass_exact")).as("n_exact_canon"))
+      .orderBy("source").localCheckpoint(true)
+    deleteTree(ckpt)
+    deleteTree(tmp)
+    result
+  }
+
   // --------------------------------------------------------------- D12
 
   /** D12 core: ONE micro-batch of continuous index ingest — the

@@ -179,6 +179,81 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/*").count() == 4)
   }
 
+  test("D14 cross-batch: store drops a later dup (even at a smaller id), stages are " +
+      "monotone per doc, retry is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_d14")
+    val store = root.resolve("store").toString
+    val out = root.resolve("flags").toString
+    val landing = root.resolve("landing").toString
+    val passing = "the cat is on the mat and the dog is in the house of a king"
+    val passing2 = passing + " with another tale of the sea"
+    val passing3 = passing + " and the story of the old night"
+    val stored = "the old store text is full of the words and the lines of a book"
+    val german = "der hund und die katze ist das haus"
+    // fixture guard: the English texts clear both gates, the German
+    // one fails at the language gate — computed through the SAME seam
+    // the stream runs, so the fixture can't silently rot
+    val gate = graft.operators.TextOps.attritionFlagsOn(
+      Seq((1L, "en", passing, "s"), (2L, "en", passing2, "s"),
+        (3L, "en", passing3, "s"), (4L, "en", stored, "s"),
+        (5L, "de", german, "s"))
+        .toDF("doc_id", "lang", "text", "source")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i =>
+      assert(gate(i) == ((1L, 1L)), s"fixture text $i must pass both gates: ${gate(i)}"))
+    assert(gate(5L) == ((0L, 0L)), s"fixture german text must fail the lang gate")
+    Seq(stored).toDF("text").select(md5(col("text")).as("text_hash"))
+      .write.parquet(s"$store/seed")
+    Seq.empty[(Long, String, String, Long, Long, Long)]
+      .toDF("doc_id", "source", "text_hash", "pass_lang", "pass_qual", "pass_exact")
+      .write.parquet(s"$out/seed")
+    def land(name: String, stamp: Long, rows: Seq[(Long, String, String)]): Unit = {
+      rows.map { case (id, lg, t) => (id, lg, t, "src") }
+        .toDF("doc_id", "lang", "text", "source")
+        .coalesce(1).write.parquet(s"$landing/$name")
+      new java.io.File(s"$landing/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(stamp))
+    }
+    land("f1", 1000000L, Seq((100L, "en", passing), (101L, "en", passing2),
+      (104L, "de", german)))
+    // batch 2: doc 50 duplicates batch 1's canon text at a SMALLER id
+    // (a single-batch arg-min would crown 50 — only the store drop
+    // gets this right); doc 102 hits the seeded store; doc 103 is novel
+    land("f2", 2000000L, Seq((50L, "en", passing), (102L, "en", stored),
+      (103L, "en", passing3)))
+    val incoming = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, text STRING, source STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$landing/f*")
+    val (q, ckpt) = Streams.runAttrition(incoming, store, out)
+    try q.processAllAvailable() finally { q.stop(); Streams.deleteTree(ckpt) }
+    def readFlags(): Map[Long, (Long, Long, Long)] =
+      spark.read.parquet(s"$out/*").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("pass_lang"), r.getAs[Long]("pass_qual"),
+            r.getAs[Long]("pass_exact")))).toMap
+    val flags = readFlags()
+    assert(flags.size == 6, s"every arrival must keep a flag row: $flags")
+    flags.foreach { case (id, (l, qv, e)) =>
+      assert(l >= qv && qv >= e, s"doc $id: funnel not monotone ($l,$qv,$e)") }
+    assert(flags.filter(_._2._3 == 1L).keySet == Set(100L, 101L, 103L),
+      s"canon set wrong: ${flags.filter(_._2._3 == 1L).keySet}")
+    assert(flags(104L)._1 == 0L, "german doc must fail the language gate")
+    assert(flags(50L) == ((1L, 1L, 0L)), "cross-batch dup passes gates but loses canon")
+    assert(flags(102L) == ((1L, 1L, 0L)), "seeded-store dup passes gates but loses canon")
+    // store = seed + the three canon hashes
+    assert(spark.read.parquet(s"$store/*").count() == 4)
+    // exactly-once: retrying batch 2 (own subdir excluded) reproduces it
+    val b2 = spark.read.parquet(s"$landing/f2")
+    Streams.attritionBatch(store, out)(b2, 1L)
+    assert(readFlags() == flags, "retry changed the flag rows")
+    assert(spark.read.parquet(s"$store/*").count() == 4)
+    Streams.deleteTree(root)
+  }
+
   test("D12 streamed appends accumulate, leave untouched lists byte-identical, " +
       "tie with one batch append, and refuse a half-applied marker") {
     import org.apache.spark.sql.functions._
