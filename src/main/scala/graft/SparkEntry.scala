@@ -64,6 +64,8 @@ object SparkEntry {
     "dedup_cluster_stats" -> (Dedup.dedupClusterStats _),
     // cross-source shingle-vocabulary contamination matrix
     "source_overlap"      -> (Corpus.sourceOverlap _),
+    // E47: release-to-release drift report vs a persisted hash manifest
+    "corpus_snapshot_diff" -> (Corpus.corpusSnapshotDiff _),
     // DSIR-style importance selection: contrastive target-vs-raw
     // bigram-LM likelihood ratios, integer-quantized, top-k
     "dsir_select"         -> ((s, d) => Corpus.dsirSelect(s, d)),
@@ -330,6 +332,7 @@ object SparkEntry {
     "semantic_prune"      -> Dedup.semanticPruneOracleSql,
     "dedup_cluster_stats" -> Dedup.dedupClusterStatsOracleSql,
     "source_overlap"      -> Corpus.sourceOverlapOracleSql,
+    "corpus_snapshot_diff" -> Corpus.corpusSnapshotDiffOracleSql,
     "dsir_select"         -> Corpus.dsirSelectOracleSql,
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,

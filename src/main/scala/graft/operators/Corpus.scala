@@ -689,4 +689,98 @@ object Corpus {
        |    OR (bucket = 'middle' AND (doc_id * ${graft.operators.TextOps.SampleHashMult}) % 100 < 50)
        |    OR (bucket = 'tail' AND (doc_id * ${graft.operators.TextOps.SampleHashMult}) % 100 < 10) AS BIGINT) AS kept
        |FROM b ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- E47
+
+  /** E47: corpus SNAPSHOT DIFF — per source, how many documents were
+    * added / removed / changed / unchanged versus a persisted release
+    * manifest of (doc_id, content hash). This is the release-to-release
+    * drift report every managed corpus publishes with a new version
+    * (and the first thing an operator reads when a downstream metric
+    * moves: did the data change under me, and WHERE?). The manifest is
+    * hashes only — diffing releases must not require keeping the old
+    * corpus, only its O(docs) fingerprint table.
+    *
+    * The prior release is derived deterministically from the corpus
+    * (the D10/D12 standing-split device, documented as the fixture):
+    * the manifest misses every doc_id % 5 == 0 (⇒ added), stores a
+    * perturbed hash for doc_id % 7 == 0 (⇒ changed), and carries ghost
+    * entries at negative ids for doc_id % 11 == 0 (⇒ removed; the
+    * ghost keeps its origin's source so removal attributes to a
+    * catalog entry). The manifest is WRITTEN to disk and read back
+    * before diffing — the diff runs against the persisted artifact,
+    * not a lineage twin of the current corpus.
+    *
+    * Scale shape: one corpus scan writes the manifest (a real system
+    * reads the prior release's file instead), then ONE full-outer join
+    * keyed on doc_id (both sides hash-partition on the key; no
+    * broadcast of anything corpus-sized) and a map-side-combined
+    * conditional rollup. Status classification is per-row null/hash
+    * arithmetic — exact, no doubles anywhere.
+    */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapshot")
+    try {
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("~v1"))))
+            .otherwise(md5(col("text"))).as("snap_hash"))
+      val ghosts = docs.filter(col("doc_id") % 11 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("source"),
+          md5(concat(col("text"), lit("~gone"))).as("snap_hash"))
+      base.union(ghosts).write.mode("overwrite")
+        .parquet(tmp.resolve("manifest").toString)
+      val snap = spark.read.parquet(tmp.resolve("manifest").toString)
+        .select(col("doc_id"), col("source").as("snap_source"), col("snap_hash"))
+      val cur = docs.select(col("doc_id"), col("source").as("cur_source"),
+        md5(col("text")).as("cur_hash"))
+      val status = when(col("snap_hash").isNull, "added")
+        .when(col("cur_hash").isNull, "removed")
+        .when(col("cur_hash") =!= col("snap_hash"), "changed")
+        .otherwise("same")
+      cur.join(snap, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("cur_source"), col("snap_source")).as("source"),
+          status.as("status"))
+        .groupBy("source")
+        .agg(
+          sum((col("status") === "added").cast("long")).as("n_added"),
+          sum((col("status") === "removed").cast("long")).as("n_removed"),
+          sum((col("status") === "changed").cast("long")).as("n_changed"),
+          sum((col("status") === "same").cast("long")).as("n_same"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
+  def corpusSnapshotDiffOracleSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id, source, md5(text) AS cur_hash FROM documents),
+      |snap AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 THEN md5(text || '~v1')
+      |         ELSE md5(text) END AS snap_hash
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT -doc_id - 1, source, md5(text || '~gone')
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(c.source, s.source) AS source,
+      |    CASE WHEN s.doc_id IS NULL THEN 'added'
+      |         WHEN c.doc_id IS NULL THEN 'removed'
+      |         WHEN c.cur_hash <> s.snap_hash THEN 'changed'
+      |         ELSE 'same' END AS status
+      |  FROM cur c FULL OUTER JOIN snap s ON c.doc_id = s.doc_id)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

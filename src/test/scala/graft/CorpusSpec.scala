@@ -10,6 +10,24 @@ class CorpusSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("corpus_snapshot_diff == driver-side modular-arithmetic mirror per source") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val ids = ds.map(_._1)
+      src -> ((ids.count(_ % 5 == 0).toLong,           // added
+               ids.count(_ % 11 == 0).toLong,          // removed (ghosts)
+               ids.count(i => i % 5 != 0 && i % 7 == 0).toLong, // changed
+               ids.count(i => i % 5 != 0 && i % 7 != 0).toLong)) // same
+    }
+    val got = graft.operators.Corpus.corpusSnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"diff mismatch:\n got=$got\nwant=$want")
+  }
+
   test("groupedRowNumber == single-window row_number on a 90%-skewed corpus (asc+desc, ties)") {
     import org.apache.spark.sql.expressions.Window
     // one source holds 90% of the rows; score = id·37 mod 101 collides
