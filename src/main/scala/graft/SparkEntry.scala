@@ -78,6 +78,8 @@ object SparkEntry {
     // train/eval overlap check: broadcast eval shingle sets, one corpus
     // scan, no pair generation — the decontamination pass
     "decontaminate_eval"  -> ((s, d) => Dedup.decontaminateEval(s, d)),
+    // E48: the per-source contamination matrix over the same hit rule
+    "contamination_matrix" -> ((s, d) => Dedup.contaminationMatrix(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
     // contrastive hard negatives: batch ANN with the label-inequality
@@ -335,6 +337,7 @@ object SparkEntry {
     "corpus_snapshot_diff" -> Corpus.corpusSnapshotDiffOracleSql,
     "dsir_select"         -> Corpus.dsirSelectOracleSql,
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
+    "contamination_matrix" -> Dedup.contaminationMatrixOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),

@@ -389,14 +389,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val evalSets = hashedShingleSets(docs.filter(col("source") === evalSource))
       .select(col("doc_id").as("eval_id"), col("g").as("ge"))
-    val corpSets = hashedShingleSets(docs.filter(col("source") =!= evalSource))
-      .select(col("doc_id").as("corp_id"), col("g").as("gc"))
-    val inter = size(array_intersect(col("ge"), col("gc")))
-    val hits = corpSets.crossJoin(broadcast(evalSets))
-      .select(col("eval_id"), col("corp_id"),
-        (inter.cast("double") /
-          (size(col("ge")) + size(col("gc")) - inter)).as("jaccard"))
-      .filter(col("jaccard") >= t)
+    val hits = contaminationHits(spark, dir, evalSource, t)
     val agg = hits.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_contaminated"),
         max(struct(col("jaccard"), (-col("corp_id")).as("neg"),
@@ -411,6 +404,85 @@ object Dedup {
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
       .orderBy("doc_id")
   }
+
+  /** Shared E21/E48 hit builder: (eval_id, corp_id, jaccard) pairs at
+    * Jaccard ≥ t — eval shingle sets broadcast into one corpus scan
+    * (the eval suite is small by definition; the corpus never
+    * shuffles), one definition so the detail view and the matrix
+    * cannot drift on the contamination rule.
+    */
+  private def contaminationHits(spark: SparkSession, dir: String,
+                                evalSource: String, t: Double): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSets = hashedShingleSets(docs.filter(col("source") === evalSource))
+      .select(col("doc_id").as("eval_id"), col("g").as("ge"))
+    val corpSets = hashedShingleSets(docs.filter(col("source") =!= evalSource))
+      .select(col("doc_id").as("corp_id"), col("g").as("gc"))
+    val inter = size(array_intersect(col("ge"), col("gc")))
+    corpSets.crossJoin(broadcast(evalSets))
+      .select(col("eval_id"), col("corp_id"),
+        (inter.cast("double") /
+          (size(col("ge")) + size(col("gc")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
+  // --------------------------------------------------------------- E48
+
+  /** E48: the contamination MATRIX — E21's per-eval-doc detail rolled
+    * the other way: per corpus SOURCE, how many of its documents hit
+    * the eval set, how many contaminated pairs, and the worst overlap.
+    * This is the view that drives the remediation decision ("which
+    * supplier leaked the benchmark?") — per-doc detail says what to
+    * drop, the per-source matrix says which pipeline to fix. Zero-hit
+    * sources still report (catalog left join): an auditable zero is
+    * the point of a compliance table. Same hit builder as E21 (one
+    * broadcast-eval corpus scan); the source attribution joins the
+    * (small) hit set against the skinny (doc_id, source) projection.
+    */
+  def contaminationMatrix(spark: SparkSession, dir: String,
+                          evalSource: String = "src0",
+                          t: Double = ContaminationThreshold): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val agg = contaminationHits(spark, dir, evalSource, t)
+      .join(docs.select(col("doc_id").as("corp_id"), col("source")), "corp_id")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("corp_id")).as("n_docs"),
+        count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+    docs.filter(col("source") =!= evalSource)
+      .select("source").distinct()
+      .join(agg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy("source")
+  }
+
+  def contaminationMatrixOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+       |ev AS (SELECT doc_id, g FROM sh WHERE source = 'src0' AND len(g) > 0),
+       |co AS (SELECT doc_id, source, g FROM sh WHERE source <> 'src0' AND len(g) > 0),
+       |pairs AS (
+       |  SELECT c.doc_id AS corp_id, c.source AS source,
+       |    CAST(len(list_intersect(e.g, c.g)) AS DOUBLE) /
+       |      (len(e.g) + len(c.g) - len(list_intersect(e.g, c.g))) AS jaccard
+       |  FROM ev e CROSS JOIN co c),
+       |hits AS (SELECT * FROM pairs WHERE jaccard >= $ContaminationThreshold),
+       |agg AS (
+       |  SELECT source, CAST(count(DISTINCT corp_id) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_pairs, max(jaccard) AS max_jaccard
+       |  FROM hits GROUP BY 1)
+       |SELECT s.source,
+       |  coalesce(a.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+       |  coalesce(a.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       |  coalesce(a.max_jaccard, 0.0) AS max_jaccard
+       |FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s
+       |LEFT JOIN agg a USING (source)
+       |ORDER BY source""".stripMargin
 
   def decontaminateEvalOracleSql: String =
     s"""WITH sh AS (

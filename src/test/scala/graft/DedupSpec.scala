@@ -47,6 +47,26 @@ class DedupSpec extends AnyFunSuite {
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("contamination_matrix: pair total ≡ E21's detail total, zero-hit sources report") {
+    val detail = Dedup.decontaminateEval(spark, sf).collect()
+    val matrix = Dedup.contaminationMatrix(spark, sf).collect()
+    // same hit rule, two rollups: every contaminated (eval, corp) pair
+    // is counted once on each side
+    assert(matrix.map(_.getLong(2)).sum == detail.map(_.getLong(1)).sum,
+      "matrix n_pairs total must equal the per-eval-doc detail total")
+    // the catalog left join keeps every non-eval source, hits or not
+    val sources = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+      .select("source").distinct().count()
+    assert(matrix.length.toLong == sources)
+    matrix.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"${r.getString(0)}: distinct docs exceed pair count")
+      assert((r.getLong(2) == 0L) == (r.getDouble(3) == 0.0),
+        s"${r.getString(0)}: zero pairs must mean zero max_jaccard and vice versa")
+    }
+  }
+
   test("dedup_threshold_sweep: monotone in threshold, and the 400‰ row == E5 exactly") {
     val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
