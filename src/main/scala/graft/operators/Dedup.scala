@@ -1225,8 +1225,10 @@ object Dedup {
     * ONE exact pair materialization at the grid minimum (E5's
     * cluster-layout pair stream — never a corpus broadcast), then the
     * grid explodes each surviving pair into its qualifying thresholds
-    * (≤ |grid| small rows per pair) and two map-side-combined
-    * aggregates fold counts and degrees; thresholds that catch nothing
+    * (≤ |grid| small rows per pair) and ONE map-side-combined
+    * aggregation tree over the endpoint explode folds degrees, vector
+    * counts, and pair counts (n_pairs = Σdeg div 2 — a pair is two
+    * endpoint rows); thresholds that catch nothing
     * still report a zero row (grid left join). Exact by contract, like
     * E5 — at 100 TB the same sweep composes over E33b's within-cluster
     * pair stream instead (the measured N^1.5 path).
@@ -1239,21 +1241,25 @@ object Dedup {
       .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
         sim.as("sim"))
       .filter(col("sim") >= lit(SweepThresholdsPermille.min) / lit(1000.0))
-    val tagged = pairs
-      .select(col("vec_a"), col("vec_b"), col("sim"),
-        explode(array(SweepThresholdsPermille.map(lit): _*)).as("t_permille"))
+    // ONE aggregation tree over the endpoint explode: each pair
+    // contributes two endpoint rows, so n_pairs = Σdeg div 2 exactly —
+    // a separate pair-count aggregate would be a second physical
+    // subtree recomputing the whole pair stream (the join/cosine work
+    // above is the key's dominant cost; only the input exchanges
+    // would be reused)
+    val stats = pairs
+      .select(col("sim"),
+        explode(array(SweepThresholdsPermille.map(lit): _*)).as("t_permille"),
+        col("vec_a"), col("vec_b"))
       .filter(col("sim") >= col("t_permille") / lit(1000.0))
-    val pairCounts = tagged.groupBy("t_permille")
-      .agg(count(lit(1)).as("n_pairs"))
-    val degrees = tagged
       .select(col("t_permille"),
         explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .groupBy("t_permille", "vec_id").agg(count(lit(1)).as("deg"))
       .groupBy("t_permille")
-      .agg(count(lit(1)).as("n_vecs"), max(col("deg")).as("max_degree"))
+      .agg(expr("sum(deg) div 2").as("n_pairs"),
+        count(lit(1)).as("n_vecs"), max(col("deg")).as("max_degree"))
     SweepThresholdsPermille.toDF("t_permille")
-      .join(pairCounts, Seq("t_permille"), "left")
-      .join(degrees, Seq("t_permille"), "left")
+      .join(stats, Seq("t_permille"), "left")
       .select(col("t_permille"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),

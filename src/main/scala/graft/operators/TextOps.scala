@@ -231,19 +231,32 @@ object TextOps {
     * stopword density, each clamped to [0,1]. Exact integer features;
     * one identically-ordered double expression at the end.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(words).cast("long").as("n_words"),
-        aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
-        hits(split(lower(col("text")), " "), "en").cast("long").as("stop_hits"))
-      .select(col("doc_id"), col("n_words"),
-        (least(col("n_words") / lit(100.0), lit(1.0)) * 0.3 +
-         least(col("sum_wlen").cast("double") / col("n_words") / lit(8.0), lit(1.0)) * 0.3 +
-         (col("stop_hits").cast("double") / col("n_words")) * lit(0.4)).as("score"))
-      .orderBy("doc_id")
+  /** The three E8 feature columns from a text column — ONE definition
+    * shared by the E8 key and the E44/D14 flag seam, so the formula's
+    * inputs cannot drift between the batch and streaming gates.
+    */
+  private def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val words = split(trim(text), "\\s+")
+    Seq(
+      "n_words"   -> size(words).cast("long"),
+      "sum_wlen"  -> aggregate(words, lit(0L), (acc, w) => acc + length(w)),
+      "stop_hits" -> hits(split(lower(text), " "), "en").cast("long"))
   }
+
+  /** The E8 composite over the named feature columns — the exact
+    * double expression (operation order and all) the oracle mirrors.
+    */
+  private def qualityScoreCol: Column =
+    least(col("n_words") / lit(100.0), lit(1.0)) * 0.3 +
+      least(col("sum_wlen").cast("double") / col("n_words") / lit(8.0), lit(1.0)) * 0.3 +
+      (col("stop_hits").cast("double") / col("n_words")) * lit(0.4)
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id")) ++
+        qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("n_words"), qualityScoreCol.as("score"))
+      .orderBy("doc_id")
 
   def qualityScoreOracleSql: String =
     """WITH feats AS (
@@ -567,23 +580,16 @@ object TextOps {
     */
   private[graft] def attritionFlagsOn(docs: DataFrame,
                                       lang: String = "en",
-                                      minScore: Double = 0.3): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
-    langIdOn(docs, carry = Seq(col("source"), col("text")))
-      .withColumn("n_words", size(words).cast("long"))
-      .withColumn("sum_wlen",
-        aggregate(words, lit(0L), (acc, w) => acc + length(w)))
-      .withColumn("stop_hits",
-        hits(split(lower(col("text")), " "), "en").cast("long"))
-      .withColumn("score",
-        least(col("n_words") / lit(100.0), lit(1.0)) * 0.3 +
-          least(col("sum_wlen").cast("double") / col("n_words") / lit(8.0), lit(1.0)) * 0.3 +
-          (col("stop_hits").cast("double") / col("n_words")) * lit(0.4))
+                                      minScore: Double = 0.3): DataFrame =
+    qualityFeatures(col("text")).foldLeft(
+      langIdOn(docs, carry = Seq(col("source"), col("text")))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .withColumn("score", qualityScoreCol)
       .withColumn("pass_lang", (col("predicted") === lang).cast("long"))
       .withColumn("pass_qual",
         (col("predicted") === lang && col("score") >= minScore).cast("long"))
       .select("doc_id", "source", "text", "pass_lang", "pass_qual")
-  }
 
   def pipelineAttritionReport(spark: SparkSession, dir: String,
                               lang: String = "en",

@@ -71,6 +71,21 @@ object CorpusScaleProbe {
     // the increments are the clean gate + survivor rollup
     timed("pipeline_dedup_corpus") { graft.operators.TextOps.pipelineDedupCorpus(spark, dir).count() }
     timed("pipeline_fuzzy_dedup") { graft.operators.TextOps.pipelineFuzzyDedup(spark, dir).count() }
+    // round-8 report tier: the funnel re-cuts the memoized component
+    // labels + one flag scan; the plan and diff are single-scan /
+    // single-join shapes (E48's matrix is NOT probed here — its eval
+    // side is bounded small by definition, and this corpus's 1/20
+    // "eval set" would misrepresent the broadcast shape)
+    timed("pipeline_attrition_report") {
+      graft.operators.TextOps.pipelineAttritionReport(spark, dir).count() }
+    timed("token_budget_plan") {
+      graft.operators.TextOps.tokenBudgetPlan(spark, dir).count() }
+    timed("corpus_snapshot_diff") {
+      graft.operators.Corpus.corpusSnapshotDiff(spark, dir).count() }
+    // D14 at the 125k tier: the full corpus through the streamed
+    // funnel (flags + canon store per micro-batch)
+    timed("stream_attrition") {
+      graft.streaming.Streams.streamAttrition(spark, dir).count() }
 
     // SKEWED variant (round-7 verdict item 3): 90% of docs in ONE
     // source — the shape that made the old per-source rank windows a
@@ -120,6 +135,12 @@ object CorpusScaleProbe {
     timed("semantic_prune_clustered") { graft.operators.Dedup.semanticPruneClustered(spark, dir).count() }
     // E38 rides the same coarse assignment: one scan + k-row stats
     timed("embedding_outliers") { graft.operators.Ivf.embeddingOutliers(spark, dir).count() }
+    // E45 pays one exact pair materialization (the E5 stream the
+    // semantic_prune line above also paid) + the grid explode.
+    // collect(), NOT count(): the final frame is a left join from the
+    // 7-row grid against key-unique aggregates, so count() lets
+    // Catalyst eliminate the joins and skip the entire pair pass
+    timed("dedup_threshold_sweep") { graft.operators.Dedup.dedupThresholdSweep(spark, dir).collect() }
     // cleanup
     import scala.jdk.CollectionConverters._
     Seq(dir, skewDir).foreach { d =>

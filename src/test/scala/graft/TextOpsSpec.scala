@@ -123,11 +123,15 @@ class TextOpsSpec extends AnyFunSuite {
     // integer-floor division can only lose mass, never mint it
     assert(rows.map(_._5).sum <= budget)
     // temperature flattening: the token-poorest source repeats at least
-    // as hard as the token-richest one
+    // as hard as the token-richest one. NOT a theorem at near-ties —
+    // floor(sqrt(n))/n is non-monotone within one isqrt step around a
+    // perfect square — so only assert when the gap is real (ratio ≥ 4
+    // ⇒ the √-ratio ≥ 2 dominates any ±1 floor slip)
     val poorest = rows.minBy(_._3)
     val richest = rows.maxBy(_._3)
-    assert(poorest._6 >= richest._6,
-      s"flattening violated: ${poorest._1}=${poorest._6} < ${richest._1}=${richest._6}")
+    if (richest._3 >= 4 * poorest._3)
+      assert(poorest._6 >= richest._6,
+        s"flattening violated: ${poorest._1}=${poorest._6} < ${richest._1}=${richest._6}")
   }
 
   test("pipeline_attrition_report: monotone funnel, and n_survivors ≡ E16 per source") {
