@@ -37,6 +37,7 @@ object SparkEntry {
     "validate_chunks"     -> (Validate.validateChunks _),
     "validate_documents"  -> (Validate.validateDocuments _),
     "validate_libraries"  -> (Validate.validateLibraries _),
+    "validate_embeddings" -> (Validate.validateEmbeddings _),
     "library_stats"       -> (Library.libraryStats _),
     "index_memory_stats"  -> ((s, d) => Library.indexMemoryStats(s, d)),
     "library_pagination"  -> ((s, d) => Library.libraryPagination(s, d)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "validate_chunks"     -> Validate.validateChunksOracleSql,
     "validate_documents"  -> Validate.validateDocumentsOracleSql,
     "validate_libraries"  -> Validate.validateLibrariesOracleSql,
+    "validate_embeddings" -> Validate.validateEmbeddingsOracleSql,
     "library_stats"       -> Library.libraryStatsOracleSql,
     "index_memory_stats"  -> Library.indexMemoryStatsOracleSql(),
     "library_pagination"  -> Library.libraryPaginationOracleSql(),

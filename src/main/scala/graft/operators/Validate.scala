@@ -240,4 +240,64 @@ object Validate {
        |  FROM v) t
        |GROUP BY rule
        |ORDER BY rule""".stripMargin
+
+  /** Embedding-vector constraints — the vector-side twin of the
+    * chunk/document/library validators (the reference validates
+    * embedding shape at the API boundary, app/schemas/chunk.py
+    * embedding field + the index services' dimension checks; a batch
+    * store must instead quarantine): non-empty, expected dimension,
+    * all components finite, not the zero vector (a zero norm breaks
+    * every cosine consumer downstream).
+    */
+  def embeddingViolations(vec: Column, expectedDim: Int): Column =
+    array_compact(array(
+      when(vec.isNull || size(vec) === 0, "empty_vec"),
+      when(size(vec) > 0 && size(vec) =!= expectedDim, "dim_mismatch"),
+      when(exists(vec, x => isnan(x) ||
+        x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity)), "non_finite"),
+      when(size(vec) > 0 && !exists(vec, x => x =!= lit(0.0f)), "zero_vec")))
+
+  /** Driver query: embedding validation — same perturb-then-quarantine
+    * shape as the other three, over the embeddings table. The
+    * when-chain makes the perturbation classes disjoint (first match
+    * wins): % 23 empty, % 17 truncated to 32 dims, % 19 a NaN in the
+    * last slot, % 13 the zero vector.
+    */
+  def validateEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("vec_id")
+    val v = col("embedding")
+    val perturbed = Tables.embeddings(spark, dir)
+      .select(
+        when(id % 23 === 0, array().cast("array<float>"))
+          .when(id % 17 === 0, slice(v, 1, 32))
+          .when(id % 19 === 0,
+            concat(slice(v, 1, 63), array(lit(Double.NaN).cast("float"))))
+          .when(id % 13 === 0, transform(v, _ => lit(0.0f)))
+          .otherwise(v).as("vec2"))
+      .withColumn("violations", embeddingViolations(col("vec2"), 64))
+    ruleCounts(perturbed)
+  }
+
+  def validateEmbeddingsOracleSql: String =
+    """WITH p AS (
+      |  SELECT
+      |    CASE WHEN vec_id % 23 = 0 THEN CAST([] AS FLOAT[])
+      |         WHEN vec_id % 17 = 0 THEN embedding[1:32]
+      |         WHEN vec_id % 19 = 0 THEN list_append(embedding[1:63], CAST('nan' AS FLOAT))
+      |         WHEN vec_id % 13 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+      |         ELSE embedding END AS v
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT list_filter([
+      |    CASE WHEN v IS NULL OR len(v) = 0 THEN 'empty_vec' END,
+      |    CASE WHEN len(v) > 0 AND len(v) <> 64 THEN 'dim_mismatch' END,
+      |    CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 THEN 'non_finite' END,
+      |    CASE WHEN len(v) > 0 AND len(list_filter(v, x -> x <> 0)) = 0 THEN 'zero_vec' END],
+      |    x -> x IS NOT NULL) AS vs
+      |  FROM p)
+      |SELECT rule, count(*) AS n FROM (
+      |  SELECT unnest(CASE WHEN len(vs) = 0 THEN ['valid_rows'] ELSE vs END) AS rule
+      |  FROM r) t
+      |GROUP BY rule ORDER BY rule""".stripMargin
 }
