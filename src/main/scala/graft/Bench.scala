@@ -119,8 +119,11 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     if (warmup != "0") {
       memoWarmers(spark, warmup).foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+      // same toRdd action as the timed pass, so warmup compiles the
+      // SAME generated code the measurement will run
       ordered.foreach { case (_, fn) =>
-        try { fn(spark, warmup).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmup).queryExecution.toRdd.count(); () }
+        catch { case _: Throwable => () }
       }
     }
     // memos are one-time by design (session TrieMap caches) — timed once;
@@ -132,9 +135,15 @@ object Bench {
     val passSnaps = scala.collection.mutable.ArrayBuffer(
       "memos" -> storageSnapshot(spark))
     val runsN = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // evaluate through the physical plan of the key's OWN output
+    // schema, not through count(): count() re-optimizes with zero
+    // needed columns, which legally ELIMINATES key-unique left joins
+    // and unused windows — a grid-report key (E45/E48's shape) would
+    // bench its 7-row grid scan instead of its pair pass. toRdd keeps
+    // every output column live and still never collects to the driver.
     val perRun: Seq[Seq[(String, (Double, Option[String]))]] = (1 to runsN).map { i =>
       val r = ordered.map { case (name, fn) =>
-        name -> timed(() => { fn(spark, sfDir).count(); () })
+        name -> timed(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () })
       }
       passSnaps += s"run$i" -> storageSnapshot(spark)
       r
