@@ -120,6 +120,8 @@ object SparkEntry {
     // E43: serving-quality dashboard — per-query recall@k histogram
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
+    // E50: the nprobe tuning curve (recall@k per grid point vs exact)
+    "ann_param_sweep" -> ((s, d) => Dedup.annParamSweep(s, d)),
     // A23: one-row index-health summary (list sizes + imbalance
     // permille — the alert signal; index_stats is the detail view)
     "ivf_balance_report" -> (Ivf.ivfBalanceReport _),
@@ -499,6 +501,8 @@ object SparkEntry {
     "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobeOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
+    // E50: UNION ALL of per-nprobe E43 blocks over the same literals
+    "ann_param_sweep" -> ((s, d) => Dedup.annParamSweepOracleSql(s, d)),
     // A23: assignment replay → the same list-size aggregate arithmetic
     "ivf_balance_report" -> ((s, d) => Ivf.ivfBalanceReportOracleSql(s, d)),
     // the hyperplane matrix is seeded, so the LSH banding replays too

@@ -1623,6 +1623,68 @@ object Dedup {
        |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
        |FROM h GROUP BY hits ORDER BY hits""".stripMargin
 
+  /** The nprobe grid E50 sweeps — fixed absolute probe counts so the
+    * curve is comparable across corpus sizes (the tuner reads "probes
+    * per query", not a corpus-relative fraction).
+    */
+  val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** E50: the nprobe TUNING curve — recall@k and perfect-query share
+    * per candidate nprobe, measured by the engine against its own
+    * exact contract. E43 answers "how good is the CURRENT serving
+    * config"; this key answers "which config should I serve" — the
+    * recall-vs-probes curve every IVF deployment walks before picking
+    * its operating point (the FAISS tuning recipe). One exact
+    * probe-all pass + one serving pass per grid point, all riding the
+    * SAME memoized index (the per-point cost is the probe join, not a
+    * rebuild); n_hits/recall_permille/n_perfect are exact integers.
+    * At 100 TB the sweep runs over a deterministic query SAMPLE
+    * (E14's hash filter on query_id) — measuring a tuning curve never
+    * needs every query, only an unbiased one.
+    */
+  def annParamSweep(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id"))
+    SweepNprobes.map { np =>
+      val served = Ivf.annBatch(spark, dir, k,
+        graft.functions.VectorMetric.Cosine, nprobeOpt = Some(np))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(served, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("n_hits"),
+          sum((col("hits") === k.toLong).cast("long")).as("n_perfect"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_hits"),
+          expr(s"n_hits * 1000 div (n_queries * $k)").as("recall_permille"),
+          col("n_perfect"))
+    }.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
+  /** E50 oracle: per grid point, the E6b centroid-literal replay ∩ the
+    * exact window, folded to the same one-row totals — a UNION ALL of
+    * the E43 pattern, nothing re-derived.
+    */
+  def annParamSweepOracleSql(spark: SparkSession, dir: String,
+                             k: Int = 5): String =
+    SweepNprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits,
+         |  CAST(sum(hits) * 1000 // (count(*) * $k) AS BIGINT) AS recall_permille,
+         |  CAST(sum(CASE WHEN hits = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+         |FROM (
+         |  SELECT e.query_id, CAST(count(s.query_id) AS BIGINT) AS hits
+         |  FROM (SELECT query_id, neighbor_id FROM (
+         |${annTopkBatchOracleSql(k)}
+         |  ) t) e
+         |  LEFT JOIN (SELECT query_id, neighbor_id FROM (
+         |${Ivf.annBatchNprobeOracleSql(spark, dir, k, nprobeOpt = Some(np))}
+         |  ) t) s
+         |    ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+         |  GROUP BY 1) h""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY nprobe")
+
   def hardNegativeMiningOracleSql(k: Int = 5): String =
     s"""SELECT query_id, neighbor_id, rank FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -47,6 +47,27 @@ class DedupSpec extends AnyFunSuite {
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("ann_param_sweep: recall curve monotone in nprobe, bounded, constant query count") {
+    val rows = Dedup.annParamSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Dedup.SweepNprobes.map(_.toLong))
+    assert(rows.map(_._2).distinct.size == 1, "query count must not vary with nprobe")
+    // growing the probe set grows every query's candidate pool, and a
+    // displaced served hit is only ever displaced by a closer vector
+    // that is itself an exact top-k member — so hits are monotone
+    rows.sliding(2).foreach { w =>
+      val (lo, hi) = (w(0), w(1))
+      assert(lo._3 <= hi._3 && lo._4 <= hi._4 && lo._5 <= hi._5,
+        s"curve not monotone between nprobe ${lo._1} and ${hi._1}")
+    }
+    rows.foreach { case (np, nq, hits, recall, perfect) =>
+      assert(recall >= 0L && recall <= 1000L)
+      assert(perfect <= nq && hits <= nq * 5)
+      assert(recall == hits * 1000 / (nq * 5), s"np=$np recall arithmetic")
+    }
+  }
+
   test("contamination_matrix: pair total ≡ E21's detail total, zero-hit sources report") {
     val detail = Dedup.decontaminateEval(spark, sf).collect()
     val matrix = Dedup.contaminationMatrix(spark, sf).collect()
