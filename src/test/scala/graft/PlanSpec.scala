@@ -275,6 +275,20 @@ class PlanSpec extends AnyFunSuite {
       s"attrition funnel fell back to an all-pairs plan:\n$plan")
   }
 
+  test("ann_param_sweep: every grid point joins on the pair key, never all-pairs") {
+    val df = graft.operators.Dedup.annParamSweep(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // five ANN contracts in one plan: the only sanctioned nested loop
+    // is probeSelect's k-row centroid broadcast (the E37 pin); the
+    // exact-vs-served hit joins must all hash on (query_id, neighbor_id)
+    assert(!plan.contains("CartesianProduct"),
+      s"sweep fell back to an all-pairs plan:\n$plan")
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join \\[query_id".r
+      .findFirstIn(plan).isDefined,
+      s"hit join is not an equi-join on the pair key:\n$plan")
+  }
+
   test("q10: both selective filters pushed below the fact join, top-20 is TakeOrdered") {
     val df = Analytics.q10ReturnedItems(spark, sf)
     val ss = scans(df)

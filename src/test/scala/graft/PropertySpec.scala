@@ -286,6 +286,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("attritionFlagsOn == langId ∘ qualityScore composition on random multilingual docs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(47)
+    val vocab = Map(
+      "en" -> Seq("the", "a", "of", "and", "is", "cat", "house", "sea"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "katze", "haus"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "chat", "maison"))
+    for (round <- 0 until 3) {
+      val docs = (0 until 60).map { i =>
+        val lang = vocab.keys.toSeq(rnd.nextInt(3))
+        val words = Seq.fill(2 + rnd.nextInt(30))(
+          vocab(lang)(rnd.nextInt(vocab(lang).size)))
+        (i.toLong, lang, words.mkString(" "), s"s${i % 4}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_attr$round").toString
+      docs.map { case (id, lg, t, src) => (id, lg, t, src, t.length.toLong) }
+        .toDF("doc_id", "lang", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // the seam must agree with the two STANDALONE keys it claims to
+      // compose — pass_lang ≡ (E7 predicted == en), pass_qual ≡ that
+      // AND (E8 score >= 0.3), on the same corpus
+      val predicted = TextOps.langId(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val score = TextOps.qualityScore(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val flags = TextOps.attritionFlagsOn(
+        spark.read.parquet(s"$dir/documents.parquet")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      docs.foreach { case (id, _, _, _) =>
+        val wantLang = if (predicted(id) == "en") 1L else 0L
+        val wantQual = if (predicted(id) == "en" && score(id) >= 0.3) 1L else 0L
+        assert(flags(id) == ((wantLang, wantQual)),
+          s"round=$round doc=$id: seam ${flags(id)} != keys ($wantLang,$wantQual)")
+      }
+    }
+  }
+
   test("groupedRowNumber == per-group reference under random skew, ties, and non-BMP group names") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
