@@ -51,6 +51,8 @@ object SparkEntry {
     "doc_pagination"   -> ((s, d) => TextOps.docPagination(s, d)),
     // E-series: LLM-data-pipeline operators
     "dedup_exact"         -> (Dedup.dedupExact _),
+    // E1c: exact dedup under text normalization + the missed-dup delta
+    "dedup_exact_normalized" -> (Dedup.dedupExactNormalized _),
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     // connected components over the exact pair graph: one canonical
     // survivor per dup CLUSTER (near-duplication is transitive)
@@ -333,6 +335,7 @@ object SparkEntry {
     "chunk_pagination" -> TextOps.chunkPaginationOracleSql(),
     "doc_pagination"   -> TextOps.docPaginationOracleSql(),
     "dedup_exact"         -> Dedup.dedupExactOracleSql,
+    "dedup_exact_normalized" -> Dedup.dedupExactNormalizedOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,
     "semantic_prune"      -> Dedup.semanticPruneOracleSql,

@@ -42,6 +42,66 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
       |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E1c
+
+  /** The E1c canonical text form: whitespace runs collapsed to one
+    * space, trimmed, lowercased — identical primitive chain in both
+    * engines (Spark regexp_replace is always global; Java and RE2
+    * agree on \s over this data; trim strips spaces only in both).
+    */
+  private def normalizedText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** E1c: exact dedup under TEXT NORMALIZATION — the step every
+    * published exact-dedup recipe (C4, RefinedWeb) applies before
+    * hashing: a crawl serves the same page with whitespace/case
+    * variance that byte-exact hashing treats as distinct documents.
+    * Per source: total docs, survivors under raw-byte hashing (E1's
+    * rule), survivors under normalized hashing, and the delta — the
+    * duplicate mass raw hashing MISSES, which is the number an
+    * operator reads to decide whether the corpus needs the normalized
+    * pass. Normalized groups are unions of raw groups (equal raw text
+    * ⇒ equal normalized text), so the normalized canon — the min of a
+    * union — is always itself a raw canon: survivors_norm ⊆
+    * survivors_raw per doc, a theorem DedupSpec pins on planted
+    * variants. One scan + two hash aggregates + skinny joins back;
+    * no pair generation anywhere.
+    */
+  def dedupExactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("h_raw"),
+        md5(normalizedText(col("text"))).as("h_norm"))
+    val rawCanon = docs.groupBy("h_raw").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_raw"))
+    val normCanon = docs.groupBy("h_norm").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_norm"))
+    docs.join(rawCanon, Seq("doc_id"), "left")
+      .join(normCanon, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_raw"), lit(0L))).as("n_survivors_raw"),
+        sum(coalesce(col("is_norm"), lit(0L))).as("n_survivors_norm"),
+        (sum(coalesce(col("is_raw"), lit(0L))) -
+          sum(coalesce(col("is_norm"), lit(0L)))).as("n_extra_dups"))
+      .orderBy("source")
+  }
+
+  def dedupExactNormalizedOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(text) AS hr,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS hn
+      |  FROM documents),
+      |cr AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY hr),
+      |cn AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY hn)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cr) THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors_raw,
+      |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cn) THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors_norm,
+      |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cr) THEN 1 ELSE 0 END)
+      |     - sum(CASE WHEN doc_id IN (SELECT doc_id FROM cn) THEN 1 ELSE 0 END) AS BIGINT) AS n_extra_dups
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- E1b
 
   /** E1b: incremental exact dedup against a PERSISTED fingerprint

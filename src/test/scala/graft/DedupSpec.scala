@@ -47,6 +47,33 @@ class DedupSpec extends AnyFunSuite {
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dedup_exact_normalized: planted case/whitespace variants merge, norm ⊆ raw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e1c").toString
+    // docs 0,1,2 are the SAME page modulo whitespace/case — raw
+    // hashing keeps all three, normalized hashing keeps only doc 0
+    Seq(
+      (0L, "en", "The Cat  Sat", "s0"),
+      (1L, "en", "the cat sat", "s0"),
+      (2L, "en", "  The   cat SAT", "s1"),
+      (3L, "en", "unrelated text", "s1"))
+      .map { case (id, lg, t, src) => (id, lg, t, src, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupExactNormalized(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s0") == ((2L, 2L, 1L, 1L)), s"s0: ${got("s0")}")
+    assert(got("s1") == ((2L, 2L, 1L, 1L)), s"s1: ${got("s1")}")
+    // containment theorem on the real corpus: per source, normalized
+    // survivors never exceed raw survivors
+    Dedup.dedupExactNormalized(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"${r.getString(0)}: norm survivors exceed raw")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+  }
+
   test("ann_param_sweep: recall curve monotone in nprobe, bounded, constant query count") {
     val rows = Dedup.annParamSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
