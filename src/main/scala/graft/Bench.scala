@@ -78,6 +78,10 @@ object Bench {
     "memo_jaccard_prefix" -> (() => operators.Dedup.warmJaccardPrefix(spark, dir)),
     "memo_minhash_sig"    -> (() => operators.Dedup.warmMinhashSig(spark, dir)),
     "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)),
+    // the exact cosine probe-all edge list shared by ann_topk_batch /
+    // knn_graph_mutual / ann_recall_report / ann_param_sweep — after
+    // memo_ivf_index so the k-means build isn't billed here
+    "memo_exact_edges_cos" -> (() => operators.Ivf.warmExactEdges(spark, dir)),
     // E13/E35 + E33 share the component-label tables; warmed here so
     // the query lines measure the reports, not the propagation. MUST
     // come after memo_ivf_index: the vector-side labels derive from

@@ -20,7 +20,8 @@ case class IndexStatus(
     builtAt: Long,
     version: Int,
     dirtyCount: Long,
-    totalVectors: Long) {
+    totalVectors: Long,
+    appliedStreamBatch: Long = -1L) {
 
   /** index_service.py:88-99: rebuild when unbuilt, empty, or the dirty
     * ratio reaches the threshold.
@@ -66,7 +67,8 @@ object IndexLifecycle {
     val json =
       s"""{"algorithm":"${s.algorithm}","is_built":${s.isBuilt},"is_dirty":${s.isDirty},
          |"size":${s.size},"embedding_dim":${s.embeddingDim},"built_at":${s.builtAt},
-         |"version":${s.version},"dirty_count":${s.dirtyCount},"total_vectors":${s.totalVectors}}"""
+         |"version":${s.version},"dirty_count":${s.dirtyCount},"total_vectors":${s.totalVectors},
+         |"applied_stream_batch":${s.appliedStreamBatch}}"""
         .stripMargin.replace("\n", "")
     val out = f.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -86,15 +88,17 @@ object IndexLifecycle {
     else {
       val in = f.open(p)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): String = {
-        val m = ("\"" + name + "\":\"?([^,}\"]*)").r.findFirstMatchIn(json)
-        m.map(_.group(1)).getOrElse(sys.error(s"bad state file: missing $name"))
-      }
+      def fieldOpt(name: String): Option[String] =
+        ("\"" + name + "\":\"?([^,}\"]*)").r.findFirstMatchIn(json).map(_.group(1))
+      def field(name: String): String =
+        fieldOpt(name).getOrElse(sys.error(s"bad state file: missing $name"))
       IndexStatus(field("algorithm"), field("is_built").toBoolean,
         field("is_dirty").toBoolean, field("size").toLong,
         field("embedding_dim").toInt, field("built_at").toLong,
         field("version").toInt, field("dirty_count").toLong,
-        field("total_vectors").toLong)
+        field("total_vectors").toLong,
+        // absent in pre-round-9 state files: no stream batch applied
+        fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L))
     }
   }
 

@@ -96,14 +96,52 @@ object Ivf {
       })
     })
 
-  /** Drop the session memo for a corpus — IndexLifecycle.build calls
+  /** Drop the session memos for a corpus — IndexLifecycle.build calls
     * this (via its corpusDir hook) so a rebuild after a data change
-    * can never serve a stale memoized index.
+    * can never serve a stale memoized index (or a stale exact edge
+    * list derived from one).
     */
-  def invalidate(dir: String): Unit =
+  def invalidate(dir: String): Unit = {
     built.keys.filter(_._1 == dir).foreach { k =>
       built.remove(k).foreach { case (assign, _) => assign.unpersist() }
     }
+    exactEdgeMemo.keys.filter(_._1 == dir).foreach { k =>
+      exactEdgeMemo.remove(k).foreach(_.unpersist())
+    }
+  }
+
+  /** Session memo for the EXACT (probe-all) batch-ANN edge list —
+    * (query_id, neighbor_id, rank), O(N·k) skinny. Four report keys
+    * consume the SAME exact contract within one session (ann_topk_batch
+    * serves it, knn_graph_mutual symmetrizes it, ann_recall_report and
+    * ann_param_sweep grade serving tiers against it), and before this
+    * memo each recomputed the probe-all pass — the single most
+    * expensive plan in the bench — from scratch (and the sweep embedded
+    * it in all four grid branches, re-running it 4× inside ONE key).
+    * Memoized + cached like the index itself: the probe-all pass is
+    * paid once per (corpus, k, metric) per session, every consumer
+    * pays only its own join/report increment, and the sweep's "one
+    * exact pass" scaladoc claim is true in the physical plan (the four
+    * union branches share one InMemoryRelation).
+    */
+  private val exactEdgeMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  def exactEdges(spark: SparkSession, dir: String, k: Int,
+                 metric: Int): DataFrame =
+    exactEdgeMemo.get((dir, k, metric)).getOrElse(synchronized {
+      exactEdgeMemo.getOrElseUpdate((dir, k, metric),
+        annBatch(spark, dir, k, metric).cache())
+    })
+
+  /** Materialize the exact-edge memo (Bench line item, same attribution
+    * rationale as [[warmIndex]]).
+    */
+  def warmExactEdges(spark: SparkSession, dir: String, k: Int = 5,
+                     metric: Int = VectorMetric.Cosine): Unit = {
+    exactEdges(spark, dir, k, metric).count()
+    ()
+  }
 
   /** The session index for `dir` at the default cluster count —
     * (assignments, centroids) — for operators that compose with the

@@ -59,12 +59,27 @@ object PqLifecycle {
     * state, move in — a crash leaves a loud marker, never silently
     * unaccounted rows) and record the growth as dirt. Queries see the
     * new vectors immediately; nothing retrains.
+    *
+    * `streamBatchId` is the at-least-once guard for foreachBatch
+    * callers (D12): the id is recorded in the SAME state write
+    * landAppend already does before moving files in, so a replayed
+    * batch (sink retry after a completed append but before the
+    * checkpoint commit) sees `appliedStreamBatch >= batchId` and
+    * NO-OPs instead of silently landing duplicate code rows. A crash
+    * between the state write and the move-in stays behind the loud
+    * `_append_tmp` refusal (recovery = rebuild) — the window that was
+    * previously silent duplication is now either a no-op or a refusal,
+    * never unaccounted rows.
     */
-  def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
+  def append(newVecs: DataFrame, indexPath: String,
+             streamBatchId: Option[Long] = None): IndexStatus = {
     val spark = newVecs.sparkSession
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "append requires a built index (build first)")
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+    // replay no-op AFTER the marker check: a state that records the
+    // batch but still carries _append_tmp is half-moved, not applied
+    if (streamBatchId.exists(_ <= s.appliedStreamBatch)) return s
     val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
     val codebooks = Pq.loadCodebooks(spark, indexPath)
     val metric = Pq.loadMetric(spark, indexPath)
@@ -78,7 +93,9 @@ object PqLifecycle {
     val staged = Ivf.assignTo(v, centroids)
       .select(col("cluster_id"), col("neighbor_id").as("id"),
         PqFunctions.pqEncode(encodeInput, codebooks).as("codes"))
-    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)
+    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
+      size = s.size + n,
+      appliedStreamBatch = streamBatchId.getOrElse(s.appliedStreamBatch))
     IndexLifecycle.landAppend(spark, indexPath, staged, next)
     v.unpersist()
     next

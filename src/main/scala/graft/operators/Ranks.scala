@@ -52,11 +52,18 @@ object Ranks {
     * count job + the counts aggregate — callers with an expensive
     * upstream pin their input first (perplexity_buckets
     * localCheckpoints its scored table).
+    *
+    * Contract: `group` may be ANY non-null orderable column type (the
+    * key is carried as an opaque Row value — never read as a specific
+    * Scala type), and GROUP CARDINALITY is a driver-memory bound: the
+    * offsets are one collected row per group, so the helper is for
+    * per-SOURCE / per-LANGUAGE scale groupings (≤ ~10⁶ groups), not
+    * per-document keys — a caller with unbounded groups wants a plain
+    * window and should not be here.
     */
   def groupedRowNumber(df: DataFrame, group: String, orderCol: String,
                        descending: Boolean, tieCol: String): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val order = if (descending) col(orderCol).desc else col(orderCol).asc
     val sortKeys = Seq(col(group).asc, order, col(tieCol).asc)
     // one row per group to the driver; the exclusive prefix MUST use
@@ -69,12 +76,20 @@ object Ranks {
       .orderBy(col(group).asc)
       .collect().map { r =>
         require(!r.isNullAt(0), s"groupedRowNumber: null $group value")
-        (r.getString(0), r.getLong(1))
+        (r.get(0), r.getLong(1))
       }
     var acc = 0L
-    val offsets = counts.map { case (g, c) =>
-      val row = (g, acc, c); acc += c; row
+    val offsetRows = counts.map { case (g, c) =>
+      val row = org.apache.spark.sql.Row(g, acc, c); acc += c; row
     }
+    val offsetSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(group).copy(name = group),
+      org.apache.spark.sql.types.StructField("_grp_off",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp_n",
+        org.apache.spark.sql.types.LongType)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1), offsetSchema)
     val sorted = df
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
@@ -84,7 +99,7 @@ object Ranks {
       },
       sorted.schema.add("_gpos", org.apache.spark.sql.types.LongType))
     withPos
-      .join(broadcast(offsets.toSeq.toDF(group, "_grp_off", "grp_n")), group)
+      .join(broadcast(offsets), group)
       .withColumn("rn", col("_gpos") - col("_grp_off"))
       .drop("_gpos", "_grp_off")
   }

@@ -346,28 +346,35 @@ object TextOps {
     * Exact discrete semantics, integers end-to-end: lower median =
     * element at 1-based rank (n+1) div 2 of the sorted group (C20's
     * index idiom — never a double `ceil`), deviations stay BIGINT, the
-    * threshold compare is integer×integer. Both medians reuse the ONE
-    * window trick from C20: rank and group-count share a (partition,
-    * order) spec so each median pass plans a single Window exec. Two
-    * passes (values, then deviations) = two source-partitioned
-    * shuffles; the 20-row per-source median/MAD frames broadcast back.
+    * threshold compare is integer×integer. Each median pass uses the
+    * E39 histogram value-at-rank formulation: groupBy (source, value)
+    * → per-source cumulative counts over HISTOGRAM rows → min value
+    * whose cumulative count reaches the rank. The only per-source
+    * window runs over distinct values (bounded by the value DOMAIN,
+    * never the corpus — a source with a billion docs but chars ≤ 100k
+    * ranks ≤ 100k histogram rows), so a 90%-skewed crawl source costs
+    * its hot task a map-side-combined count, not a full row-set sort —
+    * the round-8 E40/E41 straggler class, removed here the same round
+    * the library learned the lesson. Two passes (values, then
+    * deviations) = two histogram aggregations; the 20-row per-source
+    * median/MAD frames broadcast back.
     *
-    * Scale note: exact grouped medians need the per-group sort — with
-    * ~20 sources that is 20-way parallelism regardless of corpus size,
-    * the honest cost of exactness (same contract as C20). The 100 TB
-    * twin swaps both medians for `approx_percentile(0.5)` sketches
-    * (fixed memory, map-side combined) at the cost of the exactness
-    * oracle; the threshold logic is unchanged.
+    * Scale note: the 100 TB twin swaps both medians for
+    * `approx_percentile(0.5)` sketches (fixed memory, map-side
+    * combined) at the cost of the exactness oracle; the threshold
+    * logic is unchanged.
     */
   def qualityOutliersMad(spark: SparkSession, dir: String, t: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("source")).orderBy(col(valueCol), col("doc_id"))
+      val w = Window.partitionBy(col("source")).orderBy(col(valueCol))
       val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      df.select(col("source"), col(valueCol),
-          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      df.groupBy(col("source"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col(valueCol),
+          sum(col("cnt")).over(w).as("cum"), sum(col("cnt")).over(wn).as("n"))
         .groupBy(col("source"))
-        .agg(max(when(col("rn") === expr("(n+1) div 2"), col(valueCol))).as(out))
+        .agg(min(when(col("cum") >= expr("(n+1) div 2"), col(valueCol))).as(out))
     }
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -497,10 +497,80 @@ object Streams {
                                      batchId: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.toString)
+    val all = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+    // a half-applied compaction (_old_* asides / _compact_tmp) means
+    // some landed subdirs are mid-swap — refuse to serve rather than
+    // read a store missing (or double-counting) them
+    val markers = all.map(_.getName)
+      .filter(n => n.startsWith("_old_") || n == "_compact_tmp")
+    require(markers.isEmpty,
+      s"store $path has a half-applied compaction (${markers.mkString(", ")}); " +
+        "recover the _old_* subdirs before serving")
+    val dirs = all.map(_.toString)
       .filterNot(_.endsWith(s"/b$batchId"))
+      .filterNot(d => new org.apache.hadoop.fs.Path(d).getName.startsWith("_"))
+    // every driver seeds its store with a typed `seed` subdir before
+    // the stream starts — enforce the convention loudly instead of
+    // letting spark.read.parquet throw an opaque path error on an
+    // unseeded (or own-batch-only) store
+    require(dirs.nonEmpty,
+      s"store $path has no subdirectories besides batch $batchId's own — " +
+        "seed the store with a (possibly empty) typed `seed` subdir first")
     spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
+
+  /** Per-trigger listing cost note: readStoreExcept re-lists the store
+    * every trigger, and the store grows one subdirectory per landed
+    * batch — O(batches) listing on a long-lived ingest, the same
+    * small-files wall A20 answers for inverted lists. [[compactStore]]
+    * is the standing maintenance step: collapse the landed subdirs into
+    * one between triggers (threshold-gated by the caller), atomically
+    * and content-neutrally, so listing cost resets to O(1).
+    *
+    * Protocol (the A20 rename-aside discipline, one level up): write
+    * the union of all current subdirs to `_compact_tmp`, move every
+    * absorbed subdir aside under `_old_b*`, rename `_compact_tmp` in as
+    * `seed` (the conventional always-present subdir), then clear the
+    * asides. A crash mid-swap leaves `_old_*` markers and the tmp dir —
+    * both underscore-prefixed, both refused loudly here before the next
+    * compact (recovery: restore the asides by hand or re-seed; the
+    * LANDED b* subdirs a crash hasn't touched are still complete) —
+    * never a silently half-absorbed store. Returns the number of
+    * subdirectories absorbed (0 = nothing to do, store untouched).
+    *
+    * Invocation contract: ONLY between triggers (or with the query
+    * stopped), after the checkpoint has committed every landed batch —
+    * absorbing an UNCOMMITTED batch's subdir into `seed` would feed
+    * that batch's own rows back into its retry, exactly what the
+    * own-subdir exclusion exists to prevent.
+    */
+  private[graft] def compactStore(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("_old_") || n == "_compact_tmp")
+    require(leftover.isEmpty,
+      s"store $path has a half-applied compaction (${leftover.mkString(", ")}); " +
+        "a crash interrupted the swap — recover the _old_* subdirs before compacting")
+    val subdirs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath).filterNot(_.getName.startsWith("_"))
+    if (subdirs.length <= 1) return 0
+    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+    spark.read.parquet(subdirs.map(_.toString).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val asides = subdirs.map { d =>
+      val aside = new org.apache.hadoop.fs.Path(p, s"_old_${d.getName}")
+      if (!fs.rename(d, aside))
+        sys.error(s"compactStore: could not move $d aside")
+      aside
+    }
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(p, "seed")))
+      sys.error(s"compactStore: rename $tmp -> seed failed; " +
+        "originals kept under _old_*")
+    asides.foreach { a =>
+      if (!fs.delete(a, true)) sys.error(s"compactStore: could not clean up $a")
+    }
+    subdirs.length
   }
 
   /** D10 core: ONE micro-batch of the incremental-dedup ingest (E1b's
@@ -536,6 +606,26 @@ object Streams {
       survivors.select("text_hash").write.mode("overwrite")
         .parquet(s"$store/b$batchId")
     }
+
+  /** The D10/D14 static oracles are exact only because the landing glob
+    * is consumed in ONE trigger (no maxFilesPerTrigger on the driver
+    * entries): under multiple triggers the first-arrival canon can
+    * differ from the oracle's global min doc_id when duplicate texts
+    * span batches. Asserted after the drain so a future trigger-split
+    * change fails LOUDLY here instead of as an oracle hash mismatch
+    * (the multi-batch behavior itself is proven separately in
+    * StreamsSpec with explicit arrivals).
+    */
+  private def assertSingleLandedBatch(spark: SparkSession, outPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val landed = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("b\\d+"))
+    require(landed.length <= 1,
+      s"driver entry expects single-trigger consumption but ${landed.length} " +
+        s"batches landed (${landed.mkString(", ")}) — the static oracle's " +
+        "global arg-min assumption no longer holds")
+  }
 
   /** Attach the D10 foreachBatch sink to an incoming (doc_id, text,
     * source) stream — shared by the driver file harness and the
@@ -819,6 +909,7 @@ object Streams {
       .select(col("doc_id"), col("lang"), col("text"), col("source"))
     val (q, ckpt) = runAttrition(incoming, store, out)
     try q.processAllAvailable() finally q.stop()
+    assertSingleLandedBatch(ss, out)
     val result = ss.read.parquet(s"$out/*")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -851,10 +942,21 @@ object Streams {
     * Empty triggers are skipped outright: an empty append would still
     * write state + staging for nothing (and flip isDirty before any
     * row arrived).
+    *
+    * At-least-once replay safety: the trigger's batchId rides into
+    * PqLifecycle.append, which records it in the same state write the
+    * landing protocol already does and NO-OPs any batch the state
+    * already accounts for — a sink retry after a completed append
+    * (crash between landAppend finishing and the checkpoint commit)
+    * can no longer land duplicate code rows or double-count dirt, the
+    * same exactly-once discipline the b<batchId> overwrite protocol
+    * gives the D10/D13/D14 stores.
     */
-  private[graft] def indexAppendBatch(indexPath: String)(batch: DataFrame): Unit =
+  private[graft] def indexAppendBatch(indexPath: String)
+                                     (batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) {
-      graft.operators.PqLifecycle.append(batch.select("id", "vec"), indexPath)
+      graft.operators.PqLifecycle.append(batch.select("id", "vec"), indexPath,
+        streamBatchId = Some(batchId))
       ()
     }
 
@@ -867,8 +969,8 @@ object Streams {
       : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
     val ckpt = tmpCheckpoint()
     val q = incoming.writeStream
-      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        indexAppendBatch(indexPath)(b.toDF()))
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        indexAppendBatch(indexPath)(b.toDF(), id))
       .option("checkpointLocation", ckpt.toString)
       .start()
     (q, ckpt)
@@ -973,6 +1075,7 @@ object Streams {
       .select(col("doc_id"), col("text"), col("source"))
     val (q, ckpt) = runDedupIncremental(incoming, store, out)
     try q.processAllAvailable() finally q.stop()
+    assertSingleLandedBatch(ss, out)
     // pin the (tiny) survivor table into Spark block storage so the
     // landing-zone temp tree and the RAM-backed checkpoint can be
     // deleted NOW instead of leaking one set per bench/verify pass

@@ -113,6 +113,12 @@ object CorpusScaleProbe {
       graft.operators.Corpus.lmBigramScore(spark, skewDir).count() }
     timed("perplexity_buckets_skew") {
       graft.operators.Corpus.perplexityBuckets(spark, skewDir).count() }
+    // round-9: E30's medians now rank HISTOGRAM rows (distinct values
+    // per source), so the hot source costs a map-side-combined count,
+    // not a full row-set sort — this line should sit near the uniform
+    // corpus's cost, with no single-task stage
+    timed("quality_outliers_mad_skew") {
+      graft.operators.TextOps.qualityOutliersMad(spark, skewDir).count() }
 
     // E33 rides the vector tier: 25× the sf0.1 embedding count, built
     // as ~nv/10 base vectors × 10 jittered copies so the cosine

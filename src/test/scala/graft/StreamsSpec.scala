@@ -331,6 +331,83 @@ class StreamsSpec extends AnyFunSuite {
     Streams.deleteTree(root)
   }
 
+  test("D12 replay of an applied batchId is a no-op (at-least-once safety)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IndexLifecycle, PqLifecycle}
+    val root = java.nio.file.Files.createTempDirectory("graft_d12r")
+    val idx = root.resolve("idx").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = vecs.count()
+    PqLifecycle.build(spark, sf, idx)
+    val b = vecs.filter(col("id") < 3).select((col("id") + n).as("id"), col("vec"))
+    Streams.indexAppendBatch(idx)(b, 0L)
+    val s1 = IndexLifecycle.status(spark, idx)
+    val rows1 = spark.read.parquet(idx).count()
+    assert(s1.dirtyCount == 3L && s1.appliedStreamBatch == 0L)
+    // the replay: foreachBatch re-delivers batch 0 after a crash
+    // between the completed append and the checkpoint commit — the
+    // state already accounts for it, so the retry must not land
+    // duplicate code rows or double-count dirt
+    Streams.indexAppendBatch(idx)(b, 0L)
+    val s2 = IndexLifecycle.status(spark, idx)
+    assert(s2 == s1, s"replay mutated state: $s2")
+    assert(spark.read.parquet(idx).count() == rows1,
+      "replay landed duplicate code rows")
+    // a NEW batch id still appends normally
+    Streams.indexAppendBatch(idx)(
+      b.select((col("id") + 100L).as("id"), col("vec")), 1L)
+    val s3 = IndexLifecycle.status(spark, idx)
+    assert(s3.dirtyCount == 6L && s3.appliedStreamBatch == 1L)
+    assert(spark.read.parquet(idx).count() == rows1 + 3)
+    Streams.deleteTree(root)
+  }
+
+  test("store compaction collapses landed subdirs content-neutrally; " +
+      "post-compact stream still drops cross-batch dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp")
+    val store = root.resolve("store").toString
+    val out = root.resolve("survivors").toString
+    Seq("stored text").toDF("text").select(md5(col("text")).as("text_hash"))
+      .write.parquet(s"$store/seed")
+    Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text_hash")
+      .write.parquet(s"$out/seed")
+    // two landed batches (the D10 batch core invoked directly)
+    Streams.dedupIncrementalBatch(store, out)(
+      Seq((100L, "batch zero text", "src")).toDF("doc_id", "text", "source"), 0L)
+    Streams.dedupIncrementalBatch(store, out)(
+      Seq((101L, "batch one text", "src")).toDF("doc_id", "text", "source"), 1L)
+    val before = spark.read.parquet(s"$store/*").collect()
+      .map(_.getString(0)).toSet
+    assert(before.size == 3)
+    def subdirs(): Set[String] = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs() == Set("seed", "b0", "b1"))
+    // collapse: 3 subdirs absorbed into one, content identical
+    assert(Streams.compactStore(spark, store) == 3)
+    assert(subdirs() == Set("seed"))
+    assert(spark.read.parquet(s"$store/*").collect()
+      .map(_.getString(0)).toSet == before, "compaction changed store content")
+    // idempotent: nothing to do on a compacted store
+    assert(Streams.compactStore(spark, store) == 0)
+    // the post-compact store still drops a dup of an ABSORBED hash
+    Streams.dedupIncrementalBatch(store, out)(
+      Seq((102L, "batch zero text", "src"), (103L, "novel text", "src"))
+        .toDF("doc_id", "text", "source"), 2L)
+    val survivors = spark.read.parquet(s"$out/*").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(100L, 101L, 103L),
+      s"post-compact store failed to drop the dup: $survivors")
+    // a half-applied compaction marker refuses both compact and serve
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(store).resolve("_old_bX"))
+    intercept[IllegalArgumentException] { Streams.compactStore(spark, store) }
+    intercept[IllegalArgumentException] { Streams.readStoreExcept(spark, store, 99L) }
+    Streams.deleteTree(root)
+  }
+
   test("D13 cross-batch fuzzy: near-dup of a batch-1 survivor drops in batch 2 via the store") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
