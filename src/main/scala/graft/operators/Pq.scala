@@ -129,12 +129,43 @@ object Pq {
   def train(spark: SparkSession, dir: String,
             m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
     models.get((dir, m, Ivf.repr(metric), false)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, m, Ivf.repr(metric), false), {
-        val train = trainSample(spark, dir, metric, TrainSampleCap)
-        val dim = train(0).length
-        Model(dim, m, dim / m, trainCodebooks(train, m))
-      })
+      models.getOrElseUpdate((dir, m, Ivf.repr(metric), false),
+        pqFromSample(trainSample(spark, dir, metric, TrainSampleCap), m))
     })
+
+  /** Plain-PQ model from a collected training sample (shared by the
+    * dir-memoized [[train]] and the from-frame rebuild path).
+    */
+  private def pqFromSample(train: Array[Array[Float]], m: Int): Model = {
+    val dim = train(0).length
+    Model(dim, m, dim / m, trainCodebooks(train, m))
+  }
+
+  /** Bounded deterministic sample of an arbitrary metric-transformed
+    * (id, vec) frame — [[trainSample]] without the dir-keyed corpus
+    * (the rebuild path trains on the index's CURRENT contents, which
+    * are not a testdata dir).
+    */
+  private def sampleFrom(vecs: DataFrame, cap: Long): Array[Array[Float]] = {
+    val n = vecs.count()
+    require(n > 0, "cannot train a product quantizer on an empty corpus")
+    val sampled =
+      if (n <= cap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("id")), lit((n + cap - 1) / cap)) === 0)
+    sampled.select(col("id"), col("vec"))
+      .orderBy("id").limit(cap.toInt)
+      .collect().map(_.getSeq[Float](1).toArray)
+  }
+
+  /** Train a model over an arbitrary metric-transformed (id, vec)
+    * frame — the lifecycle REBUILD path. Same sample budgets and
+    * Lloyd/OPQ machinery as the memoized trainers; nothing is cached
+    * (the contents are a moving target by definition).
+    */
+  private[operators] def trainFrom(vecs: DataFrame, m: Int, opq: Boolean): Model =
+    if (opq) opqFromSample(sampleFrom(vecs, OpqTrainSampleCap), m)
+    else pqFromSample(sampleFrom(vecs, TrainSampleCap), m)
 
   /** OPQ alternating-minimization budget: the rotation learns on a
     * smaller sample (the d×d Procrustes statistics saturate long before
@@ -159,8 +190,14 @@ object Pq {
   def trainOpq(spark: SparkSession, dir: String,
                m: Int = SubspaceCount, metric: Int = VectorMetric.L2): Model =
     models.get((dir, m, Ivf.repr(metric), true)).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, m, Ivf.repr(metric), true), {
-        val sample = trainSample(spark, dir, metric, OpqTrainSampleCap)
+      models.getOrElseUpdate((dir, m, Ivf.repr(metric), true),
+        opqFromSample(trainSample(spark, dir, metric, OpqTrainSampleCap), m))
+    })
+
+  /** OPQ model from a collected training sample (shared by the
+    * dir-memoized [[trainOpq]] and the from-frame rebuild path).
+    */
+  private def opqFromSample(sample: Array[Array[Float]], m: Int): Model = {
         val dim = sample(0).length
         require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
         val subDim = dim / m
@@ -214,8 +251,7 @@ object Pq {
         // final full-budget codebook pass under the converged rotation
         val finalBooks = trainCodebooks(sample.map(applyRotation(r, _)), m, iters = 10)
         Model(dim, m, subDim, finalBooks, rotation = Some(r))
-      })
-    })
+  }
 
   /** Driver-side rotation (the RotateVector kernel's twin for training). */
   private def applyRotation(r: Array[Array[Double]], v: Array[Float]): Array[Float] = {
@@ -514,7 +550,6 @@ object Pq {
   def writeIvfPq(spark: SparkSession, dir: String, outPath: String,
                  m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
                  opq: Boolean = false): Unit = {
-    import spark.implicits._
     val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
     val model = if (opq) trainOpq(spark, dir, m, metric)
                 else train(spark, dir, m, metric)
@@ -525,6 +560,16 @@ object Pq {
       .select(col("cluster_id"), col("id"), col("codes"))
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    writeSidecars(spark, outPath, centroids, model, m, metric)
+  }
+
+  /** The model sidecars of a persisted IVF-PQ tree (shared by the
+    * dir-memoized build and the from-frame rebuild).
+    */
+  private def writeSidecars(spark: SparkSession, outPath: String,
+                            centroids: Array[Array[Float]], model: Model,
+                            m: Int, metric: Int): Unit = {
+    import spark.implicits._
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_centroids")
@@ -542,6 +587,34 @@ object Pq {
     }
   }
 
+  /** Build a full IVF-PQ tree from an arbitrary RAW (id, vec) frame —
+    * the lifecycle rebuild path: fresh coarse quantizer (k = √(n/2) on
+    * the CURRENT size), fresh codebooks (and rotation when `opq`),
+    * every vector re-encoded under the new model. Returns the row
+    * count. Nothing touches the dir-keyed session memos: the contents
+    * are the index's own, not a corpus dir's.
+    */
+  private[operators] def writeIvfPqFrom(vecsRaw: DataFrame, outPath: String,
+                                        m: Int, metric: Int,
+                                        opq: Boolean): Long = {
+    val spark = vecsRaw.sparkSession
+    // cache the metric-transformed frame: Lloyd sampling, the coarse
+    // assignment, the codebook sample, and the encode all re-read it
+    val v = graft.Tables.rebalanced(Ivf.metricTransform(vecsRaw, metric)).cache()
+    val n = v.count()
+    val (assign, centroids) = Ivf.kmeans(v, Ivf.defaultK(n))
+    val model = trainFrom(v, m, opq)
+    v.join(assign, "id")
+      .select(col("id"), col("cluster_id"))
+      .join(encodeWith(v, model), "id")
+      .select(col("cluster_id"), col("id"), col("codes"))
+      .repartition(col("cluster_id")) // one file per list, not per task×list
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    writeSidecars(spark, outPath, centroids, model, m, metric)
+    v.unpersist()
+    n
+  }
+
   /** Codebooks of a persisted IVF-PQ index. */
   private[operators] def loadCodebooks(spark: SparkSession,
                                        indexPath: String): Array[Array[Array[Float]]] = {
@@ -556,6 +629,10 @@ object Pq {
     * reading an ordinal would silently serve the wrong metric if the
     * `_meta` column order ever changed.
     */
+  /** The persisted index's subspace count (from `_meta`, by name). */
+  private[operators] def loadM(spark: SparkSession, indexPath: String): Int =
+    spark.read.parquet(s"$indexPath/_meta").select("m").head().getInt(0)
+
   private[operators] def loadMetric(spark: SparkSession, indexPath: String): Int = {
     val f = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -108,6 +108,59 @@ object PqLifecycle {
   def delete(deleteIds: DataFrame, indexPath: String): IndexStatus =
     IndexLifecycle.deleteFrom(deleteIds, indexPath, idCol = "id")
 
+  /** Out-of-band rebuild — the close of the reference's lazy-rebuild
+    * loop (index_service.py:56-198): when the dirty-ratio policy fires,
+    * retrain the coarse quantizer AND the codebooks (and the OPQ
+    * rotation, when the index carries one) on the index's CURRENT
+    * logical contents, re-encode every vector under the new model, and
+    * land the result as version+1 with dirt reset. `currentVecs` is the
+    * RAW (id, vec) view of what the index should now hold — the
+    * repository snapshot in the reference's terms; the code lists
+    * themselves are lossy, so a rebuild by definition starts from the
+    * primary store, never from the codes.
+    *
+    * Swap protocol (the reference's atomic snapshot replacement,
+    * index_service.py:270-284, expressed as directory renames): the
+    * whole new tree — lists, sidecars, AND its already-written state —
+    * stages at `<path>_rebuild_tmp` while the live index keeps serving
+    * (out-of-band = no downtime); then the live tree moves aside to
+    * `<path>_old_v<n>`, the staged tree renames in, and the aside is
+    * deleted. A crash during staging leaves the live index untouched
+    * (stale staging is overwritten by the next rebuild); a crash
+    * between the renames leaves BOTH complete trees on disk under loud
+    * names — never a half-mixed model. The at-least-once stream
+    * watermark (`appliedStreamBatch`) carries over: a rebuild must not
+    * reopen replay windows for an ingest stream running against the
+    * index.
+    */
+  def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = currentVecs.sparkSession
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, "rebuild requires a built index (build first)")
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+    val m = Pq.loadM(spark, indexPath)
+    val metric = Pq.loadMetric(spark, indexPath)
+    val opq = Pq.loadRotation(spark, indexPath).isDefined
+    val fs = IndexLifecycle.fs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"${indexPath}_rebuild_tmp")
+    fs.delete(tmp, true)
+    val n = Pq.writeIvfPqFrom(currentVecs, tmp.toString, m, metric, opq)
+    val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
+      embeddingDim = s.embeddingDim, builtAt = System.currentTimeMillis(),
+      version = s.version + 1, dirtyCount = 0L, totalVectors = n,
+      appliedStreamBatch = s.appliedStreamBatch)
+    IndexLifecycle.writeState(spark, tmp.toString, next)
+    val live = new org.apache.hadoop.fs.Path(indexPath)
+    val aside = new org.apache.hadoop.fs.Path(s"${indexPath}_old_v${s.version}")
+    if (!fs.rename(live, aside))
+      sys.error(s"rebuild: could not move live index $live aside")
+    if (!fs.rename(tmp, live))
+      sys.error(s"rebuild: rename $tmp -> $live failed; last good version at $aside")
+    if (!fs.delete(aside, true))
+      sys.error(s"rebuild: could not clean up old version $aside")
+    next
+  }
+
   /** Driver query: the IVF-PQ lifecycle state machine end-to-end as one
     * deterministic table — build, append (sub-threshold dirt), delete
     * (crossing the threshold), and an on-disk read-back proving the

@@ -544,7 +544,8 @@ object Streams {
     * that batch's own rows back into its retry, exactly what the
     * own-subdir exclusion exists to prevent.
     */
-  private[graft] def compactStore(spark: SparkSession, path: String): Int = {
+  private[graft] def compactStore(spark: SparkSession, path: String,
+                                  maxSubdirs: Int = 1): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val leftover = fs.listStatus(p).map(_.getPath.getName)
@@ -554,7 +555,9 @@ object Streams {
         "a crash interrupted the swap — recover the _old_* subdirs before compacting")
     val subdirs = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath).filterNot(_.getName.startsWith("_"))
-    if (subdirs.length <= 1) return 0
+    // threshold gate: a store under its subdir budget is left untouched
+    // (callers compact on a cadence, not per trigger)
+    if (subdirs.length <= math.max(1, maxSubdirs)) return 0
     val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
     spark.read.parquet(subdirs.map(_.toString).toIndexedSeq: _*)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -991,12 +994,24 @@ object Streams {
     *            arrived rows ON DISK (id ≥ n) — the landed codes are
     *            really there and accounted for, not just recorded in
     *            the state file.
+    *   phase 4  the loop CLOSES (round 9): should_rebuild fired, so the
+    *            out-of-band rebuild runs on the current logical
+    *            contents (corpus + arrivals) — fresh coarse quantizer
+    *            and codebooks at the NEW size, every vector re-encoded,
+    *            version++, dirt reset, old version swapped aside
+    *            (PqLifecycle.rebuild — the reference's lazy-rebuild
+    *            contract end-to-end, index_service.py:56-198).
+    *   phase 5  post-rebuild read-back: both counts from the NEW disk
+    *            tree (total = n + d, arrivals still present under the
+    *            new model).
     * Every value is arithmetic on the corpus count — the key is
     * oracle-checked, not rows-only; batch-split invariance (the final
     * state is the same no matter how arrivals split into triggers) is
     * exactly what the arithmetic proves, since the oracle has no idea
     * how many micro-batches ran. Code-level equality with a single
-    * batch append of the same arrival set is pinned in StreamsSpec.
+    * batch append of the same arrival set, and the rebuild's
+    * re-encoding under the new model, are pinned in StreamsSpec /
+    * PqLifecycleSpec.
     */
   def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
@@ -1009,8 +1024,9 @@ object Streams {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val s1 = graft.operators.PqLifecycle.build(ss, dir, indexPath)
       val d = math.ceil(0.2 * n).toLong
-      vecs.filter(col("id") < d)
+      val arrivals = vecs.filter(col("id") < d)
         .select((col("id") + n).as("id"), col("vec"))
+      arrivals
         .repartition(3) // 3 landing files → 3 triggers → 3 appends
         .write.mode("overwrite").parquet(landing)
       val schema = ss.read.parquet(landing).schema
@@ -1023,12 +1039,21 @@ object Streams {
       val disk = ss.read.parquet(indexPath)
       val total = disk.count()
       val arrived = disk.filter(col("id") >= n).count()
+      // the drain left should_rebuild = true — fire the out-of-band
+      // rebuild on the index's current logical contents
+      val s3 = graft.operators.PqLifecycle.rebuild(
+        vecs.unionAll(arrivals), indexPath)
+      val disk2 = ss.read.parquet(indexPath)
+      val total2 = disk2.count()
+      val arrived2 = disk2.filter(col("id") >= n).count()
       val thr = graft.operators.IndexLifecycle.RebuildThreshold
       import ss.implicits._
       Seq(
         (1, s1.version, s1.isDirty, s1.dirtyCount, s1.size, s1.shouldRebuild(thr)),
         (2, s2.version, s2.isDirty, s2.dirtyCount, s2.size, s2.shouldRebuild(thr)),
-        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)))
+        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)),
+        (4, s3.version, s3.isDirty, s3.dirtyCount, s3.size, s3.shouldRebuild(thr)),
+        (5, s3.version, s3.isDirty, arrived2, total2, s3.shouldRebuild(thr)))
         .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
         .orderBy("phase")
         // eager: materialize before the temp index tree is deleted
@@ -1037,7 +1062,9 @@ object Streams {
   }
 
   /** d = ceil(0.2·n) arrivals (crossing the 0.1 dirty threshold);
-    * phase 3 re-reads both counts from the landed code lists.
+    * phase 3 re-reads both counts from the landed code lists; phases
+    * 4-5 are the post-rebuild state (version 2, clean) and its own
+    * disk read-back.
     */
   def streamIndexAppendOracleSql: String =
     """WITH p AS (SELECT count(*) AS n,
@@ -1047,6 +1074,8 @@ object Streams {
       |       false AS should_rebuild FROM p
       |UNION ALL SELECT 2, 1, true, d, n + d, (1.0*d/n >= 0.1) FROM p
       |UNION ALL SELECT 3, 1, true, d, n + d, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 4, 2, false, CAST(0 AS BIGINT), n + d, false FROM p
+      |UNION ALL SELECT 5, 2, false, d, n + d, false FROM p
       |ORDER BY phase""".stripMargin
 
   def streamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Pq, PqLifecycle}
+import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -165,6 +166,57 @@ class PqLifecycleSpec extends AnyFunSuite {
     // markers cleared: the index serves again (no permanent damage)
     assert(Pq.queryIvfPq(spark, path, q, 3, Int.MaxValue, refineWith = None)
       .count() == 3)
+  }
+
+  test("rebuild retrains on current contents: version++ with dirt reset, codes " +
+      "re-encoded under the NEW model, old version and staging gone") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_rb").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = vecs.count()
+    val s1 = PqLifecycle.build(spark, sf, path)
+    // dirty the index past the threshold: 20% re-keyed arrivals
+    val d = math.ceil(0.2 * n).toLong
+    val arrivals = vecs.filter(col("id") < d)
+      .select((col("id") + n).as("id"), col("vec"))
+    val s2 = PqLifecycle.append(arrivals, path,
+      streamBatchId = Some(7L))
+    assert(s2.shouldRebuild(graft.operators.IndexLifecycle.RebuildThreshold))
+    val clustersBefore = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+
+    val current = vecs.unionAll(arrivals)
+    val s3 = PqLifecycle.rebuild(current, path)
+    assert(s3.version == s1.version + 1 && !s3.isDirty && s3.dirtyCount == 0L)
+    assert(s3.size == n + d && s3.totalVectors == n + d)
+    assert(s3.appliedStreamBatch == 7L,
+      "rebuild must carry the stream replay watermark over")
+    // disk agrees with the state and the swap left no debris
+    assert(spark.read.parquet(path).count() == n + d)
+    assert(!new java.io.File(s"${path}_old_v1").exists, "old version must be gone")
+    assert(!new java.io.File(s"${path}_rebuild_tmp").exists, "staging must be gone")
+    // the coarse quantizer really retrained AT THE NEW SIZE: the list
+    // count follows √((n+d)/2), not the old √(n/2)
+    val clustersAfter = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+    val kNew = graft.operators.Ivf.defaultK(n + d)
+    assert(clustersAfter <= kNew && clustersAfter > clustersBefore,
+      s"expected ~$kNew lists after rebuild (was $clustersBefore), got $clustersAfter")
+    // codes are coherent with the NEW persisted model: an identical-
+    // content append ties with its originals in a pure compressed-domain
+    // query — impossible if the stored codes were still the old model's.
+    // Three copies of vec 1 now exist: the original (id 1), the streamed
+    // arrival (id n+1), and the fresh append — identical codes tie, id
+    // breaks the tie, so all three fill the top 3.
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    PqLifecycle.append(Seq((99999L, v1.toSeq)).toDF("id", "vec"), path)
+    val top3 = Pq.queryIvfPq(spark, path, v1, k = 3, nprobe = Int.MaxValue,
+      refineWith = None).collect().map(_.getLong(0)).toSet
+    assert(top3 == Set(1L, n + 1L, 99999L),
+      s"post-rebuild codes incoherent with the persisted model: $top3")
+    Streams.deleteTree(java.nio.file.Paths.get(path))
   }
 
   test("driver lifecycle table matches the oracle arithmetic shape") {
