@@ -127,6 +127,10 @@ object SparkEntry {
     // A23: one-row index-health summary (list sizes + imbalance
     // permille — the alert signal; index_stats is the detail view)
     "ivf_balance_report" -> (Ivf.ivfBalanceReport _),
+    // A24: the quantization TIER-selection curve — recall@k per
+    // (tier, refine) vs the exact contract (E50 answers "which
+    // nprobe"; this answers "which tier at which refine depth")
+    "quant_tier_report" -> ((s, d) => QuantReport.quantTierReport(s, d)),
     // E38: k-means-residual embedding outliers (integer-exact test)
     "embedding_outliers" -> (Ivf.embeddingOutliers _),
     // E39: per-source dataset card (counts, exact length percentiles,
@@ -508,6 +512,9 @@ object SparkEntry {
     "ann_param_sweep" -> ((s, d) => Dedup.annParamSweepOracleSql(s, d)),
     // A23: assignment replay → the same list-size aggregate arithmetic
     "ivf_balance_report" -> ((s, d) => Ivf.ivfBalanceReportOracleSql(s, d)),
+    // A24: all five tiers' encode + shortlist + re-rank replayed over
+    // the session models (SQ8/BQ inline; PQ/OPQ/PCA literals)
+    "quant_tier_report" -> ((s, d) => QuantReport.quantTierReportOracleSql(s, d)),
     // the hyperplane matrix is seeded, so the LSH banding replays too
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLshOracleSql(s, d)),
     // the PQ family: codebooks/rotation/ADC tables inlined, encode

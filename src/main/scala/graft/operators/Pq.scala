@@ -446,7 +446,7 @@ object Pq {
   /** M inter-centroid tables for symmetric PQ distance under a metric
     * (squared l2, or negated partial dots for dot).
     */
-  private def sdcTable(model: Model, metric: Int): Array[Array[Array[Double]]] =
+  private[operators] def sdcTable(model: Model, metric: Int): Array[Array[Array[Double]]] =
     model.codebooks.map { cb =>
       cb.map { a =>
         cb.map { b =>
@@ -766,7 +766,7 @@ object Pq {
     m.map(_.map(_.toDouble.toString).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-  private def cbLiteral(cbs: Array[Array[Array[Float]]]): String =
+  private[operators] def cbLiteral(cbs: Array[Array[Array[Float]]]): String =
     cbs.map(matLiteral).mkString("[", ",", "]")
 
   /** Corpus CTE `corp(vec_id, v DOUBLE[])` in the model's input space:
@@ -774,36 +774,38 @@ object Pq {
     * divide-then-cast-to-float replayed), or OPQ-rotated (RotateVector's
     * double row-sums with the float cast per component).
     */
-  private def corpCte(metric: Int, rotation: Option[Array[Array[Double]]]): String = {
+  private[operators] def corpCte(metric: Int,
+                                 rotation: Option[Array[Array[Double]]],
+                                 prefix: String = ""): String = {
     val base = metric match {
       case VectorMetric.Cosine =>
-        """rawc AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r,
-          |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-          |                            CAST(embedding AS DOUBLE[]))) AS n2
-          |  FROM embeddings),
-          |corp0 AS (
-          |  SELECT vec_id,
-          |    CASE WHEN n2 = 0 THEN r
-          |         ELSE list_transform(r, x -> CAST(CAST(x / n2 AS FLOAT) AS DOUBLE))
-          |    END AS v
-          |  FROM rawc)""".stripMargin
+        s"""${prefix}rawc AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r,
+           |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+           |                            CAST(embedding AS DOUBLE[]))) AS n2
+           |  FROM embeddings),
+           |${prefix}corp0 AS (
+           |  SELECT vec_id,
+           |    CASE WHEN n2 = 0 THEN r
+           |         ELSE list_transform(r, x -> CAST(CAST(x / n2 AS FLOAT) AS DOUBLE))
+           |    END AS v
+           |  FROM ${prefix}rawc)""".stripMargin
       case _ =>
-        "corp0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+        s"${prefix}corp0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     }
     rotation match {
-      case None => base.replace("corp0", "corp")
+      case None => base.replace(s"${prefix}corp0", s"${prefix}corp")
       case Some(r) =>
         val dim = r.length
         val rl = r.map(_.map(_.toString).mkString("[", ",", "]")).mkString("[", ",", "]")
         s"""$base,
-           |rot AS (SELECT CAST($rl AS DOUBLE[][]) AS rm),
-           |corp AS (
+           |${prefix}rot AS (SELECT CAST($rl AS DOUBLE[][]) AS rm),
+           |${prefix}corp AS (
            |  SELECT vec_id,
            |    list_transform(range(1, ${dim + 1}), oi -> CAST(CAST(
            |      list_sum(list_transform(range(1, ${dim + 1}), j -> rm[oi][j] * v[j]))
            |    AS FLOAT) AS DOUBLE)) AS v
-           |  FROM corp0, rot)""".stripMargin
+           |  FROM ${prefix}corp0, ${prefix}rot)""".stripMargin
     }
   }
 
@@ -816,26 +818,26 @@ object Pq {
     * and fills DuckDB's spill disk; exploded, each row carries subDim
     * doubles.
     */
-  private def codesCte(model: Model): String = {
+  private[operators] def codesCte(model: Model, prefix: String = ""): String = {
     val sd = model.subDim
-    s"""cbt AS (
+    s"""${prefix}cbt AS (
        |  SELECT sub.mi, cand.code,
        |    list_transform(range(1, ${sd + 1}), i -> c[sub.mi + 1][cand.code + 1][i]) AS cvec
-       |  FROM cb,
+       |  FROM ${prefix}cb,
        |    UNNEST(range(0, ${model.m})) sub(mi),
        |    UNNEST(range(0, ${model.codebooks(0).length})) cand(code)),
-       |corps AS (
+       |${prefix}corps AS (
        |  SELECT vec_id, sub.mi,
        |    list_transform(range(1, ${sd + 1}), i -> v[sub.mi * $sd + i]) AS svec
-       |  FROM corp, UNNEST(range(0, ${model.m})) sub(mi)),
-       |codes AS (
+       |  FROM ${prefix}corp, UNNEST(range(0, ${model.m})) sub(mi)),
+       |${prefix}codes AS (
        |  SELECT vec_id, mi, code FROM (
        |    SELECT s.vec_id, s.mi, t.code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
        |        list_sum(list_transform(range(1, ${sd + 1}),
        |          i -> (s.svec[i] - t.cvec[i]) * (s.svec[i] - t.cvec[i]))),
        |        t.code) AS rn
-       |    FROM corps s JOIN cbt t USING (mi)) x
+       |    FROM ${prefix}corps s JOIN ${prefix}cbt t USING (mi)) x
        |  WHERE rn = 1)""".stripMargin
   }
 
