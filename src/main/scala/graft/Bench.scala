@@ -67,6 +67,34 @@ object Bench {
       s""""run_totals":$runTotals,"passes":$passes,"errors":$errJson,""" +
       s""""queries_file":${Verify.jsonString(out)}}"""
 
+  /** Fixed synthetic CPU+IO calibration work — CONSTANT by
+    * construction (no corpus, no SF, no model): a 20M-row codegen'd
+    * hash aggregation plus a 1M-row parquet write/read round trip
+    * through a temp dir. Timed once per run as the `calibration` line,
+    * so a cross-window comparison (the recurring 1.3-2x same-code
+    * swing between the builder's host window and the driver's) can be
+    * NORMALIZED per artifact: divide a window's per-key medians by its
+    * calibration median before comparing rounds — a host that runs
+    * calibration 1.5x slower runs everything 1.5x slower, and the
+    * divisor makes that structural instead of an adjudication argument
+    * (SURVEY §8d/§8h).
+    */
+  private[graft] def calibration(spark: SparkSession): Unit = {
+    // bit_xor, not sum: full-range hash values overflow a long sum
+    // under ANSI mode
+    spark.range(20L * 1000 * 1000)
+      .selectExpr("bit_xor(xxhash64(id)) AS h")
+      .queryExecution.toRdd.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cal")
+    try {
+      val p = tmp.resolve("t.parquet").toString
+      spark.range(1000000L).selectExpr("id", "xxhash64(id) AS h")
+        .repartition(8).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p).queryExecution.toRdd.count()
+      ()
+    } finally streaming.Streams.deleteTree(tmp)
+  }
+
   /** Shared session memos as named warmers — timed line items in the
     * bench, plain warmers in the warmup pass.
     */
@@ -146,9 +174,12 @@ object Bench {
     // bench its 7-row grid scan instead of its pair pass. toRdd keeps
     // every output column live and still never collects to the driver.
     val perRun: Seq[Seq[(String, (Double, Option[String]))]] = (1 to runsN).map { i =>
-      val r = ordered.map { case (name, fn) =>
-        name -> timed(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () })
-      }
+      // the constant-work calibration line leads each run: same
+      // median/spread treatment as a query, no SF dependence
+      val r = ("calibration" -> timed(() => calibration(spark))) +:
+        ordered.map { case (name, fn) =>
+          name -> timed(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () })
+        }
       passSnaps += s"run$i" -> storageSnapshot(spark)
       r
     }
@@ -157,7 +188,7 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val byKey = ordered.map { case (name, _) =>
+    val byKey = ("calibration" +: ordered.map(_._1)).map { name =>
       name -> perRun.map(_.toMap.apply(name))
     }
     // a key that errored in ANY pass is reported in `errors` and kept

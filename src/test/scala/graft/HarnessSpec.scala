@@ -46,6 +46,18 @@ class HarnessSpec extends AnyFunSuite {
     assert(ok.isEmpty && sec >= 0.0)
   }
 
+  test("Bench calibration line runs constant work cleanly (no corpus, no leak)") {
+    // must not depend on any SF dir or session memo, must clean its
+    // temp tree, and must be repeatable within one session
+    val before = java.io.File.listRoots()(0) // touch nothing corpus-like
+    assert(before != null)
+    Bench.calibration(spark)
+    Bench.calibration(spark)
+    val leaked = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_cal"))
+    assert(leaked.isEmpty, s"calibration leaked temp trees: ${leaked.mkString(", ")}")
+  }
+
   test("Bench per-pass storage fields exist and reflect cached state") {
     // a leak-vs-host-noise call must be answerable from the artifact:
     // the snapshot counts cached RDD blocks (cache + localCheckpoint)
