@@ -60,15 +60,21 @@ class HarnessSpec extends AnyFunSuite {
 
   test("Bench per-pass storage fields exist and reflect cached state") {
     // a leak-vs-host-noise call must be answerable from the artifact:
-    // the snapshot counts cached RDD blocks (cache + localCheckpoint)
-    val before = Bench.storageSnapshot(spark)
-    val df = spark.range(1000).toDF("id").cache()
-    df.count()
-    val after = Bench.storageSnapshot(spark)
-    try {
-      assert(after._1 == before._1 + 1, "cached_rdds must count the new cache entry")
-      assert(after._2 > before._2, "storage_mem_bytes must grow with a cached block")
-    } finally df.unpersist(true)
+    // the snapshot counts cached RDD blocks (cache + localCheckpoint).
+    // The session is shared across concurrently-running suites, so a
+    // single before/after delta can race another suite's cache or
+    // unpersist — retry the short window a few times and require ONE
+    // clean observation (the property under test is the snapshot's
+    // sensitivity, not the session's global quiescence).
+    val clean = (1 to 5).exists { _ =>
+      val before = Bench.storageSnapshot(spark)
+      val df = spark.range(1000).toDF("id").cache()
+      df.count()
+      val after = Bench.storageSnapshot(spark)
+      df.unpersist(true)
+      after._1 == before._1 + 1 && after._2 > before._2
+    }
+    assert(clean, "no clean +1 cached-rdd / +mem observation in 5 attempts")
     val pj = Bench.passJson("run1", (3, 42L, 7L))
     assert(pj == """{"pass":"run1","cached_rdds":3,"storage_mem_bytes":42,"storage_disk_bytes":7}""")
   }
