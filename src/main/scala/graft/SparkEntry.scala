@@ -131,6 +131,13 @@ object SparkEntry {
     // (tier, refine) vs the exact contract (E50 answers "which
     // nprobe"; this answers "which tier at which refine depth")
     "quant_tier_report" -> ((s, d) => QuantReport.quantTierReport(s, d)),
+    // A25: per-cluster drift vs a persisted baseline profile — the
+    // distribution-based rebuild signal beside D12's count-based one
+    "index_drift_report" -> ((s, d) => DriftReport.indexDriftReport(s, d)),
+    // E49: the MinHash-LSH banding curve (bands×rows grid: raw pair
+    // mass, capped candidates, verified recall/precision vs E2's
+    // exact graph) — completes the E45/E50/A24 tuning-report family
+    "lsh_band_sweep" -> ((s, d) => BandSweep.lshBandSweep(s, d)),
     // E38: k-means-residual embedding outliers (integer-exact test)
     "embedding_outliers" -> (Ivf.embeddingOutliers _),
     // E39: per-source dataset card (counts, exact length percentiles,
@@ -515,6 +522,9 @@ object SparkEntry {
     // A24: all five tiers' encode + shortlist + re-rank replayed over
     // the session models (SQ8/BQ inline; PQ/OPQ/PCA literals)
     "quant_tier_report" -> ((s, d) => QuantReport.quantTierReportOracleSql(s, d)),
+    // A25: assignment + residual replay over the centroid literal,
+    // both state profiles from the same deterministic split
+    "index_drift_report" -> ((s, d) => DriftReport.indexDriftReportOracleSql(s, d)),
     // the hyperplane matrix is seeded, so the LSH banding replays too
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNeardupLshOracleSql(s, d)),
     // the PQ family: codebooks/rotation/ADC tables inlined, encode

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E49: `lsh_band_sweep` — the MinHash-LSH BANDING curve, completing
+  * the tuning-report family: E45 sweeps the Jaccard THRESHOLD, E50
+  * sweeps the coarse index's nprobe, A24 sweeps the quantization tier,
+  * and this sweeps the (bands b, rows r) split of the 128-position
+  * signature — the knob the published S-curve P(candidate) =
+  * 1 − (1 − s^r)^b actually turns (Leskovec/Rajaraman/Ullman ch. 3;
+  * the parameter every at-scale fuzzy-dedup recipe fixes up front and
+  * rarely re-measures). E3 serves at 16×8; this key answers what that
+  * choice buys and costs against its neighbors 8×16 and 32×4 ON THE
+  * CORPUS ACTUALLY SERVED, with the same verify bar and the same skew
+  * guard as the serving pipeline.
+  *
+  * Per config (b ∈ {8, 16, 32}, r = 128/b), all exact integers:
+  *   - `raw_pair_mass`: Σ_buckets C(n,2) — the UNCAPPED combinatorial
+  *     candidate mass (the join fan-out the config would pay with no
+  *     skew guard; computed from bucket SIZES, never materialized as
+  *     pairs). Band boundaries nest across the power-of-two grid
+  *     (width-2r band = two adjacent width-r bands), so a bucket
+  *     co-occurrence at b bands implies ≥ 2 at 2b bands —
+  *     `raw_pair_mass(2b) ≥ 2·raw_pair_mass(b)`, a theorem the spec
+  *     pins, and the cost axis of the S-curve.
+  *   - `n_candidates`: distinct candidate pairs through the SERVED
+  *     pipeline (bucket cap [[Dedup.LshBucketCap]] applied per config —
+  *     the cap is the skew guard, and the sweep measures the pipeline
+  *     with its guard on, not an idealization).
+  *   - `n_verified`: candidates passing EXACT shingle-set Jaccard ≥
+  *     0.8 — by definition a subset of E2's exact pair graph, so
+  *     `recall_permille = 1000·n_verified div n_exact` is a true
+  *     recall against the exact contract ([[Dedup.ngramJaccardPairs]],
+  *     the prefix-filtered graph, memoized).
+  *   - `precision_permille` = 1000·n_verified div n_candidates: the
+  *     share of proposed pairs worth verifying — the verify-cost axis.
+  *
+  * One-materialization shape (the E45/A24/E50 lesson applied from day
+  * one): the three configs' candidate sets are unioned with a config
+  * tag, the exact-Jaccard verify join runs ONCE over the DISTINCT
+  * union pairs (localCheckpoint-pinned — the verify join-back is the
+  * dominant cost and must not run per grid point), and each config's
+  * row is an aggregation over tag ∩ verdict. The signature table and
+  * the exact graph's prefix table are the session memos E3/E2 already
+  * ride — nothing retrains or re-shingles.
+  *
+  * At 100 TB: bucket rows are O(docs × Σb) skinny longs; the
+  * per-config self-joins are bucket-key shuffles with the cap bounding
+  * fan-out; the verify join touches only distinct proposed pairs. The
+  * sweep costs roughly the serving pass × the grid's band-mass ratio,
+  * and runs over a deterministic doc sample when the corpus is the
+  * full crawl (E14's hash filter, same argument as E50).
+  *
+  * Rows-only by design (the D13/E3/E42 standing structural argument:
+  * candidates ride Spark-native xxhash64 minhashes; mirroring the hash
+  * in DuckDB would tax the 100 TB hot path to make a test easier) —
+  * BandSweepSpec pins the grid shape, the mass-doubling theorem, the
+  * E3-agreement pin at 16×8, and measured recall floors at two SFs.
+  */
+object BandSweep {
+
+  /** Band counts swept; rows per band = 128/b. 16 is E3's serving
+    * config; 8 trades recall for fan-out, 32 the reverse.
+    */
+  val BandGrid: Seq[Int] = Seq(8, 16, 32)
+
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame =
+    lshBandSweepOn(spark, Dedup.signaturesFor(spark, dir),
+      Dedup.ngramJaccardPairs(spark, dir))
+
+  /** The sweep over an arbitrary signature table + exact pair graph —
+    * the synthetic-corpus entry the spec drives.
+    */
+  private[graft] def lshBandSweepOn(spark: SparkSession, sig: DataFrame,
+                                    exactPairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val nExact = exactPairs.count()
+
+    // per config: bucket sizes once — raw mass from sizes (a bounded
+    // one-row aggregate; C(n,2) stays integer via div), capped bucket
+    // rows feed the pair join
+    val perConfig = BandSweep.BandGrid.map { b =>
+      val bands = Dedup.bandsOfN(sig, b)
+      val sizes = bands.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("bucket_n"))
+      val rawMass = sizes
+        .selectExpr("coalesce(sum((bucket_n * (bucket_n - 1)) div 2), 0L) AS m")
+        .head().getLong(0)
+      // same guard shape as E3: drop mega-buckets before the self-join
+      val capped = bands.join(
+        sizes.filter(col("bucket_n") <= Dedup.LshBucketCap),
+        Seq("band_id", "band_hash"))
+      val cand = capped.as("a")
+        .join(capped.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      (b, rawMass, cand)
+    }
+
+    // verify ONCE over the distinct union — the expensive join-back is
+    // paid one time, each grid row filters the pinned verdict table
+    val tagged = perConfig.map { case (b, _, cand) =>
+      cand.select(lit(b).as("bands"), col("doc_a"), col("doc_b"))
+    }.reduce(_.unionByName(_))
+    val verdicts = Dedup.verifyJaccard(
+      tagged.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
+      sig.select(col("doc_id"), col("g")),
+      Dedup.JaccardThreshold, Skew.PairSalts(1, 1))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_dup"))
+      .localCheckpoint(true)
+
+    val masses = perConfig.map { case (b, m, _) => (b, 128 / b, m) }
+      .toDF("bands", "rows_per_band", "raw_pair_mass")
+
+    tagged.join(verdicts, Seq("doc_a", "doc_b"), "left")
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_verified"))
+      .join(broadcast(masses), Seq("bands"))
+      .withColumn("n_exact", lit(nExact))
+      .selectExpr(
+        "CAST(bands AS INT) AS bands",
+        "CAST(rows_per_band AS INT) AS rows_per_band",
+        "raw_pair_mass",
+        "n_candidates", "n_verified", "n_exact",
+        "CASE WHEN n_exact > 0 THEN (n_verified * 1000) div n_exact ELSE 0 END AS recall_permille",
+        "CASE WHEN n_candidates > 0 THEN (n_verified * 1000) div n_candidates ELSE 0 END AS precision_permille")
+      .orderBy("bands")
+  }
+}

@@ -409,8 +409,8 @@ object Dedup {
     * the doc_b side instead of the doc_a side — so each side goes
     * through the salted join when its half of the bucket probe says so.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double,
-                            salts: Skew.PairSalts): DataFrame =
+  private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double,
+                                       salts: Skew.PairSalts): DataFrame =
     skewAwareVerifyJoin(
       skewAwareVerifyJoin(cand,
         sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a", salts.aSide),
@@ -1109,10 +1109,22 @@ object Dedup {
     * ONE definition shared by E3's self-join and D13's arrival-vs-store
     * ingest join, so the banding can never drift between them.
     */
-  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until LshBands).map { k =>
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+    bandsOfN(sig, LshBands)
+
+  /** The same banding at an arbitrary band count (rows = 128/bands,
+    * contiguous equal-width slices from position 0 — so band
+    * boundaries NEST across the power-of-two grid: a width-2r band is
+    * exactly two adjacent width-r bands, which is what makes E49's
+    * candidate-containment theorem provable). E3/D13 ride the
+    * [[LshBands]] instantiation; the sweep walks the grid.
+    */
+  private[graft] def bandsOfN(sig: DataFrame, bands: Int): DataFrame = {
+    require(MinhashPerms % bands == 0, s"bands=$bands must divide $MinhashPerms")
+    val rows = MinhashPerms / bands
+    val bandCols = (0 until bands).map { k =>
       struct(lit(k).as("band_id"),
-        xxhash64((k * LshRows until (k + 1) * LshRows)
+        xxhash64((k * rows until (k + 1) * rows)
           .map(j => element_at(col("mh"), j + 1)): _*).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))

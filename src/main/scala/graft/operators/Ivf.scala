@@ -700,16 +700,28 @@ object Ivf {
     * quantized vector COMPONENTS (quantize before the distance) — the
     * screen's semantics don't care about the 1e-6 grid's provenance.
     */
-  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-vector integer-quantized residual table (vec_id,
+    * cluster_id, dist_q) over the session index — dist_q =
+    * floor(l2·1e6) as BIGINT, quantized BEFORE any aggregation so
+    * every downstream sum is order-independent integer arithmetic.
+    * The ONE definition shared by E38's outlier screen and A25's
+    * drift report (the shared-seam pattern: two health reports over
+    * the same residual cannot drift on the quantization grid).
+    */
+  private[operators] def residualsQ(spark: SparkSession, dir: String): DataFrame = {
     val (assign, cents) = indexFor(spark, dir)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val cdf = centroidDf(spark, cents)
-    val d = vecs.join(assign.select("id", "cluster_id"), "id")
+    vecs.join(assign.select("id", "cluster_id"), "id")
       .join(broadcast(cdf), col("cluster_id") === col("cid"))
       .select(col("id").as("vec_id"), col("cluster_id"),
         floor(VectorFunctions.l2Distance(col("vec"), col("cvec")) * lit(1e6))
           .cast("long").as("dist_q"))
+  }
+
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = residualsQ(spark, dir)
     val stats = d.groupBy("cluster_id")
       .agg(sum(col("dist_q")).as("sum_q"), count(lit(1)).as("n"))
     d.join(broadcast(stats), "cluster_id")

@@ -35,7 +35,11 @@ class EntrySpec extends AnyFunSuite {
       "pipeline_fuzzy_dedup",
       // its continuous-ingest twin (same hash reason; StreamsSpec pins
       // the cross-batch store drop on planted multi-batch arrivals)
-      "stream_dedup_fuzzy")
+      "stream_dedup_fuzzy",
+      // the banding sweep proposes candidates from the same xxhash64
+      // minhashes (BandSweepSpec pins the mass-doubling theorem, the
+      // E3 agreement at 16×8, and measured recall floors at two SFs)
+      "lsh_band_sweep")
     val covered = SparkEntry.oracleSql.keySet ++ SparkEntry.dynamicOracleSql.keySet
     val missing = SparkEntry.queries.keySet -- covered -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
