@@ -102,10 +102,13 @@ object BandSweep {
     }
 
     // verify ONCE over the distinct union — the expensive join-back is
-    // paid one time, each grid row filters the pinned verdict table
+    // paid one time, each grid row filters the pinned verdict table.
+    // `tagged` is itself pinned eagerly: it feeds BOTH verdicts and the
+    // final aggregation, so without the checkpoint the three band
+    // self-joins (the dominant cost) would execute twice.
     val tagged = perConfig.map { case (b, _, cand) =>
       cand.select(lit(b).as("bands"), col("doc_a"), col("doc_b"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
     val verdicts = Dedup.verifyJaccard(
       tagged.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
       sig.select(col("doc_id"), col("g")),
@@ -116,11 +119,18 @@ object BandSweep {
     val masses = perConfig.map { case (b, m, _) => (b, 128 / b, m) }
       .toDF("bands", "rows_per_band", "raw_pair_mass")
 
-    tagged.join(verdicts, Seq("doc_a", "doc_b"), "left")
+    // masses always carries one row per grid config, so it is the LEFT
+    // side: a config whose capped candidate set is empty (every bucket
+    // over the cap, or no collisions at all) still emits its row with
+    // zero candidates instead of silently dropping out of the report.
+    val candAgg = tagged.join(verdicts, Seq("doc_a", "doc_b"), "left")
       .groupBy("bands")
       .agg(count(lit(1)).as("n_candidates"),
         coalesce(sum(col("is_dup")), lit(0L)).as("n_verified"))
-      .join(broadcast(masses), Seq("bands"))
+
+    masses.join(candAgg, Seq("bands"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("n_verified", coalesce(col("n_verified"), lit(0L)))
       .withColumn("n_exact", lit(nExact))
       .selectExpr(
         "CAST(bands AS INT) AS bands",

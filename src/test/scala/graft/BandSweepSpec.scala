@@ -85,6 +85,27 @@ class BandSweepSpec extends AnyFunSuite {
       "verified counts monotone too (verified = candidates ∩ exact)")
   }
 
+  test("a config with zero candidates still emits its grid row") {
+    import spark.implicits._
+    // fully disjoint vocabularies => no shared shingles, no band
+    // collisions at any config: every config's candidate set is empty,
+    // yet the report must keep one row per grid config (masses is the
+    // left side of the final join) with zeroed counts
+    val docs = (0 until 12).map { i =>
+      val words = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, words)
+    }.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs)
+    val exact = Dedup.jaccardPairsOn(docs)
+    val rows = BandSweep.lshBandSweepOn(spark, sig, exact).collect()
+    assert(rows.map(_.getInt(0)).toSet == BandSweep.BandGrid.toSet,
+      "all grid rows present even with empty candidate sets")
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L,
+        s"bands=${r.getInt(0)} zero candidates and zero verified")
+    }
+  }
+
   test("determinism: two invocations agree exactly") {
     val a = BandSweep.lshBandSweep(spark, sf001).collect().toSeq
     val b = BandSweep.lshBandSweep(spark, sf001).collect().toSeq
