@@ -62,10 +62,11 @@ object Bench {
     * in the file named by queries_file.
     */
   private[graft] def compactJson(total: Double, sfDir: String, runsN: Int,
-      runTotals: String, passes: String, errJson: String, out: String): String =
+      runTotals: String, passes: String, errJson: String, out: String,
+      calJson: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runsN,""" +
-      s""""run_totals":$runTotals,"passes":$passes,"errors":$errJson,""" +
-      s""""queries_file":${Verify.jsonString(out)}}"""
+      s""""run_totals":$runTotals,"calibration":$calJson,"passes":$passes,""" +
+      s""""errors":$errJson,"queries_file":${Verify.jsonString(out)}}"""
 
   /** Fixed synthetic CPU+IO calibration work — CONSTANT by
     * construction (no corpus, no SF, no model): a 20M-row codegen'd
@@ -126,6 +127,10 @@ object Bench {
     "memo_components_clustered" ->
       (() => operators.Dedup.warmClusteredComponents(spark, dir)),
     "memo_pq_codes"     -> (() => { operators.Pq.encode(spark, dir); () }),
+    // the residual (cluster_id, id, codes) table behind ivfpq_topk and
+    // the quant report's pqr tier — after memo_ivf_index (it rides the
+    // coarse assignment)
+    "memo_pq_codes_res" -> (() => { operators.Pq.encodeResidual(spark, dir); () }),
     "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),
     "memo_bq_codes"     -> (() => { operators.Bq.encode(spark, dir); () }),
     "memo_pca_reduced"  -> (() => { operators.Pca.reduce(spark, dir); () }),
@@ -228,12 +233,20 @@ object Bench {
       // run's numbers in the file masquerading as this run's
       System.err.println(s"[bench] could not write $out: $e")
     }
+    // the calibration median/spread travels in the COMPACT summary too,
+    // so a cross-round table can normalize host speed per artifact
+    // without opening the full queries file (SURVEY §8h's divisor)
+    val calJson = byKey.find(_._1 == "calibration")
+      .map { case (_, xs) =>
+        val ss = xs.map(_._1)
+        s"""{"median":${median(ss)},"spread":[${ss.min},${ss.max}]}"""
+      }.getOrElse("null")
     // full artifact first (humans + whole-stdout parsers), COMPACT
     // summary as the very last line: the driver keeps only a ~2000-char
     // stdout tail, which beheaded the 130-key full line (BENCH_r05/r06
     // "parsed": null); the summary always fits the window intact.
     println(json)
-    println(compactJson(total, sfDir, runsN, runTotals, passes, errJson, out))
+    println(compactJson(total, sfDir, runsN, runTotals, passes, errJson, out, calJson))
     spark.stop()
   }
 }

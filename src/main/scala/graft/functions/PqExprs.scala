@@ -182,6 +182,148 @@ case class AdcDistance(child: Expression, table: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ADC over PER-CLUSTER tables — the residual IVF-PQ serving kernel.
+  * Residual encoding (x − coarse_centroid(x), the FAISS-standard
+  * IVF-PQ composition) makes the per-query lookup table cluster-
+  * dependent: probing cluster c ranks by distances between
+  * (q − centroid_c) and the shared residual codebooks. The probed
+  * clusters' nprobe tables ride as ONE reference object indexed by the
+  * probe ordinal (nprobe × M × 256 doubles — ~1 MB at nprobe 64,
+  * driver-built per query); each candidate row carries its ordinal
+  * (from a broadcast cluster_id → ordinal map) and costs M lookups,
+  * exactly [[AdcDistance]]'s budget. One scan, one codegen'd kernel —
+  * the alternative (a union of nprobe single-table branches) grows the
+  * physical plan linearly in nprobe.
+  */
+case class AdcDistanceMulti(left: Expression, right: Expression,
+                            tables: Array[Array[Array[Double]]],
+                            takeSqrt: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance_multi"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_distance_multi expects (int ordinal, binary codes), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(o: Any, v: Any): Any = {
+    val ord = o.asInstanceOf[Int]
+    val a = v.asInstanceOf[Array[Byte]]
+    if (ord < 0 || ord >= tables.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_distance_multi: probe ordinal $ord outside [0, ${tables.length})")
+    val t = tables(ord)
+    if (a.length != t.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_distance_multi: code length ${a.length} != trained M ${t.length}")
+    var acc = 0.0
+    var mi = 0
+    while (mi < t.length) {
+      acc += t(mi)(a(mi) & 0xFF)
+      mi += 1
+    }
+    if (takeSqrt) math.sqrt(acc) else acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbls = ctx.addReferenceObj("adcTables", tables, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (o, a) => {
+      val acc = ctx.freshName("acc")
+      val mi = ctx.freshName("mi")
+      val t = ctx.freshName("t")
+      val finish = if (takeSqrt) s"Math.sqrt($acc)" else acc
+      s"""
+         |if ($o < 0 || $o >= $tbls.length) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_distance_multi: probe ordinal " + $o + " outside [0, " + $tbls.length + ")");
+         |}
+         |double[][] $t = $tbls[$o];
+         |if ($a.length != $t.length) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_distance_multi: code length " + $a.length + " != trained M " + $t.length);
+         |}
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $t.length; $mi++) {
+         |  $acc += $t[$mi][$a[$mi] & 0xFF];
+         |}
+         |${ev.value} = $finish;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Decode M PQ codes back to the quantized vector (each subspace's
+  * codebook centroid, concatenated) as exact DOUBLES — the
+  * reconstruction half of residual encoding: x̂ = centroid +
+  * decode(codes). Codebooks ride as a reference object; a pure
+  * codegen'd map, M·subDim array writes per row.
+  */
+case class PqDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_decode expects a binary code column, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[Array[Byte]]
+    if (a.length != m)
+      throw new IllegalArgumentException(
+        s"pq_decode: code length ${a.length} != trained M $m")
+    val out = new Array[Double](m * subDim)
+    var mi = 0
+    while (mi < m) {
+      val cc = codebooks(mi)(a(mi) & 0xFF)
+      var p = 0
+      while (p < subDim) { out(mi * subDim + p) = cc(p).toDouble; p += 1 }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqDecodeBooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val mi = ctx.freshName("mi"); val p = ctx.freshName("p")
+      val out = ctx.freshName("out"); val cc = ctx.freshName("cc")
+      s"""
+         |if ($a.length != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_decode: code length " + $a.length + " != trained M ${m}");
+         |}
+         |double[] $out = new double[${m * subDim}];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  float[] $cc = $cbRef[$mi][$a[$mi] & 0xFF];
+         |  for (int $p = 0; $p < $subDim; $p++) {
+         |    $out[$mi * $subDim + $p] = (double) $cc[$p];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Symmetric PQ distance (SDC): approximate distance between two
   * PQ-encoded vectors as M table lookups —
   * dist²(a,b) ≈ Σ_m T[m][a_m][b_m], T[m] the inter-centroid table of
@@ -254,6 +396,14 @@ object PqFunctions {
   def adcDistance(codes: Column, table: Array[Array[Double]],
                   takeSqrt: Boolean = true): Column =
     c(AdcDistance(e(codes), table, takeSqrt))
+
+  def adcDistanceMulti(ord: Column, codes: Column,
+                       tables: Array[Array[Array[Double]]],
+                       takeSqrt: Boolean = true): Column =
+    c(AdcDistanceMulti(e(ord), e(codes), tables, takeSqrt))
+
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqDecode(e(codes), codebooks))
 
   def sdcDistance(a: Column, b: Column, table: Array[Array[Array[Double]]],
                   takeSqrt: Boolean = true): Column =

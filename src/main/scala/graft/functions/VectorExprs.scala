@@ -241,6 +241,83 @@ case class TopKByDistance(
     copy(dist = l, id = r)
 }
 
+/** Element-wise vector combine (a ± b) in exact DOUBLE arithmetic —
+  * the residual kernel of the FAISS-standard residual IVF-PQ layout
+  * (subtract: x − centroid(x) before PQ encode; add: centroid +
+  * decoded residual for reconstruction-based distances). Inputs widen
+  * float→double exactly, so a DuckDB oracle replays the subtraction
+  * verbatim over CAST(... AS DOUBLE[]) columns. Mismatched lengths
+  * fail the job loudly (the RotateVector contract): silently zipping
+  * a prefix would corrupt every code built downstream.
+  */
+case class VectorCombine(left: Expression, right: Expression, subtract: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = if (subtract) "vector_sub" else "vector_add"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dims ${a.numElements()} != ${b.numElements()}")
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = if (subtract) x - y else x + y
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val op = if (subtract) "-" else "+"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dims " + $a.numElements() + " != " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (double) $a.$lGet($i) $op (double) $b.$rGet($i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API over the vector expressions. */
 object VectorFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -256,4 +333,11 @@ object VectorFunctions {
   /** Bounded k-nearest aggregate: array<struct<dist,id>> ascending. */
   def topKByDistance(dist: Column, id: Column, k: Int): Column =
     c(TopKByDistance(e(dist), e(id), k).toAggregateExpression())
+
+  /** a − b element-wise in exact double arithmetic (residual kernel). */
+  def vectorSub(a: Column, b: Column): Column =
+    c(VectorCombine(e(a), e(b), subtract = true))
+  /** a + b element-wise in exact double arithmetic (reconstruction). */
+  def vectorAdd(a: Column, b: Column): Column =
+    c(VectorCombine(e(a), e(b), subtract = false))
 }

@@ -36,6 +36,18 @@ import org.apache.spark.sql.functions._
   * sits in storage (optionally inside the IVF cluster layout — IVF-PQ —
   * so probes prune partitions AND read 32× fewer bytes).
   *
+  * Two code families:
+  *   - FLAT (raw-vector) codes serve pq_topk and the SDC batch paths —
+  *     one model shared across metrics per representation.
+  *   - RESIDUAL codes (x − coarse_centroid(x), the FAISS-standard
+  *     IVF-PQ composition) back both IVF layouts — in-session
+  *     [[ivfPqTopK]] and the persisted [[writeIvfPq]] tree: the shared
+  *     codebooks only cover within-cluster displacements, which buys
+  *     recall at the same M-byte budget and grows with the coarse
+  *     grid's fineness (√(N/2) lists at 100 TB). Queries rank through
+  *     per-probed-cluster ADC tables (the AdcDistanceMulti kernel —
+  *     one scan, nprobe tables as one reference object).
+  *
   * Approximate by construction (quantization error), so the driver
   * keys are rows-only; PqSpec pins recall vs exact k-NN per metric,
   * encoding bounds, and train determinism.
@@ -62,6 +74,13 @@ object Pq {
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), Model]
   private val encoded =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), DataFrame]
+  // the RESIDUAL model/codes family (x − coarse_centroid(x) before
+  // encode — the FAISS-standard IVF-PQ composition), memoized apart
+  // from the flat family: same key shape, different training input
+  private val modelsRes =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), Model]
+  private val encodedRes =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), DataFrame]
 
   /** Drop the session memos for a corpus (data-change hook, same
     * contract as Ivf.invalidate / Dedup.invalidate).
@@ -70,6 +89,9 @@ object Pq {
     models.keys.filter(_._1 == dir).foreach(models.remove)
     encoded.keys.filter(_._1 == dir)
       .foreach(k => encoded.remove(k).foreach(_.unpersist()))
+    modelsRes.keys.filter(_._1 == dir).foreach(modelsRes.remove)
+    encodedRes.keys.filter(_._1 == dir)
+      .foreach(k => encodedRes.remove(k).foreach(_.unpersist()))
   }
 
   /** Metric-transformed corpus — one definition for the whole
@@ -166,6 +188,104 @@ object Pq {
   private[operators] def trainFrom(vecs: DataFrame, m: Int, opq: Boolean): Model =
     if (opq) opqFromSample(sampleFrom(vecs, OpqTrainSampleCap), m)
     else pqFromSample(sampleFrom(vecs, TrainSampleCap), m)
+
+  // ------------------------------------------------ residual family
+  //
+  // FAISS-standard IVF-PQ encodes the RESIDUAL x − centroid(x), not the
+  // raw vector: one shared codebook set trained on residuals, whose
+  // 256 centroids per subspace then only have to cover the (much
+  // tighter) within-cluster displacement distribution — materially
+  // better recall at the same M-byte budget, and the advantage grows
+  // with the coarse grid (√(N/2) clusters at 100 TB is very fine, so
+  // residual norms shrink as the corpus grows). The flat-PQ family
+  // above stays raw-vector (pq_topk / SDC batch share one model across
+  // metrics by design); the IVF layouts — in-session ivfPqTopK and the
+  // persisted writeIvfPq tree — serve residual codes.
+  // Reference contract: app/indexes/ivf.py:158-183 (the coarse
+  // quantizer + per-list storage this composes PQ into).
+
+  /** Subtract each sample vector's nearest centroid (same widen-then-
+    * subtract squared-L2 argmin and lower-cid tie-break as the
+    * engine's assignment) — the residual training input.
+    */
+  private def residualize(sample: Array[Array[Float]],
+                          centroids: Array[Array[Float]]): Array[Array[Float]] =
+    sample.map { v =>
+      val c = centroids(probeIds(centroids, v, 1, VectorMetric.L2).head)
+      Array.tabulate(v.length)(i => (v(i).toDouble - c(i)).toFloat)
+    }
+
+  /** Residual codebooks for a corpus dir: the shared coarse quantizer's
+    * centroids (Ivf.indexFor — the SAME index the probes run against)
+    * subtracted from the bounded training sample, then the plain/OPQ
+    * trainer. For OPQ the rotation learns ON residuals (the
+    * standard composition: rotate the residual, then split).
+    */
+  def trainResidual(spark: SparkSession, dir: String,
+                    m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
+                    opq: Boolean = false): Model =
+    modelsRes.get((dir, m, Ivf.repr(metric), opq)).getOrElse(synchronized {
+      modelsRes.getOrElseUpdate((dir, m, Ivf.repr(metric), opq), {
+        val (_, cents) = Ivf.indexFor(spark, dir, metric)
+        val cap = if (opq) OpqTrainSampleCap else TrainSampleCap
+        val sample = residualize(trainSample(spark, dir, metric, cap), cents)
+        if (opq) opqFromSample(sample, m) else pqFromSample(sample, m)
+      })
+    })
+
+  /** Residual model over an arbitrary metric-transformed (id, vec)
+    * frame against GIVEN centroids — the rebuild path's trainer.
+    */
+  private[operators] def trainResidualFrom(vecs: DataFrame,
+                                           centroids: Array[Array[Float]],
+                                           m: Int, opq: Boolean): Model = {
+    val cap = if (opq) OpqTrainSampleCap else TrainSampleCap
+    val sample = residualize(sampleFrom(vecs, cap), centroids)
+    if (opq) opqFromSample(sample, m) else pqFromSample(sample, m)
+  }
+
+  /** Residual-encode an ASSIGNED (cluster_id, id, vec) frame: residual
+    * in exact doubles via the VectorCombine kernel against a broadcast
+    * double-centroid table, optional OPQ rotation, then the same
+    * codegen'd PqEncode — still a shuffle-free map after the one
+    * broadcast join.
+    */
+  private[operators] def encodeResidualWith(vecs: DataFrame,
+                                            centroids: Array[Array[Float]],
+                                            model: Model): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, j) => (j, c.map(_.toDouble).toSeq) }.toSeq
+      .toDF("cluster_id", "cvec")
+    val res = VectorFunctions.vectorSub(col("vec"), col("cvec"))
+    val input = model.rotation match {
+      case Some(r) => graft.functions.RotateFunctions.rotateVector(res, r)
+      case None => res
+    }
+    vecs.join(broadcast(cdf), "cluster_id")
+      .select(col("cluster_id"), col("id"),
+        PqFunctions.pqEncode(input, model.codebooks).as("codes"))
+  }
+
+  /** Residual codes for the corpus: (cluster_id, id, codes), memoized
+    * per representation like [[encode]]. Carries the cluster id — a
+    * residual code is meaningless without the centroid it offsets.
+    */
+  def encodeResidual(spark: SparkSession, dir: String,
+                     m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
+                     opq: Boolean = false): DataFrame =
+    encodedRes.get((dir, m, Ivf.repr(metric), opq)).getOrElse(synchronized {
+      encodedRes.getOrElseUpdate((dir, m, Ivf.repr(metric), opq), {
+        val (assign, cents) = Ivf.indexFor(spark, dir, metric)
+        val model = trainResidual(spark, dir, m, metric, opq)
+        val df = encodeResidualWith(
+          corpus(spark, dir, metric).join(assign.select("id", "cluster_id"), "id"),
+          cents, model).cache()
+        df.count()
+        df
+      })
+    })
 
   /** OPQ alternating-minimization budget: the rotation learns on a
     * smaller sample (the d×d Procrustes statistics saturate long before
@@ -323,6 +443,68 @@ object Pq {
     }
   }
 
+  /** [[adcTable]] over a DOUBLE query (the residual path: residuals are
+    * exact doubles end-to-end, so the table cells are pure double
+    * arithmetic a DuckDB literal replays exactly).
+    */
+  private def adcTableD(codebooks: Array[Array[Array[Float]]], q0: Array[Double],
+                        metric: Int): Array[Array[Double]] = {
+    val subDim = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      cb.map { c =>
+        var acc = 0.0; var i = 0
+        if (metric == VectorMetric.Dot) {
+          while (i < c.length) { acc += q0(mi * subDim + i) * c(i); i += 1 }
+          -acc
+        } else {
+          while (i < c.length) { val d = q0(mi * subDim + i) - c(i); acc += d * d; i += 1 }
+          acc
+        }
+      }
+    }
+  }
+
+  /** Driver-side rotation in full double precision (the residual query
+    * side needs no storage rounding — tables are exact driver math).
+    */
+  private def rotateDouble(r: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(r.length) { i =>
+      val row = r(i)
+      var acc = 0.0; var j = 0
+      while (j < row.length) { acc += row(j) * v(j); j += 1 }
+      acc
+    }
+
+  /** Per-cluster residual ADC tables for the probed list, in probe
+    * order (the [[graft.functions.AdcDistanceMulti]] reference object).
+    * L2/cosine: table_c = ADC of R·(q − centroid_c) against the
+    * residual codebooks (‖q − (c + R⁻¹û)‖ = ‖R(q−c) − û‖ for an
+    * orthonormal R). Dot: x̂ = c + R⁻¹û ⇒ q·x̂ = q·c + (Rq)·û, so the
+    * tables are inner-product cells over the ROTATED RAW query with
+    * the per-cluster constant −q·c folded into subspace 0's entries.
+    */
+  private[operators] def residualAdcTables(centroids: Array[Array[Float]],
+                                           probed: Seq[Int],
+                                           codebooks: Array[Array[Array[Float]]],
+                                           rotation: Option[Array[Array[Double]]],
+                                           q0: Array[Float],
+                                           metric: Int): Array[Array[Array[Double]]] =
+    probed.map { cid =>
+      val cent = centroids(cid)
+      if (metric == VectorMetric.Dot) {
+        val qd = q0.map(_.toDouble)
+        val qr = rotation.map(rotateDouble(_, qd)).getOrElse(qd)
+        val t = adcTableD(codebooks, qr, metric)
+        var qc = 0.0; var i = 0
+        while (i < q0.length) { qc += q0(i).toDouble * cent(i); i += 1 }
+        Array.tabulate(t.length)(mi => if (mi == 0) t(0).map(_ - qc) else t(mi))
+      } else {
+        val qres = Array.tabulate(q0.length)(i => q0(i).toDouble - cent(i))
+        val qr = rotation.map(rotateDouble(_, qres)).getOrElse(qres)
+        adcTableD(codebooks, qr, metric)
+      }
+    }.toArray
+
   /** Driver-side probe selection over a KB-sized centroid table: the
     * nprobe nearest coarse centroids under the (transformed) query's
     * metric — l2 for the l2 family (cosine queries and centroids are
@@ -376,8 +558,18 @@ object Pq {
       .select(col("neighbor_id"), adist.as("dist"))
       .orderBy(col("dist"), col("neighbor_id"))
       .limit(k * math.max(1, refine))
+    refineTail(shortlist, rawQuery, k, refine, metric, refineWith)
+  }
+
+  /** The exact-refine tail every compressed point query shares: re-rank
+    * the (neighbor_id, dist) shortlist with the TRUE metric over raw
+    * vectors when a refine source is given, else serve the compressed
+    * ranking directly.
+    */
+  private def refineTail(shortlist: DataFrame, rawQuery: Array[Float],
+                         k: Int, refine: Int, metric: Int,
+                         refineWith: Option[DataFrame]): DataFrame =
     refineWith match {
-      case None => shortlist.limit(k)
       case Some(vecs) if refine > 1 =>
         val exact = Ivf.distCol(metric, col("vec"), typedlit(rawQuery.toSeq))
         shortlist.select(col("neighbor_id"))
@@ -385,9 +577,8 @@ object Pq {
           .select(col("neighbor_id"), exact.as("dist"))
           .orderBy(col("dist"), col("neighbor_id"))
           .limit(k)
-      case Some(_) => shortlist.limit(k)
+      case _ => shortlist.limit(k)
     }
-  }
 
   /** Raw (untransformed) corpus as a refine source (neighbor_id, vec):
     * the exact re-rank always runs the true metric on original floats.
@@ -427,20 +618,40 @@ object Pq {
   def ivfPqTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
                 k: Int, nprobe: Int, m: Int = SubspaceCount,
                 refine: Int = 4, metric: Int = VectorMetric.L2,
-                opq: Boolean = false): DataFrame = {
+                opq: Boolean = false, residual: Boolean = true): DataFrame = {
     val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
-    val model = if (opq) trainOpq(spark, dir, m, metric)
-                else train(spark, dir, m, metric)
     // coarse probing stays in the ORIGINAL space (the IVF quantizer is
-    // trained unrotated; rotation only reshapes the PQ subspaces) — the
-    // rotation applies inside adcCore, to the query's ADC table
+    // trained unrotated; rotation only reshapes the PQ subspaces)
     val probed = probeIds(centroids, metricQuery(queryVec, metric), nprobe, metric)
-    val cand = assign.filter(col("cluster_id").isInCollection(probed))
-      .select("id").join(encode(spark, dir, m, metric, opq), "id")
-      .withColumnRenamed("id", "neighbor_id")
-    adcCore(cand, model.codebooks, queryVec, k, refine, metric,
-      refineWith = Some(refineSource(spark, dir)),
-      rotation = model.rotation)
+    if (residual) {
+      // FAISS-standard layout: codes are residuals, ranked by the
+      // per-cluster-shifted ADC tables (one table per probed list)
+      val model = trainResidual(spark, dir, m, metric, opq)
+      require(queryVec.length == model.dim,
+        s"query dim ${queryVec.length} != corpus dim ${model.dim}")
+      val tables = residualAdcTables(centroids, probed, model.codebooks,
+        model.rotation, metricQuery(queryVec, metric), metric)
+      import spark.implicits._
+      val ordDf = broadcast(probed.zipWithIndex.toDF("cluster_id", "probe_ord"))
+      val adist = PqFunctions.adcDistanceMulti(col("probe_ord"), col("codes"),
+        tables, takeSqrt = metric != VectorMetric.Dot)
+      val shortlist = encodeResidual(spark, dir, m, metric, opq)
+        .join(ordDf, "cluster_id")
+        .select(col("id").as("neighbor_id"), adist.as("dist"))
+        .orderBy(col("dist"), col("neighbor_id"))
+        .limit(k * math.max(1, refine))
+      refineTail(shortlist, queryVec, k, refine, metric,
+        Some(refineSource(spark, dir)))
+    } else {
+      val model = if (opq) trainOpq(spark, dir, m, metric)
+                  else train(spark, dir, m, metric)
+      val cand = assign.filter(col("cluster_id").isInCollection(probed))
+        .select("id").join(encode(spark, dir, m, metric, opq), "id")
+        .withColumnRenamed("id", "neighbor_id")
+      adcCore(cand, model.codebooks, queryVec, k, refine, metric,
+        refineWith = Some(refineSource(spark, dir)),
+        rotation = model.rotation)
+    }
   }
 
   /** M inter-centroid tables for symmetric PQ distance under a metric
@@ -550,13 +761,12 @@ object Pq {
   def writeIvfPq(spark: SparkSession, dir: String, outPath: String,
                  m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
                  opq: Boolean = false): Unit = {
-    val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
-    val model = if (opq) trainOpq(spark, dir, m, metric)
-                else train(spark, dir, m, metric)
+    val (_, centroids) = Ivf.indexFor(spark, dir, metric)
+    val model = trainResidual(spark, dir, m, metric, opq)
     // overwrite on the base path drops EVERYTHING from a previous build,
     // including a stale _rotation — an unrotated rebuild over an old OPQ
     // index cannot leave the old matrix behind
-    assign.join(encode(spark, dir, m, metric, opq), "id")
+    encodeResidual(spark, dir, m, metric, opq)
       .select(col("cluster_id"), col("id"), col("codes"))
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
@@ -579,7 +789,9 @@ object Pq {
     } yield (mi, c, model.codebooks(mi)(c).toSeq))
       .toDF("m_idx", "code", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_codebooks")
-    Seq((m, metric)).toDF("m", "metric")
+    // `residual = true` marks the FAISS-standard layout (codes are
+    // x − centroid(x)); indexes written before the flag existed are raw
+    Seq((m, metric, true)).toDF("m", "metric", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_meta")
     model.rotation.foreach { r =>
       r.indices.map(i => (i, r(i).toSeq)).toDF("ridx", "rvec")
@@ -603,10 +815,9 @@ object Pq {
     val v = graft.Tables.rebalanced(Ivf.metricTransform(vecsRaw, metric)).cache()
     val n = v.count()
     val (assign, centroids) = Ivf.kmeans(v, Ivf.defaultK(n))
-    val model = trainFrom(v, m, opq)
-    v.join(assign, "id")
-      .select(col("id"), col("cluster_id"))
-      .join(encodeWith(v, model), "id")
+    val model = trainResidualFrom(v, centroids, m, opq)
+    encodeResidualWith(
+      v.join(assign.select("id", "cluster_id"), "id"), centroids, model)
       .select(col("cluster_id"), col("id"), col("codes"))
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
@@ -638,6 +849,21 @@ object Pq {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"))) VectorMetric.L2
     else spark.read.parquet(s"$indexPath/_meta").select("metric").head().getInt(0)
+  }
+
+  /** Whether the persisted codes are residuals (from `_meta`, by name;
+    * indexes written before the flag existed are raw-vector codes and
+    * keep serving through the flat ADC path).
+    */
+  private[operators] def loadResidual(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) false
+    else {
+      val meta = spark.read.parquet(s"$indexPath/_meta")
+      meta.columns.contains("residual") &&
+        meta.select("residual").head().getBoolean(0)
+    }
   }
 
   /** The persisted index's learned OPQ rotation, when one was built in
@@ -682,13 +908,31 @@ object Pq {
     require(queryVec.length == m * subDim,
       s"query dim ${queryVec.length} != index dim ${m * subDim}")
     val probed = probeIds(centroids, metricQuery(queryVec, metric), nprobe, metric)
-    val codesDf = spark.read.parquet(indexPath)
-      .filter(col("cluster_id").isInCollection(probed))
-      .select(col("id").as("neighbor_id"), col("codes"))
-    adcCore(codesDf, codebooks, queryVec, k, refine, metric,
-      refineWith = refineWith.map(_.select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("vec"))),
-      rotation = rotation)
+    val refSrc = refineWith.map(_.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
+    if (loadResidual(spark, indexPath)) {
+      // residual layout: partition-pruned read of the probed lists,
+      // ranked by the per-cluster-shifted ADC tables
+      val tables = residualAdcTables(centroids, probed, codebooks, rotation,
+        metricQuery(queryVec, metric), metric)
+      import spark.implicits._
+      val ordDf = broadcast(probed.zipWithIndex.toDF("cluster_id", "probe_ord"))
+      val adist = PqFunctions.adcDistanceMulti(col("probe_ord"), col("codes"),
+        tables, takeSqrt = metric != VectorMetric.Dot)
+      val shortlist = spark.read.parquet(indexPath)
+        .filter(col("cluster_id").isInCollection(probed))
+        .join(ordDf, "cluster_id")
+        .select(col("id").as("neighbor_id"), adist.as("dist"))
+        .orderBy(col("dist"), col("neighbor_id"))
+        .limit(k * math.max(1, refine))
+      refineTail(shortlist, queryVec, k, refine, metric, refSrc)
+    } else {
+      val codesDf = spark.read.parquet(indexPath)
+        .filter(col("cluster_id").isInCollection(probed))
+        .select(col("id").as("neighbor_id"), col("codes"))
+      adcCore(codesDf, codebooks, queryVec, k, refine, metric,
+        refineWith = refSrc, rotation = rotation)
+    }
   }
 
   /** Driver query: PQ ADC top-10 for the vec_id=0 query (rows-only —
@@ -884,31 +1128,37 @@ object Pq {
   def pqTopkOpqOracleSql(spark: SparkSession, dir: String): String =
     adcTopkOracleSql(spark, dir, k = 10, refine = 4, opq = true)
 
-  /** ivfpq_topk oracle: same ADC + refine, but the candidate set first
-    * narrows to the query's nprobe nearest coarse lists — probe ranking
-    * AND list assignment replayed over the centroid literal (probeIds
-    * ranks by squared L2 with ties to the lower cid; list_distance's
-    * sqrt is order-isomorphic).
+  /** ivfpq_topk oracle — the RESIDUAL layout replayed end-to-end:
+    * probe ranking AND list assignment over the centroid literal
+    * (probeIds ranks by squared L2 with ties to the lower cid;
+    * list_distance's sqrt is order-isomorphic), the residual corpus
+    * (corp.v − centroid, exact doubles — VectorCombine's arithmetic
+    * verbatim), the encode argmin over the RESIDUAL codebook literal,
+    * then ADC through the per-cluster table literals indexed by the
+    * replayed probe ordinal (AdcDistanceMulti's mi-ascending fold as
+    * the ordered partial-sum list), and the exact refine.
     */
   def ivfpqTopkOracleSql(spark: SparkSession, dir: String, k: Int = 10): String = {
-    val model = train(spark, dir)
+    val model = trainResidual(spark, dir)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
     val np = math.max(1, nc / 4)
     val qRaw = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    val tbl = adcTable(model.codebooks, qRaw, VectorMetric.L2)
-    val tblLit = tbl.map(_.map(_.toString).mkString("[", ",", "]"))
-      .mkString("[", ",", "]")
-    s"""WITH cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
-       |tbl AS (SELECT CAST($tblLit AS DOUBLE[][]) AS t),
+    val probed = probeIds(cents, qRaw, np, VectorMetric.L2)
+    val tables = residualAdcTables(cents, probed, model.codebooks, None,
+      qRaw, VectorMetric.L2)
+    val tblLit = tables.map(_.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val dim = model.dim
+    s"""WITH r_cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
+       |tblr AS (SELECT CAST($tblLit AS DOUBLE[][][]) AS t),
        |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
        |${corpCte(VectorMetric.L2, None)},
-       |${codesCte(model)},
        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
        |probes AS (
-       |  SELECT cid FROM (
+       |  SELECT cid, rn AS ord FROM (
        |    SELECT t.j AS cid,
        |      row_number() OVER (ORDER BY
        |        list_distance((SELECT q FROM qv), cv[t.j + 1]), t.j) AS rn
@@ -921,11 +1171,17 @@ object Pq {
        |        list_distance(c0.v, cv[t.j + 1]), t.j) AS rn
        |    FROM corp c0, cents, UNNEST(range(0, $nc)) t(j)) x
        |  WHERE rn = 1),
+       |r_corp AS (
+       |  SELECT c0.vec_id,
+       |    list_transform(range(1, ${dim + 1}), i -> c0.v[i] - cv[a.cid + 1][i]) AS v
+       |  FROM corp c0 JOIN asg a ON a.vec_id = c0.vec_id, cents),
+       |${codesCte(model, "r_")},
        |adc AS (
        |  SELECT vec_id, sqrt(list_sum(list(tv ORDER BY mi))) AS dist FROM (
-       |    SELECT cd.vec_id, cd.mi, tbl.t[cd.mi + 1][cd.code + 1] AS tv
-       |    FROM codes cd, tbl
-       |    WHERE cd.vec_id IN (SELECT a.vec_id FROM asg a JOIN probes p USING (cid))) y
+       |    SELECT cd.vec_id, cd.mi, tblr.t[p.ord][cd.mi + 1][cd.code + 1] AS tv
+       |    FROM r_codes cd
+       |    JOIN asg a ON a.vec_id = cd.vec_id
+       |    JOIN probes p ON p.cid = a.cid, tblr) y
        |  GROUP BY vec_id),
        |short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT ${k * 4}),
        |ref AS (

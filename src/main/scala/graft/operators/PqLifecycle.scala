@@ -40,8 +40,7 @@ object PqLifecycle {
     val prev = IndexLifecycle.status(spark, indexPath)
     Pq.writeIvfPq(spark, dir, indexPath, m, metric, opq)
     val n = Tables.embeddings(spark, dir).count()
-    val dim = (if (opq) Pq.trainOpq(spark, dir, m, metric)
-               else Pq.train(spark, dir, m, metric)).dim
+    val dim = Pq.trainResidual(spark, dir, m, metric, opq).dim
     val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
       embeddingDim = dim, builtAt = System.currentTimeMillis(),
       version = prev.version + 1, dirtyCount = 0L, totalVectors = n)
@@ -86,13 +85,24 @@ object PqLifecycle {
     val rotation = Pq.loadRotation(spark, indexPath)
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
-    val encodeInput = rotation match {
-      case Some(r) => graft.functions.RotateFunctions.rotateVector(col("vec"), r)
-      case None => col("vec")
-    }
-    val staged = Ivf.assignTo(v, centroids)
-      .select(col("cluster_id"), col("neighbor_id").as("id"),
-        PqFunctions.pqEncode(encodeInput, codebooks).as("codes"))
+    val assigned = Ivf.assignTo(v, centroids)
+      .select(col("cluster_id"), col("neighbor_id").as("id"), col("vec"))
+    val staged =
+      if (Pq.loadResidual(spark, indexPath)) {
+        // residual layout: new rows encode their (possibly rotated)
+        // offset from the frozen coarse centroid they just joined
+        val subDim = codebooks(0)(0).length
+        val model = Pq.Model(codebooks.length * subDim, codebooks.length,
+          subDim, codebooks, rotation)
+        Pq.encodeResidualWith(assigned, centroids, model)
+      } else {
+        val encodeInput = rotation match {
+          case Some(r) => graft.functions.RotateFunctions.rotateVector(col("vec"), r)
+          case None => col("vec")
+        }
+        assigned.select(col("cluster_id"), col("id"),
+          PqFunctions.pqEncode(encodeInput, codebooks).as("codes"))
+      }
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
       size = s.size + n,
       appliedStreamBatch = streamBatchId.getOrElse(s.appliedStreamBatch))

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * completes the serving-parameter story: E50 (`ann_param_sweep`)
   * answers "which nprobe for the coarse index"; this key answers
   * "which QUANTIZATION tier at which refine depth" — per
-  * (tier ∈ {sq8, pq, opq, bq, pca}, refine ∈ {1,4,8,16}), the
+  * (tier ∈ {sq8, pq, opq, pqr, bq, pca}, refine ∈ {1,4,8,16}), the
   * engine-measured recall@k of the compressed-domain shortlist +
   * exact-re-rank stack against the exact contract, with the shortlist
   * cost (candidates per query) alongside. This is the table an
   * operator reads before picking the ladder rung for a corpus: SQ8
   * sits near-exact at 4× (refine barely matters), PQ/OPQ trade recall
-  * for 32×, BQ/PCA leans on the refine tier (the measured floors are
+  * for 32×, PQR (the residual IVF-PQ codes, measured in their ADC
+  * serving mode — symmetric distance does not exist for residual
+  * codes) shows what centroid-offset encoding buys at the same 32×,
+  * BQ/PCA leans on the refine tier (the measured floors are
   * pinned in QuantReportSpec), and refine depth is the knob that buys
   * recall back at k·refine exact distance evaluations per query.
   *
@@ -94,6 +97,27 @@ object QuantReport {
           PqFunctions.sdcDistance(col("qcodes"), col("codes"),
             Pq.sdcTable(model, VectorMetric.L2), takeSqrt = true).as("cdist"))
     }
+    // residual tier: same M-byte budget as `pq`, but codes are
+    // x − coarse_centroid(x) (the persisted IVF-PQ layout). Measured in
+    // its SERVING mode — ADC, i.e. the exact query against the
+    // reconstruction centroid + decode(codes); a symmetric (SDC)
+    // formulation does not exist for residual codes (cross terms
+    // between centroids and codebooks are not M independent lookups)
+    val pqrPairs: DataFrame = {
+      import spark.implicits._
+      val (_, rcents) = Ivf.indexFor(spark, dir)
+      val rModel = Pq.trainResidual(spark, dir)
+      val rcdf = rcents.zipWithIndex
+        .map { case (c, j) => (j, c.map(_.toDouble).toSeq) }.toSeq
+        .toDF("cluster_id", "cvec")
+      val recon = VectorFunctions.vectorAdd(col("cvec"),
+        PqFunctions.pqDecode(col("codes"), rModel.codebooks))
+      Pq.encodeResidual(spark, dir).join(broadcast(rcdf), "cluster_id")
+        .select(col("id"), recon.as("rvec"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          VectorFunctions.l2Distance(col("rvec"), col("qvec")).as("cdist"))
+    }
 
     // shortlist top k·16 by (cdist, id), attach the exact distance —
     // one skinny candidate table per tier
@@ -114,7 +138,7 @@ object QuantReport {
 
     val cand = Seq(
       "sq8" -> sq8Pairs, "pq" -> sdcPairs(false), "opq" -> sdcPairs(true),
-      "bq" -> bqPairs, "pca" -> pcaPairs)
+      "pqr" -> pqrPairs, "bq" -> bqPairs, "pca" -> pcaPairs)
       .map { case (t, p) => candOf(t, p) }
       .reduce(_.unionAll(_))
       .localCheckpoint() // one compressed pass per tier; 4 refines ride it
@@ -160,7 +184,10 @@ object QuantReport {
     val st = QueryStride
     val pqModel = Pq.train(spark, dir)
     val opqModel = Pq.trainOpq(spark, dir)
+    val resModel = Pq.trainResidual(spark, dir)
+    val (_, rcents) = Ivf.indexFor(spark, dir)
     val sd = pqModel.subDim
+    val dim = pqModel.dim
     val mp = Pca.train(spark, dir)
     val d = Pca.ReducedDim
     val basisLit = (0 until d)
@@ -269,11 +296,34 @@ object QuantReport {
        |${Pq.codesCte(opqModel, "o_")},
        |${sdcD("o_")},
        |${tailCtes("qo", "o_d", "opq")},
+       |${graft.operators.Ivf.assignCtes(rcents)},
+       |r_cb AS (SELECT CAST(${Pq.cbLiteral(resModel.codebooks)} AS DOUBLE[][][]) AS c),
+       |r_corp AS (
+       |  SELECT c0.vec_id,
+       |    list_transform(range(1, ${dim + 1}), i -> c0.v[i] - cents.cv[a.cid + 1][i]) AS v
+       |  FROM p_corp c0 JOIN asg a ON a.vec_id = c0.vec_id, cents),
+       |${Pq.codesCte(resModel, "r_")},
+       |r_recon AS (
+       |  SELECT rc.vec_id,
+       |    list(cents.cv[a.cid + 1][t.i]
+       |      + r_cb.c[rc.mi + 1][rc.code + 1][((t.i - 1) % $sd) + 1]
+       |      ORDER BY t.i) AS rv
+       |  FROM r_codes rc
+       |  JOIN asg a ON a.vec_id = rc.vec_id, cents, r_cb,
+       |    UNNEST(range(1, ${dim + 1})) t(i)
+       |  WHERE (t.i - 1) // $sd = rc.mi
+       |  GROUP BY rc.vec_id),
+       |dr AS (
+       |  SELECT q.query_id, r.vec_id,
+       |    sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (r.rv[i] - q.qv[i]) * (r.rv[i] - q.qv[i])))) AS cdist
+       |  FROM r_recon r, qs q),
+       |${tailCtes("qr", "dr", "pqr")},
        |refs AS (SELECT UNNEST([${Refines.mkString(", ")}]) AS refine),
        |allc AS (
        |  SELECT * FROM q8c UNION ALL SELECT * FROM qbc
        |  UNION ALL SELECT * FROM qpc UNION ALL SELECT * FROM qqc
-       |  UNION ALL SELECT * FROM qoc),
+       |  UNION ALL SELECT * FROM qoc UNION ALL SELECT * FROM qrc),
        |rr AS (
        |  SELECT a.tier, f.refine, a.query_id, a.neighbor_id,
        |    row_number() OVER (PARTITION BY a.tier, f.refine, a.query_id

@@ -85,9 +85,12 @@ class HarnessSpec extends AnyFunSuite {
       .map(l => Bench.passJson(l, (999, 123456789012L, 987654321L)))
       .mkString("[", ",", "]")
     val line = Bench.compactJson(1234.567890123, "/root/testdata/sf0.1", 3,
-      "[400.1234567,411.2345678,422.3456789]", passes, "{}", "BENCH_LOCAL.json")
+      "[400.1234567,411.2345678,422.3456789]", passes, "{}", "BENCH_LOCAL.json",
+      """{"median":0.8312345678,"spread":[0.7612345678,1.2712345678]}""")
     assert(line.length < 1800, s"compact line too long for the tail window: ${line.length}")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""passes":[""") && line.contains(""""queries_file":"""))
+    assert(line.contains(""""calibration":{"median":"""),
+      "compact summary must carry the calibration normalizer")
   }
 }

@@ -55,11 +55,14 @@ class PqSpec extends AnyFunSuite {
   test("IVF-PQ probing all lists reproduces flat PQ; nprobe<k keeps useful recall") {
     val k = 10
     val q = all.find(_._1 == 0L).get._2
+    // the RAW-code variant shares codes and tables with flat PQ, so
+    // probe-all is exactly the flat scan (the residual layout has its
+    // own per-cluster tables — pinned in the residual test below)
     val flat = Pq.topK(spark, sf, q, k).collect().map(_.getLong(0)).toSeq
-    val probeAll = Pq.ivfPqTopK(spark, sf, q, k, nprobe = Int.MaxValue)
-      .collect().map(_.getLong(0)).toSeq
+    val probeAll = Pq.ivfPqTopK(spark, sf, q, k, nprobe = Int.MaxValue,
+      residual = false).collect().map(_.getLong(0)).toSeq
     assert(probeAll == flat,
-      "probe-all IVF-PQ must equal flat PQ (same codes, same ADC, same refine)")
+      "probe-all raw IVF-PQ must equal flat PQ (same codes, same ADC, same refine)")
     // a quarter of the lists: k results, meaningful overlap with exact
     val recalls = (0L until 5L).map { qid =>
       val qv = all.find(_._1 == qid).get._2
@@ -71,6 +74,26 @@ class PqSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.3, s"IVF-PQ nprobe recall $mean unreasonably low")
+  }
+
+  test("residual IVF-PQ: pure-ADC recall at nprobe=nClusters/4 >= the raw layout's") {
+    // the FAISS-standard claim, measured on this corpus: residual codes
+    // buy recall at the SAME M-byte budget. refine=1 isolates the
+    // quantization axis (no exact re-rank to mask it); nprobe = 16/4
+    // is the serving configuration ivfpq_topk runs.
+    val k = 10
+    def hitsOf(residual: Boolean): Int =
+      (0L until 10L).map { qid =>
+        val qv = all.find(_._1 == qid).get._2
+        val exact = exactTopK(qv, k).toSet
+        val got = Pq.ivfPqTopK(spark, sf, qv, k, nprobe = 4, refine = 1,
+          residual = residual).collect().map(_.getLong(0)).toSet
+        (exact & got).size
+      }.sum
+    val res = hitsOf(residual = true)
+    val raw = hitsOf(residual = false)
+    assert(res >= raw,
+      s"residual IVF-PQ recall ($res/100 hits) fell below raw ($raw/100)")
   }
 
   test("persisted IVF-PQ index: pruned probe reads, session-equivalent results") {
@@ -91,11 +114,21 @@ class PqSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(refined.length == 10)
     // the probe scan is partition-pruned to the probed cluster dirs
+    // (traverse AQE wrappers: the residual path's ordinal broadcast
+    // join makes the plan adaptive, which hides the scan from a
+    // plain executedPlan.collect)
     val res = Pq.queryIvfPq(spark, path, q, 10, nprobe, refineWith = None)
     res.collect()
-    val scans = res.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qse: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qse.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
     }
+    val scans = allScans(res.queryExecution.executedPlan)
     assert(scans.exists(_.metadata.get("PartitionFilters")
       .exists(_.contains("cluster_id"))),
       "no cluster_id partition filter in the persisted IVF-PQ probe scan")
