@@ -21,7 +21,8 @@ case class IndexStatus(
     version: Int,
     dirtyCount: Long,
     totalVectors: Long,
-    appliedStreamBatch: Long = -1L) {
+    appliedStreamBatch: Long = -1L,
+    appliedStreamId: String = "") {
 
   /** index_service.py:88-99: rebuild when unbuilt, empty, or the dirty
     * ratio reaches the threshold.
@@ -68,7 +69,8 @@ object IndexLifecycle {
       s"""{"algorithm":"${s.algorithm}","is_built":${s.isBuilt},"is_dirty":${s.isDirty},
          |"size":${s.size},"embedding_dim":${s.embeddingDim},"built_at":${s.builtAt},
          |"version":${s.version},"dirty_count":${s.dirtyCount},"total_vectors":${s.totalVectors},
-         |"applied_stream_batch":${s.appliedStreamBatch}}"""
+         |"applied_stream_batch":${s.appliedStreamBatch},
+         |"applied_stream_id":"${s.appliedStreamId}"}"""
         .stripMargin.replace("\n", "")
     val out = f.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -98,7 +100,9 @@ object IndexLifecycle {
         field("version").toInt, field("dirty_count").toLong,
         field("total_vectors").toLong,
         // absent in pre-round-9 state files: no stream batch applied
-        fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L))
+        fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L),
+        // absent in pre-round-10 state files: no stream identity known
+        fieldOpt("applied_stream_id").getOrElse(""))
     }
   }
 

@@ -59,26 +59,36 @@ object PqLifecycle {
     * unaccounted rows) and record the growth as dirt. Queries see the
     * new vectors immediately; nothing retrains.
     *
-    * `streamBatchId` is the at-least-once guard for foreachBatch
-    * callers (D12): the id is recorded in the SAME state write
-    * landAppend already does before moving files in, so a replayed
-    * batch (sink retry after a completed append but before the
-    * checkpoint commit) sees `appliedStreamBatch >= batchId` and
-    * NO-OPs instead of silently landing duplicate code rows. A crash
-    * between the state write and the move-in stays behind the loud
-    * `_append_tmp` refusal (recovery = rebuild) — the window that was
-    * previously silent duplication is now either a no-op or a refusal,
-    * never unaccounted rows.
+    * `streamBatchId` + `streamId` are the at-least-once guard for
+    * foreachBatch callers (D12): both are recorded in the SAME state
+    * write landAppend already does before moving files in, so a
+    * replayed batch (sink retry after a completed append but before
+    * the checkpoint commit) sees `appliedStreamBatch >= batchId` FOR
+    * THE SAME STREAM and NO-OPs instead of silently landing duplicate
+    * code rows. The watermark is keyed per stream identity (the Delta
+    * txn appId+version idempotent-writer pattern; callers pass a
+    * stable id — D12 uses the checkpoint location): Spark batch ids
+    * restart at 0 under a FRESH checkpoint, so a watermark from an old
+    * stream must never swallow a new stream's genuinely-new batches —
+    * a different `streamId` applies normally and takes the watermark
+    * over. A crash between the state write and the move-in stays
+    * behind the loud `_append_tmp` refusal (recovery = rebuild) — the
+    * window that was previously silent duplication is now either a
+    * no-op or a refusal, never unaccounted rows.
     */
   def append(newVecs: DataFrame, indexPath: String,
-             streamBatchId: Option[Long] = None): IndexStatus = {
+             streamBatchId: Option[Long] = None,
+             streamId: Option[String] = None): IndexStatus = {
     val spark = newVecs.sparkSession
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "append requires a built index (build first)")
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
     // replay no-op AFTER the marker check: a state that records the
-    // batch but still carries _append_tmp is half-moved, not applied
-    if (streamBatchId.exists(_ <= s.appliedStreamBatch)) return s
+    // batch but still carries _append_tmp is half-moved, not applied.
+    // Same stream only — a fresh checkpoint (new identity) starts its
+    // own numbering and must not be silently dropped.
+    if (streamBatchId.exists(_ <= s.appliedStreamBatch) &&
+        streamId.getOrElse("") == s.appliedStreamId) return s
     val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
     val codebooks = Pq.loadCodebooks(spark, indexPath)
     val metric = Pq.loadMetric(spark, indexPath)
@@ -105,7 +115,9 @@ object PqLifecycle {
       }
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
       size = s.size + n,
-      appliedStreamBatch = streamBatchId.getOrElse(s.appliedStreamBatch))
+      appliedStreamBatch = streamBatchId.getOrElse(s.appliedStreamBatch),
+      appliedStreamId =
+        if (streamBatchId.isDefined) streamId.getOrElse("") else s.appliedStreamId)
     IndexLifecycle.landAppend(spark, indexPath, staged, next)
     v.unpersist()
     next
@@ -142,8 +154,25 @@ object PqLifecycle {
     * watermark (`appliedStreamBatch`) carries over: a rebuild must not
     * reopen replay windows for an ingest stream running against the
     * index.
+    *
+    * Concurrent-writer safety: a mutation that lands between the
+    * `currentVecs` snapshot and the swap would exist only in the tree
+    * being replaced — the reference serializes build under its
+    * per-library write lock (index_service.py); the batch twin gets
+    * the equivalent with an abort-before-swap check: the live state is
+    * re-read just before the renames and any movement since entry
+    * discards the staged tree with a loud retry error instead of
+    * silently dropping the in-between rows.
     */
-  def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
+  def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus =
+    rebuild(currentVecs, indexPath, () => ())
+
+  /** [[rebuild]] with a staging-complete hook — the test seam that lets
+    * the spec land a concurrent mutation inside the window the
+    * abort-before-swap check guards.
+    */
+  private[graft] def rebuild(currentVecs: DataFrame, indexPath: String,
+                             beforeSwap: () => Unit): IndexStatus = {
     val spark = currentVecs.sparkSession
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "rebuild requires a built index (build first)")
@@ -158,8 +187,26 @@ object PqLifecycle {
     val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
       embeddingDim = s.embeddingDim, builtAt = System.currentTimeMillis(),
       version = s.version + 1, dirtyCount = 0L, totalVectors = n,
-      appliedStreamBatch = s.appliedStreamBatch)
+      appliedStreamBatch = s.appliedStreamBatch,
+      appliedStreamId = s.appliedStreamId)
     IndexLifecycle.writeState(spark, tmp.toString, next)
+    beforeSwap()
+    // abort-before-swap: an append/delete that landed AFTER the
+    // currentVecs snapshot exists only in the live tree — swapping it
+    // away would silently lose those rows (and a carried stream
+    // watermark would even block their replay). Re-read the live state
+    // and refuse if anything moved since entry; the staged tree is
+    // deleted and the caller re-runs rebuild over the fresh contents.
+    val live0 = IndexLifecycle.status(spark, indexPath)
+    if ((live0.version, live0.dirtyCount, live0.size,
+         live0.appliedStreamBatch, live0.appliedStreamId) !=
+        (s.version, s.dirtyCount, s.size,
+         s.appliedStreamBatch, s.appliedStreamId)) {
+      fs.delete(tmp, true)
+      sys.error(s"rebuild: concurrent mutation landed during staging " +
+        s"(entry state $s, live state $live0) — staged tree discarded, " +
+        "re-run rebuild against the current contents")
+    }
     val live = new org.apache.hadoop.fs.Path(indexPath)
     val aside = new org.apache.hadoop.fs.Path(s"${indexPath}_old_v${s.version}")
     if (!fs.rename(live, aside))

@@ -498,11 +498,14 @@ object Streams {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-    // a half-applied compaction (_old_* asides / _compact_tmp) means
-    // some landed subdirs are mid-swap — refuse to serve rather than
-    // read a store missing (or double-counting) them
-    val markers = all.map(_.getName)
-      .filter(n => n.startsWith("_old_") || n == "_compact_tmp")
+    // a half-applied compaction (_old_* asides) means some landed
+    // subdirs are mid-swap — refuse to serve rather than read a store
+    // missing (or double-counting) them. A bare _compact_tmp with NO
+    // asides is a crash DURING the staging write: every landed subdir
+    // is still in place and the underscore filter below already skips
+    // the stale staging, so the store serves normally (compactStore
+    // deletes the leftover on its next run).
+    val markers = all.map(_.getName).filter(_.startsWith("_old_"))
     require(markers.isEmpty,
       s"store $path has a half-applied compaction (${markers.mkString(", ")}); " +
         "recover the _old_* subdirs before serving")
@@ -531,12 +534,16 @@ object Streams {
     * the union of all current subdirs to `_compact_tmp`, move every
     * absorbed subdir aside under `_old_b*`, rename `_compact_tmp` in as
     * `seed` (the conventional always-present subdir), then clear the
-    * asides. A crash mid-swap leaves `_old_*` markers and the tmp dir —
-    * both underscore-prefixed, both refused loudly here before the next
-    * compact (recovery: restore the asides by hand or re-seed; the
-    * LANDED b* subdirs a crash hasn't touched are still complete) —
-    * never a silently half-absorbed store. Returns the number of
-    * subdirectories absorbed (0 = nothing to do, store untouched).
+    * asides. A crash mid-SWAP leaves `_old_*` markers — refused loudly
+    * here and by readStoreExcept (recovery: restore the asides by hand
+    * or re-seed; the LANDED b* subdirs a crash hasn't touched are still
+    * complete) — never a silently half-absorbed store. A crash during
+    * the STAGING write leaves only a bare `_compact_tmp` with every
+    * subdir still in place: the store is fully intact, so serving
+    * continues (the underscore filter skips the staging) and the next
+    * compact just deletes the stale tmp — staging is disposable until
+    * the first rename. Returns the number of subdirectories absorbed
+    * (0 = nothing to do, store untouched).
     *
     * Invocation contract: ONLY between triggers (or with the query
     * stopped), after the checkpoint has committed every landed batch —
@@ -548,11 +555,17 @@ object Streams {
                                   maxSubdirs: Int = 1): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leftover = fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith("_old_") || n == "_compact_tmp")
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val leftover = names.filter(_.startsWith("_old_"))
     require(leftover.isEmpty,
       s"store $path has a half-applied compaction (${leftover.mkString(", ")}); " +
         "a crash interrupted the swap — recover the _old_* subdirs before compacting")
+    // a bare _compact_tmp with no asides: the crash hit during the
+    // staging write, before any subdir moved — the store is fully
+    // intact and the stale staging is just deleted (the rebuild path's
+    // documented stale-staging-is-overwritten behavior)
+    if (names.contains("_compact_tmp"))
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_compact_tmp"), true)
     val subdirs = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath).filterNot(_.getName.startsWith("_"))
     // threshold gate: a store under its subdir budget is left untouched
@@ -955,11 +968,11 @@ object Streams {
     * same exactly-once discipline the b<batchId> overwrite protocol
     * gives the D10/D13/D14 stores.
     */
-  private[graft] def indexAppendBatch(indexPath: String)
+  private[graft] def indexAppendBatch(indexPath: String, streamId: String)
                                      (batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) {
       graft.operators.PqLifecycle.append(batch.select("id", "vec"), indexPath,
-        streamBatchId = Some(batchId))
+        streamBatchId = Some(batchId), streamId = Some(streamId))
       ()
     }
 
@@ -971,9 +984,12 @@ object Streams {
   private[graft] def runIndexAppend(incoming: DataFrame, indexPath: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
     val ckpt = tmpCheckpoint()
+    // the checkpoint location IS the stream identity: stable across
+    // restarts from the same checkpoint (replays no-op), fresh for a
+    // new checkpoint (whose batch ids restart at 0 and must apply)
     val q = incoming.writeStream
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        indexAppendBatch(indexPath)(b.toDF(), id))
+        indexAppendBatch(indexPath, ckpt.toString)(b.toDF(), id))
       .option("checkpointLocation", ckpt.toString)
       .start()
     (q, ckpt)

@@ -219,6 +219,35 @@ class PqLifecycleSpec extends AnyFunSuite {
     Streams.deleteTree(java.nio.file.Paths.get(path))
   }
 
+  test("rebuild aborts before swap when a concurrent mutation landed during staging") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_race").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = vecs.count()
+    PqLifecycle.build(spark, sf, path)
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val racer = Seq((7777L, v1.toSeq)).toDF("id", "vec")
+    // the racing append lands AFTER staging completes but BEFORE the
+    // swap — without the abort it would exist only in the tree being
+    // replaced and silently vanish
+    val ex = intercept[RuntimeException] {
+      PqLifecycle.rebuild(vecs, path, () => { PqLifecycle.append(racer, path); () })
+    }
+    assert(ex.getMessage.contains("concurrent mutation"))
+    // the live tree (racing append included) is untouched; staging gone
+    assert(spark.read.parquet(path).filter(col("id") === 7777L).count() == 1,
+      "the abort must preserve the racing append")
+    assert(spark.read.parquet(path).count() == n + 1)
+    assert(!new java.io.File(s"${path}_rebuild_tmp").exists,
+      "the discarded staging must be cleaned up")
+    // re-run over the CURRENT contents (writers quiesced) succeeds
+    val s = PqLifecycle.rebuild(vecs.unionAll(racer), path)
+    assert(s.version == 2 && spark.read.parquet(path).count() == n + 1)
+    Streams.deleteTree(java.nio.file.Paths.get(path))
+  }
+
   test("driver lifecycle table matches the oracle arithmetic shape") {
     val rows = PqLifecycle.ivfpqLifecycle(spark, sf).collect()
     assert(rows.length == 4)

@@ -341,25 +341,36 @@ class StreamsSpec extends AnyFunSuite {
     val n = vecs.count()
     PqLifecycle.build(spark, sf, idx)
     val b = vecs.filter(col("id") < 3).select((col("id") + n).as("id"), col("vec"))
-    Streams.indexAppendBatch(idx)(b, 0L)
+    Streams.indexAppendBatch(idx, "ckptA")(b, 0L)
     val s1 = IndexLifecycle.status(spark, idx)
     val rows1 = spark.read.parquet(idx).count()
     assert(s1.dirtyCount == 3L && s1.appliedStreamBatch == 0L)
+    assert(s1.appliedStreamId == "ckptA")
     // the replay: foreachBatch re-delivers batch 0 after a crash
     // between the completed append and the checkpoint commit — the
     // state already accounts for it, so the retry must not land
     // duplicate code rows or double-count dirt
-    Streams.indexAppendBatch(idx)(b, 0L)
+    Streams.indexAppendBatch(idx, "ckptA")(b, 0L)
     val s2 = IndexLifecycle.status(spark, idx)
     assert(s2 == s1, s"replay mutated state: $s2")
     assert(spark.read.parquet(idx).count() == rows1,
       "replay landed duplicate code rows")
     // a NEW batch id still appends normally
-    Streams.indexAppendBatch(idx)(
+    Streams.indexAppendBatch(idx, "ckptA")(
       b.select((col("id") + 100L).as("id"), col("vec")), 1L)
     val s3 = IndexLifecycle.status(spark, idx)
     assert(s3.dirtyCount == 6L && s3.appliedStreamBatch == 1L)
     assert(spark.read.parquet(idx).count() == rows1 + 3)
+    // a FRESH stream identity (new checkpoint) restarts its batch
+    // numbering at 0 — the old stream's watermark (1) must NOT swallow
+    // it: the batch applies and takes the watermark over
+    Streams.indexAppendBatch(idx, "ckptB")(
+      b.select((col("id") + 200L).as("id"), col("vec")), 0L)
+    val s4 = IndexLifecycle.status(spark, idx)
+    assert(s4.dirtyCount == 9L && s4.appliedStreamBatch == 0L &&
+      s4.appliedStreamId == "ckptB",
+      s"fresh-checkpoint batch was swallowed by a stale watermark: $s4")
+    assert(spark.read.parquet(idx).count() == rows1 + 6)
     Streams.deleteTree(root)
   }
 
@@ -392,6 +403,18 @@ class StreamsSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet == before, "compaction changed store content")
     // idempotent: nothing to do on a compacted store
     assert(Streams.compactStore(spark, store) == 0)
+    // a crash DURING the staging write leaves only a bare _compact_tmp
+    // (no _old_* asides): every landed subdir is intact, so serving
+    // continues and the next compact deletes the stale staging instead
+    // of bricking a store whose recovery is just that deletion
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(store).resolve("_compact_tmp"))
+    assert(Streams.readStoreExcept(spark, store, 99L).count() == before.size,
+      "bare staging leftover must not refuse an intact store")
+    assert(Streams.compactStore(spark, store) == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store).resolve("_compact_tmp")),
+      "stale staging must be cleaned up by the next compact")
     // the post-compact store still drops a dup of an ABSORBED hash
     Streams.dedupIncrementalBatch(store, out)(
       Seq((102L, "batch zero text", "src"), (103L, "novel text", "src"))
