@@ -84,27 +84,39 @@ object DriftReport {
       val base = spark.read.parquet(tmp.resolve("profile").toString)
       val cur = d.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_cur"), sum(col("dist_q")).as("rsum_cur"))
-      val j = cur.join(base, Seq("cluster_id"), "left")
-        .select(col("cluster_id"),
-          coalesce(col("n_base"), lit(0L)).as("n_base"),
-          coalesce(col("rsum_base"), lit(0L)).as("rsum_base"),
-          col("n_cur"), col("rsum_cur"))
-      val whole = Window.partitionBy()
-      j.withColumn("total_base", sum(col("n_base")).over(whole))
-        .withColumn("total_cur", sum(col("n_cur")).over(whole))
-        .selectExpr(
-          "cluster_id",
-          "n_base", "n_cur",
-          "n_cur - n_base AS delta_n",
-          "(n_base * 1000) div total_base AS share_pm_base",
-          "(n_cur * 1000) div total_cur AS share_pm_cur",
-          "rsum_base div greatest(n_base, 1) AS mean_r_base_q",
-          "rsum_cur div n_cur AS mean_r_cur_q",
-          "CAST(n_cur * total_base > 2 * n_base * total_cur AS BIGINT) AS growth_flag",
-          "CAST(rsum_cur * n_base > 2 * rsum_base * n_cur AS BIGINT) AS resid_flag")
-        .orderBy("cluster_id")
-        .localCheckpoint(true)
+      diffProfiles(base, cur)
     } finally graft.streaming.Streams.deleteTree(tmp)
+  }
+
+  /** The per-cluster diff + flag arithmetic over a BASELINE profile
+    * (cluster_id, n_base, rsum_base) and a CURRENT profile
+    * (cluster_id, n_cur, rsum_cur) — the ONE definition shared by the
+    * A25 report and the PqLifecycle drift-rebuild policy (which diffs
+    * against the `_profile` sidecar its last build wrote), so the
+    * dashboard and the policy can never disagree on what "drifted"
+    * means.
+    */
+  private[operators] def diffProfiles(base: DataFrame, cur: DataFrame): DataFrame = {
+    val j = cur.join(base, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("rsum_base"), lit(0L)).as("rsum_base"),
+        col("n_cur"), col("rsum_cur"))
+    val whole = Window.partitionBy()
+    j.withColumn("total_base", sum(col("n_base")).over(whole))
+      .withColumn("total_cur", sum(col("n_cur")).over(whole))
+      .selectExpr(
+        "cluster_id",
+        "n_base", "n_cur",
+        "n_cur - n_base AS delta_n",
+        "(n_base * 1000) div total_base AS share_pm_base",
+        "(n_cur * 1000) div total_cur AS share_pm_cur",
+        "rsum_base div greatest(n_base, 1) AS mean_r_base_q",
+        "rsum_cur div n_cur AS mean_r_cur_q",
+        "CAST(n_cur * total_base > 2 * n_base * total_cur AS BIGINT) AS growth_flag",
+        "CAST(rsum_cur * n_base > 2 * rsum_base * n_cur AS BIGINT) AS resid_flag")
+      .orderBy("cluster_id")
+      .localCheckpoint(true)
   }
 
   /** Dynamic oracle: assignment + residual quantization replayed over

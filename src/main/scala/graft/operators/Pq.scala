@@ -771,7 +771,41 @@ object Pq {
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     writeSidecars(spark, outPath, centroids, model, m, metric)
+    writeProfile(corpus(spark, dir, metric), centroids, outPath)
   }
+
+  /** Per-cluster residual profile (cluster_id, n, rsum) of a
+    * metric-transformed (id, vec) frame against given centroids —
+    * dist_q = floor(l2·1e6) as BIGINT, quantized BEFORE the sum
+    * (Ivf.residualsQ's order-independent grid, so the A25 diff
+    * arithmetic applies verbatim).
+    */
+  private[operators] def residualProfileOf(v: DataFrame,
+                                           centroids: Array[Array[Float]]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("cluster_id", "cvec")
+    Ivf.assignTo(v, centroids)
+      .join(broadcast(cdf), "cluster_id")
+      .select(col("cluster_id"),
+        floor(VectorFunctions.l2Distance(col("vec"), col("cvec")) * lit(1e6))
+          .cast("long").as("dist_q"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), sum(col("dist_q")).as("rsum"))
+  }
+
+  /** The `_profile` sidecar: the per-cluster residual baseline the
+    * drift-rebuild policy (PqLifecycle.driftShouldRebuild) diffs the
+    * index's future contents against. Written by every build/rebuild,
+    * refreshed by the swap — the distribution twin of the count-based
+    * dirt the state file carries.
+    */
+  private def writeProfile(v: DataFrame, centroids: Array[Array[Float]],
+                           outPath: String): Unit =
+    residualProfileOf(v, centroids)
+      .select(col("cluster_id"), col("n").as("n_base"), col("rsum").as("rsum_base"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_profile")
 
   /** The model sidecars of a persisted IVF-PQ tree (shared by the
     * dir-memoized build and the from-frame rebuild).
@@ -822,6 +856,7 @@ object Pq {
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     writeSidecars(spark, outPath, centroids, model, m, metric)
+    writeProfile(v, centroids, outPath)
     v.unpersist()
     n
   }

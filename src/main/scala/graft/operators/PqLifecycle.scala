@@ -218,6 +218,47 @@ object PqLifecycle {
     next
   }
 
+  /** Distribution-based rebuild signal — A25's drift flags applied as
+    * a POLICY (closing the second rebuild loop the way round 9 closed
+    * the count-based one): diff the current contents' per-cluster
+    * residual profile against the `_profile` sidecar the last
+    * build/rebuild wrote, through the ONE diff arithmetic the A25
+    * dashboard uses (DriftReport.diffProfiles — policy and dashboard
+    * cannot disagree on what "drifted" means). Fires when any
+    * cluster's corpus share or mean residual more than doubled —
+    * arrivals piling into few lists, or landing far from their frozen
+    * centroid (a new domain / embedding-model change), both of which
+    * the count-based dirty ratio is blind to. Indexes built before the
+    * sidecar existed return false (no baseline, no signal).
+    */
+  def driftShouldRebuild(currentVecs: DataFrame, indexPath: String): Boolean = {
+    val spark = currentVecs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_profile")
+    if (!IndexLifecycle.fs(spark, indexPath).exists(p)) false
+    else {
+      val metric = Pq.loadMetric(spark, indexPath)
+      val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
+      val base = spark.read.parquet(s"$indexPath/_profile")
+      val cur = Pq
+        .residualProfileOf(Ivf.metricTransform(currentVecs, metric), centroids)
+        .select(col("cluster_id"), col("n").as("n_cur"), col("rsum").as("rsum_cur"))
+      DriftReport.diffProfiles(base, cur)
+        .filter(col("growth_flag") === 1L || col("resid_flag") === 1L)
+        .limit(1).count() > 0
+    }
+  }
+
+  /** The combined rebuild policy: the reference's count-based dirty
+    * ratio (index_service.py:88-99) OR the drift flags over the
+    * persisted profile. `rebuild` refreshes the profile with the swap,
+    * so a fired signal clears itself — the loop is closed.
+    */
+  def shouldRebuildWithDrift(currentVecs: DataFrame, indexPath: String,
+                             threshold: Double = IndexLifecycle.RebuildThreshold): Boolean =
+    IndexLifecycle.status(currentVecs.sparkSession, indexPath)
+      .shouldRebuild(threshold) ||
+      driftShouldRebuild(currentVecs, indexPath)
+
   /** Driver query: the IVF-PQ lifecycle state machine end-to-end as one
     * deterministic table — build, append (sub-threshold dirt), delete
     * (crossing the threshold), and an on-disk read-back proving the

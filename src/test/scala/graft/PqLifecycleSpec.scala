@@ -248,6 +248,39 @@ class PqLifecycleSpec extends AnyFunSuite {
     Streams.deleteTree(java.nio.file.Paths.get(path))
   }
 
+  test("drift-triggered rebuild: shifted arrivals fire the distribution signal " +
+      "the dirty ratio misses; rebuild clears it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_drift").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = vecs.count()
+    PqLifecycle.build(spark, sf, path)
+    // 3% arrivals — far below the 0.1 dirty threshold — but every one
+    // shifted +10 per component: they land with enormous residuals
+    // (a new-domain / embedding-model-change upstream, the exact case
+    // the count-based policy is blind to)
+    val arrivals = vecs.filter(col("id") < 15)
+      .select((col("id") + n).as("id"),
+        transform(col("vec"), x => (x + lit(10.0f)).cast("float")).as("vec"))
+    PqLifecycle.append(arrivals, path)
+    val s = graft.operators.IndexLifecycle.status(spark, path)
+    assert(!s.shouldRebuild(graft.operators.IndexLifecycle.RebuildThreshold),
+      "the count-based policy must not fire at 3% dirt")
+    val current = vecs.unionAll(arrivals)
+    assert(PqLifecycle.driftShouldRebuild(current, path),
+      "the drift signal must fire on far-from-centroid arrivals")
+    assert(PqLifecycle.shouldRebuildWithDrift(current, path),
+      "the combined policy ORs the drift signal in")
+    // rebuild refreshes the _profile sidecar with the swap: the same
+    // contents no longer drift against their own fresh baseline
+    PqLifecycle.rebuild(current, path)
+    assert(!PqLifecycle.driftShouldRebuild(current, path),
+      "rebuild must clear the drift signal (profile refreshed)")
+    assert(!PqLifecycle.shouldRebuildWithDrift(current, path))
+    Streams.deleteTree(java.nio.file.Paths.get(path))
+  }
+
   test("driver lifecycle table matches the oracle arithmetic shape") {
     val rows = PqLifecycle.ivfpqLifecycle(spark, sf).collect()
     assert(rows.length == 4)
