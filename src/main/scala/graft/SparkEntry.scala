@@ -231,6 +231,10 @@ object SparkEntry {
     // D10: continuous-ingest dedup — each micro-batch anti-joins the
     // persisted fingerprint store, survivors' hashes are absorbed
     "stream_dedup_incremental" -> (Streams.streamDedupIncremental _),
+    // D10b: the SAME ingest over three range-ordered triggers with the
+    // store compacted MID-STREAM between checkpoint commits — the
+    // maintenance step composed with a live query
+    "stream_dedup_compacted" -> (Streams.streamDedupCompacted _),
     // D11: streaming quality gate — E36 scored in-flight, per-source
     // admission counts as the one stateful aggregation
     "stream_quality_filter" -> (Streams.streamQualityFilter _),
@@ -422,6 +426,9 @@ object SparkEntry {
     // D10 ≡ E1b on the final state: one-file landing zone → identical
     // arg-min domain; cross-batch drops pinned by StreamsSpec
     "stream_dedup_incremental" -> Dedup.dedupIncrementalOracleSql,
+    // D10b ≡ the same SQL: range-ordered landing makes first-arrival
+    // coincide with the global arg-min across all three triggers
+    "stream_dedup_compacted" -> Dedup.dedupIncrementalOracleSql,
     // exact-integer twin of the running-mean anomaly rule:
     // cents*n_prior > 2*sum_prior_cents, prior rows in (ts, event_id) order
     "stream_anomaly"    ->

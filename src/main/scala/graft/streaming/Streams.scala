@@ -1129,4 +1129,78 @@ object Streams {
     deleteTree(tmp)
     result
   }
+
+  /** D10b driver entry: `stream_dedup_compacted` — D10's incremental
+    * dedup run as a genuinely MULTI-BATCH ingest (three range-ordered
+    * landing files, maxFilesPerTrigger=1) with [[compactStore]]
+    * exercised MID-STREAM: after each trigger's checkpoint commit the
+    * fingerprint store's landed subdirs collapse into `seed` while the
+    * SAME StreamingQuery stays live and keeps landing batches against
+    * the compacted store. This promotes the compaction contract from a
+    * spec-pinned drained-store exercise to the driver surface: the
+    * maintenance step composes with a LIVE query (cross-batch drops
+    * still hold through the absorbed hashes), which is the standing
+    * answer to the one-subdir-per-batch small-files wall on a
+    * long-lived ingest — listing cost resets to O(1) on a cadence, the
+    * ingest never stops.
+    *
+    * Oracle ≡ E1b's batch SQL (exactly D10's): the landing files split
+    * by doc_id RANGE and land in ascending order, so the stream's
+    * first-arrival canon coincides with the oracle's global arg-min —
+    * every hash's minimal doc_id copy arrives in the earliest batch
+    * containing that hash (within-batch min wins there; later copies
+    * drop against the store). In-key requires assert three landed
+    * batches and non-zero absorbed subdirs per compact, so a silent
+    * fall-back to single-trigger consumption (or a no-op compact)
+    * fails loudly instead of serving a weaker proof.
+    */
+  def streamDedupCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val docs = Tables.documents(ss, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cmp10")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("survivors").toString
+    val landing = tmp.resolve("landing").toString
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("text_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$store/seed")
+    docs.filter(lit(false))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"))
+      .write.mode("overwrite").parquet(s"$out/seed")
+    val src = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+    def land(name: String, pred: org.apache.spark.sql.Column, stamp: Long): Unit = {
+      src.filter(pred).coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
+      new java.io.File(s"$landing/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(stamp))
+    }
+    land("f1", col("doc_id") <= maxId / 3, 1000000L)
+    val schema = ss.read.parquet(s"$landing/f1").schema
+    val incoming = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/f*")
+    val (q, ckpt) = runDedupIncremental(incoming, store, out)
+    try {
+      q.processAllAvailable() // trigger 1 committed
+      require(compactStore(ss, store) >= 2,
+        "mid-stream compaction absorbed nothing after trigger 1")
+      land("f2", col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3,
+        2000000L)
+      q.processAllAvailable() // trigger 2 lands against the compacted store
+      require(compactStore(ss, store) >= 2,
+        "mid-stream compaction absorbed nothing after trigger 2")
+      land("f3", col("doc_id") > 2 * maxId / 3, 3000000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fsy = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val landed = fsy.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).count(_.matches("b\\d+"))
+    require(landed == 3,
+      s"driver entry expects three landed batches, got $landed")
+    val result = ss.read.parquet(s"$out/*").orderBy("doc_id").localCheckpoint(true)
+    deleteTree(ckpt)
+    deleteTree(tmp)
+    result
+  }
 }
