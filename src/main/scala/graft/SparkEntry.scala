@@ -246,6 +246,11 @@ object SparkEntry {
     // against a persisted MinHash signature store per micro-batch
     // (rows-only: xxhash64 minhashes; StreamsSpec multi-batch proof)
     "stream_dedup_fuzzy" -> (Streams.streamDedupFuzzy _),
+    // D13b: the periodic component reconciliation over D13's
+    // accumulated signature store — the canonical-survivor delta the
+    // stream's conservative greedy policy leaves for the batch
+    // periodical (rows-only: same xxhash64 reason as D13)
+    "stream_dedup_reconcile" -> (Streams.streamDedupReconcile _),
     // D14: continuous-ingest attrition funnel (lang/quality/exact-canon
     // stages per micro-batch; the streaming face of E44)
     "stream_attrition" -> (Streams.streamAttrition _),

@@ -718,6 +718,17 @@ object Streams {
     * Everything is O(micro-batch + matched band rows): the store is
     * only ever band-joined and appended, never rewritten.
     */
+  /** Minhash-position agreement count over (mh_a, mh_b) columns — the
+    * ONE verify bar shared by the D13 per-batch drops and the D13b
+    * reconciler (estimated Jaccard ≥ t as an exact integer
+    * comparison), so the stream and its periodical cannot drift.
+    */
+  private[graft] def minhashAgree: org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
+
   private[graft] def dedupFuzzyBatch(store: String, out: String)
                                     (batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) {
@@ -736,10 +747,7 @@ object Streams {
         .withColumn("bucket_n", count(lit(1)).over(wBucket))
         .filter(col("bucket_n") <= Dedup.LshBucketCap)
         .drop("bucket_n")
-      val agree = aggregate(
-        zip_with(col("mh_a"), col("mh_b"),
-          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-        lit(0), (acc, v) => acc + v)
+      val agree = minhashAgree
       def verifiedDrops(cand: DataFrame, right: DataFrame,
                         dropSide: String): DataFrame =
         cand
@@ -809,8 +817,22 @@ object Streams {
     */
   def streamDedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
-    val docs = Tables.documents(ss, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fz")
+    fuzzyIngest(ss, dir, tmp)
+    val result = ss.read.parquet(s"${tmp.resolve("survivors")}/*")
+      .orderBy("doc_id").localCheckpoint(true)
+    deleteTree(tmp)
+    result
+  }
+
+  /** The D13 ingest end-to-end into `tmp` (store + survivors subtrees):
+    * seed the signature/band store with the standing corpus, stream the
+    * arrival split through [[dedupFuzzyBatch]], drain. Shared by the
+    * D13 driver entry and the D13b reconciler.
+    */
+  private def fuzzyIngest(ss: SparkSession, dir: String,
+                          tmp: java.nio.file.Path): Unit = {
+    val docs = Tables.documents(ss, dir)
     val store = tmp.resolve("store").toString
     val out = tmp.resolve("survivors").toString
     // standing signatures come from the per-corpus session memo (the
@@ -832,8 +854,80 @@ object Streams {
       .select(col("doc_id"), col("text"), col("source"))
     val (q, ckpt) = runDedupFuzzy(incoming, store, out)
     try q.processAllAvailable() finally q.stop()
-    val result = ss.read.parquet(s"$out/*").orderBy("doc_id").localCheckpoint(true)
     deleteTree(ckpt)
+  }
+
+  /** The D13b periodical over an accumulated signature store: band-
+    * bucket candidates (the E3 cap guard) from the persisted band
+    * table, verified by the SAME minhash-agreement bar the stream
+    * uses, star-contracted to connected components
+    * (Dedup.componentsFromPairs — E42's reconciler machinery), then
+    * the CANONICAL-SURVIVOR DELTA: store members whose component
+    * canonical (min doc_id) is a different doc. O(store bands ×
+    * bucket) — the store holds survivors' signatures only, never the
+    * corpus, and no shingle set is ever materialized.
+    */
+  private[graft] def reconcileFuzzyStore(spark: SparkSession,
+                                         store: String): DataFrame = {
+    import graft.operators.Dedup
+    val sigs = readStoreExcept(spark, s"$store/sigs", batchId = -1L)
+      .localCheckpoint()
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash")
+    val bands = readStoreExcept(spark, s"$store/bands", batchId = -1L)
+      .withColumn("bucket_n", count(lit(1)).over(wBucket))
+      .filter(col("bucket_n") <= Dedup.LshBucketCap)
+      .drop("bucket_n")
+      .localCheckpoint()
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("cand_a"), col("b.doc_id").as("cand_b"))
+      .dropDuplicates("cand_a", "cand_b")
+    val edges = cand
+      .join(sigs.select(col("doc_id").as("cand_a"), col("mh").as("mh_a")), "cand_a")
+      .join(sigs.select(col("doc_id").as("cand_b"), col("mh").as("mh_b")), "cand_b")
+      .filter(minhashAgree >= Dedup.MinhashMatchMin)
+      .select("cand_a", "cand_b")
+    Dedup.componentsFromPairs(edges)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"), col("component_id").as("canon_id"))
+      .orderBy("doc_id")
+  }
+
+  /** D13b driver entry: `stream_dedup_reconcile` — the PERIODIC
+    * component reconciliation D13's scaladoc promises. The stream's
+    * within-batch policy is greedy and documented conservative (fuzzy
+    * matching is not transitive: a chain a~b~c can keep both a and c
+    * because c only matched the already-dropped b); the periodical
+    * closes that gap out of band: run the D13 ingest, then read the
+    * STORE the stream accumulated (standing seed + per-batch
+    * survivors' signatures) and emit [[reconcileFuzzyStore]]'s
+    * canonical-survivor delta — each row (doc_id, canon_id) names a
+    * store member the transitive-component policy would defer to a
+    * smaller-id canonical. The delta is non-empty by construction on
+    * these corpora (the seed is the UN-deduplicated standing corpus,
+    * so every standing near-dup pair contributes its non-canonical
+    * member). Rows-only by design (the D13/E3/E42 standing structural
+    * argument: xxhash64 minhashes); StreamsSpec pins the
+    * non-transitive-chain case end-to-end and delta-set equality with
+    * a from-scratch batch component pass over the same doc set.
+    */
+  def streamDedupReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fzr")
+    fuzzyIngest(ss, dir, tmp)
+    val store = tmp.resolve("store").toString
+    val delta = reconcileFuzzyStore(ss, store)
+    // sanity: the delta defers only to smaller ids that are themselves
+    // store members (canonicals never leave the store)
+    val storeIds = readStoreExcept(ss, s"$store/sigs", batchId = -1L)
+      .select(col("doc_id").as("canon_id")).distinct()
+    val orphans = delta.join(storeIds, Seq("canon_id"), "left_anti").count()
+    require(orphans == 0L, s"$orphans delta rows defer to a non-store canonical")
+    val result = delta.localCheckpoint(true)
     deleteTree(tmp)
     result
   }

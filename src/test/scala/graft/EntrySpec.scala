@@ -36,6 +36,10 @@ class EntrySpec extends AnyFunSuite {
       // its continuous-ingest twin (same hash reason; StreamsSpec pins
       // the cross-batch store drop on planted multi-batch arrivals)
       "stream_dedup_fuzzy",
+      // D13's periodical rides the same signature store (StreamsSpec
+      // pins the non-transitive chain and delta ≡ a from-scratch batch
+      // component pass over the same doc set)
+      "stream_dedup_reconcile",
       // the banding sweep proposes candidates from the same xxhash64
       // minhashes (BandSweepSpec pins the mass-doubling theorem, the
       // E3 agreement at 16×8, and measured recall floors at two SFs)

@@ -496,6 +496,63 @@ class StreamsSpec extends AnyFunSuite {
     Streams.deleteTree(root)
   }
 
+  test("D13b reconciler: component pass over the store emits the canonical-survivor delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_d13b")
+    val store = root.resolve("store").toString
+    val out = root.resolve("survivors").toString
+    def text(seed: Int): String =
+      (0 until 50).map(i => s"w${(i * 7 + seed * 13) % 97}").mkString(" ")
+    def nearDup(t: String): String = t + " extraword"
+    // the seed is the UN-deduplicated standing corpus — exactly the
+    // gap the periodical closes: docs 1~2 are near-dups BOTH in the
+    // store, 3 and 5 distinct; 2~4 chains into the same family
+    val standingDocs = Seq(
+      (1L, text(1)), (2L, nearDup(text(1))), (3L, text(2)), (5L, text(5)))
+    val seedSigs = graft.operators.Dedup
+      .minhashSignatures(standingDocs.toDF("doc_id", "text"))
+      .select("doc_id", "mh").localCheckpoint()
+    seedSigs.write.parquet(s"$store/sigs/seed")
+    graft.operators.Dedup.bandsOf(seedSigs).write.parquet(s"$store/bands/seed")
+    Seq.empty[(Long, String)].toDF("doc_id", "source").write.parquet(s"$out/seed")
+    // a streamed batch: 10 is novel (survives, absorbed); 11 near-dups
+    // the standing doc 1 (store-dropped, never absorbed)
+    Streams.dedupFuzzyBatch(store, out)(
+      Seq((10L, text(3), "src"), (11L, nearDup(text(1)), "src"))
+        .toDF("doc_id", "text", "source"), 0L)
+    // the store now holds {1, 2, 3, 5, 10}: the reconciler's component
+    // pass sees the seed-side dup pair (1, 2) the stream never checked
+    val delta = Streams.reconcileFuzzyStore(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == Set((2L, 1L)),
+      s"expected the seed-side non-canonical (2 -> 1), got $delta")
+    // delta ≡ a from-scratch batch component pass over the SAME doc
+    // set (signatures recomputed from the texts, same verify bar):
+    // the store round-trip loses nothing
+    val allDocs = (standingDocs ++ Seq((10L, text(3)))).toDF("doc_id", "text")
+    val sig = graft.operators.Dedup.minhashSignatures(allDocs)
+      .select("doc_id", "mh").localCheckpoint()
+    val bands = graft.operators.Dedup.bandsOf(sig)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("cand_a"), col("b.doc_id").as("cand_b"))
+      .dropDuplicates("cand_a", "cand_b")
+      .join(sig.select(col("doc_id").as("cand_a"), col("mh").as("mh_a")), "cand_a")
+      .join(sig.select(col("doc_id").as("cand_b"), col("mh").as("mh_b")), "cand_b")
+      .filter(Streams.minhashAgree >= graft.operators.Dedup.MinhashMatchMin)
+      .select("cand_a", "cand_b")
+    val scratch = graft.operators.Dedup.componentsFromPairs(pairs)
+      .filter(col("doc_id") =!= col("component_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == scratch,
+      s"store-based delta $delta != from-scratch component delta $scratch")
+    Streams.deleteTree(root)
+  }
+
   test("D9 stream_heavy_hitters == C22 batch heavy hitters") {
     assert(rows(Streams.streamHeavyHitters(spark, sf)) ==
       rows(Analytics.eventsHeavyHitters(spark, sf)))
