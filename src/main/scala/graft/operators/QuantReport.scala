@@ -55,10 +55,16 @@ object QuantReport {
   /** Query-sample stride (id % stride = 0 → ~n/17 unbiased queries). */
   val QueryStride = 17
 
-  def quantTierReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** `stride` overrides the query-sample density — the at-scale knob
+    * the scaladoc prescribes (a 100 TB corpus measures its tuning
+    * curve on a thinner deterministic sample, not on every vector);
+    * the driver key and its oracle stay at [[QueryStride]].
+    */
+  def quantTierReport(spark: SparkSession, dir: String, k: Int = 10,
+                      stride: Int = QueryStride): DataFrame = {
     val corpus = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    val queries = corpus.filter(pmod(col("id"), lit(QueryStride.toLong)) === 0)
+    val queries = corpus.filter(pmod(col("id"), lit(stride.toLong)) === 0)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
     val nq = queries.count()
     val maxR = Refines.max
@@ -67,7 +73,7 @@ object QuantReport {
     // are corpus vectors), so the two sides of every compressed
     // distance share one encode pass and cannot drift
     def sampleOf(codes: DataFrame, valueCol: String, as: String): DataFrame =
-      broadcast(codes.filter(pmod(col("id"), lit(QueryStride.toLong)) === 0)
+      broadcast(codes.filter(pmod(col("id"), lit(stride.toLong)) === 0)
         .select(col("id").as("query_id"), col(valueCol).as(as)))
 
     // (query_id, neighbor_id, cdist) per tier — flat compressed scans

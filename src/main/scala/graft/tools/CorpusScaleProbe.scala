@@ -71,6 +71,13 @@ object CorpusScaleProbe {
     // the increments are the clean gate + survivor rollup
     timed("pipeline_dedup_corpus") { graft.operators.TextOps.pipelineDedupCorpus(spark, dir).count() }
     timed("pipeline_fuzzy_dedup") { graft.operators.TextOps.pipelineFuzzyDedup(spark, dir).count() }
+    // E49 at 125k docs (round 10, post localCheckpoint-pin): three
+    // band-bucket self-joins over the memoized signatures (the
+    // signature/exact-pair memos are already warm from the lines
+    // above, so this measures the sweep itself), ONE verify pass over
+    // the pinned distinct union. collect(), not count(): the 3-row
+    // grid joins key-unique aggregates count() would eliminate
+    timed("lsh_band_sweep") { graft.operators.BandSweep.lshBandSweep(spark, dir).collect() }
     // round-8 report tier: the funnel re-cuts the memoized component
     // labels + one flag scan; the plan and diff are single-scan /
     // single-join shapes (E48's matrix is NOT probed here — its eval

@@ -40,13 +40,32 @@ object ScaleProbe {
         graft.functions.VectorMetric.Cosine, nprobeOpt = Some(8)).count()
     }
     timed("pq train+encode (memo)") { graft.operators.Pq.encode(spark, dir).count() }
-    timed("ivfpq query nprobe=8") {
+    timed("ivfpq query raw np=8") {
       val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
-      graft.operators.Pq.ivfPqTopK(spark, dir, q, 10, nprobe = 8).count()
+      graft.operators.Pq.ivfPqTopK(spark, dir, q, 10, nprobe = 8,
+        residual = false).count()
     }
     timed("ann_batch SDC nprobe=8 k=5") {
       graft.operators.Pq.sdcBatch(spark, dir, 5, nprobeOpt = Some(8)).count()
     }
+    // the residual family (round 10): codes are x − coarse_centroid(x),
+    // queries rank through per-cluster-shifted ADC tables — the encode
+    // is still a broadcast join + codegen map, the query still a
+    // cluster-restricted scan with a bounded top-k
+    timed("pq residual encode (memo)") {
+      graft.operators.Pq.encodeResidual(spark, dir).count() }
+    timed("ivfpq residual query np=8") {
+      val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
+      graft.operators.Pq.ivfPqTopK(spark, dir, q, 10, nprobe = 8).count()
+    }
+    // A24 at 50k vectors: 6 compressed tiers × 4 refine depths on a
+    // thinned deterministic query sample (stride 1000 → ~50 queries —
+    // the at-scale sampling the scaladoc prescribes; the flat
+    // compressed scans stay O(queries × corpus) over codes).
+    // collect(), not count(): the grid output joins key-unique
+    // aggregates, which count() legally eliminates
+    timed("quant_tier_report s=1000") {
+      graft.operators.QuantReport.quantTierReport(spark, dir, stride = 1000).collect() }
     timed("hyperplane LSH bandBits=8") {
       graft.operators.Dedup.embeddingNeardupLshOn(spark,
         spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
