@@ -761,7 +761,7 @@ object Pq {
   def writeIvfPq(spark: SparkSession, dir: String, outPath: String,
                  m: Int = SubspaceCount, metric: Int = VectorMetric.L2,
                  opq: Boolean = false): Unit = {
-    val (_, centroids) = Ivf.indexFor(spark, dir, metric)
+    val (assign, centroids) = Ivf.indexFor(spark, dir, metric)
     val model = trainResidual(spark, dir, m, metric, opq)
     // overwrite on the base path drops EVERYTHING from a previous build,
     // including a stale _rotation — an unrotated rebuild over an old OPQ
@@ -771,7 +771,7 @@ object Pq {
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     writeSidecars(spark, outPath, centroids, model, m, metric)
-    writeProfile(corpus(spark, dir, metric), centroids, outPath)
+    writeProfile(corpus(spark, dir, metric), assign, centroids, outPath)
   }
 
   /** Per-cluster residual profile (cluster_id, n, rsum) of a
@@ -781,12 +781,25 @@ object Pq {
     * arithmetic applies verbatim).
     */
   private[operators] def residualProfileOf(v: DataFrame,
-                                           centroids: Array[Array[Float]]): DataFrame = {
-    val spark = v.sparkSession
+                                           centroids: Array[Array[Float]]): DataFrame =
+    profileOfAssigned(
+      Ivf.assignTo(v, centroids)
+        .select(col("cluster_id"), col("neighbor_id").as("id"), col("vec")),
+      centroids)
+
+  /** The profile aggregation over an ALREADY-ASSIGNED
+    * (cluster_id, id, vec) frame — one broadcast centroid join, no
+    * re-assignment (the build/rebuild paths have the assignment in
+    * hand; re-running the k-way argmin for the profile doubled the
+    * corpus passes those keys pay).
+    */
+  private def profileOfAssigned(assigned: DataFrame,
+                                centroids: Array[Array[Float]]): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     val cdf = centroids.zipWithIndex
       .map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("cluster_id", "cvec")
-    Ivf.assignTo(v, centroids)
+    assigned
       .join(broadcast(cdf), "cluster_id")
       .select(col("cluster_id"),
         floor(VectorFunctions.l2Distance(col("vec"), col("cvec")) * lit(1e6))
@@ -799,11 +812,16 @@ object Pq {
     * drift-rebuild policy (PqLifecycle.driftShouldRebuild) diffs the
     * index's future contents against. Written by every build/rebuild,
     * refreshed by the swap — the distribution twin of the count-based
-    * dirt the state file carries.
+    * dirt the state file carries. Takes the (id, cluster_id)
+    * assignment the caller already computed.
     */
-  private def writeProfile(v: DataFrame, centroids: Array[Array[Float]],
+  private def writeProfile(v: DataFrame, assign: DataFrame,
+                           centroids: Array[Array[Float]],
                            outPath: String): Unit =
-    residualProfileOf(v, centroids)
+    profileOfAssigned(
+      v.join(assign.select("id", "cluster_id"), "id")
+        .select(col("cluster_id"), col("id"), col("vec")),
+      centroids)
       .select(col("cluster_id"), col("n").as("n_base"), col("rsum").as("rsum_base"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_profile")
 
@@ -856,7 +874,7 @@ object Pq {
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     writeSidecars(spark, outPath, centroids, model, m, metric)
-    writeProfile(v, centroids, outPath)
+    writeProfile(v, assign, centroids, outPath)
     v.unpersist()
     n
   }
