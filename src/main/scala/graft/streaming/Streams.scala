@@ -1264,12 +1264,16 @@ object Streams {
     val src = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"), col("source"))
     val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
-    def land(name: String, pred: org.apache.spark.sql.Column, stamp: Long): Unit = {
+    // files land SEQUENTIALLY between drains, so their natural
+    // modification times already order the triggers — never back-date
+    // stamps on a LIVE query: if a poll lists a part file in the window
+    // between its rename and a setLastModified, the real wall-clock
+    // mtime poisons the source's max-age watermark and every later
+    // back-dated file is silently ignored as too old (observed as a
+    // one-in-several-runs missing trigger)
+    def land(name: String, pred: org.apache.spark.sql.Column): Unit =
       src.filter(pred).coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
-      new java.io.File(s"$landing/$name").listFiles()
-        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(stamp))
-    }
-    land("f1", col("doc_id") <= maxId / 3, 1000000L)
+    land("f1", col("doc_id") <= maxId / 3)
     val schema = ss.read.parquet(s"$landing/f1").schema
     val incoming = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$landing/f*")
@@ -1278,12 +1282,11 @@ object Streams {
       q.processAllAvailable() // trigger 1 committed
       require(compactStore(ss, store) >= 2,
         "mid-stream compaction absorbed nothing after trigger 1")
-      land("f2", col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3,
-        2000000L)
+      land("f2", col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3)
       q.processAllAvailable() // trigger 2 lands against the compacted store
       require(compactStore(ss, store) >= 2,
         "mid-stream compaction absorbed nothing after trigger 2")
-      land("f3", col("doc_id") > 2 * maxId / 3, 3000000L)
+      land("f3", col("doc_id") > 2 * maxId / 3)
       q.processAllAvailable()
     } finally q.stop()
     val p = new org.apache.hadoop.fs.Path(out)
