@@ -237,10 +237,10 @@ object Bench {
     // so a cross-round table can normalize host speed per artifact
     // without opening the full queries file (SURVEY §8h's divisor)
     val calJson = byKey.find(_._1 == "calibration")
-      .map { case (_, xs) =>
-        val ss = xs.map(_._1)
-        s"""{"median":${median(ss)},"spread":[${ss.min},${ss.max}]}"""
-      }.getOrElse("null")
+      .map { case (_, xs) => xs.collect { case (sec, None) => sec } }
+      .filter(_.nonEmpty) // errored runs' wall-clock is meaningless
+      .map(ss => s"""{"median":${median(ss)},"spread":[${ss.min},${ss.max}]}""")
+      .getOrElse("null")
     // full artifact first (humans + whole-stdout parsers), COMPACT
     // summary as the very last line: the driver keeps only a ~2000-char
     // stdout tail, which beheaded the 130-key full line (BENCH_r05/r06

@@ -96,7 +96,18 @@ object DriftReport {
     * dashboard and the policy can never disagree on what "drifted"
     * means.
     */
-  private[operators] def diffProfiles(base: DataFrame, cur: DataFrame): DataFrame = {
+  private[operators] def diffProfiles(base: DataFrame, cur: DataFrame): DataFrame =
+    diffProfilesLazy(base, cur)
+      .orderBy("cluster_id")
+      .localCheckpoint(true)
+
+  /** [[diffProfiles]] without the report's ordering + eager pin — the
+    * POLICY entry (PqLifecycle.driftShouldRebuild consults this on a
+    * cadence and only needs an any-flag existence check; paying a full
+    * sort + a never-unpersisted checkpointed RDD per consult would
+    * leak executor storage across a long-lived session).
+    */
+  private[operators] def diffProfilesLazy(base: DataFrame, cur: DataFrame): DataFrame = {
     val j = cur.join(base, Seq("cluster_id"), "left")
       .select(col("cluster_id"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
@@ -115,8 +126,6 @@ object DriftReport {
         "rsum_cur div n_cur AS mean_r_cur_q",
         "CAST(n_cur * total_base > 2 * n_base * total_cur AS BIGINT) AS growth_flag",
         "CAST(rsum_cur * n_base > 2 * rsum_base * n_cur AS BIGINT) AS resid_flag")
-      .orderBy("cluster_id")
-      .localCheckpoint(true)
   }
 
   /** Dynamic oracle: assignment + residual quantization replayed over

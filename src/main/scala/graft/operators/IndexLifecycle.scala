@@ -21,8 +21,17 @@ case class IndexStatus(
     version: Int,
     dirtyCount: Long,
     totalVectors: Long,
-    appliedStreamBatch: Long = -1L,
-    appliedStreamId: String = "") {
+    /** At-least-once replay watermarks, one PER STREAM IDENTITY (the
+      * Delta txn appId+version pattern kept faithfully: a single
+      * last-writer pair would let two interleaved streams displace
+      * each other's watermark and re-land replayed batches). Keys are
+      * caller stream ids verbatim; values the highest applied batch.
+      */
+    appliedStreams: Map[String, Long] = Map.empty) {
+
+  /** Highest batch applied by `streamId` (-1 = none). */
+  def appliedBatchFor(streamId: String): Long =
+    appliedStreams.getOrElse(streamId, -1L)
 
   /** index_service.py:88-99: rebuild when unbuilt, empty, or the dirty
     * ratio reaches the threshold.
@@ -62,15 +71,27 @@ object IndexLifecycle {
 
   private def statePath(indexPath: String) = new Path(s"$indexPath/_state/state.json")
 
+  /** Stream ids are HEX-ENCODED in the state file: ids are free-form
+    * caller strings (checkpoint paths), and the regex field parser
+    * below truncates at ',', '}' or '"' — a comma in a path would
+    * silently corrupt the replay guard. Hex keys are [0-9a-f]+ by
+    * construction, so no escaping question can ever arise.
+    */
+  private def hexEncode(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def hexDecode(h: String): String =
+    new String(h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray, "UTF-8")
+
   private[operators] def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
     val p = statePath(indexPath)
     val f = fs(spark, indexPath)
+    val streams = s.appliedStreams.toSeq.sortBy(_._1)
+      .map { case (id, b) => s""""${hexEncode(id)}":$b""" }.mkString(",")
     val json =
       s"""{"algorithm":"${s.algorithm}","is_built":${s.isBuilt},"is_dirty":${s.isDirty},
          |"size":${s.size},"embedding_dim":${s.embeddingDim},"built_at":${s.builtAt},
          |"version":${s.version},"dirty_count":${s.dirtyCount},"total_vectors":${s.totalVectors},
-         |"applied_stream_batch":${s.appliedStreamBatch},
-         |"applied_stream_id":"${s.appliedStreamId}"}"""
+         |"applied_streams":{$streams}}"""
         .stripMargin.replace("\n", "")
     val out = f.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -94,15 +115,25 @@ object IndexLifecycle {
         ("\"" + name + "\":\"?([^,}\"]*)").r.findFirstMatchIn(json).map(_.group(1))
       def field(name: String): String =
         fieldOpt(name).getOrElse(sys.error(s"bad state file: missing $name"))
+      // watermark map: hex keys parse with a plain character-class
+      // regex; LEGACY single-pair fields (pre this round's map) fold
+      // into a one-entry map so old indexes keep their guard
+      val streams: Map[String, Long] =
+        """"applied_streams":\{([^}]*)\}""".r.findFirstMatchIn(json)
+          .map(_.group(1)) match {
+          case Some(body) =>
+            """"([0-9a-f]*)":(-?\d+)""".r.findAllMatchIn(body)
+              .map(m => hexDecode(m.group(1)) -> m.group(2).toLong).toMap
+          case None =>
+            val b = fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L)
+            if (b < 0) Map.empty
+            else Map(fieldOpt("applied_stream_id").getOrElse("") -> b)
+        }
       IndexStatus(field("algorithm"), field("is_built").toBoolean,
         field("is_dirty").toBoolean, field("size").toLong,
         field("embedding_dim").toInt, field("built_at").toLong,
         field("version").toInt, field("dirty_count").toLong,
-        field("total_vectors").toLong,
-        // absent in pre-round-9 state files: no stream batch applied
-        fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L),
-        // absent in pre-round-10 state files: no stream identity known
-        fieldOpt("applied_stream_id").getOrElse(""))
+        field("total_vectors").toLong, streams)
     }
   }
 

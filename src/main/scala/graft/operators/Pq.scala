@@ -250,14 +250,24 @@ object Pq {
     * codegen'd PqEncode — still a shuffle-free map after the one
     * broadcast join.
     */
+  /** (cluster_id, cvec: array<double>) centroid table — the ONE
+    * construction behind every residual-arithmetic consumer
+    * (encodeResidualWith, the A24 pqr tier), so the widening rule can
+    * never diverge between the encode and a reconstruction.
+    */
+  private[operators] def centroidDoubleDf(spark: SparkSession,
+                                          centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.map(_.toDouble).toSeq) }.toSeq
+      .toDF("cluster_id", "cvec")
+  }
+
   private[operators] def encodeResidualWith(vecs: DataFrame,
                                             centroids: Array[Array[Float]],
                                             model: Model): DataFrame = {
     val spark = vecs.sparkSession
-    import spark.implicits._
-    val cdf = centroids.zipWithIndex
-      .map { case (c, j) => (j, c.map(_.toDouble).toSeq) }.toSeq
-      .toDF("cluster_id", "cvec")
+    val cdf = centroidDoubleDf(spark, centroids)
     val res = VectorFunctions.vectorSub(col("vec"), col("cvec"))
     val input = model.rotation match {
       case Some(r) => graft.functions.RotateFunctions.rotateVector(res, r)

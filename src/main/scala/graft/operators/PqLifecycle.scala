@@ -63,15 +63,18 @@ object PqLifecycle {
     * foreachBatch callers (D12): both are recorded in the SAME state
     * write landAppend already does before moving files in, so a
     * replayed batch (sink retry after a completed append but before
-    * the checkpoint commit) sees `appliedStreamBatch >= batchId` FOR
-    * THE SAME STREAM and NO-OPs instead of silently landing duplicate
-    * code rows. The watermark is keyed per stream identity (the Delta
-    * txn appId+version idempotent-writer pattern; callers pass a
-    * stable id — D12 uses the checkpoint location): Spark batch ids
-    * restart at 0 under a FRESH checkpoint, so a watermark from an old
-    * stream must never swallow a new stream's genuinely-new batches —
-    * a different `streamId` applies normally and takes the watermark
-    * over. A crash between the state write and the move-in stays
+    * the checkpoint commit) sees its own stream's watermark >= batchId
+    * and NO-OPs instead of silently landing duplicate code rows. The
+    * watermark is a MAP keyed per stream identity (the Delta txn
+    * appId+version idempotent-writer pattern, kept per-appId as Delta
+    * keeps it; callers pass a stable id — D12 uses the checkpoint
+    * location): Spark batch ids restart at 0 under a FRESH checkpoint,
+    * so an old stream's watermark must never swallow a new stream's
+    * genuinely-new batches, and two INTERLEAVED streams appending to
+    * one index must not displace each other's entry (a single
+    * last-writer pair would re-open the replay hole the moment a
+    * second identity touched the index). A crash between the state
+    * write and the move-in stays
     * behind the loud `_append_tmp` refusal (recovery = rebuild) — the
     * window that was previously silent duplication is now either a
     * no-op or a refusal, never unaccounted rows.
@@ -85,10 +88,12 @@ object PqLifecycle {
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
     // replay no-op AFTER the marker check: a state that records the
     // batch but still carries _append_tmp is half-moved, not applied.
-    // Same stream only — a fresh checkpoint (new identity) starts its
-    // own numbering and must not be silently dropped.
-    if (streamBatchId.exists(_ <= s.appliedStreamBatch) &&
-        streamId.getOrElse("") == s.appliedStreamId) return s
+    // Per-stream watermark — a fresh checkpoint (new identity) starts
+    // its own numbering and must not be silently dropped, and two
+    // interleaved streams must not displace each other's watermark
+    // (each id keeps its own entry in the map).
+    if (streamBatchId.exists(_ <= s.appliedBatchFor(streamId.getOrElse(""))))
+      return s
     val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
     val codebooks = Pq.loadCodebooks(spark, indexPath)
     val metric = Pq.loadMetric(spark, indexPath)
@@ -115,9 +120,10 @@ object PqLifecycle {
       }
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
       size = s.size + n,
-      appliedStreamBatch = streamBatchId.getOrElse(s.appliedStreamBatch),
-      appliedStreamId =
-        if (streamBatchId.isDefined) streamId.getOrElse("") else s.appliedStreamId)
+      appliedStreams = streamBatchId match {
+        case Some(b) => s.appliedStreams + (streamId.getOrElse("") -> b)
+        case None => s.appliedStreams
+      })
     IndexLifecycle.landAppend(spark, indexPath, staged, next)
     v.unpersist()
     next
@@ -151,18 +157,23 @@ object PqLifecycle {
     * (stale staging is overwritten by the next rebuild); a crash
     * between the renames leaves BOTH complete trees on disk under loud
     * names — never a half-mixed model. The at-least-once stream
-    * watermark (`appliedStreamBatch`) carries over: a rebuild must not
+    * watermark map (`appliedStreams`) carries over: a rebuild must not
     * reopen replay windows for an ingest stream running against the
     * index.
     *
     * Concurrent-writer safety: a mutation that lands between the
     * `currentVecs` snapshot and the swap would exist only in the tree
     * being replaced — the reference serializes build under its
-    * per-library write lock (index_service.py); the batch twin gets
-    * the equivalent with an abort-before-swap check: the live state is
-    * re-read just before the renames and any movement since entry
-    * discards the staged tree with a loud retry error instead of
-    * silently dropping the in-between rows.
+    * per-library write lock (index_service.py). Rename-based protocols
+    * cannot fully replace that lock: the batch twin NARROWS the window
+    * with two checks — the live state re-read just before the renames
+    * (abort: staged tree discarded, loud retry error), and a second
+    * re-read of the moved-aside tree right after the first rename
+    * (restore: live tree renamed back, staged tree discarded) — so an
+    * in-between mutation is caught unless it lands inside the rename
+    * call itself. Deployments that cannot retry on the loud error must
+    * quiesce writers for the swap, exactly as the reference's lock
+    * does for the whole build.
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus =
     rebuild(currentVecs, indexPath, () => ())
@@ -187,8 +198,7 @@ object PqLifecycle {
     val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
       embeddingDim = s.embeddingDim, builtAt = System.currentTimeMillis(),
       version = s.version + 1, dirtyCount = 0L, totalVectors = n,
-      appliedStreamBatch = s.appliedStreamBatch,
-      appliedStreamId = s.appliedStreamId)
+      appliedStreams = s.appliedStreams)
     IndexLifecycle.writeState(spark, tmp.toString, next)
     beforeSwap()
     // abort-before-swap: an append/delete that landed AFTER the
@@ -198,10 +208,8 @@ object PqLifecycle {
     // and refuse if anything moved since entry; the staged tree is
     // deleted and the caller re-runs rebuild over the fresh contents.
     val live0 = IndexLifecycle.status(spark, indexPath)
-    if ((live0.version, live0.dirtyCount, live0.size,
-         live0.appliedStreamBatch, live0.appliedStreamId) !=
-        (s.version, s.dirtyCount, s.size,
-         s.appliedStreamBatch, s.appliedStreamId)) {
+    if ((live0.version, live0.dirtyCount, live0.size, live0.appliedStreams) !=
+        (s.version, s.dirtyCount, s.size, s.appliedStreams)) {
       fs.delete(tmp, true)
       sys.error(s"rebuild: concurrent mutation landed during staging " +
         s"(entry state $s, live state $live0) — staged tree discarded, " +
@@ -211,6 +219,20 @@ object PqLifecycle {
     val aside = new org.apache.hadoop.fs.Path(s"${indexPath}_old_v${s.version}")
     if (!fs.rename(live, aside))
       sys.error(s"rebuild: could not move live index $live aside")
+    // second check AFTER the move-aside: a mutation that slipped in
+    // between the abort check and the rename travelled WITH the tree —
+    // restore it and retry rather than deleting it as the old version
+    val moved = IndexLifecycle.status(spark, aside.toString)
+    if ((moved.version, moved.dirtyCount, moved.size, moved.appliedStreams) !=
+        (s.version, s.dirtyCount, s.size, s.appliedStreams)) {
+      if (!fs.rename(aside, live))
+        sys.error(s"rebuild: late mutation detected but could not restore " +
+          s"$aside to $live — recover by hand before serving")
+      fs.delete(tmp, true)
+      sys.error("rebuild: concurrent mutation landed between the abort check " +
+        "and the swap — live tree restored, staged tree discarded, re-run " +
+        "rebuild against the current contents")
+    }
     if (!fs.rename(tmp, live))
       sys.error(s"rebuild: rename $tmp -> $live failed; last good version at $aside")
     if (!fs.delete(aside, true))
@@ -242,11 +264,24 @@ object PqLifecycle {
       val cur = Pq
         .residualProfileOf(Ivf.metricTransform(currentVecs, metric), centroids)
         .select(col("cluster_id"), col("n").as("n_cur"), col("rsum").as("rsum_cur"))
-      DriftReport.diffProfiles(base, cur)
-        .filter(col("growth_flag") === 1L || col("resid_flag") === 1L)
+      // growth needs a real arrival MASS: a cluster with no baseline
+      // row (empty at build) satisfies the share-doubling inequality
+      // from its first vector, and a policy that pays a full
+      // retrain+re-encode for one stray row is not a policy — the
+      // dashboard keeps the raw by-construction flag, the policy
+      // floors it. resid_flag is 0>0-safe at n_base=0 as-is.
+      DriftReport.diffProfilesLazy(base, cur)
+        .filter((col("growth_flag") === 1L &&
+            col("n_cur") >= DriftGrowthMinRows) ||
+          col("resid_flag") === 1L)
         .limit(1).count() > 0
     }
   }
+
+  /** Minimum cluster size for the POLICY's growth trigger (the
+    * dashboard's flag stays unfloored — zeros there are auditable).
+    */
+  val DriftGrowthMinRows = 64L
 
   /** The combined rebuild policy: the reference's count-based dirty
     * ratio (index_service.py:88-99) OR the drift flags over the

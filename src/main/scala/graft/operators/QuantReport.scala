@@ -110,12 +110,9 @@ object QuantReport {
     // formulation does not exist for residual codes (cross terms
     // between centroids and codebooks are not M independent lookups)
     val pqrPairs: DataFrame = {
-      import spark.implicits._
       val (_, rcents) = Ivf.indexFor(spark, dir)
       val rModel = Pq.trainResidual(spark, dir)
-      val rcdf = rcents.zipWithIndex
-        .map { case (c, j) => (j, c.map(_.toDouble).toSeq) }.toSeq
-        .toDF("cluster_id", "cvec")
+      val rcdf = Pq.centroidDoubleDf(spark, rcents)
       val recon = VectorFunctions.vectorAdd(col("cvec"),
         PqFunctions.pqDecode(col("codes"), rModel.codebooks))
       Pq.encodeResidual(spark, dir).join(broadcast(rcdf), "cluster_id")

@@ -694,6 +694,17 @@ object Streams {
 
   // --------------------------------------------------------------- D13
 
+  /** Minhash-position agreement count over (mh_a, mh_b) columns — the
+    * ONE verify bar shared by the D13 per-batch drops and the D13b
+    * reconciler (estimated Jaccard ≥ t as an exact integer
+    * comparison), so the stream and its periodical cannot drift.
+    */
+  private[graft] def minhashAgree: org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
+
   /** D13 core: ONE micro-batch of continuous FUZZY-dedup ingest — the
     * near-dup twin of D10's exact hash store, and the streaming face of
     * E42's composed fuzzy pass: arrivals are near-dup-checked against a
@@ -718,17 +729,6 @@ object Streams {
     * Everything is O(micro-batch + matched band rows): the store is
     * only ever band-joined and appended, never rewritten.
     */
-  /** Minhash-position agreement count over (mh_a, mh_b) columns — the
-    * ONE verify bar shared by the D13 per-batch drops and the D13b
-    * reconciler (estimated Jaccard ≥ t as an exact integer
-    * comparison), so the stream and its periodical cannot drift.
-    */
-  private[graft] def minhashAgree: org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(col("mh_a"), col("mh_b"),
-        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-      lit(0), (acc, v) => acc + v)
-
   private[graft] def dedupFuzzyBatch(store: String, out: String)
                                     (batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) {

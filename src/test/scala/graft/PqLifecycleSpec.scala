@@ -190,7 +190,7 @@ class PqLifecycleSpec extends AnyFunSuite {
     val s3 = PqLifecycle.rebuild(current, path)
     assert(s3.version == s1.version + 1 && !s3.isDirty && s3.dirtyCount == 0L)
     assert(s3.size == n + d && s3.totalVectors == n + d)
-    assert(s3.appliedStreamBatch == 7L,
+    assert(s3.appliedBatchFor("") == 7L,
       "rebuild must carry the stream replay watermark over")
     // disk agrees with the state and the swap left no debris
     assert(spark.read.parquet(path).count() == n + d)

@@ -344,8 +344,7 @@ class StreamsSpec extends AnyFunSuite {
     Streams.indexAppendBatch(idx, "ckptA")(b, 0L)
     val s1 = IndexLifecycle.status(spark, idx)
     val rows1 = spark.read.parquet(idx).count()
-    assert(s1.dirtyCount == 3L && s1.appliedStreamBatch == 0L)
-    assert(s1.appliedStreamId == "ckptA")
+    assert(s1.dirtyCount == 3L && s1.appliedBatchFor("ckptA") == 0L)
     // the replay: foreachBatch re-delivers batch 0 after a crash
     // between the completed append and the checkpoint commit — the
     // state already accounts for it, so the retry must not land
@@ -359,18 +358,27 @@ class StreamsSpec extends AnyFunSuite {
     Streams.indexAppendBatch(idx, "ckptA")(
       b.select((col("id") + 100L).as("id"), col("vec")), 1L)
     val s3 = IndexLifecycle.status(spark, idx)
-    assert(s3.dirtyCount == 6L && s3.appliedStreamBatch == 1L)
+    assert(s3.dirtyCount == 6L && s3.appliedBatchFor("ckptA") == 1L)
     assert(spark.read.parquet(idx).count() == rows1 + 3)
     // a FRESH stream identity (new checkpoint) restarts its batch
     // numbering at 0 — the old stream's watermark (1) must NOT swallow
-    // it: the batch applies and takes the watermark over
+    // it: the batch applies under its OWN map entry
     Streams.indexAppendBatch(idx, "ckptB")(
       b.select((col("id") + 200L).as("id"), col("vec")), 0L)
     val s4 = IndexLifecycle.status(spark, idx)
-    assert(s4.dirtyCount == 9L && s4.appliedStreamBatch == 0L &&
-      s4.appliedStreamId == "ckptB",
+    assert(s4.dirtyCount == 9L && s4.appliedBatchFor("ckptB") == 0L &&
+      s4.appliedBatchFor("ckptA") == 1L,
       s"fresh-checkpoint batch was swallowed by a stale watermark: $s4")
     assert(spark.read.parquet(idx).count() == rows1 + 6)
+    // INTERLEAVED streams keep separate watermarks: ckptA's replay of
+    // its batch 1 must STILL no-op even though ckptB wrote since (a
+    // single last-writer pair would re-land it here)
+    Streams.indexAppendBatch(idx, "ckptA")(
+      b.select((col("id") + 100L).as("id"), col("vec")), 1L)
+    val s5 = IndexLifecycle.status(spark, idx)
+    assert(s5 == s4, s"interleaved replay mutated state: $s5")
+    assert(spark.read.parquet(idx).count() == rows1 + 6,
+      "interleaved replay landed duplicate code rows")
     Streams.deleteTree(root)
   }
 
