@@ -131,6 +131,9 @@ object Bench {
     // the quant report's pqr tier — after memo_ivf_index (it rides the
     // coarse assignment)
     "memo_pq_codes_res" -> (() => { operators.Pq.encodeResidual(spark, dir); () }),
+    // the rotated-residual codes behind ivfpq_topk_opq
+    "memo_pq_codes_res_opq" -> (() =>
+      { operators.Pq.encodeResidual(spark, dir, opq = true); () }),
     "memo_sq8_codes"    -> (() => { operators.Sq8.encode(spark, dir); () }),
     "memo_bq_codes"     -> (() => { operators.Bq.encode(spark, dir); () }),
     "memo_pca_reduced"  -> (() => { operators.Pca.reduce(spark, dir); () }),

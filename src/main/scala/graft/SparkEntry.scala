@@ -92,6 +92,8 @@ object SparkEntry {
     // learned OPQ rotation in front of the same byte budget
     "pq_topk_opq"         -> ((s, d) => Pq.pqTopkOpq(s, d)),
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
+    // A18c: the OPQ-residual composition served (FAISS OPQ..,IVF..,PQ..)
+    "ivfpq_topk_opq"      -> ((s, d) => Pq.ivfpqTopkOpq(s, d)),
     "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
     // cosine SDC over the normalized-corpus index (the metric plumbed
     // through the compressed-domain BATCH path, not just point queries)
@@ -544,6 +546,7 @@ object SparkEntry {
     "pq_topk"     -> ((s, d) => Pq.pqTopkOracleSql(s, d)),
     "pq_topk_opq" -> ((s, d) => Pq.pqTopkOpqOracleSql(s, d)),
     "ivfpq_topk"  -> ((s, d) => Pq.ivfpqTopkOracleSql(s, d)),
+    "ivfpq_topk_opq" -> ((s, d) => Pq.ivfpqTopkOpqOracleSql(s, d)),
     "ann_topk_batch_pq" -> ((s, d) => Pq.sdcBatchOracleSql(s, d)),
     "ann_topk_batch_pq_cos" -> ((s, d) =>
       Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Cosine)),

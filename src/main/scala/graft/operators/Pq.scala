@@ -1057,6 +1057,25 @@ object Pq {
       .select(col("neighbor_id"), col("rank"))
   }
 
+  /** Driver query: OPQ-residual IVF-PQ top-10 at the same serving
+    * nprobe — A18's full configuration matrix served end-to-end: the
+    * learned rotation composes with residual encoding (rotate the
+    * residual, then split into subspaces — OPQ-by-residual is the
+    * FAISS `OPQ..,IVF..,PQ..` factory string), per-cluster ADC tables
+    * built from the rotated query residual. Oracle-checked via the
+    * rotated-residual replay.
+    */
+  def ivfpqTopkOpq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val (_, centroids) = Ivf.indexFor(spark, dir)
+    Ranks.byDistance(
+        ivfPqTopK(spark, dir, q, k, nprobe = math.max(1, centroids.length / 4),
+          opq = true), k)
+      .select(col("neighbor_id"), col("rank"))
+  }
+
   // ------------------------------------------------- dynamic oracles
   //
   // "Approximate by construction" never meant non-deterministic: given
@@ -1201,8 +1220,21 @@ object Pq {
     * replayed probe ordinal (AdcDistanceMulti's mi-ascending fold as
     * the ordered partial-sum list), and the exact refine.
     */
-  def ivfpqTopkOracleSql(spark: SparkSession, dir: String, k: Int = 10): String = {
-    val model = trainResidual(spark, dir)
+  def ivfpqTopkOracleSql(spark: SparkSession, dir: String, k: Int = 10): String =
+    ivfpqTopkOracleSqlImpl(spark, dir, k, opq = false)
+
+  /** ivfpq_topk_opq oracle: the same residual replay with the learned
+    * rotation applied to the RESIDUAL (RotateVector's double row-sums
+    * with the float cast per component — the corpCte rotation body,
+    * here against the residual corpus) before the encode argmin; the
+    * per-cluster tables are driver math either way and inline rotated.
+    */
+  def ivfpqTopkOpqOracleSql(spark: SparkSession, dir: String, k: Int = 10): String =
+    ivfpqTopkOracleSqlImpl(spark, dir, k, opq = true)
+
+  private def ivfpqTopkOracleSqlImpl(spark: SparkSession, dir: String,
+                                     k: Int, opq: Boolean): String = {
+    val model = trainResidual(spark, dir, opq = opq)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
     val np = math.max(1, nc / 4)
@@ -1210,11 +1242,33 @@ object Pq {
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
     val probed = probeIds(cents, qRaw, np, VectorMetric.L2)
-    val tables = residualAdcTables(cents, probed, model.codebooks, None,
-      qRaw, VectorMetric.L2)
+    val tables = residualAdcTables(cents, probed, model.codebooks,
+      model.rotation, qRaw, VectorMetric.L2)
     val tblLit = tables.map(_.map(_.map(_.toString).mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val dim = model.dim
+    // residual corp, then (for OPQ) the rotation with the kernel's
+    // per-component float cast — codes live in rotated-residual space
+    val resCorp = model.rotation match {
+      case None =>
+        s"""r_corp AS (
+           |  SELECT c0.vec_id,
+           |    list_transform(range(1, ${dim + 1}), i -> c0.v[i] - cv[a.cid + 1][i]) AS v
+           |  FROM corp c0 JOIN asg a ON a.vec_id = c0.vec_id, cents)""".stripMargin
+      case Some(r) =>
+        val rl = r.map(_.map(_.toString).mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"""r0_corp AS (
+           |  SELECT c0.vec_id,
+           |    list_transform(range(1, ${dim + 1}), i -> c0.v[i] - cv[a.cid + 1][i]) AS v
+           |  FROM corp c0 JOIN asg a ON a.vec_id = c0.vec_id, cents),
+           |r_rot AS (SELECT CAST($rl AS DOUBLE[][]) AS rm),
+           |r_corp AS (
+           |  SELECT vec_id,
+           |    list_transform(range(1, ${dim + 1}), oi -> CAST(CAST(
+           |      list_sum(list_transform(range(1, ${dim + 1}), j -> rm[oi][j] * v[j]))
+           |    AS FLOAT) AS DOUBLE)) AS v
+           |  FROM r0_corp, r_rot)""".stripMargin
+    }
     s"""WITH r_cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
        |tblr AS (SELECT CAST($tblLit AS DOUBLE[][][]) AS t),
        |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
@@ -1234,10 +1288,7 @@ object Pq {
        |        list_distance(c0.v, cv[t.j + 1]), t.j) AS rn
        |    FROM corp c0, cents, UNNEST(range(0, $nc)) t(j)) x
        |  WHERE rn = 1),
-       |r_corp AS (
-       |  SELECT c0.vec_id,
-       |    list_transform(range(1, ${dim + 1}), i -> c0.v[i] - cv[a.cid + 1][i]) AS v
-       |  FROM corp c0 JOIN asg a ON a.vec_id = c0.vec_id, cents),
+       |$resCorp,
        |${codesCte(model, "r_")},
        |adc AS (
        |  SELECT vec_id, sqrt(list_sum(list(tv ORDER BY mi))) AS dist FROM (
