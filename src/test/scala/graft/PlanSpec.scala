@@ -210,6 +210,27 @@ class PlanSpec extends AnyFunSuite {
       s"residual computation fell back to an all-pairs plan:\n$plan")
   }
 
+  test("ivfpq residual serving: ordinal map broadcasts, one scan, no cartesian") {
+    val q = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val df = graft.operators.Pq.ivfPqTopK(spark, sf, q, 10, nprobe = 4, refine = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the cluster_id -> probe_ord map is nprobe rows: it must broadcast
+    // into the code scan (a shuffle join here would reshuffle the code
+    // table per query), and the per-cluster table lookup is ONE codegen
+    // kernel — no per-probe plan branches, no all-pairs fallback
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe-ordinal map must broadcast into the code scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"residual ADC fell back to an all-pairs plan:\n$plan")
+    assert(plan.contains("pq_adc_distance_multi"),
+      s"residual ranking must go through the multi-table ADC kernel:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"the shortlist must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("quality_classifier: single scan, zero exchanges before the presentation sort") {
     val df = graft.operators.TextOps.qualityClassifier(spark, sf)
     df.collect()
