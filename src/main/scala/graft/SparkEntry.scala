@@ -94,6 +94,10 @@ object SparkEntry {
     "ivfpq_topk"          -> ((s, d) => Pq.ivfpqTopk(s, d)),
     // A18c: the OPQ-residual composition served (FAISS OPQ..,IVF..,PQ..)
     "ivfpq_topk_opq"      -> ((s, d) => Pq.ivfpqTopkOpq(s, d)),
+    // A18d: the A4 metadata predicate INSIDE the probed residual scan
+    // (selector semi-join + n/f probe widening + starved-filter
+    // fallback — the filtered-ANN serving contract)
+    "ivfpq_topk_filtered" -> ((s, d) => Pq.ivfpqTopkFiltered(s, d)),
     "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
     // cosine SDC over the normalized-corpus index (the metric plumbed
     // through the compressed-domain BATCH path, not just point queries)
@@ -547,6 +551,10 @@ object SparkEntry {
     "pq_topk_opq" -> ((s, d) => Pq.pqTopkOpqOracleSql(s, d)),
     "ivfpq_topk"  -> ((s, d) => Pq.ivfpqTopkOracleSql(s, d)),
     "ivfpq_topk_opq" -> ((s, d) => Pq.ivfpqTopkOpqOracleSql(s, d)),
+    // A18d: the widened-probe residual replay with the selector
+    // semi-joined into the ADC candidate set (branch arithmetic shared
+    // with the engine)
+    "ivfpq_topk_filtered" -> ((s, d) => Pq.ivfpqTopkFilteredOracleSql(s, d)),
     "ann_topk_batch_pq" -> ((s, d) => Pq.sdcBatchOracleSql(s, d)),
     "ann_topk_batch_pq_cos" -> ((s, d) =>
       Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Cosine)),

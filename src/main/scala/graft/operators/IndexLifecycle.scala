@@ -29,9 +29,41 @@ case class IndexStatus(
       */
     appliedStreams: Map[String, Long] = Map.empty) {
 
-  /** Highest batch applied by `streamId` (-1 = none). */
+  /** Highest batch applied by `streamId` (-1 = none). Legacy floor:
+    * states written before the per-stream map recorded ONE anonymous
+    * watermark (folded under ""). A pre-upgrade checkpoint resumed
+    * against such an index now presents a keyed streamId that has no
+    * entry — without the floor, its in-flight batch would silently
+    * re-land. The floor applies only while "" is the SOLE entry (the
+    * freshly-upgraded state): once any keyed stream lands, per-id
+    * semantics take over and a genuinely new stream's batch 0 must
+    * not be swallowed by the stale anonymous watermark.
+    */
   def appliedBatchFor(streamId: String): Long =
-    appliedStreams.getOrElse(streamId, -1L)
+    appliedStreams.getOrElse(streamId,
+      if (streamId.nonEmpty && appliedStreams.keySet == Set(""))
+        appliedStreams("")
+      else -1L)
+
+  /** Record `b` as `streamId`'s watermark with BOUNDED retention
+    * (Delta's txn-retention concern: D12-style callers key streams by
+    * checkpoint path, so a long-lived index would otherwise accumulate
+    * one entry per streaming run in state.json forever). The map is
+    * kept in least-recently-updated-first order (re-recording moves an
+    * entry to the back) and capped at [[IndexStatus.MaxAppliedStreams]];
+    * eviction drops the entry idle longest. An evicted stream that
+    * later replays re-lands its batch — the same bounded-retention
+    * trade Delta documents for VACUUM'd txn ids; a stream that has
+    * been idle across that many OTHER streams' appends is dead in any
+    * real deployment.
+    */
+  def withAppliedBatch(streamId: String, b: Long): IndexStatus = {
+    // rebuilt as an explicit insertion-ordered ListMap: the default
+    // Map implementations only preserve iteration order incidentally
+    val lru = appliedStreams.toSeq.filterNot(_._1 == streamId) :+ (streamId -> b)
+    copy(appliedStreams = scala.collection.immutable.ListMap.from(
+      lru.takeRight(IndexStatus.MaxAppliedStreams)))
+  }
 
   /** index_service.py:88-99: rebuild when unbuilt, empty, or the dirty
     * ratio reaches the threshold.
@@ -39,6 +71,11 @@ case class IndexStatus(
   def shouldRebuild(threshold: Double): Boolean =
     !isBuilt || totalVectors == 0 ||
       dirtyCount.toDouble / math.max(totalVectors, 1L) >= threshold
+}
+
+object IndexStatus {
+  /** Watermark-map retention bound — see [[IndexStatus.withAppliedBatch]]. */
+  val MaxAppliedStreams = 64
 }
 
 /** Persisted index lifecycle over the cluster-partitioned IVF layout.
@@ -85,7 +122,9 @@ object IndexLifecycle {
   private[operators] def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
     val p = statePath(indexPath)
     val f = fs(spark, indexPath)
-    val streams = s.appliedStreams.toSeq.sortBy(_._1)
+    // insertion order preserved (NOT key-sorted): the map is LRU-ordered
+    // by withAppliedBatch and the parser reads entries back in file order
+    val streams = s.appliedStreams.toSeq
       .map { case (id, b) => s""""${hexEncode(id)}":$b""" }.mkString(",")
     val json =
       s"""{"algorithm":"${s.algorithm}","is_built":${s.isBuilt},"is_dirty":${s.isDirty},
@@ -116,18 +155,22 @@ object IndexLifecycle {
       def field(name: String): String =
         fieldOpt(name).getOrElse(sys.error(s"bad state file: missing $name"))
       // watermark map: hex keys parse with a plain character-class
-      // regex; LEGACY single-pair fields (pre this round's map) fold
-      // into a one-entry map so old indexes keep their guard
+      // regex, FILE ORDER preserved (the retention bound evicts the
+      // least-recently-updated entry, so order is state); a LEGACY
+      // single-pair field (pre-map states, which carried one anonymous
+      // watermark and no stream id) folds under "" so old indexes keep
+      // their guard via appliedBatchFor's legacy floor
       val streams: Map[String, Long] =
         """"applied_streams":\{([^}]*)\}""".r.findFirstMatchIn(json)
           .map(_.group(1)) match {
           case Some(body) =>
-            """"([0-9a-f]*)":(-?\d+)""".r.findAllMatchIn(body)
-              .map(m => hexDecode(m.group(1)) -> m.group(2).toLong).toMap
+            scala.collection.immutable.ListMap.from(
+              """"([0-9a-f]*)":(-?\d+)""".r.findAllMatchIn(body)
+                .map(m => hexDecode(m.group(1)) -> m.group(2).toLong))
           case None =>
             val b = fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L)
             if (b < 0) Map.empty
-            else Map(fieldOpt("applied_stream_id").getOrElse("") -> b)
+            else scala.collection.immutable.ListMap("" -> b)
         }
       IndexStatus(field("algorithm"), field("is_built").toBoolean,
         field("is_dirty").toBoolean, field("size").toLong,

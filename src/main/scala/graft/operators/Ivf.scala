@@ -180,6 +180,13 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("cid", "cvec")
   }
 
+  /** The exact flat argmin assignment, as a spec seam (IvfSpec grades
+    * [[assignTwoLevel]]'s agreement against it).
+    */
+  private[graft] def kmeansAssignExact(vectors: DataFrame,
+                                       centroids: Array[Array[Float]]): DataFrame =
+    assignJoin(vectors, centroids).select("id", "cluster_id")
+
   /** One assignment pass via the broadcast centroid table.
     * min(struct(dist, cid, vec)) picks the argmin with ties to the
     * lower cluster id and carries the vector through for the mean step.
@@ -200,32 +207,67 @@ object Ivf {
     * Training follows the standard IVF practice (FAISS trains its
     * coarse quantizer the same way): Lloyd runs on a bounded,
     * DETERMINISTIC hash-sample of the corpus — 256 vectors per
-    * centroid, the full corpus when smaller — collected to the driver,
-    * so training is O(k·sample·iters) in memory and the cluster does
-    * exactly TWO corpus passes total (one for the sample, one for the
-    * final assignment) instead of one assignment pass per iteration.
-    * The sample filter is a hash of the id, so membership is a pure
-    * function of the data, never of partitioning. Lloyd stops early
-    * when the max centroid shift drops below `tol`.
+    * centroid, the full corpus when smaller. The sample filter is a
+    * hash of the id, so membership is a pure function of the data,
+    * never of partitioning. Lloyd stops early when the max centroid
+    * shift drops below `tol`.
+    *
+    * TWO regimes, split at [[DriverTrainMaxK]] (k grows as √(N/2), so
+    * the 256·k sample is NOT bounded at a fixed byte budget — at the
+    * 100 TB contract k ≈ 224k means a ~57M-row sample that must never
+    * touch the driver):
+    *   - k ≤ threshold (every sf-dir corpus, every oracle): the sample
+    *     collects and driver-local [[lloyd]] runs — bit-stable with
+    *     all prior rounds, exactly TWO corpus passes total.
+    *   - k > threshold: the sample stays a FRAME and training goes
+    *     two-level ([[trainTwoLevel]] — the billion-scale FAISS
+    *     recipe): distributed Lloyd for √k level-1 cells, then
+    *     per-cell Lloyd in parallel on executors; assignment probes
+    *     the hierarchy ([[assignTwoLevel]]) so the per-row argmin is
+    *     O(√k + w·k/√k), not O(k). The driver only ever holds the
+    *     k×dim centroid array itself — the same object every IVF
+    *     serving path already broadcasts.
+    *
+    * `maxDriverK` is the spec seam: tests force the distributed path
+    * on small corpora by passing 0.
     */
-  def kmeans(vectors: DataFrame, k: Int, iters: Int = 10, tol: Double = 1e-4)
-      : (DataFrame, Array[Array[Float]]) = {
-    val centroids = trainCentroids(vectors, k, iters, tol)
-    (assignJoin(vectors, centroids).select("id", "cluster_id"), centroids)
-  }
+  def kmeans(vectors: DataFrame, k: Int, iters: Int = 10, tol: Double = 1e-4,
+             maxDriverK: Int = DriverTrainMaxK)
+      : (DataFrame, Array[Array[Float]]) =
+    if (k <= maxDriverK) {
+      val centroids = trainCentroids(vectors, k, iters, tol)
+      (assignJoin(vectors, centroids).select("id", "cluster_id"), centroids)
+    } else {
+      val q = trainTwoLevel(vectors, k, iters, tol)
+      (assignTwoLevel(vectors, q).select("id", "cluster_id"), q.centroids)
+    }
+
+  /** Largest k whose quantizer still trains on the driver (collected
+    * sample + single-threaded [[lloyd]]). Above it, training and
+    * assignment distribute ([[trainTwoLevel]]/[[assignTwoLevel]]).
+    * 1024 keeps every sf-dir corpus (k = √(n/2) ≤ ~250 even at the 25×
+    * probe scale) on the bit-stable driver path, so the dynamic
+    * oracles replay unchanged; the 100 TB build path never collects a
+    * sample-sized frame.
+    */
+  val DriverTrainMaxK = 1024
 
   /** Per-centroid sample budget for quantizer training (the usual
     * IVF training ratio).
     */
   val TrainPointsPerCentroid = 256L
 
+  /** The k ≤ [[DriverTrainMaxK]] trainer: bounded sample collect +
+    * driver [[lloyd]]. The collect is bounded BECAUSE the threshold
+    * bounds k (256·k ≤ 256·1024 rows); uncapped k takes the
+    * [[trainTwoLevel]] path instead.
+    */
   private def trainCentroids(vectors: DataFrame, k: Int, iters: Int, tol: Double)
       : Array[Array[Float]] = {
     val n = vectors.count()
     val target = math.max(TrainPointsPerCentroid * k, 4096L)
     // ceiling-division modulus + hard limit: floor(n/target) keeps up
-    // to ~2× the budget (and the WHOLE corpus for target < n < 2·target),
-    // and the training collect must stay bounded at any corpus size
+    // to ~2× the budget (and the WHOLE corpus for target < n < 2·target)
     val sampled =
       if (n <= target) vectors
       else vectors.filter(
@@ -292,6 +334,208 @@ object Ivf {
       it += 1
     }
     centroids
+  }
+
+  // ------------------------------------------- distributed training
+  //
+  // Above DriverTrainMaxK the 256·k training sample is too large to
+  // collect (k = √(N/2) is uncapped by design, so at 100 TB the sample
+  // is ~57M rows) and driver Lloyd's O(sample·k·dim) per iteration is
+  // single-core — the build path would die on the driver while every
+  // serving path around it scales. The replacement is the standard
+  // two-level (hierarchical) coarse quantizer (the FAISS billion-scale
+  // recipe, e.g. IVF√k×√k): √k level-1 cells trained by DISTRIBUTED
+  // Lloyd over the sampled frame, then each cell's slice of the k
+  // centroids trained by driver-kernel Lloyd running IN PARALLEL on
+  // executors over that cell's sample — per-iteration cost
+  // O(sample·√k·dim) across the cluster, never a sample-sized collect,
+  // never a single-task stage. Assignment probes the hierarchy the
+  // same way (w nearest cells, argmin within their slices), turning
+  // the O(N·k·dim) flat argmin into O(N·(√k + w·k/√k)·dim).
+  //
+  // Determinism holds end to end: sample membership is an id hash;
+  // the level-1 update integer-quantizes each coordinate BEFORE the
+  // distributed sum (long addition is associative, so partial-agg
+  // order cannot move a centroid by a ulp — the residualsQ pattern);
+  // per-cell Lloyd sorts its sample by id and runs the same seeded
+  // kernel as the driver path. The two regimes produce different
+  // centroids by construction (different init topology) — the split
+  // is a documented threshold, not a silent fallback.
+
+  /** The trained two-level coarse quantizer: flat `centroids` (grouped
+    * by cell) + `cellOf(j)` = the level-1 cell centroid j belongs to.
+    * Serving paths that only need the flat array keep working
+    * unchanged; assignment-shaped consumers probe through `l1`.
+    */
+  private[graft] case class TwoLevelQuantizer(
+      l1: Array[Array[Float]],
+      centroids: Array[Array[Float]],
+      cellOf: Array[Int])
+
+  /** Cells probed per vector during two-level ASSIGNMENT (w in the
+    * IMI/IVF-HNSW sense): w > 1 recovers most of the flat argmin's
+    * exactness (a vector near a cell boundary still reaches its true
+    * nearest centroid) at O(w·k/√k) extra lookups; IvfSpec pins the
+    * agreement floor vs the exact argmin.
+    */
+  val TwoLevelAssignCells = 4
+
+  /** Fixed-point scale for the distributed Lloyd update: coordinates
+    * quantize to round(x·2^24) BEFORE the cross-partition sum, so the
+    * update is associative integer arithmetic — deterministic under
+    * any partitioning — and the 6e-8 grid is far below k-means'
+    * convergence tolerance. Headroom: |x|·2^24·sample ≤ 2^63 holds to
+    * ~5.5e11 sample rows at |x| ≤ 1.
+    */
+  private val LloydFixedPoint = (1L << 24).toDouble
+
+  /** Distributed flat Lloyd over an (id, vec) frame — the level-1
+    * trainer. Per iteration: one broadcast-centroid argmin pass + one
+    * map-side-combined (cid, pos) integer-sum aggregation (k1·dim rows
+    * collected — the centroid array itself, never the sample). Init =
+    * the k1 lowest-id vectors, ties and update rules exactly [[lloyd]]'s.
+    */
+  private[graft] def lloydDistributed(sample: DataFrame, k1: Int,
+                                          iters: Int, tol: Double): Array[Array[Float]] = {
+    val spark = sample.sparkSession
+    var centroids: Array[Array[Float]] = sample.orderBy("id").limit(k1)
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dim = centroids(0).length
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val cdf = centroidDf(spark, centroids)
+      val assigned = sample.crossJoin(broadcast(cdf))
+        .select(col("id"), col("vec"), col("cid"),
+          VectorFunctions.l2Distance(col("vec"), col("cvec")).as("dist"))
+        .groupBy("id")
+        .agg(min(struct(col("dist"), col("cid"), col("vec"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.vec").as("vec"))
+      val stats = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(round(col("x").cast("double") * lit(LloydFixedPoint)).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      val sums = Array.ofDim[Long](centroids.length, dim)
+      val counts = new Array[Long](centroids.length)
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        sums(c)(r.getInt(1)) = r.getLong(2)
+        counts(c) = r.getLong(3)
+      }
+      var maxShift = 0.0
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var acc = 0.0; var p = 0
+          while (p < dim) {
+            val m = (sums(c)(p).toDouble / counts(c) / LloydFixedPoint).toFloat
+            val d = m.toDouble - next(c)(p).toDouble
+            acc += d * d
+            next(c)(p) = m; p += 1
+          }
+          maxShift = math.max(maxShift, math.sqrt(acc))
+        }
+        c += 1
+      }
+      centroids = next
+      converged = maxShift < tol
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train the two-level quantizer for k > [[DriverTrainMaxK]]: the
+    * sampled frame never collects; level 1 is [[lloydDistributed]] at
+    * k1 = ⌈√k⌉; level 2 partitions the sample by cell and runs the
+    * [[lloyd]] kernel per cell IN PARALLEL via flatMapGroups (each
+    * task holds one cell's ~256·√k sample rows). Per-cell centroid
+    * budgets are proportional to cell mass (min 1 per non-empty cell,
+    * capped at the cell's sample count), so the effective list count
+    * lands within ~√k of the requested k — the √(N/2) heuristic is a
+    * target, not a contract. Deterministic: hash sample, id-sorted
+    * cell kernels, integer-summed level-1 updates.
+    */
+  private[graft] def trainTwoLevel(vectors: DataFrame, k: Int,
+                                       iters: Int, tol: Double): TwoLevelQuantizer = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val n = vectors.count()
+    val target = math.max(TrainPointsPerCentroid * k, 4096L)
+    val sampled =
+      (if (n <= target) vectors.select(col("id"), col("vec"))
+       else vectors.select(col("id"), col("vec")).filter(
+         pmod(xxhash64(col("id")), lit((n + target - 1) / target)) === 0))
+        .cache()
+    val sampleN = sampled.count()
+    require(sampleN > 0, "cannot train a quantizer on an empty corpus")
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val l1 = lloydDistributed(sampled, k1, iters, tol)
+    val withCell = assignJoin(sampled, l1)
+      .select(col("cluster_id").as("cell"), col("id").cast("string").as("sid"),
+        col("vec"))
+      .cache()
+    val counts = withCell.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // proportional budget: round(k·mass/total), floored at 1, capped at
+    // the cell's sample size (lloyd cannot mint more centroids than
+    // training points)
+    val alloc: Map[Int, Int] = counts.map { case (c, cn) =>
+      c -> math.min(cn, math.max(1L,
+        math.round(k.toDouble * cn / sampleN))).toInt
+    }
+    val bAlloc = spark.sparkContext.broadcast(alloc)
+    val cellCents = withCell
+      .as[(Int, String, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it0) =>
+        val vs = it0.toArray.sortBy(_._2).map(_._3)
+        val kc = math.min(bAlloc.value(cell), vs.length)
+        lloyd(vs, kc, 10, 1e-4).iterator.zipWithIndex
+          .map { case (cv, j) => (cell, j, cv) }
+      }
+      .collect()
+    withCell.unpersist()
+    sampled.unpersist()
+    val sorted = cellCents.sortBy(t => (t._1, t._2))
+    TwoLevelQuantizer(l1, sorted.map(_._3), sorted.map(_._1))
+  }
+
+  /** Two-level assignment: each vector's [[TwoLevelAssignCells]]
+    * nearest level-1 cells (bounded top-w aggregate over the broadcast
+    * √k cell table), then the flat argmin restricted to those cells'
+    * centroid slices (broadcast hash join on cell). Same output shape
+    * and tie-breaks as [[assignJoin]]; O(√k + w·k/√k) distance
+    * evaluations per row instead of O(k).
+    */
+  private[graft] def assignTwoLevel(vectors: DataFrame, q: TwoLevelQuantizer,
+                                        probeCells: Int = TwoLevelAssignCells): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val l1df = centroidDf(spark, q.l1)
+      .select(col("cid").as("cell"), col("cvec").as("l1vec"))
+    val w = math.min(math.max(1, probeCells), q.l1.length)
+    val probedCells = vectors.crossJoin(broadcast(l1df))
+      .select(col("id"), col("vec"), col("cell"),
+        VectorFunctions.l2Distance(col("vec"), col("l1vec")).as("cdist"))
+      .groupBy("id")
+      .agg(VectorFunctions
+          .topKByDistance(col("cdist"), col("cell").cast("long"), w).as("pc"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), explode(col("pc")).as("p"))
+      .select(col("id"), col("vec"), col("p.id").cast("int").as("cell"))
+    val cdf = q.centroids.zipWithIndex
+      .map { case (c, j) => (q.cellOf(j), j, c.toSeq) }.toSeq
+      .toDF("cell", "cid", "cvec")
+    probedCells.join(broadcast(cdf), "cell")
+      .select(col("id"), col("vec"), col("cid"),
+        VectorFunctions.l2Distance(col("vec"), col("cvec")).as("dist"))
+      .groupBy("id")
+      .agg(min(struct(col("dist"), col("cid"), col("vec"))).as("m"))
+      .select(col("id"), col("m.cid").as("cluster_id"), col("m.vec").as("vec"))
   }
 
   /** A6: build the IVF index over the embeddings table: one row per

@@ -499,21 +499,29 @@ object Pq {
                                            rotation: Option[Array[Array[Double]]],
                                            q0: Array[Float],
                                            metric: Int): Array[Array[Array[Double]]] =
-    probed.map { cid =>
-      val cent = centroids(cid)
-      if (metric == VectorMetric.Dot) {
-        val qd = q0.map(_.toDouble)
-        val qr = rotation.map(rotateDouble(_, qd)).getOrElse(qd)
-        val t = adcTableD(codebooks, qr, metric)
+    if (metric == VectorMetric.Dot) {
+      // the rotated query and the base inner-product table are
+      // cluster-INDEPENDENT for dot (x̂ = c + R⁻¹û factors the per-
+      // cluster part into the scalar −q·c); only subspace 0's shift
+      // differs per probed list, so the O(M·256·subDim) table builds
+      // once, not nprobe times
+      val qd = q0.map(_.toDouble)
+      val qr = rotation.map(rotateDouble(_, qd)).getOrElse(qd)
+      val t = adcTableD(codebooks, qr, metric)
+      probed.map { cid =>
+        val cent = centroids(cid)
         var qc = 0.0; var i = 0
         while (i < q0.length) { qc += q0(i).toDouble * cent(i); i += 1 }
         Array.tabulate(t.length)(mi => if (mi == 0) t(0).map(_ - qc) else t(mi))
-      } else {
+      }.toArray
+    } else {
+      probed.map { cid =>
+        val cent = centroids(cid)
         val qres = Array.tabulate(q0.length)(i => q0(i).toDouble - cent(i))
         val qr = rotation.map(rotateDouble(_, qres)).getOrElse(qres)
         adcTableD(codebooks, qr, metric)
-      }
-    }.toArray
+      }.toArray
+    }
 
   /** Driver-side probe selection over a KB-sized centroid table: the
     * nprobe nearest coarse centroids under the (transformed) query's
@@ -661,6 +669,171 @@ object Pq {
       adcCore(cand, model.codebooks, queryVec, k, refine, metric,
         refineWith = Some(refineSource(spark, dir)),
         rotation = model.rotation)
+    }
+  }
+
+  // ---------------------------------------------------- filtered ANN
+  //
+  // The reference filters search results against chunk metadata
+  // (services/search_service.py:169-197); serving that contract only
+  // on the LINEAR path (A4's pre-filter) means every filtered query
+  // pays a corpus scan. The compressed twin pushes the predicate
+  // INSIDE the probed residual scan — the candidate stream semi-joins
+  // the selector (FAISS's IDSelector role) BEFORE the bounded top-k,
+  // so non-matching rows never occupy shortlist slots — and handles
+  // the selectivity/nprobe interaction explicitly:
+  //   - a selective filter thins every probed list by ~f/n, so the
+  //     probe set WIDENS by n/f (capped at all lists): the filtered
+  //     candidate mass after widening matches the unfiltered mass at
+  //     the caller's nprobe, protecting k at the same scan budget the
+  //     caller asked for;
+  //   - when the filter starves the shortlist outright
+  //     (f ≤ k·refine), the compressed scan cannot beat reading the
+  //     f survivors directly — serve the exact pre-filter path
+  //     (at 100 TB: f point reads against the primary store).
+
+  /** Selector size at or below which filtered serving falls back to
+    * the exact pre-filter path: fewer matches than shortlist slots
+    * means the ADC pass could not even fill its own re-rank buffer.
+    */
+  private[operators] def filteredExactMax(k: Int, refine: Int): Long =
+    k.toLong * math.max(1, refine)
+
+  /** Widened probe count: ⌈nprobe·n/f⌉ capped to the list count. */
+  private[operators] def widenedNprobe(nprobe: Int, n: Long, f: Long,
+                                       nLists: Int): Int =
+    math.min(nLists.toLong,
+      math.max(nprobe.toLong,
+        (nprobe.toLong * n + f - 1) / math.max(1L, f))).toInt
+
+  /** Filtered IVF-PQ top-k over the in-session residual layout:
+    * `selector` is the allowed-id frame (one `id` column — the
+    * evaluated metadata predicate). Same ranking contract as
+    * [[ivfPqTopK]] restricted to the selector, with probe widening /
+    * exact-fallback per the policy above. Deterministic given the
+    * session model, so the driver key replays in DuckDB (probe set,
+    * widened count and fallback branch are all arithmetic on counts).
+    */
+  def ivfPqTopKFiltered(spark: SparkSession, dir: String, queryVec: Array[Float],
+                        k: Int, nprobe: Int, selector: DataFrame,
+                        m: Int = SubspaceCount, refine: Int = 4,
+                        metric: Int = VectorMetric.L2,
+                        opq: Boolean = false): DataFrame = {
+    val sel = selector.select(col("id"))
+    val f = sel.count()
+    val n = Tables.embeddings(spark, dir).count()
+    if (f <= filteredExactMax(k, refine)) {
+      // starved filter: exact pre-filter (A4 semantics) — f rows join
+      // their raw vectors, true-metric top-k, no compressed scan
+      val exact = Ivf.distCol(metric, col("vec"), typedlit(queryVec.toSeq))
+      sel.withColumnRenamed("id", "neighbor_id")
+        .join(refineSource(spark, dir), "neighbor_id")
+        .select(col("neighbor_id"), exact.as("dist"))
+        .orderBy(col("dist"), col("neighbor_id"))
+        .limit(k)
+    } else {
+      val (_, centroids) = Ivf.indexFor(spark, dir, metric)
+      val npEff = widenedNprobe(nprobe, n, f, centroids.length)
+      val model = trainResidual(spark, dir, m, metric, opq)
+      require(queryVec.length == model.dim,
+        s"query dim ${queryVec.length} != corpus dim ${model.dim}")
+      val probed = probeIds(centroids, metricQuery(queryVec, metric), npEff, metric)
+      val tables = residualAdcTables(centroids, probed, model.codebooks,
+        model.rotation, metricQuery(queryVec, metric), metric)
+      import spark.implicits._
+      val ordDf = broadcast(probed.zipWithIndex.toDF("cluster_id", "probe_ord"))
+      val adist = PqFunctions.adcDistanceMulti(col("probe_ord"), col("codes"),
+        tables, takeSqrt = metric != VectorMetric.Dot)
+      val shortlist = encodeResidual(spark, dir, m, metric, opq)
+        .join(ordDf, "cluster_id")
+        .join(sel, Seq("id"), "left_semi") // the selector, inside the scan
+        .select(col("id").as("neighbor_id"), adist.as("dist"))
+        .orderBy(col("dist"), col("neighbor_id"))
+        .limit(k * math.max(1, refine))
+      refineTail(shortlist, queryVec, k, refine, metric,
+        Some(refineSource(spark, dir)))
+    }
+  }
+
+  /** Row count of a persisted tree for the widening arithmetic:
+    * lifecycle state when present (kept current by append/delete),
+    * else the `_profile` sidecar's per-cluster counts (one small file
+    * — a bare writeIvfPq tree has no state), else a code-table count
+    * (legacy trees predating the profile).
+    */
+  private def persistedIndexSize(spark: SparkSession, indexPath: String): Long = {
+    val s = IndexLifecycle.status(spark, indexPath)
+    if (s.size > 0) s.size
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/_profile")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.read.parquet(s"$indexPath/_profile")
+          .agg(sum(col("n_base"))).head().getLong(0)
+      else spark.read.parquet(indexPath).count()
+    }
+  }
+
+  /** Filtered serving against a PERSISTED IVF-PQ tree: the probed code
+    * lists read partition-pruned exactly as [[queryIvfPq]] (the
+    * selector narrows candidates, never the pruning), the selector
+    * semi-joins the pruned stream, probes widen by the same policy.
+    * With a refine source a starved selector serves exact; without
+    * one it degrades to compressed probe-all over the survivors (all
+    * lists probed — the f candidate rows still rank compressed).
+    */
+  def queryIvfPqFiltered(spark: SparkSession, indexPath: String,
+                         queryVec: Array[Float], k: Int, nprobe: Int,
+                         selector: DataFrame,
+                         refineWith: Option[DataFrame] = None,
+                         refine: Int = 4): DataFrame = {
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+    val pm = loadPersistedModel(spark, indexPath)
+    require(queryVec.length == pm.dim,
+      s"query dim ${queryVec.length} != index dim ${pm.dim}")
+    val sel = selector.select(col("id"))
+    val f = sel.count()
+    val refSrc = refineWith.map(_.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
+    val starved = f <= filteredExactMax(k, refine)
+    (starved, refSrc) match {
+      case (true, Some(vecs)) =>
+        val exact = Ivf.distCol(pm.metric, col("vec"), typedlit(queryVec.toSeq))
+        sel.withColumnRenamed("id", "neighbor_id")
+          .join(vecs, "neighbor_id")
+          .select(col("neighbor_id"), exact.as("dist"))
+          .orderBy(col("dist"), col("neighbor_id"))
+          .limit(k)
+      case _ =>
+        val n = math.max(1L, persistedIndexSize(spark, indexPath))
+        val npEff =
+          if (starved) pm.centroids.length // no vectors to refine from:
+          // probe everything, the selector already bounds candidates
+          else widenedNprobe(nprobe, n, f, pm.centroids.length)
+        val probed = probeIds(pm.centroids, metricQuery(queryVec, pm.metric),
+          npEff, pm.metric)
+        val pruned = spark.read.parquet(indexPath)
+          .filter(col("cluster_id").isInCollection(probed))
+        if (pm.residual) {
+          val tables = residualAdcTables(pm.centroids, probed, pm.codebooks,
+            pm.rotation, metricQuery(queryVec, pm.metric), pm.metric)
+          import spark.implicits._
+          val ordDf = broadcast(probed.zipWithIndex.toDF("cluster_id", "probe_ord"))
+          val adist = PqFunctions.adcDistanceMulti(col("probe_ord"), col("codes"),
+            tables, takeSqrt = pm.metric != VectorMetric.Dot)
+          val shortlist = pruned
+            .join(ordDf, "cluster_id")
+            .join(sel, Seq("id"), "left_semi")
+            .select(col("id").as("neighbor_id"), adist.as("dist"))
+            .orderBy(col("dist"), col("neighbor_id"))
+            .limit(k * math.max(1, refine))
+          refineTail(shortlist, queryVec, k, refine, pm.metric, refSrc)
+        } else {
+          val codesDf = pruned
+            .join(sel, Seq("id"), "left_semi")
+            .select(col("id").as("neighbor_id"), col("codes"))
+          adcCore(codesDf, pm.codebooks, queryVec, k, refine, pm.metric,
+            refineWith = refSrc, rotation = pm.rotation)
+        }
     }
   }
 
@@ -946,6 +1119,45 @@ object Pq {
       .map(_.getSeq[Double](1).toArray))
   }
 
+  /** The FULL loaded model of a persisted IVF-PQ tree — every sidecar
+    * a consumer needs in one object.
+    */
+  private[operators] case class PersistedModel(
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      metric: Int,
+      rotation: Option[Array[Array[Double]]],
+      residual: Boolean) {
+    def m: Int = codebooks.length
+    def dim: Int = codebooks.length * codebooks(0)(0).length
+  }
+
+  private val persistedModels =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), PersistedModel]
+
+  /** Load (and memoize) a persisted index's model sidecars. The model
+    * is FROZEN between rebuilds by the lifecycle contract — append and
+    * delete land rows under the existing quantizers — so the memo keys
+    * on (path, state version, builtAt): a rebuild bumps the version and
+    * the memo self-invalidates, while the per-query serving path stops
+    * paying five sidecar parquet reads + existence checks per call.
+    * Trees without a lifecycle state file (bare writeIvfPq output, the
+    * spec scratch pattern that may overwrite a path in place) are
+    * loaded fresh every time — only stateful indexes memoize.
+    */
+  private[operators] def loadPersistedModel(spark: SparkSession,
+                                            indexPath: String): PersistedModel = {
+    def loadAll() = PersistedModel(
+      IndexLifecycle.loadCentroids(spark, indexPath),
+      loadCodebooks(spark, indexPath),
+      loadMetric(spark, indexPath),
+      loadRotation(spark, indexPath),
+      loadResidual(spark, indexPath))
+    val s = IndexLifecycle.status(spark, indexPath)
+    if (!s.isBuilt) loadAll()
+    else persistedModels.getOrElseUpdate((indexPath, s.version, s.builtAt), loadAll())
+  }
+
   /** Query a persisted IVF-PQ index: probe selection over the loaded
     * centroids (driver math, KBs) UNDER THE INDEX'S OWN METRIC, a
     * partition-pruned read of ONLY the probed code lists, ADC ranking
@@ -961,11 +1173,11 @@ object Pq {
     // serving an index whose last delete half-applied would silently
     // drop a whole inverted list — refuse, same guard as mutations
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
-    val centroids = spark.read.parquet(s"$indexPath/_centroids")
-      .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
-    val codebooks = loadCodebooks(spark, indexPath)
-    val metric = loadMetric(spark, indexPath)
-    val rotation = loadRotation(spark, indexPath)
+    val pm = loadPersistedModel(spark, indexPath)
+    val centroids = pm.centroids
+    val codebooks = pm.codebooks
+    val metric = pm.metric
+    val rotation = pm.rotation
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     require(queryVec.length == m * subDim,
@@ -973,7 +1185,7 @@ object Pq {
     val probed = probeIds(centroids, metricQuery(queryVec, metric), nprobe, metric)
     val refSrc = refineWith.map(_.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
-    if (loadResidual(spark, indexPath)) {
+    if (pm.residual) {
       // residual layout: partition-pruned read of the probed lists,
       // ranked by the per-cluster-shifted ADC tables
       val tables = residualAdcTables(centroids, probed, codebooks, rotation,
@@ -1054,6 +1266,29 @@ object Pq {
     val (_, centroids) = Ivf.indexFor(spark, dir)
     Ranks.byDistance(
         ivfPqTopK(spark, dir, q, k, nprobe = math.max(1, centroids.length / 4)), k)
+      .select(col("neighbor_id"), col("rank"))
+  }
+
+  /** Driver query: A18d `ivfpq_topk_filtered` — the A4 metadata
+    * predicate (label IN (2, 5, 7), the reference's filtered-search
+    * contract, search_service.py:169-197) served through the
+    * compressed RESIDUAL path at A18's nprobe budget: the selector
+    * semi-joins the probed candidate stream inside the scan, the
+    * probe set widens by n/f (~3.3× here) to protect k, exact refine
+    * on the survivors. Oracle-checked end-to-end (the widened probe
+    * count and the fallback branch are arithmetic on counts the
+    * generator replays).
+    */
+  def ivfpqTopkFiltered(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val (_, centroids) = Ivf.indexFor(spark, dir)
+    val selector = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    Ranks.byDistance(
+        ivfPqTopKFiltered(spark, dir, q, k,
+          nprobe = math.max(1, centroids.length / 4), selector), k)
       .select(col("neighbor_id"), col("rank"))
   }
 
@@ -1232,12 +1467,47 @@ object Pq {
   def ivfpqTopkOpqOracleSql(spark: SparkSession, dir: String, k: Int = 10): String =
     ivfpqTopkOracleSqlImpl(spark, dir, k, opq = true)
 
+  /** ivfpq_topk_filtered oracle: the same residual replay with (a) the
+    * WIDENED probe count — the generator re-derives ⌈np·n/f⌉ from the
+    * same counts the engine used — and (b) the selector pushed into
+    * the ADC candidate set as a semi-join on the label predicate.
+    * When the selector would starve the shortlist (f ≤ k·refine) the
+    * generator emits the exact pre-filter replay instead — the SAME
+    * branch arithmetic as the engine, so the two can never diverge on
+    * which path ran.
+    */
+  def ivfpqTopkFilteredOracleSql(spark: SparkSession, dir: String,
+                                 k: Int = 10): String = {
+    val labels = "(2, 5, 7)"
+    val n = Tables.embeddings(spark, dir).count()
+    val f = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).count()
+    if (f <= filteredExactMax(k, 4))
+      s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
+         |FROM (
+         |  SELECT c.vec_id,
+         |    list_distance(CAST(c.embedding AS DOUBLE[]), (SELECT q FROM qv)) AS dist
+         |  FROM embeddings c WHERE c.label IN $labels) t
+         |ORDER BY dist, vec_id LIMIT $k""".stripMargin
+    else {
+      val (_, cents) = Ivf.indexFor(spark, dir)
+      val npEff = widenedNprobe(math.max(1, cents.length / 4), n, f, cents.length)
+      ivfpqTopkOracleSqlImpl(spark, dir, k, opq = false,
+        npOverride = Some(npEff),
+        candJoin = s"\n    JOIN embeddings fe ON fe.vec_id = cd.vec_id AND fe.label IN $labels")
+    }
+  }
+
   private def ivfpqTopkOracleSqlImpl(spark: SparkSession, dir: String,
-                                     k: Int, opq: Boolean): String = {
+                                     k: Int, opq: Boolean,
+                                     npOverride: Option[Int] = None,
+                                     candJoin: String = ""): String = {
     val model = trainResidual(spark, dir, opq = opq)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
-    val np = math.max(1, nc / 4)
+    val np = npOverride.getOrElse(math.max(1, nc / 4))
     val qRaw = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
@@ -1295,7 +1565,7 @@ object Pq {
        |    SELECT cd.vec_id, cd.mi, tblr.t[p.ord][cd.mi + 1][cd.code + 1] AS tv
        |    FROM r_codes cd
        |    JOIN asg a ON a.vec_id = cd.vec_id
-       |    JOIN probes p ON p.cid = a.cid, tblr) y
+       |    JOIN probes p ON p.cid = a.cid$candJoin, tblr) y
        |  GROUP BY vec_id),
        |short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT ${k * 4}),
        |ref AS (

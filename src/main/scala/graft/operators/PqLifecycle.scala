@@ -94,16 +94,20 @@ object PqLifecycle {
     // (each id keeps its own entry in the map).
     if (streamBatchId.exists(_ <= s.appliedBatchFor(streamId.getOrElse(""))))
       return s
-    val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
-    val codebooks = Pq.loadCodebooks(spark, indexPath)
-    val metric = Pq.loadMetric(spark, indexPath)
-    val rotation = Pq.loadRotation(spark, indexPath)
+    // one memoized sidecar load (Pq.loadPersistedModel): the model is
+    // frozen between rebuilds, so a per-trigger caller (D12) stops
+    // re-reading five sidecar trees every micro-batch
+    val pm = Pq.loadPersistedModel(spark, indexPath)
+    val centroids = pm.centroids
+    val codebooks = pm.codebooks
+    val metric = pm.metric
+    val rotation = pm.rotation
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
     val assigned = Ivf.assignTo(v, centroids)
       .select(col("cluster_id"), col("neighbor_id").as("id"), col("vec"))
     val staged =
-      if (Pq.loadResidual(spark, indexPath)) {
+      if (pm.residual) {
         // residual layout: new rows encode their (possibly rotated)
         // offset from the frozen coarse centroid they just joined
         val subDim = codebooks(0)(0).length
@@ -118,12 +122,15 @@ object PqLifecycle {
         assigned.select(col("cluster_id"), col("id"),
           PqFunctions.pqEncode(encodeInput, codebooks).as("codes"))
       }
-    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
-      size = s.size + n,
-      appliedStreams = streamBatchId match {
-        case Some(b) => s.appliedStreams + (streamId.getOrElse("") -> b)
-        case None => s.appliedStreams
-      })
+    val grown = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
+      size = s.size + n)
+    // LRU-bounded watermark record (IndexStatus.withAppliedBatch): a
+    // long-lived index no longer accumulates one state.json entry per
+    // streaming run forever
+    val next = streamBatchId match {
+      case Some(b) => grown.withAppliedBatch(streamId.getOrElse(""), b)
+      case None => grown
+    }
     IndexLifecycle.landAppend(spark, indexPath, staged, next)
     v.unpersist()
     next

@@ -920,13 +920,10 @@ object Streams {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fzr")
     fuzzyIngest(ss, dir, tmp)
     val store = tmp.resolve("store").toString
+    // the no-orphan invariant (every canonical is itself a store
+    // member) is pinned in StreamsSpec, not re-proved per invocation —
+    // the served key stays O(store) pure, no extra anti-join + count
     val delta = reconcileFuzzyStore(ss, store)
-    // sanity: the delta defers only to smaller ids that are themselves
-    // store members (canonicals never leave the store)
-    val storeIds = readStoreExcept(ss, s"$store/sigs", batchId = -1L)
-      .select(col("doc_id").as("canon_id")).distinct()
-    val orphans = delta.join(storeIds, Seq("canon_id"), "left_anti").count()
-    require(orphans == 0L, s"$orphans delta rows defer to a non-store canonical")
     val result = delta.localCheckpoint(true)
     deleteTree(tmp)
     result

@@ -59,6 +59,44 @@ class IvfSpec extends AnyFunSuite {
     assert(high == exact)
   }
 
+  test("two-level trainer: deterministic, covering, cell-consistent, near-exact assignment") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.rebalanced(
+      graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))).cache()
+    val k = 24
+    val q1 = Ivf.trainTwoLevel(vecs, k, iters = 10, tol = 1e-4)
+    val q2 = Ivf.trainTwoLevel(vecs, k, iters = 10, tol = 1e-4)
+    // deterministic run-to-run (integer-summed level-1 updates,
+    // id-sorted per-cell kernels)
+    assert(q1.centroids.map(_.toSeq).toSeq == q2.centroids.map(_.toSeq).toSeq)
+    assert(q1.cellOf.toSeq == q2.cellOf.toSeq)
+    // structure: ~√k cells, cellOf grouped non-decreasing, budget near k
+    assert(q1.l1.length == math.ceil(math.sqrt(k.toDouble)).toInt)
+    assert(q1.cellOf.toSeq == q1.cellOf.toSeq.sorted)
+    assert(q1.centroids.length >= k - q1.l1.length &&
+      q1.centroids.length <= k + q1.l1.length,
+      s"effective list count ${q1.centroids.length} strayed from k=$k")
+    // assignment: full coverage, valid range
+    val assigned = Ivf.assignTwoLevel(vecs, q1)
+      .select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == 500)
+    assert(assigned.values.forall(c => c >= 0 && c < q1.centroids.length))
+    // w-cell probing agrees with the exact flat argmin on nearly all
+    // rows (boundary vectors are the only candidates to miss)
+    val exact = Ivf.kmeansAssignExact(vecs, q1.centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = assigned.count { case (id, c) => exact(id) == c }
+    assert(agree >= (0.9 * assigned.size).toInt,
+      s"two-level assignment agreement $agree/${assigned.size} below floor")
+    // the kmeans dispatcher takes the distributed path when forced
+    val (adf, cents) = Ivf.kmeans(vecs, k, maxDriverK = 0)
+    assert(cents.length == q1.centroids.length)
+    assert(adf.count() == 500)
+    vecs.unpersist()
+  }
+
   test("ivf query with nprobe=k/4 keeps useful recall at a quarter of the scan") {
     val exact = VectorQueries.knnLinearL2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

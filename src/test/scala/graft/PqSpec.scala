@@ -134,6 +134,84 @@ class PqSpec extends AnyFunSuite {
       "no cluster_id partition filter in the persisted IVF-PQ probe scan")
   }
 
+  test("filtered IVF-PQ: selector-only results, recall floor vs filtered-exact") {
+    val k = 10
+    val labels = Set(2, 5, 7)
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(labels.toSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val selector = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    def filteredExact(q: Array[Float]): Seq[Long] =
+      all.filter(t => allowed(t._1)).map { case (id, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - q(i); acc += d * d; i += 1 }
+        (acc, id)
+      }.sortBy(identity).take(k).map(_._2).toSeq
+    val recalls = (0L until 5L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val got = Pq.ivfPqTopKFiltered(spark, sf, q, k, nprobe = 4, selector)
+        .collect().map(_.getLong(0))
+      assert(got.length == k, s"filtered serving returned ${got.length} < k")
+      assert(got.forall(allowed), "a non-selector row reached the results")
+      (filteredExact(q).toSet & got.toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"filtered recall $mean < 0.8 (widened probes + refine 4)")
+  }
+
+  test("filtered IVF-PQ: starved selector falls back to the exact pre-filter path") {
+    val k = 10
+    // f = 25 <= k·refine = 40: the compressed scan could not fill its
+    // own shortlist — the policy serves exact, so the result EQUALS
+    // the filtered exact top-k, not approximately
+    val ids = (100L until 125L)
+    import spark.implicits._
+    val selector = ids.toDF("id")
+    val q = all.find(_._1 == 0L).get._2
+    val exact = all.filter(t => ids.contains(t._1)).map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - q(i); acc += d * d; i += 1 }
+      (acc, id)
+    }.sortBy(identity).take(k).map(_._2).toSeq
+    val got = Pq.ivfPqTopKFiltered(spark, sf, q, k, nprobe = 4, selector)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"starved-filter fallback must be exact: $got != $exact")
+  }
+
+  test("filtered query on the persisted tree: pruned probe scan, selector honored") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_f").toString
+    Pq.writeIvfPq(spark, sf, path)
+    val q = all.find(_._1 == 0L).get._2
+    val selector = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    val allowed = selector.collect().map(_.getLong(0)).toSet
+    val res = Pq.queryIvfPqFiltered(spark, path, q, 10, nprobe = 4, selector,
+      refineWith = Some(Tables.embeddings(spark, sf)))
+    val got = res.collect().map(_.getLong(0))
+    assert(got.length == 10 && got.forall(allowed))
+    // in-session equivalence at the same configuration (same model
+    // memo feeds both layouts)
+    val inSession = Pq.ivfPqTopKFiltered(spark, sf, q, 10, nprobe = 4, selector)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.toSeq == inSession)
+    // the selector must NARROW candidates, never break partition
+    // pruning: the probed code scan still carries the cluster_id filter
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qse: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qse.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(res.queryExecution.executedPlan)
+    assert(scans.exists(_.metadata.get("PartitionFilters")
+      .exists(_.contains("cluster_id"))),
+      "no cluster_id partition filter in the FILTERED persisted probe scan")
+  }
+
   test("SDC batch ANN: k rows per query, compressed-domain recall floor vs exact") {
     val k = 10
     val batch = Pq.sdcBatch(spark, sf, k).collect()

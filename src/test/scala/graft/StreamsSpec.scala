@@ -535,6 +535,13 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(delta == Set((2L, 1L)),
       s"expected the seed-side non-canonical (2 -> 1), got $delta")
+    // no-orphan invariant (moved out of the served key, which stays
+    // O(store) pure): every canonical the delta defers to is itself a
+    // store member — canonicals never leave the store
+    val storeIds = spark.read.parquet(s"$store/sigs/*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(delta.forall { case (_, canon) => storeIds.contains(canon) },
+      s"delta defers to a non-store canonical: $delta vs store $storeIds")
     // delta ≡ a from-scratch batch component pass over the SAME doc
     // set (signatures recomputed from the texts, same verify bar):
     // the store round-trip loses nothing
