@@ -110,6 +110,10 @@ object SparkEntry {
     // key costs no extra model build (PqSpec pins its recall vs exact)
     "ann_topk_batch_pq_dot" -> ((s, d) =>
       Pq.sdcBatchQuery(s, d, metric = graft.functions.VectorMetric.Dot)),
+    // E6e: batch serving on the RESIDUAL layout — per-cluster query
+    // shift row-inlined into the probe frame, on-the-fly ADC fold over
+    // M-byte candidate codes (asymmetric ≥ SDC recall at the same bytes)
+    "ann_topk_batch_res" -> ((s, d) => Pq.resBatchQuery(s, d)),
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     // binary (1-bit/dim) quantization: hamming shortlist + exact refine
     "bq_topk"             -> ((s, d) => Bq.bqTopk(s, d)),
@@ -561,6 +565,9 @@ object SparkEntry {
     "ann_topk_batch_pq_refined" -> ((s, d) => Pq.sdcBatchOracleSql(s, d, refine = 4)),
     "ann_topk_batch_pq_dot" -> ((s, d) =>
       Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Dot)),
+    // E6e: residual batch — qr = q − centroid in exact doubles per
+    // probe row; pair distance replays as list_distance(qr, recon)
+    "ann_topk_batch_res" -> ((s, d) => Pq.resBatchOracleSql(s, d)),
     // E38: residual outliers over the same centroid-literal replay
     "embedding_outliers" -> ((s, d) => Ivf.embeddingOutliersOracleSql(s, d)),
     // E33b: within-cluster SemDeDup — assignment replayed, same closure

@@ -259,6 +259,105 @@ case class AdcDistanceMulti(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Per-pair ADC against a RAW query-side vector — the BATCH residual
+  * serving kernel. Point queries pre-build an M×256 table per (query,
+  * probed cluster) on the driver ([[AdcDistanceMulti]]); a CORPUS-SIZED
+  * query batch cannot (N·nprobe tables), so the fold computes the
+  * query-to-sub-centroid contribution on the fly from the pair row
+  * itself: Σ_mi f(q_mi, cb_mi[code_mi]) with the codebooks as the one
+  * reference object. O(dim) multiply-adds per pair — the same flops as
+  * a raw distance — but the CANDIDATE side of the pair shuffle carries
+  * M bytes instead of 4·dim, which is the 32× I/O/shuffle win batch
+  * ANN actually needs at 100 TB; the query side rides the probe frame
+  * it already paid for. For the residual layout the caller passes
+  * q − centroid(probed cluster) as the query-side vector (exact
+  * doubles, VectorCombine), which IS the per-cluster-shifted table's
+  * arithmetic, row-inlined. `dot = true` folds negated partial dots
+  * (the caller adds its per-(query, cluster) −q·c shift outside).
+  */
+case class AdcQueryDistance(left: Expression, right: Expression,
+                            codebooks: Array[Array[Array[Float]]],
+                            dot: Boolean, takeSqrt: Boolean)
+    extends BinaryExpression {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_query_distance"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_query_distance expects (array<float|double>, binary), got $l / $r")
+    }
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(q: Any, v: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val a = v.asInstanceOf[Array[Byte]]
+    if (qa.numElements() != m * subDim || a.length != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_query_distance: dim ${qa.numElements()}/codes ${a.length} " +
+          s"!= trained ${m * subDim}/$m")
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cc = codebooks(mi)(a(mi) & 0xFF)
+      var p = 0
+      while (p < subDim) {
+        val x = if (isFloat) qa.getFloat(mi * subDim + p).toDouble
+                else qa.getDouble(mi * subDim + p)
+        if (dot) acc -= x * cc(p)
+        else { val d = x - cc(p); acc += d * d }
+        p += 1
+      }
+      mi += 1
+    }
+    if (takeSqrt) math.sqrt(acc) else acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("adcQueryBooks", codebooks, "float[][][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (q, a) => {
+      val acc = ctx.freshName("acc"); val mi = ctx.freshName("mi")
+      val p = ctx.freshName("p"); val cc = ctx.freshName("cc")
+      val x = ctx.freshName("x"); val d = ctx.freshName("d")
+      val fold =
+        if (dot) s"$acc -= $x * (double) $cc[$p];"
+        else s"double $d = $x - (double) $cc[$p]; $acc += $d * $d;"
+      val finish = if (takeSqrt) s"Math.sqrt($acc)" else acc
+      s"""
+         |if ($q.numElements() != ${m * subDim} || $a.length != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_query_distance: dim " + $q.numElements() + "/codes " + $a.length
+         |      + " != trained ${m * subDim}/$m");
+         |}
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  float[] $cc = $cbRef[$mi][$a[$mi] & 0xFF];
+         |  for (int $p = 0; $p < $subDim; $p++) {
+         |    double $x = (double) $q.$get($mi * $subDim + $p);
+         |    $fold
+         |  }
+         |}
+         |${ev.value} = $finish;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Decode M PQ codes back to the quantized vector (each subspace's
   * codebook centroid, concatenated) as exact DOUBLES — the
   * reconstruction half of residual encoding: x̂ = centroid +
@@ -404,6 +503,11 @@ object PqFunctions {
 
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
     c(PqDecode(e(codes), codebooks))
+
+  def adcQueryDistance(query: Column, codes: Column,
+                       codebooks: Array[Array[Array[Float]]],
+                       dot: Boolean = false, takeSqrt: Boolean = true): Column =
+    c(AdcQueryDistance(e(query), e(codes), codebooks, dot, takeSqrt))
 
   def sdcDistance(a: Column, b: Column, table: Array[Array[Array[Double]]],
                   takeSqrt: Boolean = true): Column =

@@ -930,6 +930,95 @@ object Pq {
       .orderBy("query_id", "rank")
   }
 
+  /** Batch ANN over the RESIDUAL codes — the query-BATCH twin of
+    * [[ivfPqTopK]]'s per-cluster ADC (A24's `pqr` tier measures these
+    * codes beating the raw/SDC budget; this serves them in batch).
+    * Point queries pre-build per-(query, probed-cluster) tables on the
+    * driver; a corpus-sized batch cannot, so the per-cluster shift is
+    * ROW-INLINED instead: the probe frame (which already carries each
+    * query's vector) joins the broadcast double-centroid table and
+    * computes q − centroid(probed cluster) per probe row — exactly the
+    * shifted table's arithmetic — and the pair scan folds query-to-
+    * sub-centroid distances on the fly (AdcQueryDistance: O(dim)
+    * multiply-adds per pair, codebooks as the reference object). The
+    * pair shuffle carries M-byte codes on the candidate side — the
+    * compression win batch ANN needs at 100 TB — while the query side
+    * stays EXACT (asymmetric beats symmetric at the same bytes: PqSpec
+    * pins recall ≥ the SDC batch). Dot rides the decomposition
+    * q·x̂ = q·(c + R⁻¹û) = q·c + (Rq)·û: raw rotated query in the fold,
+    * the −q·c scalar carried from the same probe join.
+    */
+  def resBatch(spark: SparkSession, dir: String, k: Int,
+               nprobeOpt: Option[Int] = None, m: Int = SubspaceCount,
+               metric: Int = VectorMetric.L2, refine: Int = 1,
+               opq: Boolean = false): DataFrame = {
+    val model = trainResidual(spark, dir, m, metric, opq)
+    val (_, centroids) = Ivf.indexFor(spark, dir, metric)
+    val vecs = corpus(spark, dir, metric)
+    val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val codes = encodeResidual(spark, dir, m, metric, opq)
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("codes"))
+    val probeMetric =
+      if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
+    val probes = Ivf.probeSelect(queries, centroids,
+      nprobeOpt.getOrElse(centroids.length), probeMetric)
+      .select(col("query_id"), col("qvec"), col("probe_cluster"))
+    val cdf = centroidDoubleDf(spark, centroids)
+      .withColumnRenamed("cluster_id", "probe_cluster")
+    def rot(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = model.rotation match {
+      case Some(r) => graft.functions.RotateFunctions.rotateVector(v, r)
+      case None => v
+    }
+    // query side per (query, probed cluster): l2/cosine shift the query
+    // by the cluster centroid (exact doubles — the encode side's own
+    // VectorCombine kernel); dot keeps the raw (rotated) query and
+    // carries the −q·c scalar instead
+    val qside =
+      if (metric == VectorMetric.Dot)
+        probes.join(broadcast(cdf), "probe_cluster")
+          .select(col("query_id"), col("probe_cluster"),
+            rot(col("qvec")).as("qside"),
+            (-VectorFunctions.dotProduct(col("qvec"), col("cvec"))).as("shift"))
+      else
+        probes.join(broadcast(cdf), "probe_cluster")
+          .select(col("query_id"), col("probe_cluster"),
+            rot(VectorFunctions.vectorSub(col("qvec"), col("cvec"))).as("qside"),
+            lit(0.0).as("shift"))
+    val dot = metric == VectorMetric.Dot
+    val dist =
+      if (dot)
+        PqFunctions.adcQueryDistance(col("qside"), col("codes"), model.codebooks,
+          dot = true, takeSqrt = false) + col("shift")
+      else
+        PqFunctions.adcQueryDistance(col("qside"), col("codes"), model.codebooks,
+          dot = false, takeSqrt = true)
+    val shortlist = codes
+      .join(qside, col("cluster_id") === col("probe_cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions
+        .topKByDistance(dist, col("neighbor_id"), k * math.max(1, refine)).as("nn"))
+    val ranked =
+      if (refine <= 1) shortlist
+      else {
+        val exactMetric =
+          if (dot) VectorMetric.Dot else VectorMetric.L2
+        val exact = Ivf.distCol(exactMetric, col("vec"), col("qvec"))
+        shortlist
+          .select(col("query_id"), explode(col("nn")).as("cand"))
+          .select(col("query_id"), col("cand.id").as("neighbor_id"))
+          .join(queries, "query_id")
+          .join(vecs.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+          .groupBy(col("query_id"))
+          .agg(VectorFunctions.topKByDistance(exact, col("neighbor_id"), k).as("nn"))
+      }
+    ranked
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persist the IVF-PQ index: binary codes partitioned by cluster_id
     * (probe pruning happens at planning time, same layout contract as
     * Ivf.writeIndex), plus the coarse centroids, the PQ codebooks, a
@@ -1235,6 +1324,20 @@ object Pq {
                     metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     sdcBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)),
+      metric = metric, refine = refine)
+  }
+
+  /** Driver query: E6e `ann_topk_batch_res` — batch ANN over the
+    * RESIDUAL codes at the same quarter-scan nprobe as the SDC batch,
+    * pure compressed-domain (refine = 1, so the ranking quality is the
+    * codes', not a re-rank's). Oracle-checked end-to-end: the
+    * row-inlined residual query shift and the on-the-fly ADC fold are
+    * exactly `list_distance(q − centroid, reconstruction)` in DuckDB.
+    */
+  def resBatchQuery(spark: SparkSession, dir: String, k: Int = 5,
+                    metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    resBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)),
       metric = metric, refine = refine)
   }
 
@@ -1575,6 +1678,65 @@ object Pq {
        |SELECT vec_id AS neighbor_id,
        |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
        |FROM ref ORDER BY dist, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** ann_topk_batch_res oracle (L2 family, refine = 1 — the served
+    * configuration): probe ranking and assignment over the centroid
+    * literal, residual corpus + encode argmin over the residual
+    * codebook literal (the ivfpq_topk machinery), then the BATCH pair
+    * ranking — per (query, probed cluster) the residual query
+    * qr = q − centroid in exact doubles, per candidate the code
+    * RECONSTRUCTION (flatten of sub-centroids in mi order), and the
+    * pair distance is `list_distance(qr, recon)`: DuckDB's sequential
+    * fold is bit-for-bit the AdcQueryDistance kernel's global
+    * (mi, p)-ascending accumulation.
+    */
+  def resBatchOracleSql(spark: SparkSession, dir: String, k: Int = 5): String = {
+    val model = trainResidual(spark, dir)
+    val (_, cents) = Ivf.indexFor(spark, dir)
+    val nc = cents.length
+    val n = Tables.embeddings(spark, dir).count()
+    val np = math.max(1, Ivf.defaultK(n) / 4)
+    val dim = model.dim
+    s"""WITH r_cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
+       |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
+       |${corpCte(VectorMetric.L2, None)},
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT c0.vec_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY c0.vec_id ORDER BY
+       |        list_distance(c0.v, cv[t.j + 1]), t.j) AS rn
+       |    FROM corp c0, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE rn = 1),
+       |r_corp AS (
+       |  SELECT c0.vec_id,
+       |    list_transform(range(1, ${dim + 1}), i -> c0.v[i] - cv[a.cid + 1][i]) AS v
+       |  FROM corp c0 JOIN asg a ON a.vec_id = c0.vec_id, cents),
+       |${codesCte(model, "r_")},
+       |recon AS (
+       |  SELECT cd.vec_id, flatten(list(t.cvec ORDER BY cd.mi)) AS rv
+       |  FROM r_codes cd JOIN r_cbt t ON t.mi = cd.mi AND t.code = cd.code
+       |  GROUP BY cd.vec_id),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_distance(q.v, cv[t.j + 1]), t.j) AS crn
+       |    FROM corp q, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE crn <= $np),
+       |qres AS (
+       |  SELECT p.query_id, p.cid,
+       |    list_transform(range(1, ${dim + 1}), i -> qc.v[i] - cv[p.cid + 1][i]) AS qr
+       |  FROM probes p JOIN corp qc ON qc.vec_id = p.query_id, cents),
+       |pdist AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, list_distance(q.qr, r.rv) AS dist
+       |  FROM qres q
+       |  JOIN asg a ON a.cid = q.cid AND a.vec_id <> q.query_id
+       |  JOIN recon r ON r.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+       |FROM pdist QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** ann_topk_batch_pq family oracle: the SDC batch path end-to-end —

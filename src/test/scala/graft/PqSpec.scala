@@ -134,6 +134,32 @@ class PqSpec extends AnyFunSuite {
       "no cluster_id partition filter in the persisted IVF-PQ probe scan")
   }
 
+  test("residual batch ANN: recall >= the SDC batch at the same bytes and nprobe") {
+    // the A24 pqr-tier claim, served in BATCH: asymmetric ranking over
+    // residual codes (exact query side) beats symmetric code-to-code at
+    // the SAME M-byte candidate budget. refine=1 on both — pure
+    // compressed-domain, nothing masked by a re-rank.
+    val k = 5
+    val np = Some(4)
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val by = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      (0L until 20L).map { qid =>
+        val q = all.find(_._1 == qid).get._2
+        val exact = exactTopK(q, k + 1).filter(_ != qid).take(k).toSet
+        (exact & by(qid)).size
+      }.sum
+    }
+    val res = hitsOf(Pq.resBatch(spark, sf, k, nprobeOpt = np))
+    val sdc = hitsOf(Pq.sdcBatch(spark, sf, k, nprobeOpt = np))
+    assert(res >= sdc,
+      s"residual ADC batch recall ($res/100 hits) fell below SDC ($sdc/100)")
+    // and every query still gets k rows
+    val counts = Pq.resBatch(spark, sf, k, nprobeOpt = np)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == k))
+  }
+
   test("filtered IVF-PQ: selector-only results, recall floor vs filtered-exact") {
     val k = 10
     val labels = Set(2, 5, 7)
