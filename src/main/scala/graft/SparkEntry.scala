@@ -83,6 +83,10 @@ object SparkEntry {
     "decontaminate_eval"  -> ((s, d) => Dedup.decontaminateEval(s, d)),
     // E48: the per-source contamination matrix over the same hit rule
     "contamination_matrix" -> ((s, d) => Dedup.contaminationMatrix(s, d)),
+    // E21b: the GPT-3/PaLM exact 13-gram collision check — broadcast
+    // eval window hashes into one corpus scan, per-doc count + first
+    // collision position
+    "decontaminate_ngram_exact" -> ((s, d) => Dedup.decontaminateNgramExact(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
     // contrastive hard negatives: batch ANN with the label-inequality
@@ -375,6 +379,7 @@ object SparkEntry {
     "dsir_select"         -> Corpus.dsirSelectOracleSql,
     "decontaminate_eval"  -> Dedup.decontaminateEvalOracleSql,
     "contamination_matrix" -> Dedup.contaminationMatrixOracleSql,
+    "decontaminate_ngram_exact" -> Dedup.decontaminateNgramExactOracleSql,
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),

@@ -50,7 +50,69 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** [[ShingleHashes]] WITHOUT the sort/dedup: out(i) = the hash of the
+  * window starting at word i, in document order — the positional
+  * variant the exact-collision decontamination pass (E21b) needs to
+  * report WHERE a leaked n-gram sits, not just that one exists.
+  */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_shingle_hashes expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.computeAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.computeAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
+
+  /** All window hashes in document order (no dedup) — the positional
+    * kernel's body; [[compute]] sorts + dedups the same array.
+    */
+  def computeAll(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = len - n + 1
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      ws(i) = if (words.isNullAt(i)) null else words.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        val w = ws(i + j)
+        if (w != null) h = XxHash64Function.hash(w, StringType, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** One pass: chain-hash each n-word window, then sort + dedup.
     * Null elements hash like Spark's xxhash64 (null contributes
@@ -94,4 +156,7 @@ object ShingleHashes {
   /** Column API. */
   def shingleHashes(words: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
+
+  def positionalShingleHashes(words: Column, n: Int): Column =
+    ColumnBridge.column(PositionalShingleHashes(ColumnBridge.expression(words), n))
 }

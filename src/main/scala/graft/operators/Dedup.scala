@@ -575,6 +575,92 @@ object Dedup {
        |LEFT JOIN top t ON e.doc_id = t.eval_id
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- E21b
+
+  /** 13-gram window for exact-collision decontamination — the GPT-3 /
+    * PaLM standard (GPT-3 appendix C / PaLM appendix: eval documents
+    * are flagged when a 13-gram collides exactly with training text;
+    * Jaccard-style fuzzy checks (E21) catch paraphrase-level leaks,
+    * the exact window catches verbatim ones and is the number papers
+    * actually report).
+    */
+  val ContamNgramN = 13
+
+  /** E21b: exact n-gram collision decontamination over an arbitrary
+    * (doc_id, source, text) frame — the [[decontaminateNgrams]] core,
+    * frame-shaped for the spec's planted-contamination pin.
+    */
+  private[graft] def decontaminateNgramsOn(docs: DataFrame, evalSource: String,
+                                           n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.positionalShingleHashes(col("ws"), n).as("hs"))
+    // the eval suite is small by construction (the E21 asymmetry):
+    // its DISTINCT window hashes broadcast into one corpus scan
+    val evalHashes = grams(docs.filter(col("source") === evalSource))
+      .select(explode(col("hs")).as("h")).distinct()
+    val corp = grams(graft.Tables.rebalanced(
+      docs.filter(col("source") =!= evalSource)))
+    val hits = corp
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .join(broadcast(evalHashes), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nh"), min(col("pos")).as("fp"))
+    corp.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        coalesce(col("fp").cast("long"), lit(-1L)).as("first_hit_pos"),
+        (coalesce(col("nh"), lit(0L)) > 0L).cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** E21b driver entry: `decontaminate_ngram_exact` — per training doc,
+    * how many 13-word windows collide EXACTLY with any eval-set
+    * (source = src0) window, where the first collision sits, and the
+    * clean/contaminated verdict. Positions and counts are integers and
+    * the window hash is a pure function of the word sequence, so the
+    * key is oracle-checked (the oracle intersects the STRING n-grams —
+    * an independent algorithm; hash collisions would be the only
+    * divergence and none occur on these corpora, the E21 argument).
+    *
+    * Scale shape: one corpus scan exploding O(tokens) skinny
+    * (doc_id, pos, hash) rows against the broadcast eval hash set, one
+    * map-side-combined per-doc aggregate — no corpus self-join, no
+    * shuffle of text. At 100 TB the eval suite still broadcasts (~10⁷
+    * windows ≈ 80 MB of longs for a 10⁴-doc benchmark).
+    */
+  def decontaminateNgramExact(spark: SparkSession, dir: String,
+                              evalSource: String = "src0"): DataFrame =
+    decontaminateNgramsOn(Tables.documents(spark, dir), evalSource, ContamNgramN)
+
+  def decontaminateNgramExactOracleSql: String = {
+    val n = ContamNgramN
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |cg AS (
+       |  SELECT doc_id, t.i - 1 AS pos, array_to_string(ws[t.i:t.i + ${n - 1}], ' ') AS g
+       |  FROM w, UNNEST(range(1, greatest(len(ws) - ${n - 2}, 1))) t(i)
+       |  WHERE source <> 'src0' AND len(ws) >= $n),
+       |eg AS (
+       |  SELECT DISTINCT array_to_string(ws[t.i:t.i + ${n - 1}], ' ') AS g
+       |  FROM w, UNNEST(range(1, greatest(len(ws) - ${n - 2}, 1))) t(i)
+       |  WHERE source = 'src0' AND len(ws) >= $n),
+       |hits AS (SELECT doc_id, pos FROM cg JOIN eg USING (g)),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    CAST(min(pos) AS BIGINT) AS fp
+       |  FROM hits GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(greatest(len(d.ws) - ${n - 1}, 0) AS BIGINT) AS n_grams,
+       |  coalesce(a.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |  coalesce(a.fp, CAST(-1 AS BIGINT)) AS first_hit_pos,
+       |  CAST(coalesce(a.n_hits, 0) > 0 AS BIGINT) AS contaminated
+       |FROM (SELECT doc_id, ws FROM w WHERE source <> 'src0') d
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- E13
 
   /** E13: connected components over the exact near-dup pair graph —

@@ -436,6 +436,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(t => t._2 >= 0))
   }
 
+  // -------------------------------------------------------------- E21b
+
+  test("decontaminate_ngram_exact: planted 13-gram leak found at its position, clean stays clean") {
+    import spark.implicits._
+    val evalWords = (0 until 20).map(i => s"e$i")
+    val evalText = evalWords.mkString(" ")
+    // doc 10: 5 own words, then a VERBATIM 13-word run copied from the
+    // eval doc (eval positions 2..14) — first collision at corpus
+    // position 5, and the run contributes exactly ONE 13-window
+    val leaked = ((0 until 5).map(i => s"c$i") ++ evalWords.slice(2, 15)).mkString(" ")
+    // doc 11: shares 12-word runs at most (one word substituted mid-run)
+    val nearMiss = ((0 until 5).map(i => s"d$i") ++
+      evalWords.slice(2, 8) ++ Seq("BREAK") ++ evalWords.slice(9, 15)).mkString(" ")
+    // doc 12: shorter than the window — zero grams, clean by construction
+    val short = "x0 x1 x2"
+    val docs = Seq(
+      (1L, evalText, "src0"),
+      (10L, leaked, "src1"),
+      (11L, nearMiss, "src1"),
+      (12L, short, "src1")).toDF("doc_id", "text", "source")
+    val got = Dedup.decontaminateNgramsOn(docs, "src0", Dedup.ContamNgramN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (10L, 6L, 1L, 5L, 1L),   // 18 words → 6 windows; the copied run = 1 hit at pos 5
+      (11L, 6L, 0L, -1L, 0L),  // a 12-word overlap is NOT a 13-gram collision
+      (12L, 0L, 0L, -1L, 0L)), // sub-window doc: zero grams, clean
+      s"planted-contamination pin failed: $got")
+  }
+
   // --------------------------------------------------------------- E1b
 
   test("dedup_incremental: store match drops, within-batch first wins, unique survives") {
