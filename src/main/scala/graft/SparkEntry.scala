@@ -133,6 +133,10 @@ object SparkEntry {
     // E37b: the serving twin — same symmetrization over the nprobe
     // batch ANN (E6b's engine) instead of exact probe-all
     "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobe(s, d)),
+    // E37c: NN-Descent — the at-scale graph BUILDER between probe-all
+    // and nprobe lookups: nprobe init, then bounded neighbor-of-
+    // neighbor top-k merges to convergence (never a probe-all pass)
+    "knn_graph_descent" -> ((s, d) => Dedup.knnGraphDescent(s, d)),
     // E43: serving-quality dashboard — per-query recall@k histogram
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
@@ -540,6 +544,9 @@ object SparkEntry {
     "ann_topk_batch_nprobe" -> ((s, d) => Ivf.annBatchNprobeOracleSql(s, d)),
     // E37b: the E6b oracle as a derived table + the mutual join
     "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobeOracleSql(s, d)),
+    // E37c: the E6b init replay + the applied NN-Descent rounds
+    // unrolled as CTE blocks (iteration count from the converged run)
+    "knn_graph_descent" -> ((s, d) => Dedup.knnGraphDescentOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
     // E50: UNION ALL of per-nprobe E43 blocks over the same literals

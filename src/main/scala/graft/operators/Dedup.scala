@@ -255,6 +255,7 @@ object Dedup {
     vecComponentsMemo.remove(dir).foreach(_.unpersist())
     clusteredComponentsMemo.remove(dir).foreach(_.unpersist())
     saltMemo.keys.filter(_._1 == dir).foreach(saltMemo.remove)
+    descentMemo.keys.filter(_._1 == dir).foreach(descentMemo.remove)
   }
 
   /** Materialize the shingle-set memo for `dir` — Bench times this as
@@ -1736,6 +1737,268 @@ object Dedup {
        |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
        |WHERE a.query_id < a.neighbor_id
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -------------------------------------------------------------- E37c
+
+  /** NN-Descent bounds: the iteration cap (convergence usually lands in
+    * 2-3 rounds from a warm nprobe init) and the general-neighbor cap
+    * R = 2k (the sampled neighborhood each node introduces to itself —
+    * Dong et al., WWW 2011 use ρ·K sampling; 2k keeps the candidate
+    * mass at N·4k² pairs per round, hub-safe).
+    */
+  val DescentMaxIters = 5
+  private def descentCap(k: Int): Int = 2 * k
+
+  /** Exploration candidates injected per node per round — NN-Descent's
+    * random sampling, DERANDOMIZED to a fixed integer schedule
+    * (src·2654435761 + iter·40503 + j·97 mod n — Knuth's multiplicative
+    * constant; pure BIGINT arithmetic both engines replay exactly).
+    * Neighbor-of-neighbor propagation alone saturates on weak-manifold
+    * regions (near-equidistant vectors have uninformative neighbors —
+    * measured: 0.836 → 0.88 recall and flat from there on the
+    * synthetic corpus); the schedule restores the paper's exploration
+    * term. Scheduled ids that don't exist in a sparse id domain simply
+    * drop in the scoring join — fewer explorers, never a wrong edge.
+    */
+  val DescentRandomPerIter = 32
+
+  private val descentMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (DataFrame, Int)]
+
+  /** Constant init probe budget: the init scan costs
+    * O(N · nprobe · N/nc) = O(nprobe · N^1.5) at nc = √(N/2) — keeping
+    * nprobe CONSTANT keeps the whole build sub-quadratic, which is the
+    * entire point of a graph BUILDER (an init at a fixed FRACTION of
+    * the lists is itself Θ(N²) and descent could never beat probe-all;
+    * the first DescentProbe run measured exactly that). At the sf-dir
+    * corpora nc = 16, so 8 = nc/2 — the E37b serving config — and the
+    * spec recall floors bind there.
+    */
+  val DescentInitNprobe = 8
+
+  /** E37c's engine: NN-Descent (Dong et al., "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures",
+    * WWW 2011) — the at-scale kNN-graph BUILDER between "exact
+    * probe-all" (E37's O(N²/c) contract) and "nprobe point lookups"
+    * (E37b). Initialize the directed graph from the nprobe batch ANN
+    * at a CONSTANT probe budget (sub-quadratic — see
+    * [[DescentInitNprobe]]), then iterate: symmetrize, cap each node's
+    * general neighborhood at R = 2k by distance, propose
+    * neighbor-of-neighbor pairs WHERE AT LEAST ONE SIDE IS FRESH (the
+    * paper's incremental rule: a pair with both edges old was already
+    * proposed — top-k merges are monotone, so a rejected proposal
+    * stays rejected; only pairs touching an edge that changed last
+    * round can matter), add the derandomized exploration schedule,
+    * score with the exact metric, and keep each node's best k of
+    * (current ∪ proposed). Converges when an iteration changes
+    * nothing; fresh-edge counts shrink geometrically, so later rounds
+    * cost a fraction of the first.
+    *
+    * Scale shape: init O(N^1.5 · nprobe/√2), round r costs
+    * O(|fresh_r| · R + N · explore) scored pairs — never a probe-all
+    * pass (tools/DescentProbe measures the 25× cost gap and recall).
+    * Deterministic end to end: the init replays the E6b oracle, caps
+    * and merges tie-break on (dist, id), the exploration schedule is
+    * integer arithmetic, and duplicate rows carry bit-identical
+    * distances — so the CONVERGED graph is oracle-checkable: the
+    * generator unrolls the applied iterations as nested CTE blocks
+    * with the same fresh-edge anti-joins.
+    *
+    * Returns (final (src, dst, dist) edges, iterations that changed
+    * the graph) — memoized per (dir, k) so the driver key and its
+    * oracle generator share one run.
+    */
+  private[graft] def descentGraph(spark: SparkSession, dir: String,
+                                  k: Int = 5): (DataFrame, Int) =
+    descentMemo.get((dir, k)).getOrElse(synchronized {
+      descentMemo.getOrElseUpdate((dir, k), {
+        val metric = graft.functions.VectorMetric.Cosine
+        val vecs = Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        def withDist(pairs: DataFrame): DataFrame =
+          pairs
+            .join(vecs.select(col("id").as("src"), col("vec").as("va")), "src")
+            .join(vecs.select(col("id").as("dst"), col("vec").as("vb")), "dst")
+            .select(col("src"), col("dst"),
+              Ivf.distCol(metric, col("va"), col("vb")).as("dist"))
+        val n = Tables.embeddings(spark, dir).count()
+        val nc = Ivf.defaultK(n)
+        val np = math.max(1, math.min(DescentInitNprobe, nc))
+        val init = Ivf.annBatch(spark, dir, k, metric, nprobeOpt = Some(np))
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val cap = descentCap(k)
+        def symCap(edges: DataFrame): DataFrame = edges
+          .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+          .dropDuplicates("src", "dst")
+          .groupBy("src")
+          .agg(VectorFunctions.topKByDistance(col("dist"), col("dst"), cap).as("nn"))
+          .select(col("src"), explode(col("nn")).as("p"))
+          .select(col("src"), col("p.id").as("nb"))
+        var cur = withDist(init).localCheckpoint(true)
+        var fresh = cur // round 0: every edge is new
+        var applied = 0
+        var iter = 0
+        var converged = false
+        while (iter < DescentMaxIters && !converged) {
+          val nbrs = symCap(cur)
+          val nbrsF = symCap(fresh)
+          // the incremental rule: only pairs with a fresh side
+          val non = nbrsF.as("a").join(nbrs.as("b"), "src")
+            .select(col("a.nb").as("src"), col("b.nb").as("dst"))
+            .union(nbrs.as("a").join(nbrsF.as("b"), "src")
+              .select(col("a.nb").as("src"), col("b.nb").as("dst")))
+          val explore = cur.select("src").distinct()
+            .select(col("src"),
+              explode(sequence(lit(0), lit(DescentRandomPerIter - 1))).as("j"))
+            .select(col("src"),
+              pmod(col("src") * lit(2654435761L) + lit(iter.toLong * 40503L) +
+                col("j") * lit(97L), lit(n)).cast("long").as("dst"))
+          val cand = non.union(explore)
+            .filter(col("src") =!= col("dst"))
+            .dropDuplicates("src", "dst")
+          val merged = cur.union(withDist(cand))
+            .dropDuplicates("src", "dst") // identical dists either way
+            .groupBy("src")
+            .agg(VectorFunctions.topKByDistance(col("dist"), col("dst"), k).as("nn"))
+            .select(col("src"), explode(col("nn")).as("p"))
+            .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+          val next = merged.localCheckpoint(true)
+          val freshNext = next.join(cur, Seq("src", "dst"), "left_anti")
+            .localCheckpoint(true)
+          val changed = freshNext.count()
+          if (changed == 0) { freshNext.unpersist(); converged = true }
+          else {
+            if (!(fresh eq cur)) fresh.unpersist()
+            cur.unpersist()
+            cur = next; fresh = freshNext; applied += 1
+          }
+          iter += 1
+        }
+        if (!(fresh eq cur)) fresh.unpersist()
+        (cur, applied)
+      })
+    })
+
+  /** E37c driver entry: `knn_graph_descent` — each vector's cosine
+    * top-k from the CONVERGED NN-Descent graph (ranked (dist, id), the
+    * family contract). Oracle-checked: the dynamic generator unrolls
+    * the E6b init replay plus the applied refinement rounds.
+    */
+  def knnGraphDescent(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (edges, _) = descentGraph(spark, dir, k)
+    edges.groupBy("src")
+      .agg(VectorFunctions.topKByDistance(col("dist"), col("dst"), k).as("nn"))
+      .select(col("src").as("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** E37c oracle: the init is the E6b replay (probe ranking over the
+    * centroid literal, exact cosine within probed lists) CARRYING the
+    * distance; each applied round unrolls as one CTE block —
+    * symmetrize (DISTINCT), cap R by (dist, dst) row_number, propose
+    * neighbor-of-neighbor pairs, score with the same
+    * `1.0 − list_cosine_similarity` double, merge + keep k. The
+    * iteration count comes from the session's converged run (memo),
+    * and one extra unrolled round would be the identity by definition
+    * of convergence.
+    */
+  def knnGraphDescentOracleSql(spark: SparkSession, dir: String,
+                               k: Int = 5): String = {
+    val (_, t) = descentGraph(spark, dir, k)
+    val (_, cents) = Ivf.indexFor(spark, dir)
+    val nc = cents.length
+    val n = Tables.embeddings(spark, dir).count()
+    val np = math.max(1, math.min(DescentInitNprobe, nc))
+    val cap = descentCap(k)
+    val cos = "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+    // per round: capped symmetrized neighborhoods of ALL edges (nb) and
+    // of the FRESH edges (nbf — round 0's fresh set IS e0), the
+    // incremental-rule pair union, the exploration schedule, the exact
+    // re-score, the top-k merge, and the next round's fresh anti-join
+    val blocks = (0 until t).map { i =>
+      val fRef = if (i == 0) "e0" else s"f$i"
+      val freshCte =
+        if (i + 1 >= t) ""
+        else s""",
+                |f${i + 1} AS MATERIALIZED (
+                |  SELECT nw.src, nw.dst, nw.dist FROM e${i + 1} nw
+                |  LEFT JOIN e$i od ON od.src = nw.src AND od.dst = nw.dst
+                |  WHERE od.src IS NULL)""".stripMargin
+      s"""u$i AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst, dist FROM (
+         |    SELECT src, dst, dist FROM e$i
+         |    UNION ALL SELECT dst AS src, src AS dst, dist FROM e$i) z),
+         |nb$i AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM u$i) z
+         |  WHERE rn <= $cap),
+         |uf$i AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst, dist FROM (
+         |    SELECT src, dst, dist FROM $fRef
+         |    UNION ALL SELECT dst AS src, src AS dst, dist FROM $fRef) z),
+         |nbf$i AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM uf$i) z
+         |  WHERE rn <= $cap),
+         |cp$i AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT a.dst AS src, b.dst AS dst
+         |    FROM nbf$i a JOIN nb$i b ON a.src = b.src
+         |    UNION ALL
+         |    SELECT a.dst AS src, b.dst AS dst
+         |    FROM nb$i a JOIN nbf$i b ON a.src = b.src
+         |    UNION ALL
+         |    SELECT s.src,
+         |      CAST((s.src * 2654435761 + $i * 40503 + t.j * 97) % $n AS BIGINT) AS dst
+         |    FROM (SELECT DISTINCT src FROM e$i) s,
+         |      UNNEST(range(0, ${DescentRandomPerIter})) t(j)) z
+         |  WHERE src <> dst),
+         |cd$i AS MATERIALIZED (
+         |  SELECT p.src, p.dst, ${cos.format("ea", "eb")} AS dist
+         |  FROM cp$i p
+         |  JOIN embeddings ea ON ea.vec_id = p.src
+         |  JOIN embeddings eb ON eb.vec_id = p.dst),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT src, dst, dist FROM (
+         |    SELECT src, dst, dist,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM (SELECT DISTINCT src, dst, dist FROM (
+         |      SELECT src, dst, dist FROM e$i
+         |      UNION ALL SELECT src, dst, dist FROM cd$i) zz) z) y
+         |  WHERE rn <= $k)$freshCte""".stripMargin
+    }.mkString(",\n")
+    val blockSep = if (t == 0) "" else ",\n"
+    s"""WITH ${Ivf.assignCtes(cents)},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS crn
+       |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE crn <= $np),
+       |e0 AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst, dist FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      ${cos.format("qe", "ce")} AS dist,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |        ${cos.format("qe", "ce")}, a.vec_id) AS rnk
+       |    FROM probes p
+       |    JOIN asg a ON a.cid = p.cid
+       |    JOIN embeddings qe ON qe.vec_id = p.query_id
+       |    JOIN embeddings ce ON ce.vec_id = a.vec_id
+       |    WHERE a.vec_id <> p.query_id) x
+       |  WHERE rnk <= $k)$blockSep$blocks
+       |SELECT src AS query_id, dst AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS INTEGER) AS rank
+       |FROM e$t
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** E43: ANN serving-quality report — the recall@k of the nprobe
     * serving tier measured BY THE ENGINE, as a first-class key: the

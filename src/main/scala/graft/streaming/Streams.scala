@@ -1120,7 +1120,23 @@ object Streams {
     * re-encoding under the new model, are pinned in StreamsSpec /
     * PqLifecycleSpec.
     */
-  def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+  def streamIndexAppend(spark: SparkSession, dir: String): DataFrame =
+    streamIndexAppendTimed(spark, dir, (_, _) => ())
+
+  /** [[streamIndexAppend]] with a phase timer — ONE implementation
+    * serves the driver key (no-op hook) and tools/AppendProbe's
+    * attribution run (the key is the most expensive non-memo bench
+    * line, so its cost must decompose into named phases rather than
+    * read as one 12 s blob).
+    */
+  private[graft] def streamIndexAppendTimed(spark: SparkSession, dir: String,
+                                            onPhase: (String, Double) => Unit): DataFrame = {
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val ss = streamingSession(spark)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_idx")
     val indexPath = tmpRoot.resolve("index").toString
@@ -1129,30 +1145,37 @@ object Streams {
       val n = Tables.embeddings(ss, dir).count()
       val vecs = Tables.embeddings(ss, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = graft.operators.PqLifecycle.build(ss, dir, indexPath)
+      val s1 = timed("build") { graft.operators.PqLifecycle.build(ss, dir, indexPath) }
       val d = math.ceil(0.2 * n).toLong
       val arrivals = vecs.filter(col("id") < d)
         .select((col("id") + n).as("id"), col("vec"))
-      arrivals
-        .repartition(3) // 3 landing files → 3 triggers → 3 appends
-        .write.mode("overwrite").parquet(landing)
+      timed("landing_write") {
+        arrivals
+          .repartition(3) // 3 landing files → 3 triggers → 3 appends
+          .write.mode("overwrite").parquet(landing)
+      }
       val schema = ss.read.parquet(landing).schema
       val incoming = Sources.streamDir(ss, landing, schema,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val (q, ckpt) = runIndexAppend(incoming, indexPath)
-      try q.processAllAvailable() finally q.stop()
-      deleteTree(ckpt)
+      timed("stream_drain_3_appends") {
+        val (q, ckpt) = runIndexAppend(incoming, indexPath)
+        try q.processAllAvailable() finally q.stop()
+        deleteTree(ckpt)
+      }
       val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
-      val disk = ss.read.parquet(indexPath)
-      val total = disk.count()
-      val arrived = disk.filter(col("id") >= n).count()
+      val (total, arrived) = timed("disk_read_back_1") {
+        val disk = ss.read.parquet(indexPath)
+        (disk.count(), disk.filter(col("id") >= n).count())
+      }
       // the drain left should_rebuild = true — fire the out-of-band
       // rebuild on the index's current logical contents
-      val s3 = graft.operators.PqLifecycle.rebuild(
-        vecs.unionAll(arrivals), indexPath)
-      val disk2 = ss.read.parquet(indexPath)
-      val total2 = disk2.count()
-      val arrived2 = disk2.filter(col("id") >= n).count()
+      val s3 = timed("rebuild") {
+        graft.operators.PqLifecycle.rebuild(vecs.unionAll(arrivals), indexPath)
+      }
+      val (total2, arrived2) = timed("disk_read_back_2") {
+        val disk2 = ss.read.parquet(indexPath)
+        (disk2.count(), disk2.filter(col("id") >= n).count())
+      }
       val thr = graft.operators.IndexLifecycle.RebuildThreshold
       import ss.implicits._
       Seq(

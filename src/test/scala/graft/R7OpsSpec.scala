@@ -122,6 +122,33 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ E37c
+
+  test("knn_graph_descent: recall >= 0.9 vs exact, and >= its own nprobe init") {
+    // the NN-Descent contract: starting from the E6b nprobe graph
+    // (directed recall ~0.8 at nc/4), bounded neighbor-of-neighbor
+    // merges recover most of the exact graph WITHOUT a probe-all pass.
+    val k = 5
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = edges(graft.operators.Ivf.exactEdges(spark, d, k,
+        graft.functions.VectorMetric.Cosine))
+      val n = Tables.embeddings(spark, d).count()
+      val np = math.max(1, math.min(Dedup.DescentInitNprobe, graft.operators.Ivf.defaultK(n)))
+      val init = edges(graft.operators.Ivf.annBatch(spark, d, k,
+        graft.functions.VectorMetric.Cosine, nprobeOpt = Some(np)))
+      val descent = edges(Dedup.knnGraphDescent(spark, d, k))
+      val rInit = (init & exact).size.toDouble / exact.size
+      val rDescent = (descent & exact).size.toDouble / exact.size
+      assert(rDescent >= rInit,
+        s"$d: descent recall $rDescent fell below its init $rInit")
+      assert(rDescent >= 0.9, s"$d: descent recall $rDescent < 0.9 (init $rInit)")
+      // every node keeps exactly k neighbors
+      assert(descent.size == exact.size)
+    }
+  }
+
   // ------------------------------------------------------------- E38
 
   test("embedding_outliers: covers the corpus once; flag consistent with integer stats") {
