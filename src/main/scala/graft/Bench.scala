@@ -111,6 +111,10 @@ object Bench {
     // knn_graph_mutual / ann_recall_report / ann_param_sweep — after
     // memo_ivf_index so the k-means build isn't billed here
     "memo_exact_edges_cos" -> (() => operators.Ivf.warmExactEdges(spark, dir)),
+    // E37c's converged NN-Descent graph (init + rounds): memoized per
+    // (dir, k) — warmed here so the key line measures serving the
+    // edge list, and the BUILD cost is its own attributable line
+    "memo_descent_graph" -> (() => { operators.Dedup.descentGraph(spark, dir); () }),
     // E13/E35 + E33 share the component-label tables; warmed here so
     // the query lines measure the reports, not the propagation. MUST
     // come after memo_ivf_index: the vector-side labels derive from

@@ -119,7 +119,7 @@ object IndexLifecycle {
   private def hexDecode(h: String): String =
     new String(h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray, "UTF-8")
 
-  private[operators] def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
+  private[graft] def writeState(spark: SparkSession, indexPath: String, s: IndexStatus): Unit = {
     val p = statePath(indexPath)
     val f = fs(spark, indexPath)
     // insertion order preserved (NOT key-sorted): the map is LRU-ordered
@@ -246,7 +246,10 @@ object IndexLifecycle {
     val v = newVecs.cache()
     val n = v.count()
     val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n, size = s.size + n)
-    landAppend(spark, indexPath, Ivf.assignTo(v, loadCentroids(spark, indexPath)), next)
+    val cents = loadCentroids(spark, indexPath)
+    // through the persisted hierarchy when the build was two-level
+    landAppend(spark, indexPath,
+      Ivf.assignToQ(v, cents, Ivf.loadHierarchy(spark, indexPath, cents)), next)
     v.unpersist()
     next
   }

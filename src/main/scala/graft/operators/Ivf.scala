@@ -82,6 +82,19 @@ object Ivf {
   private val built =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), (DataFrame, Array[Array[Float]])]
 
+  /** The session index's two-level hierarchy, when the build took the
+    * distributed path (k > DriverTrainMaxK) — side memo to [[built]]
+    * so the persist paths can write it as sidecars without changing
+    * every (assign, centroids) destructuring call site. Absent for
+    * driver-trained indexes (every sf-dir corpus).
+    */
+  private val builtHier =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Option[TwoLevelQuantizer]]
+
+  private[operators] def hierarchyFor(dir: String, k: Int,
+                                      metric: Int): Option[TwoLevelQuantizer] =
+    builtHier.getOrElse((dir, k, repr(metric)), None)
+
   private def buildIndex(spark: SparkSession, dir: String, k: Int,
                          metric: Int = VectorMetric.L2)
       : (DataFrame, Array[Array[Float]]) =
@@ -91,7 +104,8 @@ object Ivf {
     built.get((dir, k, repr(metric))).getOrElse(synchronized {
       built.getOrElseUpdate((dir, k, repr(metric)), {
         val vecs = metricCorpus(spark, dir, metric).cache()
-        val (assign, centroids) = kmeans(vecs, k)
+        val (assign, centroids, hier) = kmeansWithQuantizer(vecs, k)
+        builtHier.put((dir, k, repr(metric)), hier)
         (assign.cache(), centroids)
       })
     })
@@ -105,6 +119,7 @@ object Ivf {
     built.keys.filter(_._1 == dir).foreach { k =>
       built.remove(k).foreach { case (assign, _) => assign.unpersist() }
     }
+    builtHier.keys.filter(_._1 == dir).foreach(builtHier.remove)
     exactEdgeMemo.keys.filter(_._1 == dir).foreach { k =>
       exactEdgeMemo.remove(k).foreach(_.unpersist())
     }
@@ -233,13 +248,27 @@ object Ivf {
     */
   def kmeans(vectors: DataFrame, k: Int, iters: Int = 10, tol: Double = 1e-4,
              maxDriverK: Int = DriverTrainMaxK)
-      : (DataFrame, Array[Array[Float]]) =
+      : (DataFrame, Array[Array[Float]]) = {
+    val (a, c, _) = kmeansWithQuantizer(vectors, k, iters, tol, maxDriverK)
+    (a, c)
+  }
+
+  /** [[kmeans]] plus the trained two-level structure when the
+    * distributed path ran — persist paths write it as index sidecars
+    * so APPENDS against the index assign through the hierarchy too
+    * (the flat argmin is O(k)/row; at k = √(N/2) on 100 TB that is the
+    * build path's sibling wall).
+    */
+  private[graft] def kmeansWithQuantizer(vectors: DataFrame, k: Int,
+                                         iters: Int = 10, tol: Double = 1e-4,
+                                         maxDriverK: Int = DriverTrainMaxK)
+      : (DataFrame, Array[Array[Float]], Option[TwoLevelQuantizer]) =
     if (k <= maxDriverK) {
       val centroids = trainCentroids(vectors, k, iters, tol)
-      (assignJoin(vectors, centroids).select("id", "cluster_id"), centroids)
+      (assignJoin(vectors, centroids).select("id", "cluster_id"), centroids, None)
     } else {
       val q = trainTwoLevel(vectors, k, iters, tol)
-      (assignTwoLevel(vectors, q).select("id", "cluster_id"), q.centroids)
+      (assignTwoLevel(vectors, q).select("id", "cluster_id"), q.centroids, Some(q))
     }
 
   /** Largest k whose quantizer still trains on the driver (collected
@@ -567,6 +596,7 @@ object Ivf {
       // files; aligned, each list is one file
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    writeHierarchy(spark, outPath, hierarchyFor(dir, defaultK(n), VectorMetric.L2))
     centroids
   }
 
@@ -576,16 +606,18 @@ object Ivf {
     * it instead via [[invalidate]] when the corpus is a known dir).
     */
   def writeIndexFrom(vecs: DataFrame, outPath: String,
-                     kOpt: Option[Int] = None): Array[Array[Float]] = {
+                     kOpt: Option[Int] = None,
+                     maxDriverK: Int = DriverTrainMaxK): Array[Array[Float]] = {
     // cache the REBALANCED frame: every Lloyd iteration re-reads it, so
     // an uncached rebalance would repeat its shuffle 10×
     val v = Tables.rebalanced(vecs).cache()
     val k = kOpt.getOrElse(defaultK(v.count()))
-    val (assign, centroids) = kmeans(v, k)
+    val (assign, centroids, hier) = kmeansWithQuantizer(v, k, maxDriverK = maxDriverK)
     v.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
+    writeHierarchy(v.sparkSession, outPath, hier)
     v.unpersist()
     centroids
   }
@@ -706,6 +738,56 @@ object Ivf {
   def assignTo(vecs: DataFrame, centroids: Array[Array[Float]]): DataFrame =
     assignJoin(vecs, centroids)
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+
+  /** [[assignTo]] through the index's persisted hierarchy when it has
+    * one: a two-level-trained index assigns APPENDS the same O(√k)/row
+    * way it assigned its build — the flat argmin would silently
+    * reintroduce the O(k)/row wall on the ingest path at large k.
+    */
+  private[operators] def assignToQ(vecs: DataFrame, centroids: Array[Array[Float]],
+                                   hier: Option[TwoLevelQuantizer]): DataFrame =
+    hier match {
+      case Some(q) => assignTwoLevel(vecs, q)
+        .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+      case None => assignTo(vecs, centroids)
+    }
+
+  /** Persist a two-level hierarchy beside an index's `_centroids`:
+    * `_l1` holds the level-1 cell centroids, `_cellof` the flat
+    * centroid → cell map. Absent for driver-trained indexes (the
+    * sidecars are the marker — loaders return None and the append
+    * path stays flat, exactly the pre-round-11 behavior).
+    */
+  private[operators] def writeHierarchy(spark: SparkSession, outPath: String,
+                                        hier: Option[TwoLevelQuantizer]): Unit =
+    hier.foreach { q =>
+      import spark.implicits._
+      q.l1.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+        .toDF("cell", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_l1")
+      q.cellOf.zipWithIndex.map { case (cell, cid) => (cid, cell) }.toSeq
+        .toDF("cid", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_cellof")
+    }
+
+  /** Load the persisted hierarchy (None when the index was
+    * driver-trained — no `_l1` sidecar).
+    */
+  private[operators] def loadHierarchy(spark: SparkSession, indexPath: String,
+                                       centroids: Array[Array[Float]])
+      : Option[TwoLevelQuantizer] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_l1")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val l1 = spark.read.parquet(s"$indexPath/_l1")
+        .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+      val cellOf = spark.read.parquet(s"$indexPath/_cellof")
+        .orderBy("cid").collect().map(_.getInt(1))
+      require(cellOf.length == centroids.length,
+        s"hierarchy/_centroids mismatch: ${cellOf.length} vs ${centroids.length}")
+      Some(TwoLevelQuantizer(l1, centroids, cellOf))
+    }
+  }
 
   /** Index stats: the per-inverted-list histogram an operator actually
     * monitors (the reference's manager.get_stats / index status

@@ -1043,6 +1043,10 @@ object Pq {
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     writeSidecars(spark, outPath, centroids, model, m, metric)
+    // two-level-trained indexes carry their hierarchy, so appends
+    // assign O(√k)/row like the build did (absent for driver-trained)
+    Ivf.writeHierarchy(spark, outPath,
+      Ivf.hierarchyFor(dir, centroids.length, metric))
     writeProfile(corpus(spark, dir, metric), assign, centroids, outPath)
   }
 
@@ -1053,9 +1057,10 @@ object Pq {
     * arithmetic applies verbatim).
     */
   private[operators] def residualProfileOf(v: DataFrame,
-                                           centroids: Array[Array[Float]]): DataFrame =
+                                           centroids: Array[Array[Float]],
+                                           hier: Option[Ivf.TwoLevelQuantizer] = None): DataFrame =
     profileOfAssigned(
-      Ivf.assignTo(v, centroids)
+      Ivf.assignToQ(v, centroids, hier)
         .select(col("cluster_id"), col("neighbor_id").as("id"), col("vec")),
       centroids)
 
@@ -1130,15 +1135,17 @@ object Pq {
     * count. Nothing touches the dir-keyed session memos: the contents
     * are the index's own, not a corpus dir's.
     */
-  private[operators] def writeIvfPqFrom(vecsRaw: DataFrame, outPath: String,
+  private[graft] def writeIvfPqFrom(vecsRaw: DataFrame, outPath: String,
                                         m: Int, metric: Int,
-                                        opq: Boolean): Long = {
+                                        opq: Boolean,
+                                        maxDriverK: Int = Ivf.DriverTrainMaxK): Long = {
     val spark = vecsRaw.sparkSession
     // cache the metric-transformed frame: Lloyd sampling, the coarse
     // assignment, the codebook sample, and the encode all re-read it
     val v = graft.Tables.rebalanced(Ivf.metricTransform(vecsRaw, metric)).cache()
     val n = v.count()
-    val (assign, centroids) = Ivf.kmeans(v, Ivf.defaultK(n))
+    val (assign, centroids, hier) =
+      Ivf.kmeansWithQuantizer(v, Ivf.defaultK(n), maxDriverK = maxDriverK)
     val model = trainResidualFrom(v, centroids, m, opq)
     encodeResidualWith(
       v.join(assign.select("id", "cluster_id"), "id"), centroids, model)
@@ -1146,6 +1153,7 @@ object Pq {
       .repartition(col("cluster_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("cluster_id").parquet(outPath)
     writeSidecars(spark, outPath, centroids, model, m, metric)
+    Ivf.writeHierarchy(spark, outPath, hier)
     writeProfile(v, assign, centroids, outPath)
     v.unpersist()
     n
@@ -1216,7 +1224,8 @@ object Pq {
       codebooks: Array[Array[Array[Float]]],
       metric: Int,
       rotation: Option[Array[Array[Double]]],
-      residual: Boolean) {
+      residual: Boolean,
+      hierarchy: Option[Ivf.TwoLevelQuantizer] = None) {
     def m: Int = codebooks.length
     def dim: Int = codebooks.length * codebooks(0)(0).length
   }
@@ -1234,14 +1243,18 @@ object Pq {
     * spec scratch pattern that may overwrite a path in place) are
     * loaded fresh every time — only stateful indexes memoize.
     */
-  private[operators] def loadPersistedModel(spark: SparkSession,
+  private[graft] def loadPersistedModel(spark: SparkSession,
                                             indexPath: String): PersistedModel = {
-    def loadAll() = PersistedModel(
-      IndexLifecycle.loadCentroids(spark, indexPath),
-      loadCodebooks(spark, indexPath),
-      loadMetric(spark, indexPath),
-      loadRotation(spark, indexPath),
-      loadResidual(spark, indexPath))
+    def loadAll() = {
+      val cents = IndexLifecycle.loadCentroids(spark, indexPath)
+      PersistedModel(
+        cents,
+        loadCodebooks(spark, indexPath),
+        loadMetric(spark, indexPath),
+        loadRotation(spark, indexPath),
+        loadResidual(spark, indexPath),
+        Ivf.loadHierarchy(spark, indexPath, cents))
+    }
     val s = IndexLifecycle.status(spark, indexPath)
     if (!s.isBuilt) loadAll()
     else persistedModels.getOrElseUpdate((indexPath, s.version, s.builtAt), loadAll())

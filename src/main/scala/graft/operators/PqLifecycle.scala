@@ -104,7 +104,9 @@ object PqLifecycle {
     val rotation = pm.rotation
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
-    val assigned = Ivf.assignTo(v, centroids)
+    // two-level-trained indexes assign appends through their persisted
+    // hierarchy — O(√k)/row, same path as the build (flat when absent)
+    val assigned = Ivf.assignToQ(v, centroids, pm.hierarchy)
       .select(col("cluster_id"), col("neighbor_id").as("id"), col("vec"))
     val staged =
       if (pm.residual) {
@@ -269,7 +271,8 @@ object PqLifecycle {
       val centroids = IndexLifecycle.loadCentroids(spark, indexPath)
       val base = spark.read.parquet(s"$indexPath/_profile")
       val cur = Pq
-        .residualProfileOf(Ivf.metricTransform(currentVecs, metric), centroids)
+        .residualProfileOf(Ivf.metricTransform(currentVecs, metric), centroids,
+          Ivf.loadHierarchy(spark, indexPath, centroids))
         .select(col("cluster_id"), col("n").as("n_cur"), col("rsum").as("rsum_cur"))
       // growth needs a real arrival MASS: a cluster with no baseline
       // row (empty at build) satisfies the share-doubling inequality

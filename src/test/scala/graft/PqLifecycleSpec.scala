@@ -38,6 +38,44 @@ class PqLifecycleSpec extends AnyFunSuite {
       s"appended copy must rank with its original, got $top2")
   }
 
+  test("two-level-trained index persists its hierarchy; appends assign through it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pqlc_2l").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // force the distributed trainer at small k (the spec seam): the
+    // tree must land `_l1`/`_cellof` sidecars beside `_centroids`
+    val n = Pq.writeIvfPqFrom(vecs, path, m = 8,
+      metric = graft.functions.VectorMetric.L2, opq = false, maxDriverK = 0)
+    assert(n == 500)
+    graft.operators.IndexLifecycle.writeState(spark, path,
+      graft.operators.IndexStatus("ivfpq", isBuilt = true, isDirty = false,
+        size = n, embeddingDim = 64, builtAt = 1L, version = 1,
+        dirtyCount = 0L, totalVectors = n))
+    val pm = Pq.loadPersistedModel(spark, path)
+    assert(pm.hierarchy.isDefined, "two-level build must persist `_l1`/`_cellof`")
+    val q = pm.hierarchy.get
+    assert(q.cellOf.length == pm.centroids.length)
+    assert(q.cellOf.toSeq == q.cellOf.toSeq.sorted, "cellOf must be cell-grouped")
+    // queries serve normally from the two-level-trained tree
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val top = Pq.queryIvfPq(spark, path, v1, k = 2, nprobe = Int.MaxValue,
+      refineWith = None).collect().map(_.getLong(0))
+    assert(top.length == 2 && top.contains(1L))
+    // an append assigns THROUGH the hierarchy: the landed cluster for a
+    // copied vector equals assignTwoLevel's choice for the original
+    val s2 = PqLifecycle.append(Seq((9999L, v1.toSeq)).toDF("id", "vec"), path)
+    assert(s2.size == n + 1)
+    val landed = spark.read.parquet(path).filter(col("id") === 9999L)
+      .select("cluster_id").head().getInt(0)
+    val expected = graft.operators.Ivf
+      .assignTwoLevel(Seq((1L, v1)).toDF("id", "vec"), q)
+      .select("cluster_id").head().getInt(0)
+    assert(landed == expected,
+      s"append landed in $landed but the hierarchy assigns $expected")
+  }
+
   test("delete rewrites only the affected code lists; read-back shrinks; no-op for missing ids") {
     val path = java.nio.file.Files.createTempDirectory("graft_pqlc_delete").toString
     val s1 = PqLifecycle.build(spark, sf, path)
