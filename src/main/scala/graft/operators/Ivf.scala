@@ -95,6 +95,16 @@ object Ivf {
                                       metric: Int): Option[TwoLevelQuantizer] =
     builtHier.getOrElse((dir, k, repr(metric)), None)
 
+  /** The session hierarchy at the DEFAULT cluster count — the memo is
+    * keyed by the REQUESTED k (effective centroid count can differ
+    * within √k under two-level training), so consumers that only hold
+    * the centroid array resolve through the same defaultK the index
+    * build used.
+    */
+  private[operators] def sessionHierarchy(spark: SparkSession, dir: String,
+                                          metric: Int): Option[TwoLevelQuantizer] =
+    hierarchyFor(dir, defaultK(Tables.embeddings(spark, dir).count()), metric)
+
   private def buildIndex(spark: SparkSession, dir: String, k: Int,
                          metric: Int = VectorMetric.L2)
       : (DataFrame, Array[Array[Float]]) =
@@ -201,6 +211,14 @@ object Ivf {
   private[graft] def kmeansAssignExact(vectors: DataFrame,
                                        centroids: Array[Array[Float]]): DataFrame =
     assignJoin(vectors, centroids).select("id", "cluster_id")
+
+  /** [[probeSelect]] as a spec seam (IvfSpec pins the two-level probe
+    * selection's overlap with the flat one).
+    */
+  private[graft] def probeSelectForSpec(queries: DataFrame,
+                                        centroids: Array[Array[Float]], np: Int,
+                                        hier: Option[TwoLevelQuantizer]): DataFrame =
+    probeSelect(queries, centroids, np, VectorMetric.L2, hier = hier)
 
   /** One assignment pass via the broadcast centroid table.
     * min(struct(dist, cid, vec)) picks the argmin with ties to the
@@ -664,18 +682,79 @@ object Ivf {
     */
   private[operators] def probeSelect(queries: DataFrame, centroids: Array[Array[Float]],
                                      nprobe: Int, metric: Int = VectorMetric.L2,
-                                     carry: Seq[String] = Nil): DataFrame = {
+                                     carry: Seq[String] = Nil,
+                                     hier: Option[TwoLevelQuantizer] = None): DataFrame = {
     val np = math.min(math.max(1, nprobe), centroids.length)
-    val cdf = centroidDf(queries.sparkSession, centroids)
+    hier match {
+      // the l2 family probes through the hierarchy when the index was
+      // two-level-trained (dot ranks centroids by inner product, which
+      // the l2-cell structure does not bound — dot stays flat)
+      case Some(q) if metric != VectorMetric.Dot && q.l1.length > 1 =>
+        probeSelectTwoLevel(queries, q, np, metric, carry)
+      case _ =>
+        val cdf = centroidDf(queries.sparkSession, centroids)
+        val carried = carry.map(c => first(col(c)).as(c))
+        val out = Seq(col("query_id"), col("qvec")) ++ carry.map(col)
+        queries.crossJoin(broadcast(cdf))
+          .select(Seq(col("query_id"), col("qvec"), col("cid"),
+            distCol(metric, col("qvec"), col("cvec")).as("cdist")) ++ carry.map(col): _*)
+          .groupBy("query_id")
+          .agg(
+            VectorFunctions.topKByDistance(col("cdist"), col("cid").cast("long"), np).as("pc"),
+            first(col("qvec")).as("qvec") +: carried: _*)
+          .select(out :+ explode(col("pc")).as("p"): _*)
+          .select(out :+ col("p.id").cast("int").as("probe_cluster"): _*)
+    }
+  }
+
+  /** Two-level BATCH probe selection — the probe-side twin of
+    * [[assignTwoLevel]]: flat selection scores every query against all
+    * k centroids (O(N·k·dim) for a corpus-sized batch — the same wall
+    * the two-level trainer escaped), while this scores the √k level-1
+    * cells, keeps enough cells to field ~2× the requested probes
+    * (never fewer than [[TwoLevelAssignCells]]), and ranks only those
+    * cells' centroid slices. Approximate like every two-level probe
+    * (a boundary centroid can be missed); IvfSpec pins the overlap
+    * floor vs the flat selection.
+    */
+  private def probeSelectTwoLevel(queries: DataFrame, q: TwoLevelQuantizer,
+                                  np: Int, metric: Int,
+                                  carry: Seq[String]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val k1 = q.l1.length
+    val perCell = math.max(1.0, q.centroids.length.toDouble / k1)
+    val w = math.min(k1, math.max(TwoLevelAssignCells,
+      math.ceil(2.0 * np / perCell).toInt))
+    val l1df = centroidDf(spark, q.l1)
+      .select(col("cid").as("cell"), col("cvec").as("l1vec"))
     val carried = carry.map(c => first(col(c)).as(c))
+    val keep = Seq(col("query_id"), col("qvec")) ++ carry.map(col)
+    // stage 1: top-w cells per query (l2 over the cell table — the
+    // space the hierarchy was trained in; cosine arrives normalized)
+    val cells = queries.crossJoin(broadcast(l1df))
+      .select(Seq(col("query_id"), col("qvec"), col("cell"),
+        VectorFunctions.l2Distance(col("qvec"), col("l1vec")).as("celld"))
+        ++ carry.map(col): _*)
+      .groupBy("query_id")
+      .agg(VectorFunctions
+          .topKByDistance(col("celld"), col("cell").cast("long"), w).as("pc"),
+        first(col("qvec")).as("qvec") +: carried: _*)
+      .select(keep :+ explode(col("pc")).as("p"): _*)
+      .select(keep :+ col("p.id").cast("int").as("cell"): _*)
+    // stage 2: rank ONLY the probed cells' centroid slices
+    val cdf = q.centroids.zipWithIndex
+      .map { case (c, j) => (q.cellOf(j), j, c.toSeq) }.toSeq
+      .toDF("cell", "cid", "cvec")
+    val carried2 = carry.map(c => first(col(c)).as(c))
     val out = Seq(col("query_id"), col("qvec")) ++ carry.map(col)
-    queries.crossJoin(broadcast(cdf))
+    cells.join(broadcast(cdf), "cell")
       .select(Seq(col("query_id"), col("qvec"), col("cid"),
         distCol(metric, col("qvec"), col("cvec")).as("cdist")) ++ carry.map(col): _*)
       .groupBy("query_id")
-      .agg(
-        VectorFunctions.topKByDistance(col("cdist"), col("cid").cast("long"), np).as("pc"),
-        first(col("qvec")).as("qvec") +: carried: _*)
+      .agg(VectorFunctions
+          .topKByDistance(col("cdist"), col("cid").cast("long"), np).as("pc"),
+        first(col("qvec")).as("qvec") +: carried2: _*)
       .select(out :+ explode(col("pc")).as("p"): _*)
       .select(out :+ col("p.id").cast("int").as("probe_cluster"): _*)
   }
@@ -725,7 +804,8 @@ object Ivf {
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    val probes = probeSelect(queries, centroids, nprobe, metric)
+    val probes = probeSelect(queries, centroids, nprobe, metric,
+      hier = hierarchyFor(dir, nClusters, metric))
     probedTopK(invertedLists(vecs, assign), probes, k, metric)
       .orderBy("query_id", "rank")
   }
@@ -1091,7 +1171,8 @@ object Ivf {
     val nClusters = defaultK(vecs.count())
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters))
+    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters),
+      hier = hierarchyFor(dir, nClusters, VectorMetric.L2))
     invertedLists(vecs, assign)
       .join(probes, col("cluster_id") === col("probe_cluster"))
       .select(col("query_id"), col("qvec"), col("neighbor_id"), col("vec"))
@@ -1111,7 +1192,8 @@ object Ivf {
     val nClusters = defaultK(vecs.count())
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters), metric)
+    val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters), metric,
+      hier = hierarchyFor(dir, nClusters, metric))
     probedTopK(invertedLists(vecs, assign), probes, k, metric,
       pairFilter = col("neighbor_id") =!= col("query_id"),
       broadcastProbes = false)
@@ -1143,7 +1225,8 @@ object Ivf {
     val queries = labeled.select(col("id").as("query_id"),
       col("vec").as("qvec"), col("label").as("qlabel"))
     val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters),
-      metric, carry = Seq("qlabel"))
+      metric, carry = Seq("qlabel"),
+      hier = hierarchyFor(dir, nClusters, metric))
     val lists = labeled.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"),
         col("label").as("nlabel"))

@@ -892,7 +892,8 @@ object Pq {
     val probeMetric =
       if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
     val probes = Ivf.probeSelect(queries, centroids,
-      nprobeOpt.getOrElse(centroids.length), probeMetric)
+      nprobeOpt.getOrElse(centroids.length), probeMetric,
+      hier = Ivf.sessionHierarchy(spark, dir, metric))
       .select(col("query_id"), col("probe_cluster"))
       .join(codes.select(col("id").as("query_id"), col("codes").as("qcodes")),
         "query_id")
@@ -961,7 +962,8 @@ object Pq {
     val probeMetric =
       if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
     val probes = Ivf.probeSelect(queries, centroids,
-      nprobeOpt.getOrElse(centroids.length), probeMetric)
+      nprobeOpt.getOrElse(centroids.length), probeMetric,
+      hier = Ivf.sessionHierarchy(spark, dir, metric))
       .select(col("query_id"), col("qvec"), col("probe_cluster"))
     val cdf = centroidDoubleDf(spark, centroids)
       .withColumnRenamed("cluster_id", "probe_cluster")
@@ -1046,7 +1048,7 @@ object Pq {
     // two-level-trained indexes carry their hierarchy, so appends
     // assign O(√k)/row like the build did (absent for driver-trained)
     Ivf.writeHierarchy(spark, outPath,
-      Ivf.hierarchyFor(dir, centroids.length, metric))
+      Ivf.sessionHierarchy(spark, dir, metric))
     writeProfile(corpus(spark, dir, metric), assign, centroids, outPath)
   }
 
