@@ -231,6 +231,56 @@ class PlanSpec extends AnyFunSuite {
       s"the shortlist must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("filtered ivfpq serving: selector is a semi-join inside the scan, pruning intact") {
+    val q = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val selector = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("label").isin(2, 5, 7))
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"))
+    val df = graft.operators.Pq.ivfPqTopKFiltered(spark, sf, q, 10, nprobe = 4,
+      selector, refine = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the selector must narrow candidates BEFORE the bounded top-k — a
+    // LeftSemi in the plan, not a post-filter over collected results
+    assert(plan.contains("LeftSemi"),
+      s"selector must semi-join the probed candidate stream:\n$plan")
+    assert(plan.contains("pq_adc_distance_multi"),
+      s"filtered serving must still rank through the residual ADC kernel:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"the filtered shortlist must stay a bounded TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"filtered serving fell back to an all-pairs plan:\n$plan")
+  }
+
+  test("residual batch ANN: pair stream joins on cluster_id, ranks through the query-side ADC kernel") {
+    val df = graft.operators.Pq.resBatch(spark, sf, 5, nprobeOpt = Some(4))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_adc_query_distance"),
+      s"residual batch must fold through AdcQueryDistance (codes stay M bytes):\n$plan")
+    // probes × codes is the candidate join: an equi-join on cluster_id
+    // (the only sanctioned nested loop is probeSelect's broadcast
+    // centroid table), never a cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"residual batch fell back to an all-pairs plan:\n$plan")
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join \\[(cluster_id|probe_cluster)".r
+      .findFirstIn(plan).isDefined,
+      s"candidate join is not keyed on the cluster:\n$plan")
+  }
+
+  test("decontaminate_ngram_exact: eval windows broadcast into one corpus scan") {
+    val df = graft.operators.Dedup.decontaminateNgramExact(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval hash set must broadcast into the corpus window stream:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the collision check fell back to an all-pairs plan:\n$plan")
+  }
+
   test("quality_classifier: single scan, zero exchanges before the presentation sort") {
     val df = graft.operators.TextOps.qualityClassifier(spark, sf)
     df.collect()
