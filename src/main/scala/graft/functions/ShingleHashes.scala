@@ -85,12 +85,15 @@ case class PositionalShingleHashes(child: Expression, n: Int)
 
 object ShingleHashes {
 
-  /** All window hashes in document order (no dedup) — the positional
-    * kernel's body; [[compute]] sorts + dedups the same array.
+  /** The ONE hashing loop both kernels share — a divergent fix in one
+    * variant would silently desynchronize E21's set semantics from
+    * E21b's positional ones. Per-word UTF8Strings precompute once
+    * (each word participates in up to n windows); null elements hash
+    * like Spark's xxhash64 (null contributes nothing to the chain).
     */
-  def computeAll(words: ArrayData, n: Int): ArrayData = {
+  private def hashAll(words: ArrayData, n: Int): Array[Long] = {
     val len = words.numElements()
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    if (len < n) return Array.emptyLongArray
     val m = len - n + 1
     val ws = new Array[UTF8String](len)
     var i = 0
@@ -111,42 +114,25 @@ object ShingleHashes {
       out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
-  /** One pass: chain-hash each n-word window, then sort + dedup.
-    * Null elements hash like Spark's xxhash64 (null contributes
-    * nothing to the chain).
+  /** All window hashes in document order (no dedup) — the positional
+    * kernel's body.
+    */
+  def computeAll(words: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(hashAll(words, n))
+
+  /** Sorted-distinct window hashes (the set kernel): [[hashAll]] then
+    * sort + dedup in place.
     */
   def compute(words: ArrayData, n: Int): ArrayData = {
-    val len = words.numElements()
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
-    val m = len - n + 1
-    // per-word hashes once (each word participates in up to n windows,
-    // but chaining needs the word bytes, so precompute UTF8Strings)
-    val ws = new Array[UTF8String](len)
-    var i = 0
-    while (i < len) {
-      ws(i) = if (words.isNullAt(i)) null else words.getUTF8String(i)
-      i += 1
-    }
-    val out = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      var h = 42L
-      var j = 0
-      while (j < n) {
-        val w = ws(i + j)
-        if (w != null) h = XxHash64Function.hash(w, StringType, h)
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
+    val out = hashAll(words, n)
+    if (out.isEmpty) return new GenericArrayData(out)
     java.util.Arrays.sort(out)
     var uniq = 1
-    i = 1
-    while (i < m) {
+    var i = 1
+    while (i < out.length) {
       if (out(i) != out(uniq - 1)) { out(uniq) = out(i); uniq += 1 }
       i += 1
     }

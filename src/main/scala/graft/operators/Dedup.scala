@@ -255,7 +255,8 @@ object Dedup {
     vecComponentsMemo.remove(dir).foreach(_.unpersist())
     clusteredComponentsMemo.remove(dir).foreach(_.unpersist())
     saltMemo.keys.filter(_._1 == dir).foreach(saltMemo.remove)
-    descentMemo.keys.filter(_._1 == dir).foreach(descentMemo.remove)
+    descentMemo.keys.filter(_._1 == dir)
+      .foreach(k => descentMemo.remove(k).foreach(_._1.unpersist()))
   }
 
   /** Materialize the shingle-set memo for `dir` — Bench times this as
@@ -601,14 +602,19 @@ object Dedup {
     // its DISTINCT window hashes broadcast into one corpus scan
     val evalHashes = grams(docs.filter(col("source") === evalSource))
       .select(explode(col("hs")).as("h")).distinct()
-    val corp = grams(graft.Tables.rebalanced(
-      docs.filter(col("source") =!= evalSource)))
-    val hits = corp
+    val corpBase = graft.Tables.rebalanced(docs.filter(col("source") =!= evalSource))
+    val hits = grams(corpBase)
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .join(broadcast(evalHashes), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nh"), min(col("pos")).as("fp"))
-    corp.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+    // the left side only needs the WINDOW COUNT — arithmetic on the
+    // split length, never a second full-corpus hashing pass (the
+    // chain-hash is the dominant cost at scale)
+    corpBase
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - lit(n - 1), lit(0))
+          .cast("long").as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("nh"), lit(0L)).as("n_hits"),
@@ -1751,8 +1757,12 @@ object Dedup {
 
   /** Exploration candidates injected per node per round — NN-Descent's
     * random sampling, DERANDOMIZED to a fixed integer schedule
-    * (src·2654435761 + iter·40503 + j·97 mod n — Knuth's multiplicative
-    * constant; pure BIGINT arithmetic both engines replay exactly).
+    * ((src mod 2³¹)·48271 + iter·40503 + j·97, all mod n — the MINSTD
+    * multiplier; the pre-reduction keeps every intermediate under
+    * 2³¹·48271 ≈ 1.04e14, so the arithmetic can NEVER overflow a
+    * signed 64-bit int and both engines replay it exactly — Spark
+    * would silently wrap where DuckDB raises, the one way the replay
+    * could diverge).
     * Neighbor-of-neighbor propagation alone saturates on weak-manifold
     * regions (near-equidistant vectors have uninformative neighbors —
     * measured: 0.836 → 0.88 recall and flat from there on the
@@ -1851,8 +1861,9 @@ object Dedup {
             .select(col("src"),
               explode(sequence(lit(0), lit(DescentRandomPerIter - 1))).as("j"))
             .select(col("src"),
-              pmod(col("src") * lit(2654435761L) + lit(iter.toLong * 40503L) +
-                col("j") * lit(97L), lit(n)).cast("long").as("dst"))
+              pmod(pmod(col("src"), lit(1L << 31)) * lit(48271L) +
+                lit(iter.toLong * 40503L) + col("j") * lit(97L), lit(n))
+                .cast("long").as("dst"))
           val cand = non.union(explore)
             .filter(col("src") =!= col("dst"))
             .dropDuplicates("src", "dst")
@@ -1866,7 +1877,11 @@ object Dedup {
           val freshNext = next.join(cur, Seq("src", "dst"), "left_anti")
             .localCheckpoint(true)
           val changed = freshNext.count()
-          if (changed == 0) { freshNext.unpersist(); converged = true }
+          if (changed == 0) {
+            // cur keeps serving; the identical `next` checkpoint and
+            // the empty fresh set must not stay pinned
+            freshNext.unpersist(); next.unpersist(); converged = true
+          }
           else {
             if (!(fresh eq cur)) fresh.unpersist()
             cur.unpersist()
@@ -1955,7 +1970,7 @@ object Dedup {
          |    FROM nb$i a JOIN nbf$i b ON a.src = b.src
          |    UNION ALL
          |    SELECT s.src,
-         |      CAST((s.src * 2654435761 + $i * 40503 + t.j * 97) % $n AS BIGINT) AS dst
+         |      CAST(((s.src % ${1L << 31}) * 48271 + $i * 40503 + t.j * 97) % $n AS BIGINT) AS dst
          |    FROM (SELECT DISTINCT src FROM e$i) s,
          |      UNNEST(range(0, ${DescentRandomPerIter})) t(j)) z
          |  WHERE src <> dst),

@@ -29,21 +29,22 @@ case class IndexStatus(
       */
     appliedStreams: Map[String, Long] = Map.empty) {
 
-  /** Highest batch applied by `streamId` (-1 = none). Legacy floor:
-    * states written before the per-stream map recorded ONE anonymous
-    * watermark (folded under ""). A pre-upgrade checkpoint resumed
-    * against such an index now presents a keyed streamId that has no
-    * entry — without the floor, its in-flight batch would silently
-    * re-land. The floor applies only while "" is the SOLE entry (the
-    * freshly-upgraded state): once any keyed stream lands, per-id
-    * semantics take over and a genuinely new stream's batch 0 must
-    * not be swallowed by the stale anonymous watermark.
+  /** Highest batch applied by `streamId` (-1 = none). Legacy states
+    * (pre-map format) parse their single anonymous watermark under ""
+    * — retained for AUDIT, deliberately NOT applied as a floor to
+    * unknown keyed streams: any such floor converts a
+    * duplicate-row hazard (a resumed pre-upgrade checkpoint replaying
+    * its in-flight batch) into a DATA-LOSS hazard (a genuinely new
+    * stream's batches 0..floor silently skipped — and since none of
+    * its batches can land while under the floor, the map never gains
+    * its keyed entry, so the loss window never closes). The documented
+    * upgrade constraint is the safe direction: an index carrying only
+    * the legacy "" watermark must REBUILD before resuming a
+    * pre-upgrade streaming checkpoint; duplicates from ignoring that
+    * are at least visible in counts, loss is not.
     */
   def appliedBatchFor(streamId: String): Long =
-    appliedStreams.getOrElse(streamId,
-      if (streamId.nonEmpty && appliedStreams.keySet == Set(""))
-        appliedStreams("")
-      else -1L)
+    appliedStreams.getOrElse(streamId, -1L)
 
   /** Record `b` as `streamId`'s watermark with BOUNDED retention
     * (Delta's txn-retention concern: D12-style callers key streams by

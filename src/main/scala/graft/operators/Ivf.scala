@@ -723,9 +723,20 @@ object Ivf {
     val spark = queries.sparkSession
     import spark.implicits._
     val k1 = q.l1.length
-    val perCell = math.max(1.0, q.centroids.length.toDouble / k1)
-    val w = math.min(k1, math.max(TwoLevelAssignCells,
-      math.ceil(2.0 * np / perCell).toInt))
+    // w sized on the SMALLEST cells' cumulative capacity, not the
+    // average: the probed cells are whichever are nearest, and a query
+    // landing on small boundary cells must still field ~2× the
+    // requested probes (never fewer than the assignment's cell budget)
+    val cellSizes = {
+      val counts = new Array[Int](k1)
+      q.cellOf.foreach(c => counts(c) += 1)
+      counts.sorted
+    }
+    val w = {
+      var acc = 0L; var i = 0
+      while (i < k1 && acc < 2L * np) { acc += cellSizes(i); i += 1 }
+      math.min(k1, math.max(TwoLevelAssignCells, i))
+    }
     val l1df = centroidDf(spark, q.l1)
       .select(col("cid").as("cell"), col("cvec").as("l1vec"))
     val carried = carry.map(c => first(col(c)).as(c))
@@ -804,8 +815,12 @@ object Ivf {
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
+    // the session index behind this path is the L2-REPRESENTATION build
+    // (buildIndex default) whatever the query metric, so the hierarchy
+    // must be that build's — a metric-keyed lookup could pair another
+    // representation's cluster-id space with these inverted lists
     val probes = probeSelect(queries, centroids, nprobe, metric,
-      hier = hierarchyFor(dir, nClusters, metric))
+      hier = hierarchyFor(dir, nClusters, VectorMetric.L2))
     probedTopK(invertedLists(vecs, assign), probes, k, metric)
       .orderBy("query_id", "rank")
   }
@@ -840,14 +855,25 @@ object Ivf {
     */
   private[operators] def writeHierarchy(spark: SparkSession, outPath: String,
                                         hier: Option[TwoLevelQuantizer]): Unit =
-    hier.foreach { q =>
-      import spark.implicits._
-      q.l1.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
-        .toDF("cell", "cvec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_l1")
-      q.cellOf.zipWithIndex.map { case (cell, cid) => (cid, cell) }.toSeq
-        .toDF("cid", "cell")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_cellof")
+    hier match {
+      case Some(q) =>
+        import spark.implicits._
+        q.l1.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+          .toDF("cell", "cvec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_l1")
+        q.cellOf.zipWithIndex.map { case (cell, cid) => (cid, cell) }.toSeq
+          .toDF("cid", "cell")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_cellof")
+      case None =>
+        // a driver-trained build OVERWRITING a formerly two-level tree
+        // must not leave the old hierarchy behind — stale sidecars
+        // would brick (length mismatch) or silently misroute appends
+        val conf = spark.sparkContext.hadoopConfiguration
+        Seq(s"$outPath/_l1", s"$outPath/_cellof").foreach { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          val f = hp.getFileSystem(conf)
+          if (f.exists(hp)) f.delete(hp, true)
+        }
     }
 
   /** Load the persisted hierarchy (None when the index was
@@ -1192,8 +1218,9 @@ object Ivf {
     val nClusters = defaultK(vecs.count())
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    // L2-representation index (buildIndex default) — see ivfQuery note
     val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters), metric,
-      hier = hierarchyFor(dir, nClusters, metric))
+      hier = hierarchyFor(dir, nClusters, VectorMetric.L2))
     probedTopK(invertedLists(vecs, assign), probes, k, metric,
       pairFilter = col("neighbor_id") =!= col("query_id"),
       broadcastProbes = false)
@@ -1224,9 +1251,10 @@ object Ivf {
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = labeled.select(col("id").as("query_id"),
       col("vec").as("qvec"), col("label").as("qlabel"))
+    // L2-representation index (buildIndex default) — see ivfQuery note
     val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters),
       metric, carry = Seq("qlabel"),
-      hier = hierarchyFor(dir, nClusters, metric))
+      hier = hierarchyFor(dir, nClusters, VectorMetric.L2))
     val lists = labeled.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"),
         col("label").as("nlabel"))

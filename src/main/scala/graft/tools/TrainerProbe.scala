@@ -48,8 +48,9 @@ object TrainerProbe {
       a.queryExecution.toRdd.count()
       a
     }
-    // agreement vs the exact flat argmin on a deterministic 2k subsample
-    val sub = vecs.filter(pmod(col("id"), lit(n / 2000L)) === 0)
+    // agreement vs the exact flat argmin on a deterministic ≤2k subsample
+    // (stride floors at 1 so sub-2000 corpora still measure)
+    val sub = vecs.filter(pmod(col("id"), lit(math.max(1L, n / 2000L))) === 0)
     val twoLevel = Ivf.assignTwoLevel(sub, q).select("id", "cluster_id")
       .withColumnRenamed("cluster_id", "c2")
     val exact = timed("exact argmin (2k subsample)") {
