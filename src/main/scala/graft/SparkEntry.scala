@@ -65,6 +65,10 @@ object SparkEntry {
     "semantic_prune_clustered" -> (Dedup.semanticPruneClustered _),
     // duplicate-cluster size histogram over the exact component labels
     "dedup_cluster_stats" -> (Dedup.dedupClusterStats _),
+    // E52: leakage-free split — the near-dup COMPONENT (not the doc)
+    // hashes into the 80/10/10 bands, so a cluster never straddles
+    // train/val/test (the in-corpus twin of eval decontamination)
+    "split_leakage_free"  -> (Dedup.splitLeakageFree _),
     // cross-source shingle-vocabulary contamination matrix
     "source_overlap"      -> (Corpus.sourceOverlap _),
     // E47: release-to-release drift report vs a persisted hash manifest
@@ -376,6 +380,7 @@ object SparkEntry {
     "dedup_exact_normalized" -> Dedup.dedupExactNormalizedOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,
+    "split_leakage_free"  -> Dedup.splitLeakageFreeOracleSql,
     "semantic_prune"      -> Dedup.semanticPruneOracleSql,
     "dedup_cluster_stats" -> Dedup.dedupClusterStatsOracleSql,
     "source_overlap"      -> Corpus.sourceOverlapOracleSql,

@@ -1101,6 +1101,84 @@ object Dedup {
        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E52
+
+  /** 80/10/10 split bands in permille: [0,800) train, [800,900) val,
+    * [900,1000) test.
+    */
+  val SplitTrainPermille = 800
+  val SplitValPermille = 100
+
+  /** E52: LEAKAGE-FREE train/val/test split. Hash-assigning DOCUMENTS
+    * to splits leaks near-duplicates across the boundary — a test doc
+    * with a train-side near-copy scores memorization as
+    * generalization (the in-corpus twin of E21's eval decontamination,
+    * and the reason careful pipelines split by cluster, not by row).
+    * The unit of assignment is therefore the near-dup COMPONENT
+    * (E13's exact cluster labels): every doc maps to its component
+    * canonical (its own id when unpaired) and ONLY the canonical
+    * hashes into the permille bands — members of a cluster can never
+    * straddle splits. The hash is deterministic integer arithmetic
+    * ((canon mod 2³¹)·48271 mod 1000 — the overflow-safe MINSTD
+    * schedule): reproducible under retries/repartitioning and
+    * engine-replayable, never rand().
+    *
+    * Scale shape: one left join of the corpus against the O(paired
+    * docs) component table (the memoized E13 substrate — at 100 TB the
+    * persisted label table) + a codegen'd projection; no new pair
+    * work, no shuffle beyond the join.
+    */
+  def splitLeakageFree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val canon = docComponentsFor(spark, dir)
+      .select(col("doc_id"), col("component_id"))
+    val vBand = SplitTrainPermille + SplitValPermille
+    docs.join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("component_id"), col("doc_id")).as("canon_id"))
+      .withColumn("b",
+        pmod(pmod(col("canon_id"), lit(1L << 31)) * lit(48271L), lit(1000L)))
+      .select(col("doc_id"), col("source"), col("canon_id"),
+        when(col("b") < SplitTrainPermille, "train")
+          .when(col("b") < vBand, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** E52 oracle: the E13 recursive-closure components (independent
+    * algorithm) + the same integer band arithmetic.
+    */
+  def splitLeakageFreeOracleSql: String = {
+    val vBand = SplitTrainPermille + SplitValPermille
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $JaccardThreshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+       |  FROM reach GROUP BY src),
+       |lab AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS canon_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, source, canon_id,
+       |  CASE WHEN (canon_id % ${1L << 31}) * 48271 % 1000 < $SplitTrainPermille THEN 'train'
+       |       WHEN (canon_id % ${1L << 31}) * 48271 % 1000 < $vBand THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle uses the independent all-pairs list-intersect
     * formulation (different algorithm, same answer).
     */

@@ -436,6 +436,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(t => t._2 >= 0))
   }
 
+  // --------------------------------------------------------------- E52
+
+  test("split_leakage_free: no near-dup cluster straddles splits; proportions sane") {
+    val rows = Dedup.splitLeakageFree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n, "every document gets a split")
+    // the leakage invariant: all members of a canonical share ONE split
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $canon straddles splits: ${members.toSeq}")
+    }
+    // paired docs really inherit their component canonical (a doc-id
+    // hash here would be the exact leak the operator exists to prevent)
+    val comp = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.map(t => t._1 -> t._2).toMap
+    comp.foreach { case (doc, canon) =>
+      assert(byDoc(doc) == canon, s"doc $doc split by its own id, not its cluster")
+    }
+    // proportions: hash bands land near 80/10/10 (loose floors — the
+    // corpus is small and clusters are lumpy by design)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length.toDouble / n).toMap
+    assert(bySplit.getOrElse("train", 0.0) > 0.6 &&
+      bySplit.getOrElse("val", 0.0) > 0.02 &&
+      bySplit.getOrElse("test", 0.0) > 0.02,
+      s"split proportions off: $bySplit")
+  }
+
   // -------------------------------------------------------------- E21b
 
   test("decontaminate_ngram_exact: planted 13-gram leak found at its position, clean stays clean") {
