@@ -47,6 +47,13 @@ object CorpusScaleProbe {
     timed("quality_gopher") { graft.operators.TextOps.qualityGopher(spark, dir).count() }
     timed("dsir_select") { graft.operators.Corpus.dsirSelect(spark, dir).count() }
     timed("source_overlap") { graft.operators.Corpus.sourceOverlap(spark, dir).count() }
+    // E21b at 125k docs: src0 is the 1/20 "eval set" (~6.2k docs ×
+    // ~108 windows ≈ 675k broadcast hashes — the benchmark-suite
+    // scale the scaladoc prices). toRdd: the left join against the
+    // key-unique hit aggregate would be count()-eliminated
+    timed("decontaminate_ngram_exact") {
+      graft.operators.Dedup.decontaminateNgramExact(spark, dir)
+        .queryExecution.toRdd.count() }
     // round-7 per-row/report tier: classifier is a pure scan,
     // corpus_profile aggregates the token histogram, the interleave
     // pays one range-sort + the zipWithIndex count job
@@ -62,6 +69,12 @@ object CorpusScaleProbe {
     // components + two small aggs over 125k docs with heavy shared
     // vocabulary — the pair join and label propagation ARE the cost
     timed("dedup_cluster_stats") { graft.operators.Dedup.dedupClusterStats(spark, dir).count() }
+    // E52 rides the component memo the line above just built: the
+    // increment is one left join + the band projection (toRdd — the
+    // key-unique component join is count()-eliminable)
+    timed("split_leakage_free") {
+      graft.operators.Dedup.splitLeakageFree(spark, dir)
+        .queryExecution.toRdd.count() }
     // E42 budget: the LSH-verified pair graph + contraction vs the
     // exact E2 graph the line above just paid for (each line includes
     // its own memo builds — shingle/prefix for exact, shingle/signature

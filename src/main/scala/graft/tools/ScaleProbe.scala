@@ -58,6 +58,21 @@ object ScaleProbe {
       val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
       graft.operators.Pq.ivfPqTopK(spark, dir, q, 10, nprobe = 8).count()
     }
+    // round-11 serving: the metadata-FILTERED residual query (selector
+    // semi-join inside the probed scan, n/f-widened probes) and the
+    // residual BATCH (row-inlined per-cluster shift + on-the-fly ADC)
+    timed("ivfpq filtered query np=8") {
+      val q = Array.tabulate(64)(i => (((i * 37) % 2000) / 1000.0f) - 1.0f)
+      val selector = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("label").isin(2, 5, 7))
+        .select(col("vec_id").as("id"))
+      graft.operators.Pq.ivfPqTopKFiltered(spark, dir, q, 10, nprobe = 8,
+        selector).count()
+    }
+    timed("res batch ANN nprobe=8 k=5") {
+      graft.operators.Pq.resBatch(spark, dir, 5, nprobeOpt = Some(8))
+        .queryExecution.toRdd.count()
+    }
     // A24 at 50k vectors: 6 compressed tiers × 4 refine depths on a
     // thinned deterministic query sample (stride 1000 → ~50 queries —
     // the at-scale sampling the scaladoc prescribes; the flat
