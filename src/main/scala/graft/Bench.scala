@@ -228,9 +228,17 @@ object Bench {
       .mkString("{", ",", "}")
     val passes = passSnaps.map { case (l, s) => passJson(l, s) }
       .mkString("[", ",", "]")
+    // the calibration median/spread must live in the COMMITTED file
+    // artifact too (not just stdout): §8h's normalization divisor has
+    // to be reproducible from BENCH_LOCAL.json alone
+    val calJson = byKey.find(_._1 == "calibration")
+      .map { case (_, xs) => xs.collect { case (sec, None) => sec } }
+      .filter(_.nonEmpty) // errored runs' wall-clock is meaningless
+      .map(ss => s"""{"median":${median(ss)},"spread":[${ss.min},${ss.max}]}""")
+      .getOrElse("null")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread,""" +
-      s""""passes":$passes,"errors":$errJson}"""
+      s""""calibration":$calJson,"passes":$passes,"errors":$errJson}"""
     // cwd-relative default so a checkout elsewhere never writes into an
     // unrelated absolute path; env var overrides either way
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -240,14 +248,6 @@ object Bench {
       // run's numbers in the file masquerading as this run's
       System.err.println(s"[bench] could not write $out: $e")
     }
-    // the calibration median/spread travels in the COMPACT summary too,
-    // so a cross-round table can normalize host speed per artifact
-    // without opening the full queries file (SURVEY §8h's divisor)
-    val calJson = byKey.find(_._1 == "calibration")
-      .map { case (_, xs) => xs.collect { case (sec, None) => sec } }
-      .filter(_.nonEmpty) // errored runs' wall-clock is meaningless
-      .map(ss => s"""{"median":${median(ss)},"spread":[${ss.min},${ss.max}]}""")
-      .getOrElse("null")
     // full artifact first (humans + whole-stdout parsers), COMPACT
     // summary as the very last line: the driver keeps only a ~2000-char
     // stdout tail, which beheaded the 130-key full line (BENCH_r05/r06

@@ -26,22 +26,25 @@ case class IndexStatus(
       * last-writer pair would let two interleaved streams displace
       * each other's watermark and re-land replayed batches). Keys are
       * caller stream ids verbatim; values the highest applied batch.
+      * Typed ListMap so least-recently-updated-first iteration order
+      * (which the retention bound's eviction relies on) is an
+      * invariant of the type, not a convention a HashMap-constructing
+      * caller could silently break.
       */
-    appliedStreams: Map[String, Long] = Map.empty) {
+    appliedStreams: scala.collection.immutable.ListMap[String, Long] =
+      scala.collection.immutable.ListMap.empty) {
 
   /** Highest batch applied by `streamId` (-1 = none). Legacy states
-    * (pre-map format) parse their single anonymous watermark under ""
-    * — retained for AUDIT, deliberately NOT applied as a floor to
-    * unknown keyed streams: any such floor converts a
-    * duplicate-row hazard (a resumed pre-upgrade checkpoint replaying
-    * its in-flight batch) into a DATA-LOSS hazard (a genuinely new
-    * stream's batches 0..floor silently skipped — and since none of
-    * its batches can land while under the floor, the map never gains
-    * its keyed entry, so the loss window never closes). The documented
-    * upgrade constraint is the safe direction: an index carrying only
-    * the legacy "" watermark must REBUILD before resuming a
-    * pre-upgrade streaming checkpoint; duplicates from ignoring that
-    * are at least visible in counts, loss is not.
+    * (pre-map format) persisted ONE (applied_stream_id, batch) pair;
+    * the parser keys that watermark under its persisted id, so a
+    * resumed pre-upgrade checkpoint keeps its replay guard with
+    * neither duplicates nor loss. The legacy watermark is deliberately
+    * NOT applied as a floor to OTHER stream ids: any such floor
+    * converts a duplicate-row hazard into a DATA-LOSS hazard (a
+    * genuinely new stream's batches 0..floor silently skipped — and
+    * since none of its batches can land while under the floor, the
+    * map never gains its keyed entry, so the loss window never
+    * closes).
     */
   def appliedBatchFor(streamId: String): Long =
     appliedStreams.getOrElse(streamId, -1L)
@@ -161,7 +164,7 @@ object IndexLifecycle {
       // single-pair field (pre-map states, which carried one anonymous
       // watermark and no stream id) folds under "" so old indexes keep
       // their guard via appliedBatchFor's legacy floor
-      val streams: Map[String, Long] =
+      val streams: scala.collection.immutable.ListMap[String, Long] =
         """"applied_streams":\{([^}]*)\}""".r.findFirstMatchIn(json)
           .map(_.group(1)) match {
           case Some(body) =>
@@ -170,8 +173,16 @@ object IndexLifecycle {
                 .map(m => hexDecode(m.group(1)) -> m.group(2).toLong))
           case None =>
             val b = fieldOpt("applied_stream_batch").map(_.toLong).getOrElse(-1L)
-            if (b < 0) Map.empty
-            else scala.collection.immutable.ListMap("" -> b)
+            if (b < 0) scala.collection.immutable.ListMap.empty[String, Long]
+            else {
+              // pre-map states DID persist their stream id (raw, not hex
+              // — see the pre-upgrade writeState); keying the legacy
+              // watermark under that id keeps the replay guard for a
+              // resumed pre-upgrade checkpoint with neither duplicates
+              // nor loss. "" only when the field is genuinely absent.
+              val legacyId = fieldOpt("applied_stream_id").getOrElse("")
+              scala.collection.immutable.ListMap(legacyId -> b)
+            }
         }
       IndexStatus(field("algorithm"), field("is_built").toBoolean,
         field("is_dirty").toBoolean, field("size").toLong,

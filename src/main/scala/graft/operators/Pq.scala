@@ -1050,7 +1050,17 @@ object Pq {
     Ivf.writeHierarchy(spark, outPath,
       Ivf.sessionHierarchy(spark, dir, metric))
     writeProfile(corpus(spark, dir, metric), assign, centroids, outPath)
+    invalidatePersistedModels(outPath)
   }
+
+  /** Drop memoized models for `outPath`: a bare overwrite rewrites
+    * every sidecar WITHOUT touching the lifecycle state file, so the
+    * (path, version, builtAt) memo key does not change and subsequent
+    * queries would serve the prior build's centroids/codebooks against
+    * the new code lists.
+    */
+  private def invalidatePersistedModels(outPath: String): Unit =
+    persistedModels.filterInPlace { case ((p, _, _), _) => p != outPath }
 
   /** Per-cluster residual profile (cluster_id, n, rsum) of a
     * metric-transformed (id, vec) frame against given centroids —
@@ -1157,6 +1167,7 @@ object Pq {
     writeSidecars(spark, outPath, centroids, model, m, metric)
     Ivf.writeHierarchy(spark, outPath, hier)
     writeProfile(v, assign, centroids, outPath)
+    invalidatePersistedModels(outPath)
     v.unpersist()
     n
   }

@@ -229,4 +229,43 @@ class IndexLifecycleSpec extends AnyFunSuite {
       .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
     assert(IndexLifecycle.query(spark, tmp, q, k = 5, nprobe = 4).count() == 5)
   }
+
+  test("legacy single-watermark state keeps its persisted stream id") {
+    // pre-map states wrote (applied_stream_id, applied_stream_batch);
+    // the parser must key the watermark under that id so a resumed
+    // pre-upgrade checkpoint keeps its replay guard — folding it under
+    // "" made appliedBatchFor(id) return -1 and replayed the batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy")
+    val stateDir = dir.resolve("_state")
+    java.nio.file.Files.createDirectories(stateDir)
+    java.nio.file.Files.writeString(stateDir.resolve("state.json"),
+      """{"algorithm":"ivf","is_built":true,"is_dirty":false,"size":10,""" +
+        """"embedding_dim":8,"built_at":123,"version":2,"dirty_count":0,""" +
+        """"total_vectors":10,"applied_stream_batch":7,""" +
+        """"applied_stream_id":"/ckpt/path"}""")
+    val s = IndexLifecycle.status(spark, dir.toString)
+    assert(s.appliedBatchFor("/ckpt/path") == 7L,
+      "legacy id-carrying watermark must guard its own stream")
+    assert(s.appliedBatchFor("some-other-stream") == -1L,
+      "the legacy watermark must never floor a different stream")
+    // and it round-trips through the hex-keyed map format
+    IndexLifecycle.writeState(spark, dir.toString, s)
+    assert(IndexLifecycle.status(spark, dir.toString)
+      .appliedBatchFor("/ckpt/path") == 7L)
+  }
+
+  test("watermark LRU evicts the least-recently-updated stream, never the newest") {
+    val n = graft.operators.IndexStatus.MaxAppliedStreams
+    var s = graft.operators.IndexStatus("ivf", isBuilt = true, isDirty = false,
+      size = 1L, embeddingDim = 8, builtAt = 1L, version = 1, dirtyCount = 0L,
+      totalVectors = 1L)
+    (0 until n).foreach { i => s = s.withAppliedBatch(s"stream$i", i.toLong) }
+    s = s.withAppliedBatch("stream0", 100L) // refresh the oldest
+    s = s.withAppliedBatch("fresh", 1L)     // forces one eviction
+    assert(s.appliedStreams.size == n)
+    assert(s.appliedBatchFor("stream0") == 100L, "refreshed entry must survive")
+    assert(s.appliedBatchFor("fresh") == 1L)
+    assert(s.appliedBatchFor("stream1") == -1L,
+      "the idle-longest entry is the one evicted")
+  }
 }
