@@ -122,6 +122,10 @@ object SparkEntry {
     // shift row-inlined into the probe frame, on-the-fly ADC fold over
     // M-byte candidate codes (asymmetric ≥ SDC recall at the same bytes)
     "ann_topk_batch_res" -> ((s, d) => Pq.resBatchQuery(s, d)),
+    // E6f: the filtered batch — A18d's selector/widening/starved policy
+    // composed with the residual batch path (selector semi-joins the
+    // candidate side of the pair shuffle; no per-query corpus count)
+    "ann_topk_batch_filtered" -> ((s, d) => Pq.resBatchFilteredQuery(s, d)),
     "sq8_topk"            -> ((s, d) => Sq8.sq8Topk(s, d)),
     // binary (1-bit/dim) quantization: hamming shortlist + exact refine
     "bq_topk"             -> ((s, d) => Bq.bqTopk(s, d)),
@@ -585,6 +589,8 @@ object SparkEntry {
     // E6e: residual batch — qr = q − centroid in exact doubles per
     // probe row; pair distance replays as list_distance(qr, recon)
     "ann_topk_batch_res" -> ((s, d) => Pq.resBatchOracleSql(s, d)),
+    // E6f: the same replay at the WIDENED probe count + selector join
+    "ann_topk_batch_filtered" -> ((s, d) => Pq.resBatchFilteredOracleSql(s, d)),
     // E38: residual outliers over the same centroid-literal replay
     "embedding_outliers" -> ((s, d) => Ivf.embeddingOutliersOracleSql(s, d)),
     // E33b: within-cluster SemDeDup — assignment replayed, same closure

@@ -94,4 +94,15 @@ object Tables {
         s"unsupported embedding storage encoding: $other (expected array<float>)")
     }
   }
+
+  private val embCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Memoized embeddings row count per corpus dir — the widening
+    * arithmetic in filtered ANN serving needs |corpus| per query, and
+    * a per-query count() action is a full scan at 100 TB. Corpus dirs
+    * are immutable by the testdata contract; persisted indexes carry
+    * their own size in lifecycle state/`_profile` instead.
+    */
+  def embeddingsCount(spark: SparkSession, dir: String): Long =
+    embCounts.getOrElseUpdate(dir, embeddings(spark, dir).count())
 }

@@ -706,6 +706,34 @@ object Pq {
       math.max(nprobe.toLong,
         (nprobe.toLong * n + f - 1) / math.max(1L, f))).toInt
 
+  /** Deterministic id-stride for the selector-size ESTIMATE below;
+    * `id % stride = 0` replays verbatim in the oracle.
+    */
+  private[operators] val SelectorSampleStride = 16
+
+  /** Whether the selector starves the shortlist (f ≤ k·refine),
+    * decided by a CAPPED count: LocalLimit stops every task at kr+1
+    * rows, so the policy branch never pays a full selector scan —
+    * min(f, kr+1) ≤ kr ⟺ f ≤ kr, the decision is exact.
+    */
+  private[operators] def selectorStarved(sel: DataFrame, kr: Long): Boolean =
+    sel.limit(kr.toInt + 1).count() <= kr
+
+  /** Selector-size ESTIMATE for the probe-widening ratio: a
+    * deterministic 1-in-[[SelectorSampleStride]] id-stride sample
+    * scaled back up, floored at the starved bound the capped count
+    * already proved false. The exact f only tunes POLICY (how far to
+    * widen); an estimate shifts recall marginally in either direction
+    * and costs a 1/stride aggregate instead of a full count — and at
+    * 100 TB a caller with catalog statistics skips even that by
+    * sizing its own selector. Replays exactly in the oracle
+    * (`id % stride = 0` against the same predicate).
+    */
+  private[operators] def estimatedSelectorSize(sel: DataFrame, kr: Long): Long =
+    math.max(kr + 1,
+      SelectorSampleStride.toLong *
+        sel.filter(pmod(col("id"), lit(SelectorSampleStride)) === 0).count())
+
   /** Filtered IVF-PQ top-k over the in-session residual layout:
     * `selector` is the allowed-id frame (one `id` column — the
     * evaluated metadata predicate). Same ranking contract as
@@ -720,9 +748,8 @@ object Pq {
                         metric: Int = VectorMetric.L2,
                         opq: Boolean = false): DataFrame = {
     val sel = selector.select(col("id"))
-    val f = sel.count()
-    val n = Tables.embeddings(spark, dir).count()
-    if (f <= filteredExactMax(k, refine)) {
+    val kr = filteredExactMax(k, refine)
+    if (selectorStarved(sel, kr)) {
       // starved filter: exact pre-filter (A4 semantics) — f rows join
       // their raw vectors, true-metric top-k, no compressed scan
       val exact = Ivf.distCol(metric, col("vec"), typedlit(queryVec.toSeq))
@@ -732,8 +759,12 @@ object Pq {
         .orderBy(col("dist"), col("neighbor_id"))
         .limit(k)
     } else {
+      // corpus n from the session memo, selector f from the stride
+      // estimate — the widening arithmetic runs no corpus-count job
+      val n = Tables.embeddingsCount(spark, dir)
       val (_, centroids) = Ivf.indexFor(spark, dir, metric)
-      val npEff = widenedNprobe(nprobe, n, f, centroids.length)
+      val npEff = widenedNprobe(nprobe, n, estimatedSelectorSize(sel, kr),
+        centroids.length)
       val model = trainResidual(spark, dir, m, metric, opq)
       require(queryVec.length == model.dim,
         s"query dim ${queryVec.length} != corpus dim ${model.dim}")
@@ -791,10 +822,10 @@ object Pq {
     require(queryVec.length == pm.dim,
       s"query dim ${queryVec.length} != index dim ${pm.dim}")
     val sel = selector.select(col("id"))
-    val f = sel.count()
+    val kr = filteredExactMax(k, refine)
     val refSrc = refineWith.map(_.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("vec")))
-    val starved = f <= filteredExactMax(k, refine)
+    val starved = selectorStarved(sel, kr)
     (starved, refSrc) match {
       case (true, Some(vecs)) =>
         val exact = Ivf.distCol(pm.metric, col("vec"), typedlit(queryVec.toSeq))
@@ -808,7 +839,8 @@ object Pq {
         val npEff =
           if (starved) pm.centroids.length // no vectors to refine from:
           // probe everything, the selector already bounds candidates
-          else widenedNprobe(nprobe, n, f, pm.centroids.length)
+          else widenedNprobe(nprobe, n, estimatedSelectorSize(sel, kr),
+            pm.centroids.length)
         val probed = probeIds(pm.centroids, metricQuery(queryVec, pm.metric),
           npEff, pm.metric)
         val pruned = spark.read.parquet(indexPath)
@@ -952,13 +984,22 @@ object Pq {
   def resBatch(spark: SparkSession, dir: String, k: Int,
                nprobeOpt: Option[Int] = None, m: Int = SubspaceCount,
                metric: Int = VectorMetric.L2, refine: Int = 1,
-               opq: Boolean = false): DataFrame = {
+               opq: Boolean = false,
+               selector: Option[DataFrame] = None): DataFrame = {
     val model = trainResidual(spark, dir, m, metric, opq)
     val (_, centroids) = Ivf.indexFor(spark, dir, metric)
     val vecs = corpus(spark, dir, metric)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val codes = encodeResidual(spark, dir, m, metric, opq)
+    val codesAll = encodeResidual(spark, dir, m, metric, opq)
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("codes"))
+    // filtered batch (A18d's contract batched): the selector semi-joins
+    // the CANDIDATE side before the pair shuffle, so non-matching codes
+    // never ride the join — the per-query shape is unchanged
+    val codes = selector match {
+      case Some(sel) => codesAll.join(
+        sel.select(col("id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      case None => codesAll
+    }
     val probeMetric =
       if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
     val probes = Ivf.probeSelect(queries, centroids,
@@ -1019,6 +1060,51 @@ object Pq {
       .select(col("query_id"), col("nn.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Filtered batch ANN on the residual layout — [[resBatch]] × A18d's
+    * filtered-serving policy: the evaluated metadata predicate becomes
+    * a selector id-frame semi-joined into the CANDIDATE side of the
+    * pair shuffle (non-matching codes never ride the join), the probe
+    * set widens by n/f̂ so the filtered candidate mass matches the
+    * unfiltered mass at the caller's nprobe, and a selector that
+    * starves the shortlist (f ≤ k·refine) serves the exact pre-filter
+    * batch instead (f vectors broadcast against the query stream).
+    * Same no-per-query-count discipline as the point path: corpus n
+    * from the session memo, starved check capped at k·refine+1 rows,
+    * f from the deterministic stride estimate.
+    */
+  def resBatchFiltered(spark: SparkSession, dir: String, k: Int,
+                       nprobe: Int, selector: DataFrame,
+                       refine: Int = 1,
+                       metric: Int = VectorMetric.L2): DataFrame = {
+    val sel = selector.select(col("id"))
+    val kr = filteredExactMax(k, refine)
+    if (selectorStarved(sel, kr)) {
+      // f ≤ k·refine survivors: broadcast them against every query and
+      // rank exactly — the compressed scan could not fill a shortlist
+      val vecs = corpus(spark, dir, metric)
+      val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+      val candVecs = vecs.join(sel, "id")
+        .select(col("id").as("neighbor_id"), col("vec"))
+      val exactMetric =
+        if (metric == VectorMetric.Dot) VectorMetric.Dot else VectorMetric.L2
+      val exact = Ivf.distCol(exactMetric, col("vec"), col("qvec"))
+      queries.join(broadcast(candVecs), col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"))
+        .agg(VectorFunctions.topKByDistance(exact, col("neighbor_id"), k).as("nn"))
+        .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("query_id"), col("nn.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    } else {
+      val n = Tables.embeddingsCount(spark, dir)
+      val (_, centroids) = Ivf.indexFor(spark, dir, metric)
+      val npEff = widenedNprobe(nprobe, n, estimatedSelectorSize(sel, kr),
+        centroids.length)
+      resBatch(spark, dir, k, nprobeOpt = Some(npEff), metric = metric,
+        refine = refine, selector = Some(sel))
+    }
   }
 
   /** Persist the IVF-PQ index: binary codes partitioned by cluster_id
@@ -1362,9 +1448,24 @@ object Pq {
     */
   def resBatchQuery(spark: SparkSession, dir: String, k: Int = 5,
                     metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     resBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)),
       metric = metric, refine = refine)
+  }
+
+  /** Driver query: `ann_topk_batch_filtered` — every vector's top-k
+    * among the label ∈ (2, 5, 7) subset, served through the residual
+    * batch path with the A18d widening/starved policy (the batch face
+    * of the reference's filtered-search contract,
+    * search_service.py:169-197). Oracle replays the widened probe
+    * count and the selector join.
+    */
+  def resBatchFilteredQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val n = Tables.embeddingsCount(spark, dir)
+    val selector = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    resBatchFiltered(spark, dir, k,
+      nprobe = math.max(1, Ivf.defaultK(n) / 4), selector)
   }
 
   /** Driver query: OPQ-rotated PQ ADC top-10 for the vec_id=0 query
@@ -1608,10 +1709,13 @@ object Pq {
   def ivfpqTopkFilteredOracleSql(spark: SparkSession, dir: String,
                                  k: Int = 10): String = {
     val labels = "(2, 5, 7)"
-    val n = Tables.embeddings(spark, dir).count()
-    val f = Tables.embeddings(spark, dir)
-      .filter(col("label").isin(2, 5, 7)).count()
-    if (f <= filteredExactMax(k, 4))
+    // THE ENGINE'S OWN policy helpers decide the branch and the
+    // widened probe count (capped starved check + stride estimate),
+    // so the generator can never drift from the serving arithmetic
+    val sel = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    val kr = filteredExactMax(k, 4)
+    if (selectorStarved(sel, kr))
       s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id AS neighbor_id,
          |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
@@ -1621,8 +1725,10 @@ object Pq {
          |  FROM embeddings c WHERE c.label IN $labels) t
          |ORDER BY dist, vec_id LIMIT $k""".stripMargin
     else {
+      val n = Tables.embeddingsCount(spark, dir)
       val (_, cents) = Ivf.indexFor(spark, dir)
-      val npEff = widenedNprobe(math.max(1, cents.length / 4), n, f, cents.length)
+      val npEff = widenedNprobe(math.max(1, cents.length / 4), n,
+        estimatedSelectorSize(sel, kr), cents.length)
       ivfpqTopkOracleSqlImpl(spark, dir, k, opq = false,
         npOverride = Some(npEff),
         candJoin = s"\n    JOIN embeddings fe ON fe.vec_id = cd.vec_id AND fe.label IN $labels")
@@ -1717,12 +1823,50 @@ object Pq {
     * fold is bit-for-bit the AdcQueryDistance kernel's global
     * (mi, p)-ascending accumulation.
     */
-  def resBatchOracleSql(spark: SparkSession, dir: String, k: Int = 5): String = {
+  def resBatchOracleSql(spark: SparkSession, dir: String, k: Int = 5): String =
+    resBatchOracleSqlImpl(spark, dir, k, npOverride = None, candJoin = "")
+
+  /** ann_topk_batch_filtered oracle: the residual batch replay at the
+    * WIDENED probe count with the selector joined into the candidate
+    * side — branch + widening arithmetic from THE SAME engine helpers
+    * the serving path runs (capped starved check, stride estimate), so
+    * generator and engine cannot diverge. A starved selector emits the
+    * exact broadcast pre-filter replay instead.
+    */
+  def resBatchFilteredOracleSql(spark: SparkSession, dir: String,
+                                k: Int = 5): String = {
+    val labels = "(2, 5, 7)"
+    val sel = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    val kr = filteredExactMax(k, 1)
+    if (selectorStarved(sel, kr))
+      s"""SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+         |FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS dist
+         |  FROM embeddings q JOIN embeddings c
+         |    ON c.label IN $labels AND c.vec_id <> q.vec_id) t
+         |QUALIFY rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+    else {
+      val n = Tables.embeddingsCount(spark, dir)
+      val (_, cents) = Ivf.indexFor(spark, dir)
+      val npEff = widenedNprobe(math.max(1, Ivf.defaultK(n) / 4), n,
+        estimatedSelectorSize(sel, kr), cents.length)
+      resBatchOracleSqlImpl(spark, dir, k, npOverride = Some(npEff),
+        candJoin = s"\n  JOIN embeddings fe ON fe.vec_id = a.vec_id AND fe.label IN $labels")
+    }
+  }
+
+  private def resBatchOracleSqlImpl(spark: SparkSession, dir: String, k: Int,
+                                    npOverride: Option[Int],
+                                    candJoin: String): String = {
     val model = trainResidual(spark, dir)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
-    val n = Tables.embeddings(spark, dir).count()
-    val np = math.max(1, Ivf.defaultK(n) / 4)
+    val n = Tables.embeddingsCount(spark, dir)
+    val np = npOverride.getOrElse(math.max(1, Ivf.defaultK(n) / 4))
     val dim = model.dim
     s"""WITH r_cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
        |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
@@ -1757,7 +1901,7 @@ object Pq {
        |pdist AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id, list_distance(q.qr, r.rv) AS dist
        |  FROM qres q
-       |  JOIN asg a ON a.cid = q.cid AND a.vec_id <> q.query_id
+       |  JOIN asg a ON a.cid = q.cid AND a.vec_id <> q.query_id$candJoin
        |  JOIN recon r ON r.vec_id = a.vec_id)
        |SELECT query_id, neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank

@@ -205,6 +205,50 @@ class PqSpec extends AnyFunSuite {
     assert(got == exact, s"starved-filter fallback must be exact: $got != $exact")
   }
 
+  test("filtered residual batch: selector-only results, recall floor, starved batch exact") {
+    val k = 5
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(2, 5, 7))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val selector = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    val res = Pq.resBatchFiltered(spark, sf, k, nprobe = 4, selector)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.forall { case (_, nb) => allowed(nb) },
+      "a non-selector neighbor reached the filtered batch results")
+    assert(res.groupBy(_._1).forall(_._2.length == k), "every query must emit k rows")
+    // recall vs the filtered-exact batch on 5 probe queries
+    def filteredExact(q: Array[Float], self: Long): Set[Long] =
+      all.filter(t => allowed(t._1) && t._1 != self).map { case (id, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - q(i); acc += d * d; i += 1 }
+        (acc, id)
+      }.sortBy(identity).take(k).map(_._2).toSet
+    val byQuery = res.groupBy(_._1)
+    val recalls = (0L until 5L).map { qid =>
+      val got = byQuery(qid).map(_._2).toSet
+      (filteredExact(all.find(_._1 == qid).get._2, qid) & got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"filtered batch recall $mean < 0.6 (widened probes)")
+    // starved selector (f <= k): the batch serves the exact pre-filter
+    import spark.implicits._
+    val tiny = (100L until 104L).toDF("id")
+    val starved = Pq.resBatchFiltered(spark, sf, k, nprobe = 4, tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val tinyIds = (100L until 104L).toSet
+    assert(starved.forall { case (_, nb, _) => tinyIds(nb) })
+    // exact by construction: for query 0, ranks match the true ordering
+    val q0 = all.find(_._1 == 0L).get._2
+    val want = all.filter(t => tinyIds(t._1)).map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - q0(i); acc += d * d; i += 1 }
+      (acc, id)
+    }.sortBy(identity).map(_._2).toSeq
+    val got0 = starved.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(got0 == want, s"starved filtered batch must rank exactly: $got0 != $want")
+  }
+
   test("filtered query on the persisted tree: pruned probe scan, selector honored") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_f").toString
     Pq.writeIvfPq(spark, sf, path)
