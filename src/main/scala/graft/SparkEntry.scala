@@ -381,6 +381,9 @@ object SparkEntry {
     "chunk_pagination" -> TextOps.chunkPaginationOracleSql(),
     "doc_pagination"   -> TextOps.docPaginationOracleSql(),
     "dedup_exact"         -> Dedup.dedupExactOracleSql,
+    // E4: full simhash replay (md5 word-hash halves, vote sums,
+    // banding + cap, hamming) — oracle-backed since round 12
+    "dedup_simhash"       -> Dedup.dedupSimhashOracleSql,
     "dedup_exact_normalized" -> Dedup.dedupExactNormalizedOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,

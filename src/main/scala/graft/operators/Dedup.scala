@@ -1340,8 +1340,13 @@ object Dedup {
   val SimhashBands = 4
   val HammingMax = 3
 
-  /** doc_id → 64-bit simhash over word xxhash64s: bit i is the sign of
-    * the sum of ±1 votes from each word's bit i.
+  /** doc_id → 64-bit simhash over per-word hashes: bit i is the sign
+    * of the sum of ±1 votes from each word's bit i. The word hash is
+    * the first 64 bits of md5 (kept as two NON-NEGATIVE 32-bit halves
+    * so no shift ever touches a sign bit) — a standard both engines
+    * implement bit-identically, which is what makes E4
+    * ORACLE-REPLAYABLE (the pre-round-12 xxhash64 was Spark-only and
+    * forced the key to rows-only).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     // explode word hashes → 64 codegen'd ±1 vote columns → groupBy sum
@@ -1349,9 +1354,14 @@ object Dedup {
     // is 64 longs per doc per partition thanks to partial aggregation).
     val rows = graft.Tables.rebalanced(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
+      .select(col("doc_id"), md5(col("w")).as("hx"))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("whi"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("wlo"))
       .select(Seq(col("doc_id")) ++ (0 until SimhashBits).map { i =>
-        when(shiftright(col("wh"), i).bitwiseAND(1L) === 1L, 1L)
+        val half = if (i < 32) shiftright(col("wlo"), i)
+                   else shiftright(col("whi"), i - 32)
+        when(half.bitwiseAND(1L) === 1L, 1L)
           .otherwise(-1L).as(s"v$i")
       }: _*)
     val votes = rows.groupBy("doc_id")
@@ -1374,7 +1384,8 @@ object Dedup {
     * drops nothing (DedupSpec asserts capped ≡ uncapped on the test
     * corpus); a caller who needs the full pigeonhole contract passes
     * `capOpt = None` and accepts O(size²) candidates from hot buckets.
-    * Rows-only; DedupSpec checks it.
+    * Oracle-backed since round 12 ([[dedupSimhashOracleSql]]); DedupSpec
+    * pins the banding/cap properties besides.
     */
   def dedupSimhash(spark: SparkSession, dir: String,
                    capOpt: Option[Int] = Some(LshBucketCap)): DataFrame =
@@ -1411,6 +1422,62 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
       .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** E4 oracle: the full simhash replay in DuckDB — md5-derived word
+    * hash halves (hex nibbles → the same non-negative 32-bit hi/lo the
+    * engine's conv produces), 64 per-bit ±1 vote sums, signature
+    * halves reassembled bit-by-bit, the 4×16-bit banding with the SAME
+    * bucket cap, pair join + exact hamming ≤ 3 as per-half
+    * xor+popcount. Static SQL (the signature is a pure function of the
+    * text — no trained model), md5 being the cross-engine hash that
+    * unlocked the key from rows-only.
+    */
+  def dedupSimhashOracleSql: String = {
+    // hex32(start): 8 hex chars of md5 beginning at `start` → BIGINT
+    def hex32(start: Int) =
+      s"""list_sum(list_transform(range(0, 8), j ->
+         |      CAST(strpos('0123456789abcdef', substring(hx, $start + j, 1)) - 1 AS BIGINT)
+         |        << (4 * (7 - j))))""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, md5(w) AS hx FROM w),
+       |hl AS (
+       |  SELECT doc_id,
+       |    ${hex32(1)} AS whi,
+       |    ${hex32(9)} AS wlo
+       |  FROM h),
+       |votes AS (
+       |  SELECT doc_id, t.i AS i,
+       |    sum(CASE WHEN (CASE WHEN t.i < 32 THEN (wlo >> t.i) & 1
+       |                        ELSE (whi >> (t.i - 32)) & 1 END) = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM hl, UNNEST(range(0, $SimhashBits)) t(i)
+       |  GROUP BY doc_id, t.i),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN i >= 32 AND s > 0 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS shi,
+       |    CAST(sum(CASE WHEN i < 32 AND s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS slo
+       |  FROM votes GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, shi, slo, t.k AS band_id,
+       |    CASE t.k WHEN 0 THEN slo & 65535 WHEN 1 THEN (slo >> 16) & 65535
+       |             WHEN 2 THEN shi & 65535 ELSE (shi >> 16) & 65535 END AS band_bits
+       |  FROM sig, UNNEST(range(0, $SimhashBands)) t(k)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_id, band_bits) AS bn
+       |    FROM banded) z
+       |  WHERE bn <= $LshBucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.shi, b.shi)) + bit_count(xor(a.slo, b.slo)) AS hamming
+       |  FROM capped a JOIN capped b
+       |    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM pairs WHERE hamming <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- E5

@@ -24,7 +24,7 @@ class EntrySpec extends AnyFunSuite {
     // spec-covered, no SQL-expressible oracle: Spark-native xxhash64
     // candidate generation (minhash/simhash), approximate-by-contract
     // sketch estimates, and the inherently iterative BPE merge loop
-    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash",
+    val rowsOnly = Set("dedup_minhash_lsh",
       "events_sketch", "bpe_train", "token_count_bpe",
       // the card's learned-tokenizer slice rides the BPE merge loop
       // (BpeSpec pins the rollup ≡ E22b's per-doc counts)
