@@ -145,6 +145,12 @@ object SparkEntry {
     // and nprobe lookups: nprobe init, then bounded neighbor-of-
     // neighbor top-k merges to convergence (never a probe-all pass)
     "knn_graph_descent" -> ((s, d) => Dedup.knnGraphDescent(s, d)),
+    // E51: graph SERVING — batch beam search (coarse-quantizer entry +
+    // bounded expansion rounds) over the converged descent graph
+    "graph_topk" -> ((s, d) => GraphIndex.graphTopk(s, d)),
+    // E51b: the persisted graph's lifecycle (build / search-then-link
+    // appends / dirty-ratio rebuild / read-back), the A18b shape
+    "graph_lifecycle" -> ((s, d) => GraphIndex.graphLifecycle(s, d)),
     // E43: serving-quality dashboard — per-query recall@k histogram
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
@@ -240,6 +246,9 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "multimodal_resize"       -> ((s, d) => Multimodal.multimodalResize(s, d)),
+    // E11d: the BMP pixel buffer DECODED (per-channel integer
+    // mean/min/max) — the codec step made real for the 24bpp format
+    "multimodal_pixel_stats"  -> ((s, d) => Multimodal.multimodalPixelStats(s, d)),
     // D-series: Structured Streaming jobs (memory-sink execution)
     "stream_window_agg" -> (Streams.streamWindowAgg _),
     "stream_dedup"      -> (Streams.streamDedup _),
@@ -366,6 +375,9 @@ object SparkEntry {
     "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
     "ivfpq_lifecycle"     -> PqLifecycle.ivfpqLifecycleOracleSql,
     "index_compact"       -> IndexLifecycle.indexCompactOracleSql,
+    // E51b: the graph lifecycle's state arithmetic (append dirt,
+    // threshold crossing, rebuild reset, read-back size)
+    "graph_lifecycle"     -> GraphIndex.graphLifecycleOracleSql,
     "validate_chunks"     -> Validate.validateChunksOracleSql,
     "validate_documents"  -> Validate.validateDocumentsOracleSql,
     "validate_libraries"  -> Validate.validateLibrariesOracleSql,
@@ -437,6 +449,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
     "multimodal_resize"       -> Multimodal.multimodalResizeOracleSql(),
+    "multimodal_pixel_stats"  -> Multimodal.multimodalPixelStatsOracleSql,
     // streaming twins ARE oracle-checkable: D1 ≡ C5-shaped SQL,
     // D3 ≡ C6, D2 ≡ count-by-type (source has no duplicate event_ids)
     "stream_window_agg" -> Analytics.eventsWindowAggOracleSql,
@@ -559,6 +572,9 @@ object SparkEntry {
     // E37c: the E6b init replay + the applied NN-Descent rounds
     // unrolled as CTE blocks (iteration count from the converged run)
     "knn_graph_descent" -> ((s, d) => Dedup.knnGraphDescentOracleSql(s, d)),
+    // E51: the descent replay nested as the graph + entry replay +
+    // unrolled beam rounds
+    "graph_topk" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
     // E50: UNION ALL of per-nprobe E43 blocks over the same literals

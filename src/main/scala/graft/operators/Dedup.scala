@@ -1967,21 +1967,35 @@ object Dedup {
                                   k: Int = 5): (DataFrame, Int) =
     descentMemo.get((dir, k)).getOrElse(synchronized {
       descentMemo.getOrElseUpdate((dir, k), {
-        val metric = graft.functions.VectorMetric.Cosine
         val vecs = Tables.embeddings(spark, dir)
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        def withDist(pairs: DataFrame): DataFrame =
-          pairs
-            .join(vecs.select(col("id").as("src"), col("vec").as("va")), "src")
-            .join(vecs.select(col("id").as("dst"), col("vec").as("vb")), "dst")
-            .select(col("src"), col("dst"),
-              Ivf.distCol(metric, col("va"), col("vb")).as("dist"))
-        val n = Tables.embeddings(spark, dir).count()
+        val n = Tables.embeddingsCount(spark, dir)
         val nc = Ivf.defaultK(n)
         val np = math.max(1, math.min(DescentInitNprobe, nc))
-        val init = Ivf.annBatch(spark, dir, k, metric, nprobeOpt = Some(np))
+        val init = Ivf.annBatch(spark, dir, k,
+          graft.functions.VectorMetric.Cosine, nprobeOpt = Some(np))
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-        val cap = descentCap(k)
+        descentRounds(vecs, init, n, k)
+      })
+    })
+
+  /** The NN-Descent round loop over an arbitrary (id, vec) corpus and
+    * a given (src, dst) init — the [[descentGraph]] body, frame-shaped
+    * so the persisted-graph REBUILD (GraphIndex.rebuild: current
+    * logical contents, not a corpus dir) runs the same algorithm. `n`
+    * is the dense id-domain size for the exploration schedule.
+    */
+  private[graft] def descentRounds(vecs: DataFrame, init: DataFrame,
+                                   n: Long, k: Int): (DataFrame, Int) = {
+    val metric = graft.functions.VectorMetric.Cosine
+    def withDist(pairs: DataFrame): DataFrame =
+      pairs
+        .join(vecs.select(col("id").as("src"), col("vec").as("va")), "src")
+        .join(vecs.select(col("id").as("dst"), col("vec").as("vb")), "dst")
+        .select(col("src"), col("dst"),
+          Ivf.distCol(metric, col("va"), col("vb")).as("dist"))
+    val cap = descentCap(k)
+    locally {
         def symCap(edges: DataFrame): DataFrame = edges
           .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
           .dropDuplicates("src", "dst")
@@ -2036,8 +2050,8 @@ object Dedup {
         }
         if (!(fresh eq cur)) fresh.unpersist()
         (cur, applied)
-      })
-    })
+    }
+  }
 
   /** E37c driver entry: `knn_graph_descent` — each vector's cosine
     * top-k from the CONVERGED NN-Descent graph (ranked (dist, id), the

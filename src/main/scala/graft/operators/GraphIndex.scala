@@ -1,0 +1,567 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions, VectorMetric}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN SERVING + lifecycle — the production index family
+  * (HNSW / NSG / DiskANN lineage) over the E37c NN-Descent kNN graph:
+  * E37c BUILDS the graph; this module SERVES through it and maintains
+  * it as a persisted index.
+  *
+  * Serving (`graph_topk`) is best-first beam search re-expressed as a
+  * BATCH operator: instead of a per-query priority queue (which does
+  * not distribute), every query advances one bounded expansion round
+  * at a time — beam ∪ neighbors(beam) through one join against the
+  * SYMMETRIZED edge table (reverse edges double navigability for free;
+  * HNSW/NSG graphs are undirected for the same reason), exact
+  * re-score, keep top-B per query by the family's (dist, id) tie
+  * contract — for a FIXED number of rounds. Fixed rounds + fixed beam
+  * make the search fully deterministic and oracle-replayable (the
+  * rounds unroll as materialized CTEs, the knnGraphDescentOracleSql
+  * pattern); per-query convergence detection would buy little and
+  * cost replayability. The beam SEEDS from two places: the coarse
+  * quantizer (the session IVF index at a CONSTANT 1-list probe — the
+  * DiskANN entry recipe; the coarse index plays the "upper layer"
+  * role HNSW builds hierarchically) and, for in-corpus queries, the
+  * query node's OWN stored adjacency (searching an already-indexed
+  * point starts from its links — the HNSW re-insert convention).
+  * Measured on sf0.001 (GraphProbe): the graph's own edges carry
+  * 0.92 recall, pure navigation from the coarse entry saturates at
+  * 0.55 (this corpus is near-uniform — the adversarial case for graph
+  * navigation, same as the E37c uniform finding), and the seeded beam
+  * reaches 0.97 — the expansion genuinely recovers neighbors the
+  * stored adjacency misses. Cost per round is O(N·B·deg) skinny pair
+  * rows through joins keyed on query_id/cand — no broadcast of
+  * anything corpus-sized, no per-query driver work.
+  *
+  * The persisted layout (`writeGraphTree`) is the index every other
+  * family already has: edge lists (src, dst, dist) partitioned by
+  * `src_bucket` (= src mod [[GraphBuckets]] — bounded directory count
+  * at any N, touched-bucket rewrites on mutation), the vectors the
+  * graph links with their coarse assignment (`_vectors` (id, vec,
+  * cluster_id), bucket-partitioned the same way — a graph index
+  * stores its vectors; HNSW does, DiskANN stores compressed ones),
+  * the coarse `_centroids` (the entry structure appends navigate
+  * from), and the shared lifecycle `_state`. Arrivals are
+  * SEARCH-THEN-LINK (the incremental NN-Descent / HNSW-insert step):
+  * each new vector enters at its nearest coarse list's best B, beam-
+  * searches the frozen graph for its k out-edges, reverse edges land
+  * on the touched nodes capped at R = 2k by distance, and ONLY the
+  * affected buckets rewrite through the rename-aside swap discipline
+  * (IndexLifecycle.compact's pattern). Growth is dirt; the
+  * dirty-ratio policy (the reference's should_rebuild arithmetic,
+  * app/services/index_service.py:88-99) decides when the whole graph
+  * re-descends.
+  */
+object GraphIndex {
+
+  /** Bounded expansion rounds — with the seeded beam (coarse entry ∪
+    * own adjacency) round 2 is measured saturation on the sf corpora
+    * (GraphProbe: 0.972 → 0.974 → 0.975 at rounds 1/2/3); GraphSpec
+    * pins the recall floor.
+    */
+  val BeamRounds = 2
+
+  /** Beam width B = 2k: the shortlist each query carries between
+    * rounds (HNSW's efSearch role).
+    */
+  def beamWidth(k: Int): Int = 2 * k
+
+  /** Entry probe budget: ONE coarse list (constant — the entry scan is
+    * O(N·N/nc) total for a corpus-sized batch, the same sub-quadratic
+    * argument as the descent init).
+    */
+  val EntryNprobe = 1
+
+  /** Reverse-edge cap on append: a touched node keeps its best R = 2k
+    * edges (the NN-Descent general-neighborhood cap — hub nodes stay
+    * bounded no matter how many arrivals link to them).
+    */
+  def reverseCap(k: Int): Int = 2 * k
+
+  /** Edge/vector bucket count. Small here; at 100 TB this scales like
+    * any partition count (O(thousands)) — the invariant that matters
+    * is that mutations rewrite O(touched buckets), never the table.
+    */
+  val GraphBuckets = 16
+
+  private val Metric = VectorMetric.Cosine
+
+  // ------------------------------------------------------------ serving
+
+  /** (src, dst) → the symmetrized (undirected) expansion table. */
+  private[graft] def symmetrize(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+
+  /** Batch beam search over an edge frame: every corpus vector's
+    * top-k via [[BeamRounds]] bounded expansions of the seeded beam
+    * (coarse-probe entry ∪ the query node's own symmetrized
+    * adjacency). `edges` is directed (src, dst); scoring is exact
+    * cosine against the corpus — the graph only PROPOSES candidates,
+    * so a stale or approximate edge can cost recall but never a wrong
+    * distance.
+    */
+  private[graft] def beamTopk(spark: SparkSession, dir: String,
+                              edges: DataFrame, k: Int): DataFrame = {
+    val b = beamWidth(k)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("cv"))
+    val sym = symmetrize(edges)
+    // entry: the nearest coarse list's best B per query (exact within
+    // the probed list, rides the session IVF memo, excludes self) ∪
+    // the query's own stored links
+    val entry = Ivf.annBatch(spark, dir, b, Metric, nprobeOpt = Some(EntryNprobe))
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+      .union(sym.select(col("src").as("query_id"), col("dst").as("cand")))
+      .dropDuplicates("query_id", "cand")
+    beamRounds(entry, sym, vecs, k, b)
+  }
+
+  /** The shared round loop: `beam0` (query_id, cand) expands through
+    * `edges` for [[BeamRounds]] rounds, scored against `vecs`
+    * ((id, cv)) on the candidate side and `qvecs` ((query_id, qv) —
+    * defaults to `vecs`, corpus queries) on the query side; returns
+    * the final ranked top-k.
+    */
+  private[graft] def beamRounds(beam0: DataFrame, edges: DataFrame,
+                                    vecs: DataFrame, k: Int, b: Int,
+                                    qvecsOpt: Option[DataFrame] = None): DataFrame = {
+    val qvecs = qvecsOpt.getOrElse(
+      vecs.select(col("id").as("query_id"), col("cv").as("qv")))
+    val e = edges.select(col("src").as("cand"), col("dst"))
+    var beam = beam0
+    var cur: DataFrame = null
+    var r = 0
+    while (r < BeamRounds) {
+      val expand = beam.join(e, "cand")
+        .select(col("query_id"), col("dst").as("cand"))
+      val cands = beam.select("query_id", "cand").union(expand)
+        .filter(col("cand") =!= col("query_id"))
+        .dropDuplicates("query_id", "cand")
+      val scored = cands
+        .join(qvecs, "query_id")
+        .join(vecs.select(col("id").as("cand"), col("cv")), "cand")
+        .select(col("query_id"), col("cand"),
+          Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+      // eager checkpoint per round: the loop otherwise re-executes the
+      // whole prefix each round (the descentGraph lesson)
+      cur = scored.groupBy("query_id")
+        .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), b).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("p"))
+        .select(col("query_id"), col("p.id").as("cand"), col("p.dist").as("dist"))
+        .localCheckpoint(true)
+      beam = cur.select("query_id", "cand")
+      r += 1
+    }
+    cur.groupBy("query_id")
+      .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Driver query: `graph_topk` — every vector's cosine top-k served
+    * through the CONVERGED session descent graph (E37c's memo) by
+    * batch beam search. Oracle-checked end-to-end: the generator nests
+    * the descent-graph replay and the entry replay, then unrolls the
+    * beam rounds.
+    */
+  def graphTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (graph, _) = Dedup.descentGraph(spark, dir, k)
+    beamTopk(spark, dir, graph.select("src", "dst"), k)
+  }
+
+  /** graph_topk oracle: the converged-graph replay (the FULL descent
+    * unroll, nested as a derived table — DuckDB allows WITH at any
+    * depth), symmetrized into the expansion table; the nprobe=1 entry
+    * replay UNIONED with each query's own adjacency as the seed; one
+    * CTE block per beam round (candidate union ∪ graph expansion,
+    * exact re-score with the SAME `1.0 − list_cosine_similarity`
+    * double, top-B by (dist, cand)).
+    */
+  def graphTopkOracleSql(spark: SparkSession, dir: String, k: Int = 5): String = {
+    val b = beamWidth(k)
+    val cos = "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+    val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k)
+    val entrySql = Ivf.annBatchNprobeOracleSql(spark, dir, b,
+      nprobeOpt = Some(EntryNprobe))
+    val rounds = (1 to BeamRounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""c$r AS (
+         |  SELECT DISTINCT query_id, cand FROM (
+         |    SELECT query_id, cand FROM $prev
+         |    UNION ALL
+         |    SELECT bb.query_id, gs.dst AS cand FROM $prev bb JOIN gs ON gs.src = bb.cand) z
+         |  WHERE cand <> query_id),
+         |s$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.cand, ${cos.format("qe", "ce")} AS dist
+         |  FROM c$r c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.cand),
+         |b$r AS MATERIALIZED (
+         |  SELECT query_id, cand, dist FROM (
+         |    SELECT query_id, cand, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS rn
+         |    FROM s$r) z
+         |  WHERE rn <= $b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM (
+       |$graphSql
+       |  ) gsub),
+       |gs AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g
+       |    UNION ALL SELECT dst AS src, src AS dst FROM g) z),
+       |b0 AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, cand FROM (
+       |    SELECT query_id, neighbor_id AS cand FROM (
+       |$entrySql
+       |    ) esub
+       |    UNION ALL
+       |    SELECT src AS query_id, dst AS cand FROM gs) z),
+       |$rounds
+       |SELECT query_id, cand AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
+       |FROM b$BeamRounds
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------- persistence
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(GraphBuckets.toLong)).cast("int")
+
+  /** Persist a graph tree: bucket-partitioned edge lists at the root,
+    * `_vectors` (id, vec, cluster_id — the coarse assignment the
+    * append entry navigates from) / `_centroids` / `_meta` sidecars.
+    * Content only — the lifecycle state is the caller's (build/rebuild
+    * write it).
+    */
+  private def writeGraphTree(spark: SparkSession, edges: DataFrame,
+                             vecsAssigned: DataFrame,
+                             centroids: Array[Array[Float]],
+                             outPath: String, k: Int): Unit = {
+    edges.select(col("src"), col("dst"), col("dist"))
+      .withColumn("src_bucket", bucketOf(col("src")))
+      .repartition(col("src_bucket")) // one file per bucket, not task×bucket
+      .write.mode("overwrite").partitionBy("src_bucket").parquet(outPath)
+    vecsAssigned.select(col("id"), col("vec"), col("cluster_id"))
+      .withColumn("vbucket", bucketOf(col("id")))
+      .repartition(col("vbucket"))
+      .write.mode("overwrite").partitionBy("vbucket").parquet(s"$outPath/_vectors")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_centroids")
+    Seq((k, GraphBuckets)).toDF("k", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_meta")
+  }
+
+  private[graft] def readEdges(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath).select(col("src"), col("dst"), col("dist"))
+
+  private[graft] def readVectors(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/_vectors")
+      .select(col("id"), col("vec"), col("cluster_id"))
+
+  /** A half-applied mutation leaves this staging marker; serving and
+    * mutating refuse while it exists (recovery = rebuild) — the
+    * IndexLifecycle `_append_tmp` discipline.
+    */
+  private def checkNoHalfApplied(spark: SparkSession, indexPath: String): Unit = {
+    val p = new Path(s"$indexPath/_graph_tmp")
+    if (fs(spark, indexPath).exists(p))
+      sys.error(s"graph index at $indexPath carries a half-applied mutation " +
+        s"($p exists) — rebuild before serving or mutating")
+  }
+
+  /** Beam search over LOADED tree frames for an arbitrary (id, vec)
+    * query batch — the search step append links through, shared with
+    * the public serving face below. No self-exclusion: callers with
+    * in-corpus query ids get the id itself at rank 1 (distance 0).
+    */
+  private def beamSearchLoaded(stored: DataFrame, edges: DataFrame,
+                               cents: Array[Array[Float]],
+                               queries: DataFrame, k: Int): DataFrame = {
+    val b = beamWidth(k)
+    val probes = Ivf.probeSelect(
+      queries.select(col("id").as("query_id"), col("vec").as("qvec")),
+      cents, EntryNprobe, Metric)
+    val entry = Ivf.probedTopK(
+        stored.select(col("cluster_id"), col("id").as("neighbor_id"), col("vec")),
+        probes, b, Metric, broadcastProbes = false)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    beamRounds(entry, symmetrize(edges),
+      stored.select(col("id"), col("vec").as("cv")), k, b,
+      qvecsOpt = Some(queries.select(col("id").as("query_id"), col("vec").as("qv"))))
+  }
+
+  /** Serve a PERSISTED graph tree for an out-of-corpus (id, vec) query
+    * batch: coarse entry (`_centroids` + the stored assignment) + the
+    * symmetrized beam. The disk twin of [[graphTopk]]'s search step.
+    */
+  def queryGraphBatch(spark: SparkSession, indexPath: String,
+                      queries: DataFrame, k: Int): DataFrame = {
+    checkNoHalfApplied(spark, indexPath)
+    beamSearchLoaded(readVectors(spark, indexPath),
+      readEdges(spark, indexPath),
+      IndexLifecycle.loadCentroids(spark, indexPath), queries, k)
+  }
+
+  // ---------------------------------------------------------- lifecycle
+
+  /** Build (version+1): the session descent graph persisted with its
+    * assigned vectors, coarse centroids, and a fresh lifecycle state.
+    */
+  def build(spark: SparkSession, dir: String, indexPath: String,
+            k: Int = 5): IndexStatus = {
+    val prev = IndexLifecycle.status(spark, indexPath)
+    val (graph, _) = Dedup.descentGraph(spark, dir, k)
+    val (assign, cents) = Ivf.indexFor(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    writeGraphTree(spark, graph,
+      vecs.join(assign.select("id", "cluster_id"), "id"), cents, indexPath, k)
+    val n = Tables.embeddingsCount(spark, dir)
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    val next = IndexStatus("knngraph", isBuilt = true, isDirty = false,
+      size = n, embeddingDim = dim, builtAt = System.currentTimeMillis(),
+      version = prev.version + 1, dirtyCount = 0L, totalVectors = n)
+    IndexLifecycle.writeState(spark, indexPath, next)
+    next
+  }
+
+  /** Incremental add — SEARCH-THEN-LINK: each new vector enters the
+    * FROZEN persisted graph at its nearest coarse list's best B (the
+    * same nprobe=1 entry the batch key uses, against `_centroids` +
+    * the `_vectors` cluster assignment), beam-searches for its k
+    * out-edges (symmetrized expansion); reverse edges land on the
+    * touched nodes, whose adjacency re-caps at R = 2k by (dist, id);
+    * only the affected src buckets rewrite (rename-aside swap), new
+    * vectors append into `_vectors` under their coarse assignment.
+    * Within-batch arrivals link against the EXISTING graph only (the
+    * incremental NN-Descent step) — links among themselves come from
+    * the next rebuild, the same freshness trade every incremental
+    * graph index makes. Growth is dirt against the as-of-build total.
+    */
+  def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = newVecs.sparkSession
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, "append requires a built graph (build first)")
+    checkNoHalfApplied(spark, indexPath)
+    val meta = spark.read.parquet(s"$indexPath/_meta").head()
+    val k = meta.getInt(0)
+    val nv = newVecs.select(col("id"), col("vec")).cache()
+    val d = nv.count()
+    val stored = readVectors(spark, indexPath)
+    val vecs = stored.select(col("id"), col("vec").as("cv"))
+    val edges = readEdges(spark, indexPath)
+    val cents = IndexLifecycle.loadCentroids(spark, indexPath)
+    val queries = nv.select(col("id").as("query_id"), col("vec").as("qv"))
+    // forward edges: the new vector's top-k among EXISTING nodes (the
+    // shared beam core; coarse entry + symmetrized expansion)
+    val forward = beamSearchLoaded(stored, edges, cents, nv, k)
+      .join(queries, "query_id") // re-score carried dist for the edge rows
+      .join(vecs.select(col("id").as("neighbor_id"), col("cv")), "neighbor_id")
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+      .localCheckpoint(true)
+    // reverse edges cap touched nodes at R (their old edges compete)
+    val reverse = forward.select(col("dst").as("src"), col("src").as("dst"),
+      col("dist"))
+    val touched = reverse.select("src").distinct()
+    val recapped = edges.join(touched, Seq("src"), "left_semi")
+      .union(reverse)
+      .dropDuplicates("src", "dst")
+      .groupBy("src")
+      .agg(VectorFunctions
+        .topKByDistance(col("dist"), col("dst"), reverseCap(k)).as("nn"))
+      .select(col("src"), explode(col("nn")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+    // affected buckets = buckets holding a touched node or a new node
+    val affected = touched.select(bucketOf(col("src")).as("bk"))
+      .union(forward.select(bucketOf(col("src")).as("bk")))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    // new content of the affected buckets: untouched srcs keep their
+    // rows, touched srcs take the recapped adjacency, new srcs their
+    // forward edges
+    val kept = edges
+      .filter(bucketOf(col("src")).isInCollection(affected))
+      .join(touched, Seq("src"), "left_anti")
+    val rewritten = kept.union(recapped).union(forward)
+      .withColumn("src_bucket", bucketOf(col("src")))
+    // stage EVERYTHING, record state, then swap — a crash leaves the
+    // loud marker, never rows the state doesn't account for
+    val tmp = s"$indexPath/_graph_tmp"
+    rewritten
+      .repartition(col("src_bucket"))
+      .write.mode("overwrite").partitionBy("src_bucket").parquet(s"$tmp/edges")
+    // new vectors land with their coarse assignment (flat argmin over
+    // the loaded centroids — the next append's entry navigates them)
+    Ivf.assignTo(nv, cents)
+      .select(col("neighbor_id").as("id"), col("vec"), col("cluster_id"))
+      .withColumn("vbucket", bucketOf(col("id")))
+      .repartition(col("vbucket"))
+      .write.mode("overwrite").partitionBy("vbucket").parquet(s"$tmp/vectors")
+    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + d,
+      size = s.size + d)
+    IndexLifecycle.writeState(spark, indexPath, next)
+    val f = fs(spark, indexPath)
+    // swap affected edge buckets (rename-aside, loud failures)
+    affected.foreach { bk =>
+      val dst = new Path(s"$indexPath/src_bucket=$bk")
+      val src = new Path(s"$tmp/edges/src_bucket=$bk")
+      val aside = new Path(s"$indexPath/_old_src_bucket=$bk")
+      if (f.exists(dst) && !f.rename(dst, aside))
+        sys.error(s"graph append: could not move stale bucket $dst aside")
+      if (f.exists(src) && !f.rename(src, dst))
+        sys.error(s"graph append: rename $src -> $dst failed; old at $aside")
+      if (f.exists(aside) && !f.delete(aside, true))
+        sys.error(s"graph append: could not clean up $aside")
+    }
+    // move new vector files into their live buckets (append-only)
+    val vtmp = new Path(s"$tmp/vectors")
+    f.listStatus(vtmp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("vbucket="))
+      .foreach { dDir =>
+        val dst = new Path(s"$indexPath/_vectors/${dDir.getPath.getName}")
+        if (!f.exists(dst) && !f.mkdirs(dst))
+          sys.error(s"graph append: could not create $dst")
+        f.listStatus(dDir.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach { file =>
+            if (!f.rename(file.getPath, new Path(dst, file.getPath.getName)))
+              sys.error(s"graph append: rename ${file.getPath} -> $dst failed")
+          }
+      }
+    if (!f.delete(new Path(tmp), true))
+      sys.error(s"graph append: could not clear staging dir $tmp")
+    nv.unpersist()
+    next
+  }
+
+  /** Out-of-band rebuild: re-run NN-Descent over the CURRENT logical
+    * contents (the `_vectors` read-back — appended vectors included,
+    * now linking among themselves too), version+1, dirt reset, staged
+    * tree double-rename swapped in with the live tree serving
+    * throughout.
+    */
+  def rebuild(spark: SparkSession, indexPath: String): IndexStatus = {
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, "rebuild requires a built graph")
+    checkNoHalfApplied(spark, indexPath)
+    val k = spark.read.parquet(s"$indexPath/_meta").head().getInt(0)
+    val vecs = readVectors(spark, indexPath).select("id", "vec").cache()
+    val n = vecs.count()
+    // init: fresh coarse quantizer over the current contents at the
+    // constant descent probe budget (the sub-quadratic argument)
+    val rb = Tables.rebalanced(vecs)
+    val (assign, cents, hier) =
+      Ivf.kmeansWithQuantizer(rb, Ivf.defaultK(n))
+    val np = math.max(1, math.min(Dedup.DescentInitNprobe, cents.length))
+    val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val init = Ivf.probedTopK(Ivf.invertedLists(rb, assign),
+        Ivf.probeSelect(queries, cents, np, Metric, hier = hier), k, Metric,
+        pairFilter = col("neighbor_id") =!= col("query_id"),
+        broadcastProbes = false)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    // the exploration schedule needs the dense id-domain bound: ids
+    // are 0..n-1 ∪ appended (re-keyed past the corpus) — max+1 covers
+    val domain = vecs.agg(max(col("id"))).head().getLong(0) + 1
+    val (graph, _) = Dedup.descentRounds(vecs, init, domain, k)
+    val staged = s"$indexPath/_rebuild_tmp"
+    writeGraphTree(spark, graph,
+      vecs.join(assign.select("id", "cluster_id"), "id"), cents, staged, k)
+    val next = IndexStatus("knngraph", isBuilt = true, isDirty = false,
+      size = n, embeddingDim = s.embeddingDim,
+      builtAt = System.currentTimeMillis(), version = s.version + 1,
+      dirtyCount = 0L, totalVectors = n,
+      appliedStreams = s.appliedStreams)
+    IndexLifecycle.writeState(spark, staged, next)
+    vecs.unpersist()
+    graph.unpersist()
+    val f = fs(spark, indexPath)
+    val live = new Path(indexPath)
+    val aside = new Path(s"$indexPath.__old")
+    if (!f.rename(live, aside))
+      sys.error(s"graph rebuild: could not move live tree aside")
+    if (!f.rename(new Path(s"$aside/_rebuild_tmp"), live)) {
+      f.rename(aside, live) // restore
+      sys.error(s"graph rebuild: could not move staged tree in")
+    }
+    if (!f.delete(aside, true))
+      sys.error(s"graph rebuild: could not clean up old version $aside")
+    next
+  }
+
+  /** Driver query: `graph_lifecycle` — the graph-index state machine
+    * end-to-end: build (the session descent graph persisted), two
+    * search-then-link appends (the second crosses the 0.1 dirty
+    * ratio), the policy-triggered rebuild (version+1, dirt reset,
+    * appended vectors now first-class), and a disk read-back proving
+    * `_vectors` really grew. Every transition is arithmetic on the
+    * corpus size — oracle-checked, not rows-only. Structural edge
+    * invariants (each appended node has exactly k out-edges before
+    * the rebuild, touched nodes respect the R cap, untouched buckets
+    * byte-identical) are pinned in GraphSpec.
+    */
+  def graphLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_graph_lc")
+    val tmp = s"$tmpDir/g"
+    try {
+      val n = Tables.embeddingsCount(spark, dir)
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val d1 = math.ceil(0.05 * n).toLong
+      val d2 = math.ceil(0.07 * n).toLong
+      val s1 = build(spark, dir, tmp)
+      val s2 = append(vecs.filter(col("id") < d1)
+        .select((col("id") + n).as("id"), col("vec")), tmp)
+      val s3 = append(vecs.filter(col("id") < d2)
+        .select((col("id") + n + d1).as("id"), col("vec")), tmp)
+      require(s3.shouldRebuild(IndexLifecycle.RebuildThreshold),
+        "cumulative dirt must cross the rebuild threshold")
+      val s4 = rebuild(spark, tmp)
+      val s5 = s4.copy(size = readVectors(spark, tmp).count()) // read-back
+      import spark.implicits._
+      Seq(s1, s2, s3, s4, s5).zipWithIndex
+        .map { case (s, i) =>
+          (i + 1, s.version, s.isDirty, s.dirtyCount, s.size,
+            s.shouldRebuild(IndexLifecycle.RebuildThreshold)) }
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** d1 = ceil(0.05·n) then d2 = ceil(0.07·n) appended (cumulative
+    * 0.12 crosses the 0.1 threshold), rebuild resets dirt at the new
+    * size, phase 5 re-reads the vector count from disk.
+    */
+  def graphLifecycleOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n,
+      |  CAST(ceil(0.05*count(*)) AS BIGINT) AS d1,
+      |  CAST(ceil(0.07*count(*)) AS BIGINT) AS d2 FROM embeddings)
+      |SELECT 1 AS phase, 1 AS version, false AS is_dirty, CAST(0 AS BIGINT) AS dirty_count,
+      |       n AS size, false AS should_rebuild FROM p
+      |UNION ALL SELECT 2, 1, true, d1, n + d1, (1.0*d1/n >= 0.1) FROM p
+      |UNION ALL SELECT 3, 1, true, d1 + d2, n + d1 + d2, (1.0*(d1+d2)/n >= 0.1) FROM p
+      |UNION ALL SELECT 4, 2, false, CAST(0 AS BIGINT), n + d1 + d2, false FROM p
+      |UNION ALL SELECT 5, 2, false, CAST(0 AS BIGINT), n + d1 + d2, false FROM p
+      |ORDER BY phase""".stripMargin
+}

@@ -776,7 +776,7 @@ object Ivf {
     * shuffle-join on cluster_id — broadcasting it would be the O(N)
     * memory scale-killer this layout exists to avoid.
     */
-  private def probedTopK(lists: DataFrame, probes: DataFrame, k: Int, metric: Int,
+  private[operators] def probedTopK(lists: DataFrame, probes: DataFrame, k: Int, metric: Int,
                          pairFilter: Column = lit(true),
                          broadcastProbes: Boolean = true): DataFrame = {
     val dist = distCol(metric, col("vec"), col("qvec"))
@@ -791,7 +791,7 @@ object Ivf {
   }
 
   /** Inverted lists as a DataFrame: assignments joined back to vectors. */
-  private def invertedLists(vecs: DataFrame, assign: DataFrame): DataFrame =
+  private[operators] def invertedLists(vecs: DataFrame, assign: DataFrame): DataFrame =
     vecs.join(assign, "id")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
 

@@ -224,6 +224,79 @@ object Multimodal {
        |  CAST(out_w * out_h * 3 AS BIGINT) AS thumb_bytes
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** E11d: PIXEL statistics decoded from the image containers — the
+    * codec step the survey previously admitted as stubbed, made real
+    * for the one format whose decode is pure integer arithmetic: the
+    * synthesized 24bpp BMP. The pixel buffer is the payload after the
+    * 54-byte header as consecutive 3-byte BGR triplets (the
+    * synthesizer writes no row padding — parse∘synthesize = id is the
+    * container's content contract, same as E11); per image and per
+    * channel: exact integer mean (permille, integer division),
+    * min, max over floor(body_len/3) pixels.
+    *
+    * Scale shape: one narrow explode to O(total pixels) skinny rows —
+    * byte extraction is codegen'd built-ins (substr/hex/conv) fused
+    * into the scan — then ONE map-side-combined per-doc aggregate;
+    * payloads never shuffle, only the 11-column stat rows do. The
+    * oracle recomputes every byte independently from the SOURCE text
+    * (hex-nibble extraction over encode(text)), so a single misplaced
+    * byte in synthesis, parse, or channel order diverges.
+    */
+  def multimodalPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val withPx = payloads(spark, dir)
+      .filter(col("media_kind") === 0)
+      .select(col("doc_id"), p,
+        expr("(octet_length(payload) - 54) div 3").as("n_px"))
+      .filter(col("n_px") > 0)
+      .withColumn("i", explode(sequence(lit(0L), col("n_px") - 1)))
+    def chan(c: Int): Column =
+      conv(hex(col("payload").substr(
+        (lit(55L) + col("i") * 3L + c).cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    val named = Seq("b", "g", "r")
+    withPx
+      .select(Seq(col("doc_id"), col("n_px")) ++
+        (0 until 3).map(c => chan(c).as(s"${named(c)}_v")): _*)
+      .groupBy("doc_id", "n_px")
+      .agg(sum(col("b_v")).as("b_sum"),
+        (Seq(min(col("b_v")).as("b_min"), max(col("b_v")).as("b_max")) ++
+          Seq("g", "r").flatMap { ch =>
+            Seq(sum(col(s"${ch}_v")).as(s"${ch}_sum"),
+              min(col(s"${ch}_v")).as(s"${ch}_min"),
+              max(col(s"${ch}_v")).as(s"${ch}_max"))
+          }): _*)
+      // EXACT integer mean (div, never the double `/` — the repo-wide
+      // integer-arithmetic rule for cross-engine folds)
+      .selectExpr("doc_id", "n_px",
+        "(b_sum * 1000) div n_px AS b_mean_milli", "b_min", "b_max",
+        "(g_sum * 1000) div n_px AS g_mean_milli", "g_min", "g_max",
+        "(r_sum * 1000) div n_px AS r_mean_milli", "r_min", "r_max")
+      .orderBy("doc_id")
+  }
+
+  def multimodalPixelStatsOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) // 3 AS BIGINT) AS n_px
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, n_px,
+      |    CAST(('0x' || substr(hx, CAST(t.i*6 + 1 AS INT), 2)) AS BIGINT) AS b_v,
+      |    CAST(('0x' || substr(hx, CAST(t.i*6 + 3 AS INT), 2)) AS BIGINT) AS g_v,
+      |    CAST(('0x' || substr(hx, CAST(t.i*6 + 5 AS INT), 2)) AS BIGINT) AS r_v
+      |  FROM b, UNNEST(range(0, n_px)) t(i)
+      |  WHERE n_px > 0)
+      |SELECT doc_id, n_px,
+      |  CAST(sum(b_v) * 1000 // n_px AS BIGINT) AS b_mean_milli,
+      |  CAST(min(b_v) AS BIGINT) AS b_min, CAST(max(b_v) AS BIGINT) AS b_max,
+      |  CAST(sum(g_v) * 1000 // n_px AS BIGINT) AS g_mean_milli,
+      |  CAST(min(g_v) AS BIGINT) AS g_min, CAST(max(g_v) AS BIGINT) AS g_max,
+      |  CAST(sum(r_v) * 1000 // n_px AS BIGINT) AS r_mean_milli,
+      |  CAST(min(r_v) AS BIGINT) AS r_min, CAST(max(r_v) AS BIGINT) AS r_max
+      |FROM px GROUP BY doc_id, n_px
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- decode
 
   case class MediaFeature(doc_id: Long, media_kind: Int, byte_len: Long,

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{GraphIndex, IndexLifecycle}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-based ANN serving + lifecycle contracts: beam-search recall
+  * vs the exact contract, and the persisted tree's structural
+  * invariants under search-then-link appends and the rebuild.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 5
+
+  test("graph_topk: k rows per query, recall floor vs the exact contract") {
+    val got = GraphIndex.graphTopk(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.embeddingsCount(spark, sf)
+    assert(got.length == n * k, s"${got.length} rows != n*k")
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.Ivf
+      .exactEdges(spark, sf, k, graft.functions.VectorMetric.Cosine)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      (ex & gotByQ.getOrElse(q, Set.empty)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"graph serving recall $mean < 0.9")
+  }
+
+  test("graph lifecycle: out-degree contracts, untouched adjacency stable, rebuilt tree serves") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec")
+    val tmp = s"$tmpDir/g"
+    try {
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val n = Tables.embeddingsCount(spark, sf)
+      val s1 = GraphIndex.build(spark, sf, tmp, k)
+      assert(s1.version == 1 && s1.size == n)
+      def adjacency(): Map[Long, Set[Long]] =
+        GraphIndex.readEdges(spark, tmp).select("src", "dst").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val before = adjacency()
+      val d = 20L
+      val s2 = GraphIndex.append(
+        vecs.filter(col("id") < d).select((col("id") + n).as("id"), col("vec")), tmp)
+      assert(s2.dirtyCount == d && s2.size == n + d)
+      val after = adjacency()
+      // every appended node has EXACTLY k out-edges, all to existing nodes
+      (n until n + d).foreach { id =>
+        val out = after.getOrElse(id, Set.empty)
+        assert(out.size == k, s"appended $id out-degree ${out.size} != $k")
+        assert(out.forall(_ < n), s"appended $id links to a non-existing node")
+      }
+      // no node exceeds the reverse cap R = 2k
+      after.foreach { case (src, out) =>
+        assert(out.size <= GraphIndex.reverseCap(k),
+          s"node $src degree ${out.size} exceeds the R cap")
+      }
+      // nodes NOT touched by a reverse edge keep their adjacency exactly
+      val touched = after.filter { case (src, out) => src < n && out.exists(_ >= n) }.keySet
+      before.foreach { case (src, out) =>
+        if (!touched.contains(src))
+          assert(after(src) == out, s"untouched node $src adjacency changed")
+      }
+      // the appended vectors landed in _vectors
+      assert(GraphIndex.readVectors(spark, tmp).count() == n + d)
+      // rebuild: version++, dirt reset, appended rows first-class
+      val s3 = GraphIndex.rebuild(spark, tmp)
+      assert(s3.version == 2 && s3.dirtyCount == 0 && !s3.isDirty && s3.size == n + d)
+      assert(IndexLifecycle.status(spark, tmp).version == 2, "state must round-trip")
+      assert(GraphIndex.readVectors(spark, tmp).count() == n + d)
+      // the rebuilt graph links appended nodes among themselves too:
+      // every node (old and new) has out-degree k after re-descent
+      val rebuilt = adjacency()
+      assert(rebuilt.size == n + d, "every node must have adjacency after rebuild")
+      rebuilt.foreach { case (src, out) =>
+        assert(out.size == k, s"rebuilt node $src out-degree ${out.size} != $k")
+      }
+      // the persisted tree SERVES: each appended node's duplicate
+      // source (identical vector content re-keyed) is its nearest
+      // neighbor at distance ~0, and the coarse entry lands it in the
+      // same list — rank 1 for every probe query
+      import spark.implicits._
+      val probeQueries = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < d)
+        .select((col("vec_id") + 2 * n + d).as("id"), col("embedding").as("vec"))
+      val served = GraphIndex.queryGraphBatch(spark, tmp, probeQueries, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val hits = (0L until d).count { i =>
+        // twins of source vector i: i itself and the appended i+n —
+        // one of them must sit at rank 1
+        served.exists(t => t._1 == i + 2 * n + d &&
+          (t._2 == i || t._2 == i + n) && t._3 == 1)
+      }
+      assert(hits == d,
+        s"persisted graph serving found only $hits/$d duplicate twins at rank 1")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("append refuses a half-applied mutation marker") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec2")
+    val tmp = s"$tmpDir/g"
+    try {
+      GraphIndex.build(spark, sf, tmp, k)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/_graph_tmp"))
+      val vecs = Tables.embeddings(spark, sf)
+        .select((col("vec_id") + 10000L).as("id"), col("embedding").as("vec"))
+        .limit(5)
+      val e = intercept[RuntimeException] { GraphIndex.append(vecs, tmp) }
+      assert(e.getMessage.contains("half-applied"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
