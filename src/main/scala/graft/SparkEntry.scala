@@ -155,14 +155,17 @@ object SparkEntry {
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
     // E50: the nprobe tuning curve (recall@k per grid point vs exact)
-    "ann_param_sweep" -> ((s, d) => Dedup.annParamSweep(s, d)),
+    "ann_param_sweep" -> ((s, d) => Autotune.sweepGrid(s, d)),
+    // E53: the measured grids' argmin — the operating point picked
+    // per recall floor (smallest nprobe; cheapest (tier, refine))
+    "ann_autotune" -> ((s, d) => Autotune.annAutotune(s, d)),
     // A23: one-row index-health summary (list sizes + imbalance
     // permille — the alert signal; index_stats is the detail view)
     "ivf_balance_report" -> (Ivf.ivfBalanceReport _),
     // A24: the quantization TIER-selection curve — recall@k per
     // (tier, refine) vs the exact contract (E50 answers "which
     // nprobe"; this answers "which tier at which refine depth")
-    "quant_tier_report" -> ((s, d) => QuantReport.quantTierReport(s, d)),
+    "quant_tier_report" -> ((s, d) => Autotune.tierGrid(s, d)),
     // A25: per-cluster drift vs a persisted baseline profile — the
     // distribution-based rebuild signal beside D12's count-based one
     "index_drift_report" -> ((s, d) => DriftReport.indexDriftReport(s, d)),
@@ -579,6 +582,8 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
     // E50: UNION ALL of per-nprobe E43 blocks over the same literals
     "ann_param_sweep" -> ((s, d) => Dedup.annParamSweepOracleSql(s, d)),
+    // E53: both grid replays nested + the same per-floor argmin
+    "ann_autotune" -> ((s, d) => Autotune.annAutotuneOracleSql(s, d)),
     // A23: assignment replay → the same list-size aggregate arithmetic
     "ivf_balance_report" -> ((s, d) => Ivf.ivfBalanceReportOracleSql(s, d)),
     // A24: all five tiers' encode + shortlist + re-rank replayed over

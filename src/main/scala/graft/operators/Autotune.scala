@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E53: `ann_autotune` — the FAISS-autotune recipe closing the tuning
+  * loop the dashboards opened: E50 (`ann_param_sweep`) measures the
+  * recall-vs-nprobe curve and A24 (`quant_tier_report`) the
+  * recall-vs-(tier, refine) surface, but nothing PICKED an operating
+  * point. For each recall floor on a fixed permille grid, this key
+  * selects
+  *   - the SMALLEST nprobe whose measured sweep recall meets the floor
+  *     (fewest probed lists = cheapest coarse scan), and
+  *   - the CHEAPEST (tier, refine) meeting the floor, ordered by
+  *     (cand_per_query, bytes_per_vec, tier) — exact re-rank work
+  *     first (the per-query cost that scales with traffic), then the
+  *     tier's storage footprint, then the name as the deterministic
+  *     tiebreak.
+  * A floor no measured config meets reports the -1/'none' sentinels —
+  * the honest "this corpus needs a bigger grid" signal, never a
+  * silent clamp. Both grids are exact-integer engine measurements and
+  * the argmin is pure arithmetic over them, so the key is
+  * oracle-checked end-to-end (the generator nests the two grid
+  * replays and applies the same selection SQL).
+  *
+  * The grids are memoized per (dir, k): the dashboard keys and this
+  * key share one measurement pass per session (the memo_* discipline).
+  * [[writeAutotune]] persists the chosen row into an `_autotune`
+  * sidecar beside a persisted IVF-PQ tree and [[Pq.queryIvfPqTuned]]
+  * serves with those defaults — the tuner's output is config, not
+  * prose (AutotuneSpec pins the round trip).
+  */
+object Autotune {
+
+  /** Recall floors (permille) the tuner answers for. */
+  val Floors: Seq[Int] = Seq(500, 700, 900)
+
+  private val sweepMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  private val tierMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  /** The E50 sweep, measured once per (dir, k) and pinned (4 rows). */
+  def sweepGrid(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    sweepMemo.getOrElseUpdate((dir, k),
+      Dedup.annParamSweep(spark, dir, k).localCheckpoint(true))
+
+  /** The A24 tier surface, measured once per (dir, k) (24 rows). */
+  def tierGrid(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    tierMemo.getOrElseUpdate((dir, k),
+      QuantReport.quantTierReport(spark, dir, k).localCheckpoint(true))
+
+  /** Storage bytes per vector of each measured tier — the secondary
+    * cost axis (sq8 = dim bytes, the PQ family = M bytes, bq =
+    * ⌈dim/8⌉, pca = reduced dims × 4 raw floats).
+    */
+  private[operators] def tierBytesOf(dim: Int): Seq[(String, Long)] = Seq(
+    "sq8" -> dim.toLong,
+    "pq"  -> Pq.SubspaceCount.toLong,
+    "opq" -> Pq.SubspaceCount.toLong,
+    "pqr" -> Pq.SubspaceCount.toLong,
+    "bq"  -> ((dim + 7) / 8).toLong,
+    "pca" -> (Pca.ReducedDim * 4).toLong)
+
+  def annAutotune(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val sweep = sweepGrid(spark, dir, k)
+      .select(col("nprobe"), col("recall_permille").as("np_recall"))
+    val tiers = tierGrid(spark, dir)
+      .join(broadcast(tierBytesOf(dim).toDF("tier", "bytes_per_vec")), "tier")
+      .select(col("tier"), col("refine"), col("cand_per_query"),
+        col("bytes_per_vec"), col("recall_permille").as("t_recall"))
+    val floors = Floors.map(_.toLong).toDF("floor_permille")
+    val npPick = floors
+      .join(sweep, col("np_recall") >= col("floor_permille"), "left")
+      .groupBy("floor_permille")
+      .agg(min(col("nprobe")).as("np_min"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("floor_permille")
+      .orderBy(col("cand_per_query"), col("bytes_per_vec"), col("tier"))
+    val tierPick = floors
+      .join(tiers, col("t_recall") >= col("floor_permille"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("floor_permille"), col("tier"), col("refine"),
+        col("cand_per_query"), col("bytes_per_vec"))
+    npPick.join(tierPick, "floor_permille")
+      .select(col("floor_permille"),
+        coalesce(col("np_min"), lit(-1L)).as("nprobe"),
+        coalesce(col("tier"), lit("none")).as("tier"),
+        coalesce(col("refine"), lit(-1L)).as("refine"),
+        coalesce(col("cand_per_query"), lit(-1L)).as("cand_per_query"),
+        coalesce(col("bytes_per_vec"), lit(-1L)).as("bytes_per_vec"))
+      .orderBy("floor_permille")
+  }
+
+  /** E53 oracle: the two grid replays nested verbatim (both already
+    * oracle SQL for their own keys — nothing re-derived), the same
+    * per-floor argmin: smallest qualifying nprobe; first qualifying
+    * (tier, refine) by (cand_per_query, bytes_per_vec, tier).
+    */
+  def annAutotuneOracleSql(spark: SparkSession, dir: String,
+                           k: Int = 5): String = {
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val bytesRows = tierBytesOf(dim)
+      .map { case (t, b) => s"('$t', CAST($b AS BIGINT))" }.mkString(", ")
+    val floorsRows = Floors.map(f => s"(CAST($f AS BIGINT))").mkString(", ")
+    s"""WITH sweep AS MATERIALIZED (
+       |  SELECT nprobe, recall_permille AS np_recall FROM (
+       |${Dedup.annParamSweepOracleSql(spark, dir, k)}
+       |  ) t),
+       |tierb(tier, bytes_per_vec) AS (VALUES $bytesRows),
+       |tiers AS MATERIALIZED (
+       |  SELECT g.tier, g.refine, g.cand_per_query, b.bytes_per_vec,
+       |    g.recall_permille AS t_recall
+       |  FROM (
+       |${QuantReport.quantTierReportOracleSql(spark, dir)}
+       |  ) g JOIN tierb b ON b.tier = g.tier),
+       |floors(floor_permille) AS (VALUES $floorsRows),
+       |np AS (
+       |  SELECT f.floor_permille, min(s.nprobe) AS np_min
+       |  FROM floors f LEFT JOIN sweep s ON s.np_recall >= f.floor_permille
+       |  GROUP BY 1),
+       |tp AS (
+       |  SELECT floor_permille, tier, refine, cand_per_query, bytes_per_vec FROM (
+       |    SELECT f.floor_permille, t.tier, t.refine, t.cand_per_query,
+       |      t.bytes_per_vec,
+       |      row_number() OVER (PARTITION BY f.floor_permille
+       |        ORDER BY t.cand_per_query, t.bytes_per_vec, t.tier) AS rn
+       |    FROM floors f LEFT JOIN tiers t ON t.t_recall >= f.floor_permille) z
+       |  WHERE rn = 1)
+       |SELECT n.floor_permille,
+       |  coalesce(n.np_min, CAST(-1 AS BIGINT)) AS nprobe,
+       |  coalesce(t.tier, 'none') AS tier,
+       |  coalesce(t.refine, CAST(-1 AS BIGINT)) AS refine,
+       |  coalesce(t.cand_per_query, CAST(-1 AS BIGINT)) AS cand_per_query,
+       |  coalesce(t.bytes_per_vec, CAST(-1 AS BIGINT)) AS bytes_per_vec
+       |FROM np n JOIN tp t USING (floor_permille)
+       |ORDER BY floor_permille""".stripMargin
+  }
+
+  /** Persist the tuner's pick for `floor` into an `_autotune` sidecar
+    * beside a persisted index tree — config the serving defaults read
+    * ([[Pq.queryIvfPqTuned]]), not a report a human transcribes.
+    */
+  def writeAutotune(spark: SparkSession, dir: String, indexPath: String,
+                    floor: Int = 700, k: Int = 5): Unit = {
+    annAutotune(spark, dir, k)
+      .filter(col("floor_permille") === floor.toLong)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_autotune")
+  }
+
+  /** The persisted pick ((nprobe, refine); -1 sentinels mean "grid had
+    * no qualifying config" and the caller's own defaults stand).
+    */
+  private[graft] def loadAutotune(spark: SparkSession,
+                                      indexPath: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_autotune")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$indexPath/_autotune")
+        .select("nprobe", "refine").head()
+      Some((r.getLong(0), r.getLong(1)))
+    }
+  }
+}

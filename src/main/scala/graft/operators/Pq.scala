@@ -1367,6 +1367,24 @@ object Pq {
     * the vector table (at scale: k·refine point lookups against the
     * primary store).
     */
+  /** [[queryIvfPq]] with the serving parameters read from the
+    * `_autotune` sidecar the tuner persisted (E53's writeAutotune) —
+    * the autotune loop CLOSED: the measured pick is config the index
+    * serves by, not a report. Falls back to the caller's
+    * nprobe/refine when no sidecar exists or the tuner reported the
+    * no-qualifying-config sentinel.
+    */
+  def queryIvfPqTuned(spark: SparkSession, indexPath: String,
+                      queryVec: Array[Float], k: Int,
+                      nprobeDefault: Int, refineDefault: Int = 4,
+                      refineWith: Option[DataFrame] = None): DataFrame = {
+    val (np, rf) = Autotune.loadAutotune(spark, indexPath) match {
+      case Some((n, r)) if n > 0 && r > 0 => (n.toInt, r.toInt)
+      case _ => (nprobeDefault, refineDefault)
+    }
+    queryIvfPq(spark, indexPath, queryVec, k, np, refineWith, rf)
+  }
+
   def queryIvfPq(spark: SparkSession, indexPath: String,
                  queryVec: Array[Float], k: Int, nprobe: Int,
                  refineWith: Option[DataFrame] = None,

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Autotune, Pq}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E53 contracts: the tuner's pick satisfies its floor on the measured
+  * grids, persists, and is CONSUMED by the tuned serving default.
+  */
+class AutotuneSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every pick meets its floor on the measured grids; sentinels only when nothing does") {
+    val sweep = Autotune.sweepGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))) // (nprobe, recall_permille)
+    val tiers = Autotune.tierGrid(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5))) // (tier, refine, recall)
+    Autotune.annAutotune(spark, sf).collect().foreach { r =>
+      val floor = r.getLong(0)
+      val np = r.getLong(1)
+      val tier = r.getString(2)
+      val refine = r.getLong(3)
+      val qualifying = sweep.filter(_._2 >= floor)
+      if (np == -1L) assert(qualifying.isEmpty, s"floor $floor: sentinel despite a qualifying nprobe")
+      else {
+        assert(qualifying.nonEmpty && np == qualifying.map(_._1).min,
+          s"floor $floor: nprobe $np is not the smallest qualifying probe count")
+      }
+      val tq = tiers.filter(_._3 >= floor)
+      if (tier == "none") assert(tq.isEmpty)
+      else assert(tq.exists(t => t._1 == tier && t._2 == refine),
+        s"floor $floor: chosen ($tier, $refine) does not meet the floor on the grid")
+    }
+  }
+
+  test("the persisted pick is consumed by tuned serving (round trip)") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_at")
+    val tmp = tmpDir.toString
+    try {
+      Pq.writeIvfPq(spark, sf, tmp)
+      Autotune.writeAutotune(spark, sf, tmp, floor = 500)
+      val pick = Autotune.loadAutotune(spark, tmp)
+      assert(pick.isDefined, "_autotune sidecar must round-trip")
+      val (np, rf) = pick.get
+      assert(np > 0 && rf > 0, "the 500-permille floor must be attainable here")
+      val q = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val refineSrc = Some(Tables.embeddings(spark, sf))
+      val tuned = Pq.queryIvfPqTuned(spark, tmp, q, 10,
+          nprobeDefault = 1, refineWith = refineSrc)
+        .collect().map(_.getLong(0)).toSeq
+      val explicit = Pq.queryIvfPq(spark, tmp, q, 10, np.toInt,
+          refineSrc, rf.toInt)
+        .collect().map(_.getLong(0)).toSeq
+      assert(tuned == explicit, "tuned serving must run the persisted pick")
+      // deleting the sidecar falls back to the caller's defaults
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/_autotune")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val fallback = Pq.queryIvfPqTuned(spark, tmp, q, 10,
+          nprobeDefault = np.toInt, refineDefault = rf.toInt,
+          refineWith = refineSrc)
+        .collect().map(_.getLong(0)).toSeq
+      assert(fallback == explicit)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
