@@ -217,8 +217,9 @@ object Ivf {
     */
   private[graft] def probeSelectForSpec(queries: DataFrame,
                                         centroids: Array[Array[Float]], np: Int,
-                                        hier: Option[TwoLevelQuantizer]): DataFrame =
-    probeSelect(queries, centroids, np, VectorMetric.L2, hier = hier)
+                                        hier: Option[TwoLevelQuantizer],
+                                        metric: Int = VectorMetric.L2): DataFrame =
+    probeSelect(queries, centroids, np, metric, hier = hier)
 
   /** One assignment pass via the broadcast centroid table.
     * min(struct(dist, cid, vec)) picks the argmin with ties to the
@@ -686,10 +687,12 @@ object Ivf {
                                      hier: Option[TwoLevelQuantizer] = None): DataFrame = {
     val np = math.min(math.max(1, nprobe), centroids.length)
     hier match {
-      // the l2 family probes through the hierarchy when the index was
-      // two-level-trained (dot ranks centroids by inner product, which
-      // the l2-cell structure does not bound — dot stays flat)
-      case Some(q) if metric != VectorMetric.Dot && q.l1.length > 1 =>
+      // every metric probes through the hierarchy when the index was
+      // two-level-trained: the l2 family scores cells directly; dot
+      // (round 12) scores cells by the Cauchy-Schwarz upper bound
+      // q·c ≤ q·l1c + ‖q‖·r_cell over member centroids — the standard
+      // branch-and-bound cell pruning for MIPS
+      case Some(q) if q.l1.length > 1 =>
         probeSelectTwoLevel(queries, q, np, metric, carry)
       case _ =>
         val cdf = centroidDf(queries.sparkSession, centroids)
@@ -737,15 +740,42 @@ object Ivf {
       while (i < k1 && acc < 2L * np) { acc += cellSizes(i); i += 1 }
       math.min(k1, math.max(TwoLevelAssignCells, i))
     }
+    // per-cell radius (max member-centroid displacement from the cell
+    // centroid) — the dot upper bound's second term; O(k·dim) driver
+    // arithmetic over arrays already in hand
+    val radii: Array[Double] = {
+      val r = new Array[Double](k1)
+      var j = 0
+      while (j < q.centroids.length) {
+        val cell = q.cellOf(j)
+        val c = q.centroids(j); val l = q.l1(cell)
+        var acc = 0.0; var i = 0
+        while (i < c.length) { val d = c(i).toDouble - l(i); acc += d * d; i += 1 }
+        val dist = math.sqrt(acc)
+        if (dist > r(cell)) r(cell) = dist
+        j += 1
+      }
+      r
+    }
     val l1df = centroidDf(spark, q.l1)
       .select(col("cid").as("cell"), col("cvec").as("l1vec"))
+      .withColumn("cell_r",
+        element_at(typedlit(radii.toSeq), col("cell") + 1))
     val carried = carry.map(c => first(col(c)).as(c))
     val keep = Seq(col("query_id"), col("qvec")) ++ carry.map(col)
-    // stage 1: top-w cells per query (l2 over the cell table — the
-    // space the hierarchy was trained in; cosine arrives normalized)
+    // stage 1: top-w cells per query — the l2 family scores cells in
+    // the space the hierarchy was trained in (cosine arrives
+    // normalized); dot scores each cell by the NEGATED upper bound
+    // −(q·l1c + ‖q‖·r_cell) ≤ −max_{c∈cell} q·c, so ascending order
+    // keeps the cells that could hold the best inner products
+    val cellScore =
+      if (metric == VectorMetric.Dot)
+        -(VectorFunctions.dotProduct(col("qvec"), col("l1vec")) +
+          sqrt(VectorFunctions.dotProduct(col("qvec"), col("qvec"))) * col("cell_r"))
+      else VectorFunctions.l2Distance(col("qvec"), col("l1vec"))
     val cells = queries.crossJoin(broadcast(l1df))
       .select(Seq(col("query_id"), col("qvec"), col("cell"),
-        VectorFunctions.l2Distance(col("qvec"), col("l1vec")).as("celld"))
+        cellScore.as("celld"))
         ++ carry.map(col): _*)
       .groupBy("query_id")
       .agg(VectorFunctions

@@ -124,6 +124,35 @@ class IvfSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("two-level DOT probe selection overlaps the flat inner-product selection") {
+    // round 12: dot no longer stays flat — cells are scored by the
+    // Cauchy-Schwarz upper bound q·c ≤ q·l1c + ‖q‖·r_cell, the
+    // standard branch-and-bound MIPS cell pruning
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.rebalanced(
+      graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))).cache()
+    val k = 24
+    val q = Ivf.trainTwoLevel(vecs, k, iters = 10, tol = 1e-4)
+    val queries = vecs.filter(col("id") < 50)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val np = 6
+    def probesOf(hier: Option[Ivf.TwoLevelQuantizer]): Map[Long, Set[Int]] =
+      Ivf.probeSelectForSpec(queries, q.centroids, np, hier,
+          metric = graft.functions.VectorMetric.Dot)
+        .select("query_id", "probe_cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val flat = probesOf(None)
+    val twoLevel = probesOf(Some(q))
+    assert(twoLevel.values.forall(_.size == np), "np probes per query")
+    val overlap = flat.keys.toSeq
+      .map(qid => (flat(qid) & twoLevel(qid)).size.toDouble / np)
+    val mean = overlap.sum / overlap.size
+    assert(mean >= 0.7, s"two-level DOT probe overlap $mean < 0.7 vs flat")
+    vecs.unpersist()
+  }
+
   test("ivf query with nprobe=k/4 keeps useful recall at a quarter of the scan") {
     val exact = VectorQueries.knnLinearL2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
