@@ -111,6 +111,11 @@ object Bench {
     // knn_graph_mutual / ann_recall_report / ann_param_sweep — after
     // memo_ivf_index so the k-means build isn't billed here
     "memo_exact_edges_cos" -> (() => operators.Ivf.warmExactEdges(spark, dir)),
+    // E53's measurement grids (shared with the E50/A24 dashboard keys):
+    // warmed here so those three key lines measure serving the pinned
+    // grids, and the measurement passes are their own attributable cost
+    "memo_sweep_grid" -> (() => { operators.Autotune.sweepGrid(spark, dir); () }),
+    "memo_tier_grid"  -> (() => { operators.Autotune.tierGrid(spark, dir); () }),
     // E37c's converged NN-Descent graph (init + rounds): memoized per
     // (dir, k) — warmed here so the key line measures serving the
     // edge list, and the BUILD cost is its own attributable line

@@ -8,15 +8,25 @@ import org.apache.spark.sql.functions._
   * loop the dashboards opened: E50 (`ann_param_sweep`) measures the
   * recall-vs-nprobe curve and A24 (`quant_tier_report`) the
   * recall-vs-(tier, refine) surface, but nothing PICKED an operating
-  * point. For each recall floor on a fixed permille grid, this key
-  * selects
-  *   - the SMALLEST nprobe whose measured sweep recall meets the floor
-  *     (fewest probed lists = cheapest coarse scan), and
-  *   - the CHEAPEST (tier, refine) meeting the floor, ordered by
-  *     (cand_per_query, bytes_per_vec, tier) — exact re-rank work
-  *     first (the per-query cost that scales with traffic), then the
-  *     tier's storage footprint, then the name as the deterministic
-  *     tiebreak.
+  * point. For each COMPOSED recall floor on a fixed permille grid,
+  * this key selects
+  *   - the SMALLEST nprobe whose measured sweep recall meets the
+  *     floor's AXIS requirement (fewest probed lists = cheapest
+  *     coarse scan), and
+  *   - the CHEAPEST (tier, refine) meeting the axis requirement,
+  *     ordered by (cand_per_query, bytes_per_vec, tier) — exact
+  *     re-rank work first (the per-query cost that scales with
+  *     traffic), then the tier's storage footprint, then the name as
+  *     the deterministic tiebreak.
+  * The two grids measure MARGINAL curves (E50 with exact vectors, A24
+  * probe-all over codes) while composed serving (queryIvfPqTuned:
+  * that nprobe AND that refine) multiplies both losses — so each axis
+  * qualifies at ⌈√floor⌉ permille (the independence approximation:
+  * axis² ≈ composed), computed once in Scala and inlined into the
+  * oracle as integers so no cross-engine float boundary exists.
+  * Correlation between coarse loss and quantization loss is
+  * corpus-dependent — E43/A24 re-measure the SERVED config; the tuner
+  * records both the composed target and the axis bar it enforced.
   * A floor no measured config meets reports the -1/'none' sentinels —
   * the honest "this corpus needs a bigger grid" signal, never a
   * silent clamp. Both grids are exact-integer engine measurements and
@@ -33,8 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object Autotune {
 
-  /** Recall floors (permille) the tuner answers for. */
+  /** Composed recall floors (permille) the tuner answers for. */
   val Floors: Seq[Int] = Seq(500, 700, 900)
+
+  /** Per-axis qualification bar for a composed floor: ⌈√(f/1000)·1000⌉
+    * (independence approximation — axis² ≈ composed). Computed in
+    * Scala ONLY and inlined into the oracle as integers: a cross-engine
+    * sqrt/ceil could differ by one on an exact-root boundary.
+    */
+  def axisFloor(composedPermille: Int): Int =
+    math.ceil(math.sqrt(composedPermille / 1000.0) * 1000.0).toInt
 
   private val sweepMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
@@ -73,22 +91,23 @@ object Autotune {
       .join(broadcast(tierBytesOf(dim).toDF("tier", "bytes_per_vec")), "tier")
       .select(col("tier"), col("refine"), col("cand_per_query"),
         col("bytes_per_vec"), col("recall_permille").as("t_recall"))
-    val floors = Floors.map(_.toLong).toDF("floor_permille")
+    val floors = Floors.map(f => (f.toLong, axisFloor(f).toLong))
+      .toDF("floor_permille", "axis_floor_permille")
     val npPick = floors
-      .join(sweep, col("np_recall") >= col("floor_permille"), "left")
-      .groupBy("floor_permille")
+      .join(sweep, col("np_recall") >= col("axis_floor_permille"), "left")
+      .groupBy("floor_permille", "axis_floor_permille")
       .agg(min(col("nprobe")).as("np_min"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("floor_permille")
       .orderBy(col("cand_per_query"), col("bytes_per_vec"), col("tier"))
     val tierPick = floors
-      .join(tiers, col("t_recall") >= col("floor_permille"), "left")
+      .join(tiers, col("t_recall") >= col("axis_floor_permille"), "left")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("floor_permille"), col("tier"), col("refine"),
         col("cand_per_query"), col("bytes_per_vec"))
     npPick.join(tierPick, "floor_permille")
-      .select(col("floor_permille"),
+      .select(col("floor_permille"), col("axis_floor_permille"),
         coalesce(col("np_min"), lit(-1L)).as("nprobe"),
         coalesce(col("tier"), lit("none")).as("tier"),
         coalesce(col("refine"), lit(-1L)).as("refine"),
@@ -108,7 +127,10 @@ object Autotune {
       .select(size(col("embedding"))).head().getInt(0)
     val bytesRows = tierBytesOf(dim)
       .map { case (t, b) => s"('$t', CAST($b AS BIGINT))" }.mkString(", ")
-    val floorsRows = Floors.map(f => s"(CAST($f AS BIGINT))").mkString(", ")
+    // (composed, axis) pairs as Scala-computed integer literals
+    val floorsRows = Floors
+      .map(f => s"(CAST($f AS BIGINT), CAST(${axisFloor(f)} AS BIGINT))")
+      .mkString(", ")
     s"""WITH sweep AS MATERIALIZED (
        |  SELECT nprobe, recall_permille AS np_recall FROM (
        |${Dedup.annParamSweepOracleSql(spark, dir, k)}
@@ -120,20 +142,20 @@ object Autotune {
        |  FROM (
        |${QuantReport.quantTierReportOracleSql(spark, dir)}
        |  ) g JOIN tierb b ON b.tier = g.tier),
-       |floors(floor_permille) AS (VALUES $floorsRows),
+       |floors(floor_permille, axis_floor_permille) AS (VALUES $floorsRows),
        |np AS (
-       |  SELECT f.floor_permille, min(s.nprobe) AS np_min
-       |  FROM floors f LEFT JOIN sweep s ON s.np_recall >= f.floor_permille
-       |  GROUP BY 1),
+       |  SELECT f.floor_permille, f.axis_floor_permille, min(s.nprobe) AS np_min
+       |  FROM floors f LEFT JOIN sweep s ON s.np_recall >= f.axis_floor_permille
+       |  GROUP BY 1, 2),
        |tp AS (
        |  SELECT floor_permille, tier, refine, cand_per_query, bytes_per_vec FROM (
        |    SELECT f.floor_permille, t.tier, t.refine, t.cand_per_query,
        |      t.bytes_per_vec,
        |      row_number() OVER (PARTITION BY f.floor_permille
        |        ORDER BY t.cand_per_query, t.bytes_per_vec, t.tier) AS rn
-       |    FROM floors f LEFT JOIN tiers t ON t.t_recall >= f.floor_permille) z
+       |    FROM floors f LEFT JOIN tiers t ON t.t_recall >= f.axis_floor_permille) z
        |  WHERE rn = 1)
-       |SELECT n.floor_permille,
+       |SELECT n.floor_permille, n.axis_floor_permille,
        |  coalesce(n.np_min, CAST(-1 AS BIGINT)) AS nprobe,
        |  coalesce(t.tier, 'none') AS tier,
        |  coalesce(t.refine, CAST(-1 AS BIGINT)) AS refine,
@@ -149,6 +171,9 @@ object Autotune {
     */
   def writeAutotune(spark: SparkSession, dir: String, indexPath: String,
                     floor: Int = 700, k: Int = 5): Unit = {
+    // fail at WRITE time, not as an empty sidecar that crashes serving
+    require(Floors.contains(floor),
+      s"floor $floor is not on the tuned grid ${Floors.mkString("/")}")
     annAutotune(spark, dir, k)
       .filter(col("floor_permille") === floor.toLong)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_autotune")
@@ -161,10 +186,8 @@ object Autotune {
                                       indexPath: String): Option[(Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_autotune")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
-    else {
-      val r = spark.read.parquet(s"$indexPath/_autotune")
-        .select("nprobe", "refine").head()
-      Some((r.getLong(0), r.getLong(1)))
-    }
+    else spark.read.parquet(s"$indexPath/_autotune")
+      .select("nprobe", "refine").head(1).headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
   }
 }

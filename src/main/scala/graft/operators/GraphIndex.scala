@@ -150,20 +150,29 @@ object GraphIndex {
           Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
       // eager checkpoint per round: the loop otherwise re-executes the
       // whole prefix each round (the descentGraph lesson)
-      cur = scored.groupBy("query_id")
+      val next = scored.groupBy("query_id")
         .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), b).as("nn"))
         .select(col("query_id"), explode(col("nn")).as("p"))
         .select(col("query_id"), col("p.id").as("cand"), col("p.dist").as("dist"))
         .localCheckpoint(true)
+      // superseded rounds release their blocks promptly (the
+      // descentRounds hygiene; abandoned checkpoints only go with GC)
+      if (cur != null) cur.unpersist()
+      cur = next
       beam = cur.select("query_id", "cand")
       r += 1
     }
-    cur.groupBy("query_id")
+    // pin the SMALL ranked output and release the last round's B-wide
+    // beam — per-call storage is O(N·k) rows, not O(N·B·rounds)
+    val ranked = cur.groupBy("query_id")
       .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("query_id"), col("nn.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    cur.unpersist()
+    ranked
   }
 
   /** Driver query: `graph_topk` — every vector's cosine top-k served
@@ -447,6 +456,7 @@ object GraphIndex {
       }
     if (!f.delete(new Path(tmp), true))
       sys.error(s"graph append: could not clear staging dir $tmp")
+    forward.unpersist()
     nv.unpersist()
     next
   }
@@ -455,12 +465,28 @@ object GraphIndex {
     * contents (the `_vectors` read-back — appended vectors included,
     * now linking among themselves too), version+1, dirt reset, staged
     * tree double-rename swapped in with the live tree serving
-    * throughout.
+    * throughout. Rebuild IS the recovery path for a half-applied
+    * mutation (the `_graph_tmp` refusal every serve/mutate call
+    * raises): a lingering staging dir is DISCARDED here — whatever
+    * vector files it held never counted in state, and the edges are
+    * fully re-derived from the vectors that did land — so the marker
+    * clears with the swap instead of bricking the index. A mutation
+    * that lands between the contents snapshot and the swap aborts the
+    * swap loudly (the PqLifecycle.rebuild contract): the staged tree
+    * is discarded and the caller re-runs against the current contents
+    * — appended rows can never silently vanish with the replaced tree.
     */
   def rebuild(spark: SparkSession, indexPath: String): IndexStatus = {
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "rebuild requires a built graph")
-    checkNoHalfApplied(spark, indexPath)
+    // recovery: discard a crashed mutation's staging dir (its rows are
+    // unaccounted by construction — state writes precede the move-in)
+    locally {
+      val marker = new Path(s"$indexPath/_graph_tmp")
+      val f0 = fs(spark, indexPath)
+      if (f0.exists(marker) && !f0.delete(marker, true))
+        sys.error(s"graph rebuild: could not discard staging dir $marker")
+    }
     val k = spark.read.parquet(s"$indexPath/_meta").head().getInt(0)
     val vecs = readVectors(spark, indexPath).select("id", "vec").cache()
     val n = vecs.count()
@@ -494,8 +520,28 @@ object GraphIndex {
     val f = fs(spark, indexPath)
     val live = new Path(indexPath)
     val aside = new Path(s"$indexPath.__old")
+    // abort-before-swap (the PqLifecycle.rebuild contract): a mutation
+    // that landed during the long descent staging would be silently
+    // discarded with the replaced tree — check the live state moved
+    // neither before the move-aside nor during it
+    val live0 = IndexLifecycle.status(spark, indexPath)
+    if ((live0.version, live0.dirtyCount, live0.size) !=
+        (s.version, s.dirtyCount, s.size)) {
+      f.delete(new Path(staged), true)
+      sys.error("graph rebuild: concurrent mutation landed during staging — " +
+        "staged tree discarded, re-run rebuild against the current contents")
+    }
     if (!f.rename(live, aside))
       sys.error(s"graph rebuild: could not move live tree aside")
+    val moved = IndexLifecycle.status(spark, s"$aside")
+    if ((moved.version, moved.dirtyCount, moved.size) !=
+        (s.version, s.dirtyCount, s.size)) {
+      f.delete(new Path(s"$aside/_rebuild_tmp"), true)
+      if (!f.rename(aside, live))
+        sys.error(s"graph rebuild: could not restore live tree from $aside")
+      sys.error("graph rebuild: concurrent mutation landed between the abort " +
+        "check and the swap — live tree restored, staged tree discarded")
+    }
     if (!f.rename(new Path(s"$aside/_rebuild_tmp"), live)) {
       f.rename(aside, live) // restore
       sys.error(s"graph rebuild: could not move staged tree in")

@@ -103,7 +103,7 @@ object Ivf {
     */
   private[operators] def sessionHierarchy(spark: SparkSession, dir: String,
                                           metric: Int): Option[TwoLevelQuantizer] =
-    hierarchyFor(dir, defaultK(Tables.embeddings(spark, dir).count()), metric)
+    hierarchyFor(dir, defaultK(Tables.embeddingsCount(spark, dir)), metric)
 
   private def buildIndex(spark: SparkSession, dir: String, k: Int,
                          metric: Int = VectorMetric.L2)
@@ -175,7 +175,9 @@ object Ivf {
   private[operators] def indexFor(spark: SparkSession, dir: String,
                                   metric: Int = VectorMetric.L2)
       : (DataFrame, Array[Array[Float]]) = {
-    val n = Tables.embeddings(spark, dir).count()
+    // memoized count: serving paths call this per query and a fresh
+    // count() job each time is a corpus scan at 100 TB
+    val n = Tables.embeddingsCount(spark, dir)
     buildIndex(spark, dir, defaultK(n), metric)
   }
 
@@ -187,7 +189,7 @@ object Ivf {
     */
   def warmIndex(spark: SparkSession, dir: String,
                 metric: Int = VectorMetric.L2): Unit = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val (assign, _) = buildIndex(spark, dir, defaultK(n), metric)
     assign.count()
     ()

@@ -720,19 +720,26 @@ object Pq {
     sel.limit(kr.toInt + 1).count() <= kr
 
   /** Selector-size ESTIMATE for the probe-widening ratio: a
-    * deterministic 1-in-[[SelectorSampleStride]] id-stride sample
-    * scaled back up, floored at the starved bound the capped count
-    * already proved false. The exact f only tunes POLICY (how far to
-    * widen); an estimate shifts recall marginally in either direction
-    * and costs a 1/stride aggregate instead of a full count — and at
-    * 100 TB a caller with catalog statistics skips even that by
-    * sizing its own selector. Replays exactly in the oracle
-    * (`id % stride = 0` against the same predicate).
+    * deterministic 1-in-[[SelectorSampleStride]] sample scaled back
+    * up, floored at the starved bound the capped count already proved
+    * false. The sample keys on the MINSTD step of the id —
+    * ((id mod 2³¹)·48271 mod (2³¹−1)) mod stride — NOT on `id mod
+    * stride`: a raw power-of-two stride is perfectly correlated with
+    * any id-arithmetic selector (id parity, another stride sample),
+    * which would bias the estimate by up to the stride factor; the
+    * mod-p step mixes the residue classes, and every intermediate
+    * stays under 2³¹·48271 ≈ 1.04e14 so both engines replay the
+    * arithmetic exactly (the E37c overflow argument). The exact f
+    * only tunes POLICY (how far to widen); an estimate shifts recall
+    * marginally in either direction — and at 100 TB a caller with
+    * catalog statistics skips even the sample by sizing its own
+    * selector.
     */
   private[operators] def estimatedSelectorSize(sel: DataFrame, kr: Long): Long =
     math.max(kr + 1,
       SelectorSampleStride.toLong *
-        sel.filter(pmod(col("id"), lit(SelectorSampleStride)) === 0).count())
+        sel.filter(pmod(pmod(pmod(col("id"), lit(1L << 31)) * lit(48271L),
+          lit((1L << 31) - 1)), lit(SelectorSampleStride)) === 0).count())
 
   /** Filtered IVF-PQ top-k over the in-session residual layout:
     * `selector` is the allowed-id frame (one `id` column — the

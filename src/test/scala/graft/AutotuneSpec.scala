@@ -11,26 +11,44 @@ class AutotuneSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("every pick meets its floor on the measured grids; sentinels only when nothing does") {
+  test("every pick meets its AXIS floor on the measured grids; sentinels only when nothing does") {
     val sweep = Autotune.sweepGrid(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (nprobe, recall_permille)
     val tiers = Autotune.tierGrid(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(5))) // (tier, refine, recall)
     Autotune.annAutotune(spark, sf).collect().foreach { r =>
-      val floor = r.getLong(0)
-      val np = r.getLong(1)
-      val tier = r.getString(2)
-      val refine = r.getLong(3)
-      val qualifying = sweep.filter(_._2 >= floor)
+      val floor = r.getAs[Long]("floor_permille")
+      val axis = r.getAs[Long]("axis_floor_permille")
+      // the composed floor qualifies each axis at ceil(sqrt(floor))
+      assert(axis == Autotune.axisFloor(floor.toInt).toLong)
+      assert(axis >= floor, "the axis bar must be at least the composed floor")
+      val np = r.getAs[Long]("nprobe")
+      val tier = r.getAs[String]("tier")
+      val refine = r.getAs[Long]("refine")
+      val qualifying = sweep.filter(_._2 >= axis)
       if (np == -1L) assert(qualifying.isEmpty, s"floor $floor: sentinel despite a qualifying nprobe")
       else {
         assert(qualifying.nonEmpty && np == qualifying.map(_._1).min,
           s"floor $floor: nprobe $np is not the smallest qualifying probe count")
       }
-      val tq = tiers.filter(_._3 >= floor)
+      val tq = tiers.filter(_._3 >= axis)
       if (tier == "none") assert(tq.isEmpty)
       else assert(tq.exists(t => t._1 == tier && t._2 == refine),
-        s"floor $floor: chosen ($tier, $refine) does not meet the floor on the grid")
+        s"floor $floor: chosen ($tier, $refine) does not meet the axis bar on the grid")
+    }
+  }
+
+  test("writeAutotune refuses an off-grid floor at write time") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_at_bad")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Autotune.writeAutotune(spark, sf, tmpDir.toString, floor = 600)
+      }
+      assert(e.getMessage.contains("not on the tuned grid"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
