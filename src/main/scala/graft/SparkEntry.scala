@@ -280,6 +280,9 @@ object SparkEntry {
     // foreachBatch → PqLifecycle.append per trigger (frozen model,
     // crash-consistent staging), state + disk read-back as the output
     "stream_index_append" -> (Streams.streamIndexAppend _),
+    // D15: the continuous-ingest lifecycle for the GRAPH index family —
+    // per-trigger search-then-link + dirt + policy-fired re-descent
+    "stream_graph_append" -> (Streams.streamGraphAppend _),
     // D13: continuous FUZZY-dedup ingest — arrivals near-dup-checked
     // against a persisted MinHash signature store per micro-batch
     // (rows-only: xxhash64 minhashes; StreamsSpec multi-batch proof)
@@ -423,6 +426,7 @@ object SparkEntry {
     // D11 ≡ the same classifier + per-source rollup in batch SQL
     "stream_quality_filter" -> TextOps.qualityClassifierRollupOracleSql,
     "stream_index_append"   -> Streams.streamIndexAppendOracleSql,
+    "stream_graph_append"   -> Streams.streamGraphAppendOracleSql,
     "stream_attrition"      -> TextOps.attritionIngestOracleSql(),
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,
     "quality_outliers_mad" -> TextOps.qualityOutliersMadOracleSql(),

@@ -364,11 +364,19 @@ object GraphIndex {
     * the next rebuild, the same freshness trade every incremental
     * graph index makes. Growth is dirt against the as-of-build total.
     */
-  def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
+  def append(newVecs: DataFrame, indexPath: String,
+             streamBatchId: Option[Long] = None,
+             streamId: Option[String] = None): IndexStatus = {
     val spark = newVecs.sparkSession
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "append requires a built graph (build first)")
     checkNoHalfApplied(spark, indexPath)
+    // at-least-once replay guard (the PqLifecycle.append contract): a
+    // batch the state already accounts for NO-OPs — the watermark is
+    // per stream identity, recorded in the same state write the
+    // landing protocol does below
+    if (streamBatchId.exists(_ <= s.appliedBatchFor(streamId.getOrElse(""))))
+      return s
     val meta = spark.read.parquet(s"$indexPath/_meta").head()
     val k = meta.getInt(0)
     val nv = newVecs.select(col("id"), col("vec")).cache()
@@ -423,8 +431,12 @@ object GraphIndex {
       .withColumn("vbucket", bucketOf(col("id")))
       .repartition(col("vbucket"))
       .write.mode("overwrite").partitionBy("vbucket").parquet(s"$tmp/vectors")
-    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + d,
+    val next0 = s.copy(isDirty = true, dirtyCount = s.dirtyCount + d,
       size = s.size + d)
+    val next = (streamBatchId, streamId) match {
+      case (Some(b), Some(id)) => next0.withAppliedBatch(id, b)
+      case _ => next0
+    }
     IndexLifecycle.writeState(spark, indexPath, next)
     val f = fs(spark, indexPath)
     // swap affected edge buckets (rename-aside, loud failures)

@@ -1208,6 +1208,99 @@ object Streams {
       |UNION ALL SELECT 5, 2, false, d, n + d, false FROM p
       |ORDER BY phase""".stripMargin
 
+  /** D15's per-trigger sink body: search-then-link the micro-batch
+    * into the persisted GRAPH index (GraphIndex.append — entry at the
+    * nearest coarse list, beam search for k out-edges, reverse-cap,
+    * touched-bucket rewrite), with the same per-stream replay
+    * watermark discipline as D12 (a replayed batch NO-OPs). Empty
+    * triggers skip outright.
+    */
+  private[graft] def graphAppendBatch(indexPath: String, streamId: String)
+                                     (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.GraphIndex.append(batch.select("id", "vec"), indexPath,
+        streamBatchId = Some(batchId), streamId = Some(streamId))
+      ()
+    }
+
+  /** Attach the D15 foreachBatch sink to an incoming (id, vec) stream —
+    * shared by the driver harness and the spec's MemoryStream harness.
+    */
+  private[graft] def runGraphAppend(incoming: DataFrame, indexPath: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val ckpt = tmpCheckpoint()
+    val q = incoming.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graphAppendBatch(indexPath, ckpt.toString)(b.toDF(), id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    (q, ckpt)
+  }
+
+  /** D15 driver entry: `stream_graph_append` — D12's continuous-ingest
+    * lifecycle applied to the GRAPH index family (A26b's layout): build
+    * the persisted descent graph, stream the arrival set (first
+    * ceil(0.2·n) vectors re-keyed past the corpus) through a 3-file
+    * landing zone at maxFilesPerTrigger=1 — three real micro-batches,
+    * each search-then-linking against the FROZEN graph and rewriting
+    * only its touched buckets, dirt accumulating across triggers under
+    * the per-stream replay watermark — then the fired policy runs the
+    * out-of-band re-descent (version++, dirt reset, arrivals now
+    * linking among themselves) and both read-backs count the
+    * `_vectors` tree. Same 5-phase arithmetic as D12, so the key is
+    * oracle-checked and batch-split invariant by construction.
+    */
+  def streamGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_graph")
+    val indexPath = tmpRoot.resolve("graph").toString
+    val landing = tmpRoot.resolve("landing").toString
+    try {
+      val n = Tables.embeddings(ss, dir).count()
+      val vecs = Tables.embeddings(ss, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s1 = graft.operators.GraphIndex.build(ss, dir, indexPath)
+      val d = math.ceil(0.2 * n).toLong
+      vecs.filter(col("id") < d)
+        .select((col("id") + n).as("id"), col("vec"))
+        .repartition(3) // 3 landing files → 3 triggers → 3 appends
+        .write.mode("overwrite").parquet(landing)
+      val schema = ss.read.parquet(landing).schema
+      val incoming = Sources.streamDir(ss, landing, schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      locally {
+        val (q, ckpt) = runGraphAppend(incoming, indexPath)
+        try q.processAllAvailable() finally q.stop()
+        deleteTree(ckpt)
+      }
+      val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
+      def readBack(): (Long, Long) = {
+        val disk = graft.operators.GraphIndex.readVectors(ss, indexPath)
+        (disk.count(), disk.filter(col("id") >= n).count())
+      }
+      val (total, arrived) = readBack()
+      val s3 = graft.operators.GraphIndex.rebuild(ss, indexPath)
+      val (total2, arrived2) = readBack()
+      val thr = graft.operators.IndexLifecycle.RebuildThreshold
+      import ss.implicits._
+      Seq(
+        (1, s1.version, s1.isDirty, s1.dirtyCount, s1.size, s1.shouldRebuild(thr)),
+        (2, s2.version, s2.isDirty, s2.dirtyCount, s2.size, s2.shouldRebuild(thr)),
+        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)),
+        (4, s3.version, s3.isDirty, s3.dirtyCount, s3.size, s3.shouldRebuild(thr)),
+        (5, s3.version, s3.isDirty, arrived2, total2, s3.shouldRebuild(thr)))
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        .localCheckpoint() // eager: materialize before the tree is deleted
+    } finally deleteTree(tmpRoot)
+  }
+
+  /** Identical arithmetic to D12's oracle — same arrival fraction,
+    * same threshold, same 5 phases (the graph append counts growth the
+    * same way the IVF-PQ one does).
+    */
+  def streamGraphAppendOracleSql: String = streamIndexAppendOracleSql
+
   def streamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
     val docs = Tables.documents(ss, dir)

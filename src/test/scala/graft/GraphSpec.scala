@@ -106,6 +106,40 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed graph appends: dirt accumulates across batches, a replayed batch no-ops") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec3")
+    val tmp = s"$tmpDir/g"
+    try {
+      val n = Tables.embeddingsCount(spark, sf)
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      GraphIndex.build(spark, sf, tmp, k)
+      val a1 = vecs.filter(col("id") < 5).select((col("id") + n).as("id"), col("vec"))
+      val a2 = vecs.filter(col("id") >= 5 && col("id") < 10)
+        .select((col("id") + n).as("id"), col("vec"))
+      val s1 = GraphIndex.append(a1, tmp, Some(0L), Some("stream-a"))
+      assert(s1.dirtyCount == 5 && s1.size == n + 5)
+      val s2 = GraphIndex.append(a2, tmp, Some(1L), Some("stream-a"))
+      assert(s2.dirtyCount == 10 && s2.size == n + 10)
+      val before = GraphIndex.readVectors(spark, tmp).count()
+      // a sink retry replaying an applied batch must change NOTHING
+      val s3 = GraphIndex.append(a2, tmp, Some(1L), Some("stream-a"))
+      assert(s3.dirtyCount == s2.dirtyCount && s3.size == s2.size)
+      assert(GraphIndex.readVectors(spark, tmp).count() == before,
+        "a replayed batch landed duplicate vectors")
+      // a DIFFERENT stream's batch 1 applies under its own watermark
+      val b1 = vecs.filter(col("id") >= 10 && col("id") < 12)
+        .select((col("id") + n).as("id"), col("vec"))
+      val s4 = GraphIndex.append(b1, tmp, Some(1L), Some("stream-b"))
+      assert(s4.size == n + 12,
+        "a fresh stream's batches must not be swallowed by another's watermark")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("append refuses a half-applied mutation marker") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec2")
     val tmp = s"$tmpDir/g"
