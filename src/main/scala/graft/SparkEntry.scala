@@ -148,6 +148,9 @@ object SparkEntry {
     // E51: graph SERVING — batch beam search (coarse-quantizer entry +
     // bounded expansion rounds) over the converged descent graph
     "graph_topk" -> ((s, d) => GraphIndex.graphTopk(s, d)),
+    // E51c: the A18d filtered contract on the graph path — unfiltered
+    // navigation, widened beam, selector picked from the scored pool
+    "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredQuery(s, d)),
     // E51b: the persisted graph's lifecycle (build / search-then-link
     // appends / dirty-ratio rebuild / read-back), the A18b shape
     "graph_lifecycle" -> ((s, d) => GraphIndex.graphLifecycle(s, d)),
@@ -582,6 +585,8 @@ object SparkEntry {
     // E51: the descent replay nested as the graph + entry replay +
     // unrolled beam rounds
     "graph_topk" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d)),
+    // E51c: the beam replay at the widened width, pooled + selector
+    "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
     // E50: UNION ALL of per-nprobe E43 blocks over the same literals

@@ -194,8 +194,22 @@ object GraphIndex {
     * exact re-score with the SAME `1.0 − list_cosine_similarity`
     * double, top-B by (dist, cand)).
     */
-  def graphTopkOracleSql(spark: SparkSession, dir: String, k: Int = 5): String = {
-    val b = beamWidth(k)
+  def graphTopkOracleSql(spark: SparkSession, dir: String, k: Int = 5): String =
+    s"""WITH ${graphBeamCtes(spark, dir, k, beamWidth(k))}
+       |SELECT query_id, cand AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
+       |FROM b$BeamRounds
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The shared beam-replay CTE chain at beam width `b`: the
+    * converged-graph replay (g), its symmetrization (gs), the seeded
+    * b0, and per round (c/s/b) — the candidate union, the exact
+    * re-score, the top-b prune. Both the unfiltered and the filtered
+    * oracle append their own final SELECT.
+    */
+  private def graphBeamCtes(spark: SparkSession, dir: String, k: Int,
+                            b: Int): String = {
     val cos = "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
     val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k)
     val entrySql = Ivf.annBatchNprobeOracleSql(spark, dir, b,
@@ -220,7 +234,7 @@ object GraphIndex {
          |    FROM s$r) z
          |  WHERE rn <= $b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH g AS MATERIALIZED (
+    s"""g AS MATERIALIZED (
        |  SELECT query_id AS src, neighbor_id AS dst FROM (
        |$graphSql
        |  ) gsub),
@@ -235,12 +249,163 @@ object GraphIndex {
        |    ) esub
        |    UNION ALL
        |    SELECT src AS query_id, dst AS cand FROM gs) z),
-       |$rounds
-       |SELECT query_id, cand AS neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
-       |FROM b$BeamRounds
-       |QUALIFY rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  // ------------------------------------------------- filtered serving
+
+  /** Beam-width widening factors above this serve the exact pre-filter
+    * instead: at extreme selectivity the graph pool would have to grow
+    * past any useful bound to hold k matches, and ranking the f
+    * survivors directly is strictly cheaper.
+    */
+  val MaxBeamWiden = 16L
+
+  /** Filtered graph serving — the A18d contract (search_service.py:
+    * 169-197) on the graph path, the HNSW-with-IDSelector design:
+    * NAVIGATION stays unfiltered (non-matching nodes still route —
+    * filtering the beam itself would sever the paths the search
+    * travels), and the RESULT is the top-k of the selector's members
+    * among every candidate the beam SCORED across its rounds (the
+    * pool). The beam widens by ⌈n/f̂⌉ (capped at [[MaxBeamWiden]]) so
+    * the pool's matching mass at selectivity f/n matches the
+    * unfiltered pool at the caller's width; a selector that starves
+    * the shortlist (f ≤ k·4, capped count) or sits beyond the widening
+    * cap serves the exact cosine pre-filter over the f survivors. The
+    * same no-per-query-count discipline as A18d: memoized corpus n,
+    * capped starved check, MINSTD-mixed stride estimate — all through
+    * Pq's shared policy helpers, so the two filtered families cannot
+    * drift on the arithmetic.
+    */
+  def graphTopkFiltered(spark: SparkSession, dir: String, k: Int,
+                        selector: DataFrame): DataFrame = {
+    val sel = selector.select(col("id"))
+    val kr = Pq.filteredExactMax(k, 4)
+    lazy val n = Tables.embeddingsCount(spark, dir)
+    lazy val fEst = Pq.estimatedSelectorSize(sel, kr)
+    lazy val widen = (n + fEst - 1) / fEst
+    if (Pq.selectorStarved(sel, kr) || widen > MaxBeamWiden) {
+      // exact pre-filter: f survivors broadcast against every query,
+      // ranked by the family's cosine metric
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = vecs.select(col("id").as("query_id"), col("vec").as("qv"))
+      val candVecs = vecs.join(sel, "id")
+        .select(col("id").as("cand"), col("vec").as("cv"))
+      queries.join(candVecs, col("cand") =!= col("query_id"))
+        .select(col("query_id"), col("cand"),
+          Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+        .groupBy("query_id")
+        .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), k).as("nn"))
+        .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("query_id"), col("nn.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    } else {
+      val bEff = (beamWidth(k) * widen).toInt
+      val (graph, _) = Dedup.descentGraph(spark, dir, k)
+      val sym = symmetrize(graph.select("src", "dst"))
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("cv"))
+      val entry = Ivf.annBatch(spark, dir, bEff, Metric,
+          nprobeOpt = Some(EntryNprobe))
+        .select(col("query_id"), col("neighbor_id").as("cand"))
+        .union(sym.select(col("src").as("query_id"), col("dst").as("cand")))
+        .dropDuplicates("query_id", "cand")
+      val qvecs = vecs.select(col("id").as("query_id"), col("cv").as("qv"))
+      val e = sym.select(col("src").as("cand"), col("dst"))
+      var beam = entry
+      val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      (1 to BeamRounds).foreach { _ =>
+        val expand = beam.join(e, "cand")
+          .select(col("query_id"), col("dst").as("cand"))
+        val cands = beam.select("query_id", "cand").union(expand)
+          .filter(col("cand") =!= col("query_id"))
+          .dropDuplicates("query_id", "cand")
+        // the SCORED frame is the round's pool contribution — pinned,
+        // the pruned beam derives from it cheaply
+        val scored = cands
+          .join(qvecs, "query_id")
+          .join(vecs.select(col("id").as("cand"), col("cv")), "cand")
+          .select(col("query_id"), col("cand"),
+            Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+          .localCheckpoint(true)
+        pools += scored
+        beam = scored.groupBy("query_id")
+          .agg(VectorFunctions
+            .topKByDistance(col("dist"), col("cand"), bEff).as("nn"))
+          .select(col("query_id"), explode(col("nn")).as("p"))
+          .select(col("query_id"), col("p.id").as("cand"))
+      }
+      val pool = pools.reduce(_.unionAll(_))
+        .dropDuplicates("query_id", "cand") // identical dists either way
+      val ranked = pool
+        .join(sel.withColumnRenamed("id", "cand"), Seq("cand"), "left_semi")
+        .groupBy("query_id")
+        .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), k).as("nn"))
+        .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("query_id"), col("nn.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint(true)
+      pools.foreach(_.unpersist())
+      ranked
+    }
+  }
+
+  /** Driver query: `graph_topk_filtered` — the A4 label predicate
+    * served through the graph path at the widened beam.
+    */
+  def graphTopkFilteredQuery(spark: SparkSession, dir: String,
+                             k: Int = 5): DataFrame = {
+    val selector = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    graphTopkFiltered(spark, dir, k, selector)
+  }
+
+  /** graph_topk_filtered oracle: the shared beam CTE chain at the
+    * WIDENED width, pooled (s1 ∪ … ∪ sR, distinct), selector
+    * semi-joined, top-k — branch and widening arithmetic from Pq's
+    * shared policy helpers, so engine and generator cannot diverge. A
+    * starved/over-widened selector emits the exact cosine pre-filter
+    * replay.
+    */
+  def graphTopkFilteredOracleSql(spark: SparkSession, dir: String,
+                                 k: Int = 5): String = {
+    val labels = "(2, 5, 7)"
+    val sel = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    val kr = Pq.filteredExactMax(k, 4)
+    lazy val n = Tables.embeddingsCount(spark, dir)
+    lazy val fEst = Pq.estimatedSelectorSize(sel, kr)
+    lazy val widen = (n + fEst - 1) / fEst
+    if (Pq.selectorStarved(sel, kr) || widen > MaxBeamWiden)
+      s"""SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+         |FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS dist
+         |  FROM embeddings q JOIN embeddings c
+         |    ON c.label IN $labels AND c.vec_id <> q.vec_id) t
+         |QUALIFY rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+    else {
+      val bEff = (beamWidth(k) * widen).toInt
+      val poolUnion = (1 to BeamRounds)
+        .map(r => s"SELECT query_id, cand, dist FROM s$r")
+        .mkString("\n    UNION ALL ")
+      s"""WITH ${graphBeamCtes(spark, dir, k, bEff)},
+         |pool AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, cand, dist FROM (
+         |    $poolUnion) z),
+         |fsel AS (SELECT vec_id AS cand FROM embeddings WHERE label IN $labels)
+         |SELECT query_id, cand AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
+         |FROM pool
+         |WHERE cand IN (SELECT cand FROM fsel)
+         |QUALIFY rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+    }
   }
 
   // -------------------------------------------------------- persistence

@@ -106,6 +106,50 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered graph serving: selector-only results, recall floor, starved path exact") {
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(2, 5, 7))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val selector = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    val got = GraphIndex.graphTopkFiltered(spark, sf, k, selector)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (_, nb) => allowed(nb) },
+      "a non-selector neighbor reached the filtered results")
+    assert(got.groupBy(_._1).forall(_._2.length == k), "k rows per query")
+    // recall vs filtered-exact cosine on 5 probe queries
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], bv: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * bv(i); na += a(i).toDouble * a(i); nb += bv(i).toDouble * bv(i); i += 1 }
+      if (na == 0 || nb == 0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    }
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until 5L).map { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact = all.filter(t => allowed(t._1) && t._1 != qid)
+        .map { case (id, v) => (cos(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      (exact & byQ(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"filtered graph recall $mean < 0.8 (widened beam)")
+    // starved selector: the policy serves the exact cosine pre-filter
+    import spark.implicits._
+    val tiny = (100L until 110L).toDF("id")
+    val starved = GraphIndex.graphTopkFiltered(spark, sf, k, tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val tinyIds = (100L until 110L).toSet
+    assert(starved.forall { case (_, nb, _) => tinyIds(nb) })
+    val q0 = all.find(_._1 == 0L).get._2
+    val want = all.filter(t => tinyIds(t._1))
+      .map { case (id, v) => (cos(q0, v), id) }
+      .sortBy(identity).take(k).map(_._2).toSeq
+    val got0 = starved.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(got0 == want, s"starved filtered graph must rank exactly: $got0 != $want")
+  }
+
   test("streamed graph appends: dirt accumulates across batches, a replayed batch no-ops") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec3")
     val tmp = s"$tmpDir/g"
