@@ -467,14 +467,17 @@ object GraphIndex {
     */
   private def beamSearchLoaded(stored: DataFrame, edges: DataFrame,
                                cents: Array[Array[Float]],
-                               queries: DataFrame, k: Int): DataFrame = {
+                               queries: DataFrame, k: Int,
+                               broadcastProbes: Boolean = false): DataFrame = {
     val b = beamWidth(k)
     val probes = Ivf.probeSelect(
       queries.select(col("id").as("query_id"), col("vec").as("qvec")),
       cents, EntryNprobe, Metric)
+    // append micro-batches broadcast their probe frame into the stored
+    // scan (point-serving contract); corpus-sized callers shuffle-join
     val entry = Ivf.probedTopK(
         stored.select(col("cluster_id"), col("id").as("neighbor_id"), col("vec")),
-        probes, b, Metric, broadcastProbes = false)
+        probes, b, Metric, broadcastProbes = broadcastProbes)
       .select(col("query_id"), col("neighbor_id").as("cand"))
     beamRounds(entry, symmetrize(edges),
       stored.select(col("id"), col("vec").as("cv")), k, b,
@@ -553,7 +556,8 @@ object GraphIndex {
     val queries = nv.select(col("id").as("query_id"), col("vec").as("qv"))
     // forward edges: the new vector's top-k among EXISTING nodes (the
     // shared beam core; coarse entry + symmetrized expansion)
-    val forward = beamSearchLoaded(stored, edges, cents, nv, k)
+    val forward = beamSearchLoaded(stored, edges, cents, nv, k,
+        broadcastProbes = true)
       .join(queries, "query_id") // re-score carried dist for the edge rows
       .join(vecs.select(col("id").as("neighbor_id"), col("cv")), "neighbor_id")
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),

@@ -1250,7 +1250,23 @@ object Streams {
     * `_vectors` tree. Same 5-phase arithmetic as D12, so the key is
     * oracle-checked and batch-split invariant by construction.
     */
-  def streamGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+  def streamGraphAppend(spark: SparkSession, dir: String): DataFrame =
+    streamGraphAppendTimed(spark, dir, (_, _) => ())
+
+  /** [[streamGraphAppend]] with a phase timer — ONE implementation
+    * serves the driver key (no-op hook) and tools/GraphAppendProbe's
+    * attribution run (the key is the most expensive bench line, so its
+    * cost must decompose into named phases rather than read as one
+    * ~29 s blob).
+    */
+  private[graft] def streamGraphAppendTimed(spark: SparkSession, dir: String,
+                                            onPhase: (String, Double) => Unit): DataFrame = {
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val ss = streamingSession(spark)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_graph")
     val indexPath = tmpRoot.resolve("graph").toString
@@ -1259,16 +1275,18 @@ object Streams {
       val n = Tables.embeddings(ss, dir).count()
       val vecs = Tables.embeddings(ss, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = graft.operators.GraphIndex.build(ss, dir, indexPath)
+      val s1 = timed("build") { graft.operators.GraphIndex.build(ss, dir, indexPath) }
       val d = math.ceil(0.2 * n).toLong
-      vecs.filter(col("id") < d)
-        .select((col("id") + n).as("id"), col("vec"))
-        .repartition(3) // 3 landing files → 3 triggers → 3 appends
-        .write.mode("overwrite").parquet(landing)
+      timed("landing_write") {
+        vecs.filter(col("id") < d)
+          .select((col("id") + n).as("id"), col("vec"))
+          .repartition(3) // 3 landing files → 3 triggers → 3 appends
+          .write.mode("overwrite").parquet(landing)
+      }
       val schema = ss.read.parquet(landing).schema
       val incoming = Sources.streamDir(ss, landing, schema,
         options = Map("maxFilesPerTrigger" -> "1"))
-      locally {
+      timed("stream_drain_3_appends") {
         val (q, ckpt) = runGraphAppend(incoming, indexPath)
         try q.processAllAvailable() finally q.stop()
         deleteTree(ckpt)
@@ -1278,9 +1296,9 @@ object Streams {
         val disk = graft.operators.GraphIndex.readVectors(ss, indexPath)
         (disk.count(), disk.filter(col("id") >= n).count())
       }
-      val (total, arrived) = readBack()
-      val s3 = graft.operators.GraphIndex.rebuild(ss, indexPath)
-      val (total2, arrived2) = readBack()
+      val (total, arrived) = timed("disk_read_back_1") { readBack() }
+      val s3 = timed("rebuild") { graft.operators.GraphIndex.rebuild(ss, indexPath) }
+      val (total2, arrived2) = timed("disk_read_back_2") { readBack() }
       val thr = graft.operators.IndexLifecycle.RebuildThreshold
       import ss.implicits._
       Seq(
