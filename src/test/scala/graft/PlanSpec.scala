@@ -270,6 +270,26 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join is not keyed on the cluster:\n$plan")
   }
 
+  // NOTE: graph_topk's returned frame is an eager localCheckpoint (the
+  // beam loop's storage hygiene), so its executedPlan is a checkpoint
+  // scan — a plan pin there would be vacuous. The beam's join shape is
+  // covered by GraphSpec's recall/cost contracts instead.
+
+  test("filtered residual batch: selector is a semi-join on the candidate side") {
+    val selector = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("label").isin(2, 5, 7))
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"))
+    val df = graft.operators.Pq.resBatchFiltered(spark, sf, 5, nprobe = 4, selector)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"the selector must semi-join the candidate codes before the pair shuffle:\n$plan")
+    assert(plan.contains("pq_adc_query_distance"),
+      s"the filtered batch must still fold through AdcQueryDistance:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the filtered batch fell back to an all-pairs plan:\n$plan")
+  }
+
   test("decontaminate_ngram_exact: eval windows broadcast into one corpus scan") {
     val df = graft.operators.Dedup.decontaminateNgramExact(spark, sf)
     df.collect()
