@@ -245,9 +245,17 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread,""" +
       s""""calibration":$calJson,"passes":$passes,"errors":$errJson}"""
-    // cwd-relative default so a checkout elsewhere never writes into an
-    // unrelated absolute path; env var overrides either way
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // the COMMITTED artifact (BENCH_LOCAL.json) is written only on
+    // explicit opt-in: an explicit SPARK_GRAFT_BENCH_OUT path, or
+    // SPARK_GRAFT_BENCH_COMMIT=1. Any other run (the driver's
+    // end-of-round pass on a noisy host in particular) lands in a
+    // timestamped scratch file under /tmp, so the artifact at HEAD
+    // only ever changes by an explicit commit — stdout carries the
+    // full JSON either way.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (sys.env.get("SPARK_GRAFT_BENCH_COMMIT").contains("1")) "BENCH_LOCAL.json"
+      else s"/tmp/graft_bench_${System.currentTimeMillis()}.json"
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: java.io.IOException =>
       // loud, not fatal: a silently-failed write would leave a PREVIOUS

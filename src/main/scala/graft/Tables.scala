@@ -105,4 +105,10 @@ object Tables {
     */
   def embeddingsCount(spark: SparkSession, dir: String): Long =
     embCounts.getOrElseUpdate(dir, embeddings(spark, dir).count())
+
+  /** Drop the memoized count for `dir` — part of the corpus-change
+    * invalidation set IndexLifecycle.build runs: a stale corpus count
+    * feeds defaultK and the filtered-ANN widening arithmetic.
+    */
+  def invalidate(dir: String): Unit = embCounts.remove(dir)
 }

@@ -59,6 +59,18 @@ object Autotune {
   private val tierMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
+  /** Drop the memoized grids for `dir` (unpersisting their checkpointed
+    * blocks) — part of the corpus-change invalidation set
+    * IndexLifecycle.build runs, so an in-session data change can never
+    * serve stale tuning curves.
+    */
+  def invalidate(dir: String): Unit =
+    Seq(sweepMemo, tierMemo).foreach { memo =>
+      memo.keys.filter(_._1 == dir).foreach { key =>
+        memo.remove(key).foreach(_.unpersist())
+      }
+    }
+
   /** The E50 sweep, measured once per (dir, k) and pinned (4 rows). */
   def sweepGrid(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     sweepMemo.getOrElseUpdate((dir, k),
@@ -179,15 +191,23 @@ object Autotune {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_autotune")
   }
 
-  /** The persisted pick ((nprobe, refine); -1 sentinels mean "grid had
-    * no qualifying config" and the caller's own defaults stand).
+  /** Tiers whose (refine) operating point the IVF-PQ serving path can
+    * honor — the grid measured refine against THESE codes; an sq8/bq/
+    * pca pick's refine was measured against different codes and does
+    * not transfer.
+    */
+  private[graft] val PqFamilyTiers = Set("pq", "opq", "pqr")
+
+  /** The persisted pick ((nprobe, refine, tier); -1 sentinels mean
+    * "grid had no qualifying config" and the caller's own defaults
+    * stand).
     */
   private[graft] def loadAutotune(spark: SparkSession,
-                                      indexPath: String): Option[(Long, Long)] = {
+                                      indexPath: String): Option[(Long, Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_autotune")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
     else spark.read.parquet(s"$indexPath/_autotune")
-      .select("nprobe", "refine").head(1).headOption
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .select("nprobe", "refine", "tier").head(1).headOption
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
   }
 }

@@ -660,13 +660,44 @@ object GraphIndex {
   def rebuild(spark: SparkSession, indexPath: String): IndexStatus = {
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "rebuild requires a built graph")
-    // recovery: discard a crashed mutation's staging dir (its rows are
-    // unaccounted by construction — state writes precede the move-in)
+    // recovery: RECONCILE a crashed mutation's staging dir. append
+    // stages BOTH trees fully, THEN writes state, THEN moves files in
+    // — so when the state's size exceeds the on-disk `_vectors` count,
+    // the staged vector files are exactly the accounted-but-unmoved
+    // batch: move them in (a partial move-in completes file-by-file —
+    // part names carry a per-job UUID, so no collisions) and let the
+    // re-descent below derive their edges. Only a staging dir the
+    // state does NOT account for (crash BEFORE the state write, or
+    // AFTER the move-in finished) is discarded: its rows either never
+    // counted or already live in `_vectors`. Without the reconcile, a
+    // crash in the state-write→move-in window would lose the batch
+    // silently — the stream's replay NO-OPs against the recorded
+    // watermark and the rebuild re-derives from a `_vectors` tree
+    // missing the rows.
     locally {
       val marker = new Path(s"$indexPath/_graph_tmp")
       val f0 = fs(spark, indexPath)
-      if (f0.exists(marker) && !f0.delete(marker, true))
-        sys.error(s"graph rebuild: could not discard staging dir $marker")
+      if (f0.exists(marker)) {
+        val staged = new Path(s"$indexPath/_graph_tmp/vectors")
+        if (f0.exists(staged) &&
+            s.size > readVectors(spark, indexPath).count()) {
+          f0.listStatus(staged)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("vbucket="))
+            .foreach { dDir =>
+              val dst = new Path(s"$indexPath/_vectors/${dDir.getPath.getName}")
+              if (!f0.exists(dst) && !f0.mkdirs(dst))
+                sys.error(s"graph rebuild recovery: could not create $dst")
+              f0.listStatus(dDir.getPath)
+                .filter(_.getPath.getName.startsWith("part-"))
+                .foreach { file =>
+                  if (!f0.rename(file.getPath, new Path(dst, file.getPath.getName)))
+                    sys.error(s"graph rebuild recovery: rename ${file.getPath} -> $dst failed")
+                }
+            }
+        }
+        if (!f0.delete(marker, true))
+          sys.error(s"graph rebuild: could not discard staging dir $marker")
+      }
     }
     val k = spark.read.parquet(s"$indexPath/_meta").head().getInt(0)
     val vecs = readVectors(spark, indexPath).select("id", "vec").cache()
@@ -705,9 +736,12 @@ object GraphIndex {
     // that landed during the long descent staging would be silently
     // discarded with the replaced tree — check the live state moved
     // neither before the move-aside nor during it
+    // appliedStreams included (the PqLifecycle.rebuild tuple): even a
+    // zero-row append moves a watermark, and reverting that silently
+    // would re-open the replay window it closed
     val live0 = IndexLifecycle.status(spark, indexPath)
-    if ((live0.version, live0.dirtyCount, live0.size) !=
-        (s.version, s.dirtyCount, s.size)) {
+    if ((live0.version, live0.dirtyCount, live0.size, live0.appliedStreams) !=
+        (s.version, s.dirtyCount, s.size, s.appliedStreams)) {
       f.delete(new Path(staged), true)
       sys.error("graph rebuild: concurrent mutation landed during staging — " +
         "staged tree discarded, re-run rebuild against the current contents")
@@ -715,8 +749,8 @@ object GraphIndex {
     if (!f.rename(live, aside))
       sys.error(s"graph rebuild: could not move live tree aside")
     val moved = IndexLifecycle.status(spark, s"$aside")
-    if ((moved.version, moved.dirtyCount, moved.size) !=
-        (s.version, s.dirtyCount, s.size)) {
+    if ((moved.version, moved.dirtyCount, moved.size, moved.appliedStreams) !=
+        (s.version, s.dirtyCount, s.size, s.appliedStreams)) {
       f.delete(new Path(s"$aside/_rebuild_tmp"), true)
       if (!f.rename(aside, live))
         sys.error(s"graph rebuild: could not restore live tree from $aside")

@@ -161,9 +161,10 @@ object IndexLifecycle {
       // watermark map: hex keys parse with a plain character-class
       // regex, FILE ORDER preserved (the retention bound evicts the
       // least-recently-updated entry, so order is state); a LEGACY
-      // single-pair field (pre-map states, which carried one anonymous
-      // watermark and no stream id) folds under "" so old indexes keep
-      // their guard via appliedBatchFor's legacy floor
+      // single-pair field (pre-map states) keys its watermark under the
+      // persisted applied_stream_id — "" only when that field is
+      // genuinely absent — so a resumed pre-upgrade checkpoint keeps
+      // its replay guard with neither duplicates nor loss
       val streams: scala.collection.immutable.ListMap[String, Long] =
         """"applied_streams":\{([^}]*)\}""".r.findFirstMatchIn(json)
           .map(_.group(1)) match {
@@ -220,10 +221,11 @@ object IndexLifecycle {
     // every per-corpus session memo must drop on a data change — a new
     // memoized operator family MUST be added here (the full set:
     // IVF assignments, shingle sets, PQ models/codes, SQ8 models/codes,
-    // BQ models/codes)
+    // BQ models/codes, corpus counts, autotune grids)
     corpusDir.foreach { d =>
       Ivf.invalidate(d); Dedup.invalidate(d); Pq.invalidate(d); Sq8.invalidate(d)
       Bq.invalidate(d); Pca.invalidate(d); Bpe.invalidate(d)
+      Tables.invalidate(d); Autotune.invalidate(d)
     }
     val prev = status(spark, indexPath)
     val v = vecs.cache()

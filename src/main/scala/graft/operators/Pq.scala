@@ -1378,15 +1378,20 @@ object Pq {
     * `_autotune` sidecar the tuner persisted (E53's writeAutotune) —
     * the autotune loop CLOSED: the measured pick is config the index
     * serves by, not a report. Falls back to the caller's
-    * nprobe/refine when no sidecar exists or the tuner reported the
-    * no-qualifying-config sentinel.
+    * nprobe/refine when no sidecar exists, the tuner reported the
+    * no-qualifying-config sentinel, or the picked tier is outside the
+    * PQ family — an sq8/bq/pca pick's refine was measured against
+    * DIFFERENT codes, so applying it here would serve an operating
+    * point no grid row ever measured.
     */
   def queryIvfPqTuned(spark: SparkSession, indexPath: String,
                       queryVec: Array[Float], k: Int,
                       nprobeDefault: Int, refineDefault: Int = 4,
                       refineWith: Option[DataFrame] = None): DataFrame = {
     val (np, rf) = Autotune.loadAutotune(spark, indexPath) match {
-      case Some((n, r)) if n > 0 && r > 0 => (n.toInt, r.toInt)
+      case Some((n, r, tier))
+        if n > 0 && r > 0 && Autotune.PqFamilyTiers.contains(tier) =>
+        (n.toInt, r.toInt)
       case _ => (nprobeDefault, refineDefault)
     }
     queryIvfPq(spark, indexPath, queryVec, k, np, refineWith, rf)

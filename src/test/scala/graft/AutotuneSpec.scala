@@ -60,7 +60,7 @@ class AutotuneSpec extends AnyFunSuite {
       Autotune.writeAutotune(spark, sf, tmp, floor = 500)
       val pick = Autotune.loadAutotune(spark, tmp)
       assert(pick.isDefined, "_autotune sidecar must round-trip")
-      val (np, rf) = pick.get
+      val (np, rf, tier) = pick.get
       assert(np > 0 && rf > 0, "the 500-permille floor must be attainable here")
       val q = Tables.embeddings(spark, sf)
         .filter(col("vec_id") === 0).select("embedding")
@@ -72,7 +72,16 @@ class AutotuneSpec extends AnyFunSuite {
       val explicit = Pq.queryIvfPq(spark, tmp, q, 10, np.toInt,
           refineSrc, rf.toInt)
         .collect().map(_.getLong(0)).toSeq
-      assert(tuned == explicit, "tuned serving must run the persisted pick")
+      if (Autotune.PqFamilyTiers.contains(tier))
+        assert(tuned == explicit, "tuned serving must run the persisted pick")
+      else {
+        // a non-PQ tier's refine was measured against different codes:
+        // the sidecar must NOT be applied and the defaults stand
+        val defaults = Pq.queryIvfPq(spark, tmp, q, 10, 1, refineSrc, 4)
+          .collect().map(_.getLong(0)).toSeq
+        assert(tuned == defaults,
+          s"a $tier pick must not configure the IVF-PQ serving path")
+      }
       // deleting the sidecar falls back to the caller's defaults
       val p = new org.apache.hadoop.fs.Path(s"$tmp/_autotune")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

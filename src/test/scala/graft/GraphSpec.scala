@@ -184,6 +184,57 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild reconciles a crash between append's state write and vector move-in") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec4")
+    val tmp = s"$tmpDir/g"
+    try {
+      import org.apache.spark.sql.functions.{lit, pmod}
+      val n = Tables.embeddingsCount(spark, sf)
+      val d = 7L
+      GraphIndex.build(spark, sf, tmp, k)
+      val s = IndexLifecycle.status(spark, tmp)
+      // simulate append's crash window: the batch FULLY staged under
+      // _graph_tmp/vectors and the state written (size + watermark
+      // account for it), but the move-in never ran
+      Tables.embeddings(spark, sf).filter(col("vec_id") < d)
+        .select((col("vec_id") + n).as("id"), col("embedding").as("vec"),
+          lit(0).as("cluster_id"))
+        .withColumn("vbucket",
+          pmod(col("id"), lit(GraphIndex.GraphBuckets.toLong)).cast("int"))
+        .repartition(col("vbucket"))
+        .write.partitionBy("vbucket").parquet(s"$tmp/_graph_tmp/vectors")
+      val crashed = s.copy(isDirty = true, dirtyCount = s.dirtyCount + d,
+        size = s.size + d).withAppliedBatch("stream-x", 0L)
+      IndexLifecycle.writeState(spark, tmp, crashed)
+      // rebuild must MOVE THE STAGED BATCH IN, not discard it: the
+      // watermark says batch 0 applied, so the stream never replays it
+      val s2 = GraphIndex.rebuild(spark, tmp)
+      assert(s2.size == n + d, "reconciled rebuild must carry the staged batch")
+      assert(GraphIndex.readVectors(spark, tmp).count() == n + d,
+        "staged vectors lost — the crash window dropped an accounted batch")
+      assert(s2.appliedBatchFor("stream-x") == 0L, "watermark must carry forward")
+      // and the reconciled rows are LINKED: every node has k out-edges
+      val deg = GraphIndex.readEdges(spark, tmp).select("src").distinct().count()
+      assert(deg == n + d, "reconciled rows must be re-descended into the graph")
+      // the discard case still holds: staging the state does NOT
+      // account for (crash before the state write) is dropped
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+        .select((col("vec_id") + 2 * n).as("id"), col("embedding").as("vec"),
+          lit(0).as("cluster_id"))
+        .withColumn("vbucket",
+          pmod(col("id"), lit(GraphIndex.GraphBuckets.toLong)).cast("int"))
+        .repartition(col("vbucket"))
+        .write.partitionBy("vbucket").parquet(s"$tmp/_graph_tmp/vectors")
+      val s3 = GraphIndex.rebuild(spark, tmp)
+      assert(s3.size == n + d && GraphIndex.readVectors(spark, tmp).count() == n + d,
+        "unaccounted staging must be discarded, not resurrected")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("append refuses a half-applied mutation marker") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec2")
     val tmp = s"$tmpDir/g"
