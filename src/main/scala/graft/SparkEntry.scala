@@ -151,6 +151,10 @@ object SparkEntry {
     // E51c: the A18d filtered contract on the graph path — unfiltered
     // navigation, widened beam, selector picked from the scored pool
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredQuery(s, d)),
+    // E51d: the same contract in the MID-selectivity regime (past the
+    // ×16 widening cap, far from starved) — served by the compressed
+    // filtered batch, never an O(N·f) nested loop
+    "graph_topk_filtered_midsel" -> ((s, d) => GraphIndex.graphTopkFilteredMidselQuery(s, d)),
     // E51b: the persisted graph's lifecycle (build / search-then-link
     // appends / dirty-ratio rebuild / read-back), the A18b shape
     "graph_lifecycle" -> ((s, d) => GraphIndex.graphLifecycle(s, d)),
@@ -587,6 +591,9 @@ object SparkEntry {
     "graph_topk" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d)),
     // E51c: the beam replay at the widened width, pooled + selector
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredOracleSql(s, d)),
+    // E51d: the cosine residual-batch replay at the capped widened
+    // probe count + selector candidate join + exact-refine tail
+    "graph_topk_filtered_midsel" -> ((s, d) => GraphIndex.graphTopkFilteredMidselOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
     // E50: UNION ALL of per-nprobe E43 blocks over the same literals

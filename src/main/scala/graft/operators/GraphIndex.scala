@@ -269,13 +269,26 @@ object GraphIndex {
     * among every candidate the beam SCORED across its rounds (the
     * pool). The beam widens by ⌈n/f̂⌉ (capped at [[MaxBeamWiden]]) so
     * the pool's matching mass at selectivity f/n matches the
-    * unfiltered pool at the caller's width; a selector that starves
-    * the shortlist (f ≤ k·4, capped count) or sits beyond the widening
-    * cap serves the exact cosine pre-filter over the f survivors. The
-    * same no-per-query-count discipline as A18d: memoized corpus n,
-    * capped starved check, MINSTD-mixed stride estimate — all through
-    * Pq's shared policy helpers, so the two filtered families cannot
-    * drift on the arithmetic.
+    * unfiltered pool at the caller's width. Below the beam's regime,
+    * the policy splits by survivor count f (the round-12 verdict's
+    * scale finding — the old single fallback served an O(N·f)
+    * BroadcastNestedLoopJoin for EVERY selector past the cap):
+    *   - STARVED (f ≤ k·4, capped count): the exact pre-filter — the
+    *     f survivors genuinely broadcast (bounded by construction)
+    *     against the query stream, ranked by the family's cosine
+    *     metric. The one regime where all-pairs IS the cheapest plan.
+    *   - OVER-WIDENED but not starved (widen > [[MaxBeamWiden]],
+    *     f > k·4 — e.g. a 1% metadata filter): route through the
+    *     compressed filtered batch (E6f's machinery in this family's
+    *     cosine domain): probe widening capped at ALL lists, the
+    *     selector semi-joined on the CANDIDATE side of the pair
+    *     shuffle (M-byte codes, never raw vectors), exact re-rank of
+    *     the k·4 shortlist. Candidate mass per query is bounded by
+    *     the probed lists' selector members — never N·f pairs.
+    * The same no-per-query-count discipline as A18d: memoized corpus
+    * n, capped starved check, MINSTD-mixed stride estimate — all
+    * through Pq's shared policy helpers, so the filtered families
+    * cannot drift on the arithmetic.
     */
   def graphTopkFiltered(spark: SparkSession, dir: String, k: Int,
                         selector: DataFrame): DataFrame = {
@@ -284,15 +297,15 @@ object GraphIndex {
     lazy val n = Tables.embeddingsCount(spark, dir)
     lazy val fEst = Pq.estimatedSelectorSize(sel, kr)
     lazy val widen = (n + fEst - 1) / fEst
-    if (Pq.selectorStarved(sel, kr) || widen > MaxBeamWiden) {
-      // exact pre-filter: f survivors broadcast against every query,
-      // ranked by the family's cosine metric
+    if (Pq.selectorStarved(sel, kr)) {
+      // exact pre-filter: f ≤ k·4 survivors broadcast against every
+      // query, ranked by the family's cosine metric
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = vecs.select(col("id").as("query_id"), col("vec").as("qv"))
       val candVecs = vecs.join(sel, "id")
         .select(col("id").as("cand"), col("vec").as("cv"))
-      queries.join(candVecs, col("cand") =!= col("query_id"))
+      queries.join(broadcast(candVecs), col("cand") =!= col("query_id"))
         .select(col("query_id"), col("cand"),
           Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
         .groupBy("query_id")
@@ -301,6 +314,15 @@ object GraphIndex {
         .select(col("query_id"), col("nn.id").as("neighbor_id"),
           (col("pos") + 1).cast("int").as("rank"))
         .orderBy("query_id", "rank")
+    } else if (widen > MaxBeamWiden) {
+      // mid-selectivity: the compressed filtered batch at the capped
+      // widening (nprobe already estimated once here — resBatch takes
+      // it as given, so the selector is not re-counted)
+      val (_, cents) = Ivf.indexFor(spark, dir, Metric)
+      val npEff = Pq.widenedNprobe(
+        math.max(1, Ivf.defaultK(n) / 4), n, fEst, cents.length)
+      Pq.resBatch(spark, dir, k, nprobeOpt = Some(npEff), metric = Metric,
+        refine = 4, selector = Some(sel))
     } else {
       val bEff = (beamWidth(k) * widen).toInt
       val (graph, _) = Dedup.descentGraph(spark, dir, k)
@@ -354,7 +376,8 @@ object GraphIndex {
   }
 
   /** Driver query: `graph_topk_filtered` — the A4 label predicate
-    * served through the graph path at the widened beam.
+    * (~3/16 selectivity: the widened-beam regime) served through the
+    * graph path.
     */
   def graphTopkFilteredQuery(spark: SparkSession, dir: String,
                              k: Int = 5): DataFrame = {
@@ -363,33 +386,68 @@ object GraphIndex {
     graphTopkFiltered(spark, dir, k, selector)
   }
 
-  /** graph_topk_filtered oracle: the shared beam CTE chain at the
-    * WIDENED width, pooled (s1 ∪ … ∪ sR, distinct), selector
-    * semi-joined, top-k — branch and widening arithmetic from Pq's
-    * shared policy helpers, so engine and generator cannot diverge. A
-    * starved/over-widened selector emits the exact cosine pre-filter
-    * replay.
+  /** Driver query: `graph_topk_filtered_midsel` — a mid-selectivity
+    * selector (vec_id ≡ 1 mod 17, ~6%: past the ×16 widening cap but
+    * far from starved) through the same key: the regime the round-12
+    * verdict flagged, now served by the compressed filtered batch
+    * instead of an O(N·f) nested loop, and oracle-checked end-to-end
+    * through the cosine residual replay.
     */
+  def graphTopkFilteredMidselQuery(spark: SparkSession, dir: String,
+                                   k: Int = 5): DataFrame =
+    graphTopkFiltered(spark, dir, k, midselSelector(spark, dir))
+
+  private def midselSelector(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(17L)) === 1).select(col("vec_id").as("id"))
+
   def graphTopkFilteredOracleSql(spark: SparkSession, dir: String,
                                  k: Int = 5): String = {
-    val labels = "(2, 5, 7)"
     val sel = Tables.embeddings(spark, dir)
       .filter(col("label").isin(2, 5, 7)).select(col("vec_id").as("id"))
+    filteredOracleSql(spark, dir, k, sel, a => s"$a.label IN (2, 5, 7)")
+  }
+
+  def graphTopkFilteredMidselOracleSql(spark: SparkSession, dir: String,
+                                       k: Int = 5): String =
+    filteredOracleSql(spark, dir, k, midselSelector(spark, dir),
+      a => s"$a.vec_id % 17 = 1")
+
+  /** graph_topk_filtered* oracle: branch + widening arithmetic from
+    * Pq's shared policy helpers (the SAME calls the engine makes), so
+    * engine and generator cannot diverge on which regime ran. Starved
+    * → the exact cosine pre-filter replay; over-widened → the cosine
+    * residual-batch replay at the capped widened probe count with the
+    * selector joined into the candidate side and the exact-refine
+    * tail; otherwise → the shared beam CTE chain at the WIDENED
+    * width, pooled (s1 ∪ … ∪ sR, distinct), selector semi-joined,
+    * top-k.
+    */
+  private def filteredOracleSql(spark: SparkSession, dir: String, k: Int,
+                                sel: DataFrame,
+                                pred: String => String): String = {
     val kr = Pq.filteredExactMax(k, 4)
     lazy val n = Tables.embeddingsCount(spark, dir)
     lazy val fEst = Pq.estimatedSelectorSize(sel, kr)
     lazy val widen = (n + fEst - 1) / fEst
-    if (Pq.selectorStarved(sel, kr) || widen > MaxBeamWiden)
+    if (Pq.selectorStarved(sel, kr))
       s"""SELECT query_id, neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
          |FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS dist
          |  FROM embeddings q JOIN embeddings c
-         |    ON c.label IN $labels AND c.vec_id <> q.vec_id) t
+         |    ON ${pred("c")} AND c.vec_id <> q.vec_id) t
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
-    else {
+    else if (widen > MaxBeamWiden) {
+      val (_, cents) = Ivf.indexFor(spark, dir, Metric)
+      val npEff = Pq.widenedNprobe(
+        math.max(1, Ivf.defaultK(n) / 4), n, fEst, cents.length)
+      Pq.resBatchOracleSqlImpl(spark, dir, k, npOverride = Some(npEff),
+        candJoin = s"\n  JOIN embeddings fe ON fe.vec_id = a.vec_id AND ${pred("fe")}",
+        metric = Metric, refine = 4)
+    } else {
       val bEff = (beamWidth(k) * widen).toInt
       val poolUnion = (1 to BeamRounds)
         .map(r => s"SELECT query_id, cand, dist FROM s$r")
@@ -398,7 +456,7 @@ object GraphIndex {
          |pool AS MATERIALIZED (
          |  SELECT DISTINCT query_id, cand, dist FROM (
          |    $poolUnion) z),
-         |fsel AS (SELECT vec_id AS cand FROM embeddings WHERE label IN $labels)
+         |fsel AS (SELECT vec_id AS cand FROM embeddings WHERE ${pred("embeddings")})
          |SELECT query_id, cand AS neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
          |FROM pool

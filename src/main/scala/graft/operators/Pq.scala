@@ -1889,18 +1889,29 @@ object Pq {
     }
   }
 
-  private def resBatchOracleSqlImpl(spark: SparkSession, dir: String, k: Int,
+  /** The residual-batch replay, metric-general for the L2 FAMILY
+    * (l2/cosine — cosine only swaps in the normalized corpCte; every
+    * distance below is the same list_distance fold the engine's
+    * normalized-L2 arithmetic matches bit-for-bit) with an optional
+    * exact-refine tail (the engine's k·refine shortlist + list_distance
+    * re-rank over the metric corpus).
+    */
+  private[operators] def resBatchOracleSqlImpl(spark: SparkSession, dir: String, k: Int,
                                     npOverride: Option[Int],
-                                    candJoin: String): String = {
-    val model = trainResidual(spark, dir)
-    val (_, cents) = Ivf.indexFor(spark, dir)
+                                    candJoin: String,
+                                    metric: Int = VectorMetric.L2,
+                                    refine: Int = 1): String = {
+    require(metric != VectorMetric.Dot,
+      "the residual batch replay covers the l2 family (l2/cosine) only")
+    val model = trainResidual(spark, dir, metric = metric)
+    val (_, cents) = Ivf.indexFor(spark, dir, metric)
     val nc = cents.length
     val n = Tables.embeddingsCount(spark, dir)
     val np = npOverride.getOrElse(math.max(1, Ivf.defaultK(n) / 4))
     val dim = model.dim
     s"""WITH r_cb AS (SELECT CAST(${cbLiteral(model.codebooks)} AS DOUBLE[][][]) AS c),
        |cents AS (SELECT CAST(${matLiteral(cents)} AS DOUBLE[][]) AS cv),
-       |${corpCte(VectorMetric.L2, None)},
+       |${corpCte(metric, None)},
        |asg AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT c0.vec_id, t.j AS cid,
@@ -1932,12 +1943,41 @@ object Pq {
        |  SELECT q.query_id, a.vec_id AS neighbor_id, list_distance(q.qr, r.rv) AS dist
        |  FROM qres q
        |  JOIN asg a ON a.cid = q.cid AND a.vec_id <> q.query_id$candJoin
-       |  JOIN recon r ON r.vec_id = a.vec_id)
-       |SELECT query_id, neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
-       |FROM pdist QUALIFY rank <= $k
+       |  JOIN recon r ON r.vec_id = a.vec_id)${resShortCte(k, refine)}
+       |${resRankBody(k, refine)}
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Refine tail for the residual-batch replay: compressed shortlist of
+    * k·refine by (dist, id), exact list_distance re-rank over the
+    * metric corpus — the engine's refineTail arithmetic. Empty/plain
+    * rank body at refine ≤ 1.
+    */
+  private def resShortCte(k: Int, refine: Int): String =
+    if (refine <= 1) ""
+    else
+      s""",
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS srn
+         |    FROM pdist) z
+         |  WHERE srn <= ${k * refine})""".stripMargin
+
+  private def resRankBody(k: Int, refine: Int): String =
+    if (refine <= 1)
+      s"""SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+         |FROM pdist QUALIFY rank <= $k""".stripMargin
+    else
+      s"""SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY edist, neighbor_id) AS INTEGER) AS rank
+         |FROM (
+         |  SELECT s.query_id, s.neighbor_id, list_distance(qe.v, ne.v) AS edist
+         |  FROM short s
+         |  JOIN corp qe ON qe.vec_id = s.query_id
+         |  JOIN corp ne ON ne.vec_id = s.neighbor_id) e
+         |QUALIFY rank <= $k""".stripMargin
 
   /** ann_topk_batch_pq family oracle: the SDC batch path end-to-end —
     * metric corpus, per-vector codes, per-query probe sets, symmetric

@@ -290,6 +290,39 @@ class PlanSpec extends AnyFunSuite {
       s"the filtered batch fell back to an all-pairs plan:\n$plan")
   }
 
+  test("mid-selectivity filtered graph serving never plans an N×f nested loop") {
+    // the round-12 scale hole: past the ×16 widening cap the old code
+    // served queries JOIN survivors ON cand <> query_id — an O(N·f)
+    // BroadcastNestedLoopJoin with the corpus on BOTH sides. The
+    // routed plan may only contain condition-free Cross BNLJs (the
+    // bounded centroid broadcast every probe selection starts from) —
+    // never a BNLJ carrying the inequality pair condition.
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sel = graft.Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(17L)) === 1)
+      .select(col("vec_id").as("id"))
+    // pre-condition: this selector IS the over-widened regime here
+    val kr = 20L
+    val n = graft.Tables.embeddingsCount(spark, sf)
+    val f = sel.count()
+    assert(f > kr, s"selector starved (f=$f) — the spec must drive the routed branch")
+    val df = graft.operators.GraphIndex.graphTopkFiltered(spark, sf, 5, sel)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val badBnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains("query_id") || !l.contains("Cross"))
+      .toSeq
+    assert(badBnlj.isEmpty,
+      s"filtered graph serving planned an N×f nested loop:\n${badBnlj.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"),
+      s"filtered graph serving planned a cartesian product:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the selector must semi-join the candidate side:\n$plan")
+    assert(plan.contains("pq_adc_query_distance"),
+      s"the routed branch must rank through the compressed filtered batch:\n$plan")
+  }
+
   test("decontaminate_ngram_exact: eval windows broadcast into one corpus scan") {
     val df = graft.operators.Dedup.decontaminateNgramExact(spark, sf)
     df.collect()
