@@ -106,6 +106,9 @@ object SparkEntry {
     // (selector semi-join + n/f probe widening + starved-filter
     // fallback — the filtered-ANN serving contract)
     "ivfpq_topk_filtered" -> ((s, d) => Pq.ivfpqTopkFiltered(s, d)),
+    // A18e: the autotune loop CLOSED on a benched path — the persisted
+    // tree serves through the _autotune sidecar's PQ-family pick
+    "ivfpq_topk_tuned" -> ((s, d) => Pq.ivfpqTopkTuned(s, d)),
     "ann_topk_batch_pq"   -> ((s, d) => Pq.sdcBatchQuery(s, d)),
     // cosine SDC over the normalized-corpus index (the metric plumbed
     // through the compressed-domain BATCH path, not just point queries)
@@ -620,6 +623,9 @@ object SparkEntry {
     // semi-joined into the ADC candidate set (branch arithmetic shared
     // with the engine)
     "ivfpq_topk_filtered" -> ((s, d) => Pq.ivfpqTopkFilteredOracleSql(s, d)),
+    // A18e: the A18 replay at the tuned operating point (the pick
+    // re-derived from the same restricted-grid argmin + gate fallback)
+    "ivfpq_topk_tuned" -> ((s, d) => Pq.ivfpqTopkTunedOracleSql(s, d)),
     "ann_topk_batch_pq" -> ((s, d) => Pq.sdcBatchOracleSql(s, d)),
     "ann_topk_batch_pq_cos" -> ((s, d) =>
       Pq.sdcBatchOracleSql(s, d, metric = graft.functions.VectorMetric.Cosine)),

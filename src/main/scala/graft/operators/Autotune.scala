@@ -93,16 +93,31 @@ object Autotune {
     "bq"  -> ((dim + 7) / 8).toLong,
     "pca" -> (Pca.ReducedDim * 4).toLong)
 
-  def annAutotune(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annAutotune(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annAutotuneTiers(spark, dir, k, tierSet = None)
+
+  /** [[annAutotune]] with the tier argmin restricted to `tierSet` —
+    * the pick a SPECIFIC serving path consults must come from the
+    * codes that path can actually serve (queryIvfPqTuned's gate:
+    * an sq8/bq/pca refine was measured against different codes), so
+    * the PQ-family consumer asks the tuner the PQ-family question
+    * instead of discarding a global pick it cannot honor.
+    */
+  def annAutotuneTiers(spark: SparkSession, dir: String, k: Int,
+                       tierSet: Option[Set[String]]): DataFrame = {
     import spark.implicits._
     val dim = Tables.embeddings(spark, dir)
       .select(size(col("embedding"))).head().getInt(0)
     val sweep = sweepGrid(spark, dir, k)
       .select(col("nprobe"), col("recall_permille").as("np_recall"))
-    val tiers = tierGrid(spark, dir)
+    val tiersAll = tierGrid(spark, dir)
       .join(broadcast(tierBytesOf(dim).toDF("tier", "bytes_per_vec")), "tier")
       .select(col("tier"), col("refine"), col("cand_per_query"),
         col("bytes_per_vec"), col("recall_permille").as("t_recall"))
+    val tiers = tierSet match {
+      case Some(ts) => tiersAll.filter(col("tier").isInCollection(ts.toSeq))
+      case None => tiersAll
+    }
     val floors = Floors.map(f => (f.toLong, axisFloor(f).toLong))
       .toDF("floor_permille", "axis_floor_permille")
     val npPick = floors
@@ -182,11 +197,12 @@ object Autotune {
     * ([[Pq.queryIvfPqTuned]]), not a report a human transcribes.
     */
   def writeAutotune(spark: SparkSession, dir: String, indexPath: String,
-                    floor: Int = 700, k: Int = 5): Unit = {
+                    floor: Int = 700, k: Int = 5,
+                    tierSet: Option[Set[String]] = None): Unit = {
     // fail at WRITE time, not as an empty sidecar that crashes serving
     require(Floors.contains(floor),
       s"floor $floor is not on the tuned grid ${Floors.mkString("/")}")
-    annAutotune(spark, dir, k)
+    annAutotuneTiers(spark, dir, k, tierSet)
       .filter(col("floor_permille") === floor.toLong)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_autotune")
   }

@@ -1552,6 +1552,79 @@ object Pq {
       .select(col("neighbor_id"), col("rank"))
   }
 
+  /** Driver query: `ivfpq_topk_tuned` — the autotune loop CLOSED on a
+    * benched, oracle-checked path (the round-12 verdict: the measured
+    * pick had no consumer outside the spec). The session corpus's
+    * IVF-PQ tree persists, the tuner's PQ-FAMILY pick for the
+    * 500-permille floor lands in its `_autotune` sidecar
+    * (writeAutotune restricted to pq/opq/pqr — the serving path asks
+    * the tuner the question it can honor, instead of discarding a
+    * global sq8 pick at the gate), and the query serves through
+    * [[queryIvfPqTuned]]: the measured operating point is CONFIG, not
+    * a report. Falls back to A18's defaults when the grid had no
+    * qualifying PQ config (the -1 sentinels) — the same arithmetic the
+    * oracle generator replays, so the branch can never drift.
+    */
+  def ivfpqTopkTuned(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_tuned")
+    val tmp = s"$tmpDir/idx"
+    try {
+      writeIvfPq(spark, dir, tmp)
+      Autotune.writeAutotune(spark, dir, tmp, floor = TunedFloor,
+        tierSet = Some(Autotune.PqFamilyTiers))
+      val q = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val (_, centroids) = Ivf.indexFor(spark, dir)
+      Ranks.byDistance(
+          queryIvfPqTuned(spark, tmp, q, k,
+            nprobeDefault = math.max(1, centroids.length / 4),
+            refineWith = Some(Tables.embeddings(spark, dir))), k)
+        .select(col("neighbor_id"), col("rank"))
+        .localCheckpoint() // eager: materialize before the tree deletes
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** The recall floor ivfpq_topk_tuned serves (500 permille composed —
+    * the one floor whose axis bar the sf sweep grids can meet).
+    */
+  val TunedFloor = 500
+
+  /** The (nprobe, refine) ivfpq_topk_tuned ends up serving: the
+    * PQ-family pick for [[TunedFloor]] when it qualifies, else A18's
+    * defaults — THE arithmetic shared by engine (via the persisted
+    * sidecar + queryIvfPqTuned's gate) and oracle generator.
+    */
+  private def tunedOperatingPoint(spark: SparkSession, dir: String): (Int, Int) = {
+    val pick = Autotune
+      .annAutotuneTiers(spark, dir, 5, Some(Autotune.PqFamilyTiers))
+      .filter(col("floor_permille") === TunedFloor.toLong)
+      .select("nprobe", "refine", "tier").head()
+    val (np, rf, tier) = (pick.getLong(0), pick.getLong(1), pick.getString(2))
+    if (np > 0 && rf > 0 && Autotune.PqFamilyTiers.contains(tier))
+      (np.toInt, rf.toInt)
+    else {
+      val (_, centroids) = Ivf.indexFor(spark, dir)
+      (math.max(1, centroids.length / 4), 4)
+    }
+  }
+
+  /** ivfpq_topk_tuned oracle: the A18 residual replay at the tuned
+    * operating point — the generator re-derives the pick from the same
+    * restricted-grid argmin (+ the same sentinel/gate fallback), then
+    * emits the replay at that (nprobe, refine).
+    */
+  def ivfpqTopkTunedOracleSql(spark: SparkSession, dir: String,
+                              k: Int = 10): String = {
+    val (np, rf) = tunedOperatingPoint(spark, dir)
+    ivfpqTopkOracleSqlImpl(spark, dir, k, opq = false,
+      npOverride = Some(np), refine = rf)
+  }
+
   /** Driver query: OPQ-residual IVF-PQ top-10 at the same serving
     * nprobe — A18's full configuration matrix served end-to-end: the
     * learned rotation composes with residual encoding (rotate the
@@ -1768,7 +1841,8 @@ object Pq {
   private def ivfpqTopkOracleSqlImpl(spark: SparkSession, dir: String,
                                      k: Int, opq: Boolean,
                                      npOverride: Option[Int] = None,
-                                     candJoin: String = ""): String = {
+                                     candJoin: String = "",
+                                     refine: Int = 4): String = {
     val model = trainResidual(spark, dir, opq = opq)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
@@ -1831,15 +1905,24 @@ object Pq {
        |    FROM r_codes cd
        |    JOIN asg a ON a.vec_id = cd.vec_id
        |    JOIN probes p ON p.cid = a.cid$candJoin, tblr) y
-       |  GROUP BY vec_id),
-       |short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT ${k * 4}),
-       |ref AS (
-       |  SELECT s.vec_id,
-       |    list_distance(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv)) AS dist
-       |  FROM short s JOIN embeddings e USING (vec_id))
-       |SELECT vec_id AS neighbor_id,
-       |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
-       |FROM ref ORDER BY dist, vec_id LIMIT $k""".stripMargin
+       |  GROUP BY vec_id)${
+      // refine = 1 is pure ADC (the engine's refineTail at refine ≤ 1:
+      // no exact re-rank, the compressed ranking IS the answer)
+      if (refine <= 1)
+        s"""
+           |SELECT vec_id AS neighbor_id,
+           |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
+           |FROM adc ORDER BY dist, vec_id LIMIT $k""".stripMargin
+      else
+        s""",
+           |short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT ${k * refine}),
+           |ref AS (
+           |  SELECT s.vec_id,
+           |    list_distance(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv)) AS dist
+           |  FROM short s JOIN embeddings e USING (vec_id))
+           |SELECT vec_id AS neighbor_id,
+           |  CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
+           |FROM ref ORDER BY dist, vec_id LIMIT $k""".stripMargin}""".stripMargin
   }
 
   /** ann_topk_batch_res oracle (L2 family, refine = 1 — the served

@@ -38,6 +38,29 @@ class AutotuneSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ-restricted pick comes from the PQ family and is the restricted grid's argmin") {
+    val axis = Autotune.axisFloor(500).toLong
+    val tiers = Autotune.tierGrid(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    Autotune.annAutotuneTiers(spark, sf, 5, Some(Autotune.PqFamilyTiers))
+      .filter(org.apache.spark.sql.functions.col("floor_permille") === 500L)
+      .collect().foreach { r =>
+        val tier = r.getAs[String]("tier")
+        val qualifying = tiers.filter(t =>
+          Autotune.PqFamilyTiers.contains(t._1) && t._4 >= axis)
+        if (tier == "none") assert(qualifying.isEmpty)
+        else {
+          assert(Autotune.PqFamilyTiers.contains(tier),
+            s"restricted pick must stay in the PQ family, got $tier")
+          // the pick is the restricted grid's own argmin by
+          // (cand_per_query, bytes, tier) — sq8 can no longer shadow it
+          val best = qualifying.minBy(t => (t._3, t._1))
+          assert(tier == best._1 && r.getAs[Long]("refine") == best._2,
+            s"restricted pick ($tier) is not the qualifying argmin ($best)")
+        }
+      }
+  }
+
   test("writeAutotune refuses an off-grid floor at write time") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_at_bad")
     try {
