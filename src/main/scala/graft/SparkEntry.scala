@@ -151,6 +151,11 @@ object SparkEntry {
     // E51: graph SERVING — batch beam search (coarse-quantizer entry +
     // bounded expansion rounds) over the converged descent graph
     "graph_topk" -> ((s, d) => GraphIndex.graphTopk(s, d)),
+    // E51e: the same serving stack under the L2 metric — the family
+    // metric is a per-index invariant (descent, entry, and re-score
+    // all run l2), not a hardcoded constant
+    "graph_topk_l2" -> ((s, d) =>
+      GraphIndex.graphTopk(s, d, metric = graft.functions.VectorMetric.L2)),
     // E51c: the A18d filtered contract on the graph path — unfiltered
     // navigation, widened beam, selector picked from the scored pool
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredQuery(s, d)),
@@ -592,6 +597,9 @@ object SparkEntry {
     // E51: the descent replay nested as the graph + entry replay +
     // unrolled beam rounds
     "graph_topk" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d)),
+    // E51e: the same replay chain under the l2 distance template
+    "graph_topk_l2" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d,
+      metric = graft.functions.VectorMetric.L2)),
     // E51c: the beam replay at the widened width, pooled + selector
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredOracleSql(s, d)),
     // E51d: the cosine residual-batch replay at the capped widened

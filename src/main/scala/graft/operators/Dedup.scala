@@ -1918,7 +1918,7 @@ object Dedup {
   val DescentRandomPerIter = 32
 
   private val descentMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (DataFrame, Int)]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), (DataFrame, Int)]
 
   /** Constant init probe budget: the init scan costs
     * O(N · nprobe · N/nc) = O(nprobe · N^1.5) at nc = √(N/2) — keeping
@@ -1964,18 +1964,19 @@ object Dedup {
     * oracle generator share one run.
     */
   private[graft] def descentGraph(spark: SparkSession, dir: String,
-                                  k: Int = 5): (DataFrame, Int) =
-    descentMemo.get((dir, k)).getOrElse(synchronized {
-      descentMemo.getOrElseUpdate((dir, k), {
+                                  k: Int = 5,
+                                  metric: Int = graft.functions.VectorMetric.Cosine)
+      : (DataFrame, Int) =
+    descentMemo.get((dir, k, metric)).getOrElse(synchronized {
+      descentMemo.getOrElseUpdate((dir, k, metric), {
         val vecs = Tables.embeddings(spark, dir)
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val n = Tables.embeddingsCount(spark, dir)
         val nc = Ivf.defaultK(n)
         val np = math.max(1, math.min(DescentInitNprobe, nc))
-        val init = Ivf.annBatch(spark, dir, k,
-          graft.functions.VectorMetric.Cosine, nprobeOpt = Some(np))
+        val init = Ivf.annBatch(spark, dir, k, metric, nprobeOpt = Some(np))
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-        descentRounds(vecs, init, n, k)
+        descentRounds(vecs, init, n, k, metric)
       })
     })
 
@@ -1986,8 +1987,9 @@ object Dedup {
     * is the dense id-domain size for the exploration schedule.
     */
   private[graft] def descentRounds(vecs: DataFrame, init: DataFrame,
-                                   n: Long, k: Int): (DataFrame, Int) = {
-    val metric = graft.functions.VectorMetric.Cosine
+                                   n: Long, k: Int,
+                                   metric: Int = graft.functions.VectorMetric.Cosine)
+      : (DataFrame, Int) = {
     def withDist(pairs: DataFrame): DataFrame =
       pairs
         .join(vecs.select(col("id").as("src"), col("vec").as("va")), "src")
@@ -2079,14 +2081,16 @@ object Dedup {
     * of convergence.
     */
   def knnGraphDescentOracleSql(spark: SparkSession, dir: String,
-                               k: Int = 5): String = {
-    val (_, t) = descentGraph(spark, dir, k)
+                               k: Int = 5,
+                               metric: Int = graft.functions.VectorMetric.Cosine)
+      : String = {
+    val (_, t) = descentGraph(spark, dir, k, metric)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
     val n = Tables.embeddings(spark, dir).count()
     val np = math.max(1, math.min(DescentInitNprobe, nc))
     val cap = descentCap(k)
-    val cos = "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+    val cos = Ivf.pairDistSqlTemplate(metric)
     // per round: capped symmetrized neighborhoods of ALL edges (nb) and
     // of the FRESH edges (nbf — round 0's fresh set IS e0), the
     // incremental-rule pair union, the exploration schedule, the exact
@@ -2153,7 +2157,7 @@ object Dedup {
        |  SELECT query_id, cid FROM (
        |    SELECT q.vec_id AS query_id, t.j AS cid,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS crn
+       |        ${Ivf.probeDistSqlExpr(metric)}, t.j) AS crn
        |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)) x
        |  WHERE crn <= $np),
        |e0 AS MATERIALIZED (

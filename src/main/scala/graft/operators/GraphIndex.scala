@@ -88,7 +88,17 @@ object GraphIndex {
     */
   val GraphBuckets = 16
 
-  private val Metric = VectorMetric.Cosine
+  /** The family's default metric. Since round 13 the metric is a
+    * PER-INDEX invariant plumbed through build/serve/lifecycle (the
+    * reference's per-index config, indexes/base.py:207-219) exactly
+    * like the IVF/PQ families: the l2 family (cosine/l2) shares all
+    * machinery — cosine ranks by `1 − cos` over raw vectors, l2 by
+    * l2Distance — and a persisted tree carries its metric in `_meta`
+    * so a query can never run under a different metric than the one
+    * the graph was descended with (legacy metric-less trees read as
+    * cosine, what they were built as).
+    */
+  val DefaultMetric: Int = VectorMetric.Cosine
 
   // ------------------------------------------------------------ serving
 
@@ -102,12 +112,13 @@ object GraphIndex {
     * top-k via [[BeamRounds]] bounded expansions of the seeded beam
     * (coarse-probe entry ∪ the query node's own symmetrized
     * adjacency). `edges` is directed (src, dst); scoring is exact
-    * cosine against the corpus — the graph only PROPOSES candidates,
-    * so a stale or approximate edge can cost recall but never a wrong
-    * distance.
+    * under the family metric against the corpus — the graph only
+    * PROPOSES candidates, so a stale or approximate edge can cost
+    * recall but never a wrong distance.
     */
   private[graft] def beamTopk(spark: SparkSession, dir: String,
-                              edges: DataFrame, k: Int): DataFrame = {
+                              edges: DataFrame, k: Int,
+                              metric: Int = DefaultMetric): DataFrame = {
     val b = beamWidth(k)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("cv"))
@@ -115,11 +126,11 @@ object GraphIndex {
     // entry: the nearest coarse list's best B per query (exact within
     // the probed list, rides the session IVF memo, excludes self) ∪
     // the query's own stored links
-    val entry = Ivf.annBatch(spark, dir, b, Metric, nprobeOpt = Some(EntryNprobe))
+    val entry = Ivf.annBatch(spark, dir, b, metric, nprobeOpt = Some(EntryNprobe))
       .select(col("query_id"), col("neighbor_id").as("cand"))
       .union(sym.select(col("src").as("query_id"), col("dst").as("cand")))
       .dropDuplicates("query_id", "cand")
-    beamRounds(entry, sym, vecs, k, b)
+    beamRounds(entry, sym, vecs, k, b, metric = metric)
   }
 
   /** The shared round loop: `beam0` (query_id, cand) expands through
@@ -130,7 +141,8 @@ object GraphIndex {
     */
   private[graft] def beamRounds(beam0: DataFrame, edges: DataFrame,
                                     vecs: DataFrame, k: Int, b: Int,
-                                    qvecsOpt: Option[DataFrame] = None): DataFrame = {
+                                    qvecsOpt: Option[DataFrame] = None,
+                                    metric: Int = DefaultMetric): DataFrame = {
     val qvecs = qvecsOpt.getOrElse(
       vecs.select(col("id").as("query_id"), col("cv").as("qv")))
     val e = edges.select(col("src").as("cand"), col("dst"))
@@ -147,7 +159,7 @@ object GraphIndex {
         .join(qvecs, "query_id")
         .join(vecs.select(col("id").as("cand"), col("cv")), "cand")
         .select(col("query_id"), col("cand"),
-          Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+          Ivf.distCol(metric, col("qv"), col("cv")).as("dist"))
       // eager checkpoint per round: the loop otherwise re-executes the
       // whole prefix each round (the descentGraph lesson)
       val next = scored.groupBy("query_id")
@@ -175,15 +187,18 @@ object GraphIndex {
     ranked
   }
 
-  /** Driver query: `graph_topk` — every vector's cosine top-k served
-    * through the CONVERGED session descent graph (E37c's memo) by
-    * batch beam search. Oracle-checked end-to-end: the generator nests
-    * the descent-graph replay and the entry replay, then unrolls the
-    * beam rounds.
+  /** Driver query: `graph_topk` (cosine) / `graph_topk_l2` (l2) —
+    * every vector's top-k UNDER THE FAMILY METRIC served through the
+    * CONVERGED session descent graph (E37c's memo, built under the
+    * same metric) by batch beam search. Oracle-checked end-to-end: the
+    * generator nests the descent-graph replay and the entry replay,
+    * then unrolls the beam rounds, all under the metric's distance
+    * template.
     */
-  def graphTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val (graph, _) = Dedup.descentGraph(spark, dir, k)
-    beamTopk(spark, dir, graph.select("src", "dst"), k)
+  def graphTopk(spark: SparkSession, dir: String, k: Int = 5,
+                metric: Int = DefaultMetric): DataFrame = {
+    val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
+    beamTopk(spark, dir, graph.select("src", "dst"), k, metric)
   }
 
   /** graph_topk oracle: the converged-graph replay (the FULL descent
@@ -194,8 +209,9 @@ object GraphIndex {
     * exact re-score with the SAME `1.0 − list_cosine_similarity`
     * double, top-B by (dist, cand)).
     */
-  def graphTopkOracleSql(spark: SparkSession, dir: String, k: Int = 5): String =
-    s"""WITH ${graphBeamCtes(spark, dir, k, beamWidth(k))}
+  def graphTopkOracleSql(spark: SparkSession, dir: String, k: Int = 5,
+                         metric: Int = DefaultMetric): String =
+    s"""WITH ${graphBeamCtes(spark, dir, k, beamWidth(k), metric)}
        |SELECT query_id, cand AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
        |FROM b$BeamRounds
@@ -209,11 +225,11 @@ object GraphIndex {
     * oracle append their own final SELECT.
     */
   private def graphBeamCtes(spark: SparkSession, dir: String, k: Int,
-                            b: Int): String = {
-    val cos = "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
-    val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k)
+                            b: Int, metric: Int = DefaultMetric): String = {
+    val cos = Ivf.pairDistSqlTemplate(metric)
+    val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k, metric)
     val entrySql = Ivf.annBatchNprobeOracleSql(spark, dir, b,
-      nprobeOpt = Some(EntryNprobe))
+      nprobeOpt = Some(EntryNprobe), metric = metric)
     val rounds = (1 to BeamRounds).map { r =>
       val prev = s"b${r - 1}"
       s"""c$r AS (
@@ -291,7 +307,8 @@ object GraphIndex {
     * cannot drift on the arithmetic.
     */
   def graphTopkFiltered(spark: SparkSession, dir: String, k: Int,
-                        selector: DataFrame): DataFrame = {
+                        selector: DataFrame,
+                        metric: Int = DefaultMetric): DataFrame = {
     val sel = selector.select(col("id"))
     val kr = Pq.filteredExactMax(k, 4)
     lazy val n = Tables.embeddingsCount(spark, dir)
@@ -307,7 +324,7 @@ object GraphIndex {
         .select(col("id").as("cand"), col("vec").as("cv"))
       queries.join(broadcast(candVecs), col("cand") =!= col("query_id"))
         .select(col("query_id"), col("cand"),
-          Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+          Ivf.distCol(metric, col("qv"), col("cv")).as("dist"))
         .groupBy("query_id")
         .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), k).as("nn"))
         .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
@@ -318,18 +335,18 @@ object GraphIndex {
       // mid-selectivity: the compressed filtered batch at the capped
       // widening (nprobe already estimated once here — resBatch takes
       // it as given, so the selector is not re-counted)
-      val (_, cents) = Ivf.indexFor(spark, dir, Metric)
+      val (_, cents) = Ivf.indexFor(spark, dir, metric)
       val npEff = Pq.widenedNprobe(
         math.max(1, Ivf.defaultK(n) / 4), n, fEst, cents.length)
-      Pq.resBatch(spark, dir, k, nprobeOpt = Some(npEff), metric = Metric,
+      Pq.resBatch(spark, dir, k, nprobeOpt = Some(npEff), metric = metric,
         refine = 4, selector = Some(sel))
     } else {
       val bEff = (beamWidth(k) * widen).toInt
-      val (graph, _) = Dedup.descentGraph(spark, dir, k)
+      val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
       val sym = symmetrize(graph.select("src", "dst"))
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("cv"))
-      val entry = Ivf.annBatch(spark, dir, bEff, Metric,
+      val entry = Ivf.annBatch(spark, dir, bEff, metric,
           nprobeOpt = Some(EntryNprobe))
         .select(col("query_id"), col("neighbor_id").as("cand"))
         .union(sym.select(col("src").as("query_id"), col("dst").as("cand")))
@@ -350,7 +367,7 @@ object GraphIndex {
           .join(qvecs, "query_id")
           .join(vecs.select(col("id").as("cand"), col("cv")), "cand")
           .select(col("query_id"), col("cand"),
-            Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+            Ivf.distCol(metric, col("qv"), col("cv")).as("dist"))
           .localCheckpoint(true)
         pools += scored
         beam = scored.groupBy("query_id")
@@ -441,12 +458,12 @@ object GraphIndex {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     else if (widen > MaxBeamWiden) {
-      val (_, cents) = Ivf.indexFor(spark, dir, Metric)
+      val (_, cents) = Ivf.indexFor(spark, dir, DefaultMetric)
       val npEff = Pq.widenedNprobe(
         math.max(1, Ivf.defaultK(n) / 4), n, fEst, cents.length)
       Pq.resBatchOracleSqlImpl(spark, dir, k, npOverride = Some(npEff),
         candJoin = s"\n  JOIN embeddings fe ON fe.vec_id = a.vec_id AND ${pred("fe")}",
-        metric = Metric, refine = 4)
+        metric = DefaultMetric, refine = 4)
     } else {
       val bEff = (beamWidth(k) * widen).toInt
       val poolUnion = (1 to BeamRounds)
@@ -483,7 +500,8 @@ object GraphIndex {
   private def writeGraphTree(spark: SparkSession, edges: DataFrame,
                              vecsAssigned: DataFrame,
                              centroids: Array[Array[Float]],
-                             outPath: String, k: Int): Unit = {
+                             outPath: String, k: Int,
+                             metric: Int): Unit = {
     edges.select(col("src"), col("dst"), col("dist"))
       .withColumn("src_bucket", bucketOf(col("src")))
       .repartition(col("src_bucket")) // one file per bucket, not task×bucket
@@ -496,8 +514,23 @@ object GraphIndex {
     centroids.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_centroids")
-    Seq((k, GraphBuckets)).toDF("k", "buckets")
+    Seq((k, GraphBuckets, metric)).toDF("k", "buckets", "metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_meta")
+  }
+
+  /** (k, metric) of a persisted tree — the per-index invariants every
+    * serve/mutate path runs under. Legacy `_meta` files predate the
+    * metric column and read as cosine (what they were built as).
+    */
+  private[graft] def readMeta(spark: SparkSession, indexPath: String): (Int, Int) = {
+    val df = spark.read.parquet(s"$indexPath/_meta")
+    val row = df.head()
+    val k = row.getInt(df.schema.fieldIndex("k"))
+    val metric =
+      if (df.schema.fieldNames.contains("metric"))
+        row.getInt(df.schema.fieldIndex("metric"))
+      else DefaultMetric
+    (k, metric)
   }
 
   private[graft] def readEdges(spark: SparkSession, indexPath: String): DataFrame =
@@ -526,20 +559,22 @@ object GraphIndex {
   private def beamSearchLoaded(stored: DataFrame, edges: DataFrame,
                                cents: Array[Array[Float]],
                                queries: DataFrame, k: Int,
-                               broadcastProbes: Boolean = false): DataFrame = {
+                               broadcastProbes: Boolean = false,
+                               metric: Int = DefaultMetric): DataFrame = {
     val b = beamWidth(k)
     val probes = Ivf.probeSelect(
       queries.select(col("id").as("query_id"), col("vec").as("qvec")),
-      cents, EntryNprobe, Metric)
+      cents, EntryNprobe, metric)
     // append micro-batches broadcast their probe frame into the stored
     // scan (point-serving contract); corpus-sized callers shuffle-join
     val entry = Ivf.probedTopK(
         stored.select(col("cluster_id"), col("id").as("neighbor_id"), col("vec")),
-        probes, b, Metric, broadcastProbes = broadcastProbes)
+        probes, b, metric, broadcastProbes = broadcastProbes)
       .select(col("query_id"), col("neighbor_id").as("cand"))
     beamRounds(entry, symmetrize(edges),
       stored.select(col("id"), col("vec").as("cv")), k, b,
-      qvecsOpt = Some(queries.select(col("id").as("query_id"), col("vec").as("qv"))))
+      qvecsOpt = Some(queries.select(col("id").as("query_id"), col("vec").as("qv"))),
+      metric = metric)
   }
 
   /** Serve a PERSISTED graph tree for an out-of-corpus (id, vec) query
@@ -549,9 +584,13 @@ object GraphIndex {
   def queryGraphBatch(spark: SparkSession, indexPath: String,
                       queries: DataFrame, k: Int): DataFrame = {
     checkNoHalfApplied(spark, indexPath)
+    // the tree's OWN metric — a query can never run under a different
+    // metric than the one the graph was descended with
+    val (_, metric) = readMeta(spark, indexPath)
     beamSearchLoaded(readVectors(spark, indexPath),
       readEdges(spark, indexPath),
-      IndexLifecycle.loadCentroids(spark, indexPath), queries, k)
+      IndexLifecycle.loadCentroids(spark, indexPath), queries, k,
+      metric = metric)
   }
 
   // ---------------------------------------------------------- lifecycle
@@ -560,14 +599,15 @@ object GraphIndex {
     * assigned vectors, coarse centroids, and a fresh lifecycle state.
     */
   def build(spark: SparkSession, dir: String, indexPath: String,
-            k: Int = 5): IndexStatus = {
+            k: Int = 5, metric: Int = DefaultMetric): IndexStatus = {
     val prev = IndexLifecycle.status(spark, indexPath)
-    val (graph, _) = Dedup.descentGraph(spark, dir, k)
+    val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
     val (assign, cents) = Ivf.indexFor(spark, dir)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     writeGraphTree(spark, graph,
-      vecs.join(assign.select("id", "cluster_id"), "id"), cents, indexPath, k)
+      vecs.join(assign.select("id", "cluster_id"), "id"), cents, indexPath, k,
+      metric)
     val n = Tables.embeddingsCount(spark, dir)
     val dim = vecs.select(size(col("vec"))).head().getInt(0)
     val next = IndexStatus("knngraph", isBuilt = true, isDirty = false,
@@ -603,8 +643,7 @@ object GraphIndex {
     // landing protocol does below
     if (streamBatchId.exists(_ <= s.appliedBatchFor(streamId.getOrElse(""))))
       return s
-    val meta = spark.read.parquet(s"$indexPath/_meta").head()
-    val k = meta.getInt(0)
+    val (k, metric) = readMeta(spark, indexPath)
     val nv = newVecs.select(col("id"), col("vec")).cache()
     val d = nv.count()
     val stored = readVectors(spark, indexPath)
@@ -615,11 +654,11 @@ object GraphIndex {
     // forward edges: the new vector's top-k among EXISTING nodes (the
     // shared beam core; coarse entry + symmetrized expansion)
     val forward = beamSearchLoaded(stored, edges, cents, nv, k,
-        broadcastProbes = true)
+        broadcastProbes = true, metric = metric)
       .join(queries, "query_id") // re-score carried dist for the edge rows
       .join(vecs.select(col("id").as("neighbor_id"), col("cv")), "neighbor_id")
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
-        Ivf.distCol(Metric, col("qv"), col("cv")).as("dist"))
+        Ivf.distCol(metric, col("qv"), col("cv")).as("dist"))
       .localCheckpoint(true)
     // reverse edges cap touched nodes at R (their old edges compete)
     val reverse = forward.select(col("dst").as("src"), col("src").as("dst"),
@@ -757,7 +796,7 @@ object GraphIndex {
           sys.error(s"graph rebuild: could not discard staging dir $marker")
       }
     }
-    val k = spark.read.parquet(s"$indexPath/_meta").head().getInt(0)
+    val (k, metric) = readMeta(spark, indexPath)
     val vecs = readVectors(spark, indexPath).select("id", "vec").cache()
     val n = vecs.count()
     // init: fresh coarse quantizer over the current contents at the
@@ -768,17 +807,18 @@ object GraphIndex {
     val np = math.max(1, math.min(Dedup.DescentInitNprobe, cents.length))
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
     val init = Ivf.probedTopK(Ivf.invertedLists(rb, assign),
-        Ivf.probeSelect(queries, cents, np, Metric, hier = hier), k, Metric,
+        Ivf.probeSelect(queries, cents, np, metric, hier = hier), k, metric,
         pairFilter = col("neighbor_id") =!= col("query_id"),
         broadcastProbes = false)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // the exploration schedule needs the dense id-domain bound: ids
     // are 0..n-1 ∪ appended (re-keyed past the corpus) — max+1 covers
     val domain = vecs.agg(max(col("id"))).head().getLong(0) + 1
-    val (graph, _) = Dedup.descentRounds(vecs, init, domain, k)
+    val (graph, _) = Dedup.descentRounds(vecs, init, domain, k, metric)
     val staged = s"$indexPath/_rebuild_tmp"
     writeGraphTree(spark, graph,
-      vecs.join(assign.select("id", "cluster_id"), "id"), cents, staged, k)
+      vecs.join(assign.select("id", "cluster_id"), "id"), cents, staged, k,
+      metric)
     val next = IndexStatus("knngraph", isBuilt = true, isDirty = false,
       size = n, embeddingDim = s.embeddingDim,
       builtAt = System.currentTimeMillis(), version = s.version + 1,

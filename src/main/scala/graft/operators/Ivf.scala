@@ -1103,9 +1103,39 @@ object Ivf {
     * under the subtraction, and only the identical expression
     * reproduces the engine's (dist, id) tie-break there.
     */
+  /** Pair-distance SQL template for the l2 family's oracles (two
+    * `embeddings`-aliased sides, `%s` placeholders): the literally
+    * identical double expression the engine's distCol computes —
+    * cosine orders by `1.0 − list_cosine_similarity` (never
+    * `similarity DESC`: near-zero sims collapse under the
+    * subtraction), l2 by `list_distance` (DuckDB's sequential double
+    * fold is bit-identical to the l2Distance kernel).
+    */
+  private[operators] def pairDistSqlTemplate(metric: Int): String = metric match {
+    case VectorMetric.Cosine =>
+      "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+    case VectorMetric.L2 =>
+      "list_distance(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+    case other => sys.error(s"no pair-distance SQL template for metric $other")
+  }
+
+  /** Probe-ranking SQL expr against the `cents` literal (`q` aliased
+    * query row, `t.j` the centroid ordinal) — distCol under the query
+    * metric against the L2-representation centroids, the probeSelect
+    * twin.
+    */
+  private[operators] def probeDistSqlExpr(metric: Int): String = metric match {
+    case VectorMetric.Cosine =>
+      "1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1])"
+    case VectorMetric.L2 =>
+      "list_distance(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1])"
+    case other => sys.error(s"no probe-distance SQL expr for metric $other")
+  }
+
   def annBatchNprobeOracleSql(spark: SparkSession, dir: String,
                               k: Int = 5,
-                              nprobeOpt: Option[Int] = None): String = {
+                              nprobeOpt: Option[Int] = None,
+                              metric: Int = VectorMetric.Cosine): String = {
     val (_, cents) = indexFor(spark, dir)
     val nc = cents.length
     val np = nprobeOpt.getOrElse(math.max(1, nc / 4))
@@ -1114,13 +1144,12 @@ object Ivf {
        |  SELECT query_id, cid FROM (
        |    SELECT q.vec_id AS query_id, t.j AS cid,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1]), t.j) AS crn
+       |        ${probeDistSqlExpr(metric)}, t.j) AS crn
        |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)) x
        |  WHERE crn <= $np),
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    1.0 - list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |                                 CAST(ce.embedding AS DOUBLE[])) AS dist
+       |    ${pairDistSqlTemplate(metric).format("qe", "ce")} AS dist
        |  FROM probes p
        |  JOIN asg a ON a.cid = p.cid
        |  JOIN embeddings qe ON qe.vec_id = p.query_id

@@ -150,6 +150,64 @@ class GraphSpec extends AnyFunSuite {
     assert(got0 == want, s"starved filtered graph must rank exactly: $got0 != $want")
   }
 
+  test("l2 graph serving: k rows per query, recall floor vs the l2 exact contract") {
+    val got = GraphIndex.graphTopk(spark, sf, k, graft.functions.VectorMetric.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.embeddingsCount(spark, sf)
+    assert(got.length == n * k, s"${got.length} rows != n*k")
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.Ivf
+      .exactEdges(spark, sf, k, graft.functions.VectorMetric.L2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      (ex & gotByQ.getOrElse(q, Set.empty)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"l2 graph serving recall $mean < 0.9 (measured 0.978)")
+  }
+
+  test("l2 graph lifecycle: metric persists in _meta, serving runs the tree's own metric") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_l2")
+    val tmp = s"$tmpDir/g"
+    try {
+      val l2 = graft.functions.VectorMetric.L2
+      val n = Tables.embeddingsCount(spark, sf)
+      val d = 10L
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      GraphIndex.build(spark, sf, tmp, k, metric = l2)
+      assert(GraphIndex.readMeta(spark, tmp) == ((k, l2)),
+        "the tree must carry its metric")
+      // append re-keyed duplicates, then serve: each probe query's
+      // duplicate twin is its l2-nearest at distance 0, rank 1
+      GraphIndex.append(
+        vecs.filter(col("id") < d).select((col("id") + n).as("id"), col("vec")), tmp)
+      import spark.implicits._
+      val probeQueries = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < d)
+        .select((col("vec_id") + 2 * n).as("id"), col("embedding").as("vec"))
+      val served = GraphIndex.queryGraphBatch(spark, tmp, probeQueries, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val hits = (0L until d).count { i =>
+        served.exists(t => t._1 == i + 2 * n &&
+          (t._2 == i || t._2 == i + n) && t._3 == 1)
+      }
+      assert(hits == d,
+        s"l2 persisted serving found only $hits/$d duplicate twins at rank 1")
+      // a legacy metric-less _meta reads as cosine (what it was built as)
+      spark.createDataFrame(Seq((k, GraphIndex.GraphBuckets))).toDF("k", "buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+      assert(GraphIndex.readMeta(spark, tmp) ==
+        ((k, graft.functions.VectorMetric.Cosine)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("mid-selectivity filtered serving: selector-only, near-exact vs the filtered contract") {
     import org.apache.spark.sql.functions.{lit, pmod}
     // vec_id ≡ 1 mod 17 (~6%): past the ×16 widening cap, far from
