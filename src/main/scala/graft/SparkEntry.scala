@@ -166,6 +166,10 @@ object SparkEntry {
     // E51b: the persisted graph's lifecycle (build / search-then-link
     // appends / dirty-ratio rebuild / read-back), the A18b shape
     "graph_lifecycle" -> ((s, d) => GraphIndex.graphLifecycle(s, d)),
+    // E51f: remove_vector on the graph layout — repair-link delete
+    // (in-neighbors inherit the deleted hop's surviving out-neighbors),
+    // touched-bucket rewrites, read-backs prove vectors AND edges shrank
+    "graph_delete" -> ((s, d) => GraphIndex.graphDelete(s, d)),
     // E43: serving-quality dashboard — per-query recall@k histogram
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
@@ -399,6 +403,9 @@ object SparkEntry {
     // E51b: the graph lifecycle's state arithmetic (append dirt,
     // threshold crossing, rebuild reset, read-back size)
     "graph_lifecycle"     -> GraphIndex.graphLifecycleOracleSql,
+    // E51f: delete state arithmetic + the two disk read-backs
+    // (_vectors shrank; zero surviving edges reference a deleted id)
+    "graph_delete"        -> GraphIndex.graphDeleteOracleSql,
     "validate_chunks"     -> Validate.validateChunksOracleSql,
     "validate_documents"  -> Validate.validateDocumentsOracleSql,
     "validate_libraries"  -> Validate.validateLibrariesOracleSql,

@@ -279,6 +279,87 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph delete: repair-link rewires in-edges, untouched stable, deleted never served") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_del")
+    val tmp = s"$tmpDir/g"
+    try {
+      import org.apache.spark.sql.functions.lit
+      import spark.implicits._
+      val n = Tables.embeddingsCount(spark, sf)
+      GraphIndex.build(spark, sf, tmp, k)
+      val s1 = IndexLifecycle.status(spark, tmp)
+      def adjacency(): Map[Long, Seq[(Long, Double)]] =
+        GraphIndex.readEdges(spark, tmp).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      val before = adjacency()
+      // a purely-missing batch is a NO-OP (the reference's return False)
+      val s2 = GraphIndex.delete((10000L until 10005L).toDF("id"), tmp)
+      assert(s2 == s1, "missing ids must be a state no-op")
+      assert(adjacency() == before, "missing ids must not touch the tree")
+      // real delete: every 11th id (+ one missing id in the same batch)
+      val delIds = (0L until n).filter(_ % 11 == 0)
+      val s3 = GraphIndex.delete(
+        (delIds :+ 20000L).toDF("id"), tmp)
+      assert(s3.dirtyCount == delIds.length && s3.size == n - delIds.length,
+        "dirt/size must count only ids actually present")
+      val delSet = delIds.toSet
+      assert(GraphIndex.readVectors(spark, tmp).collect()
+        .forall(r => !delSet(r.getLong(0))), "deleted rows left in _vectors")
+      val after = adjacency()
+      after.foreach { case (src, out) =>
+        assert(!delSet(src), s"deleted $src still has out-edges")
+        assert(out.forall(e => !delSet(e._1)), s"$src still links a deleted id")
+        assert(out.size <= GraphIndex.reverseCap(k),
+          s"$src degree ${out.size} exceeds the R cap after repair")
+      }
+      // repair contract: each touched node's adjacency is EXACTLY the
+      // top-R of (its surviving edges ∪ the deleted hops' surviving
+      // out-neighbors), ties (dist, id) — replicating the engine fold
+      val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        if (na == 0 || nb == 0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      }
+      val touched = before.filter { case (src, out) =>
+        !delSet(src) && out.exists(e => delSet(e._1)) }.keySet
+      touched.foreach { u =>
+        val kept = before(u).filter(e => !delSet(e._1))
+        val inherited = before(u).map(_._1).filter(delSet).flatMap(v =>
+          before.getOrElse(v, Seq.empty).map(_._1)
+            .filter(w => !delSet(w) && w != u)
+            .map(w => (w, cos(all(u), all(w)))))
+        val expected = (kept ++ inherited).distinct
+          .groupBy(_._1).map { case (id, ds) => (id, ds.map(_._2).min) }.toSeq
+          .sortBy { case (id, dist) => (dist, id) }
+          .take(GraphIndex.reverseCap(k)).map(_._1).toSet
+        val got = after(u).map(_._1).toSet
+        assert(got == expected, s"repair of $u: $got != $expected")
+      }
+      // untouched nodes keep their very adjacency
+      before.foreach { case (src, out) =>
+        if (!delSet(src) && !touched(src))
+          assert(after(src).toSet == out.toSet, s"untouched $src changed")
+      }
+      // serving never returns a deleted id
+      val probes = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 3 * n).as("id"), col("embedding").as("vec"))
+      val served = GraphIndex.queryGraphBatch(spark, tmp, probes, k)
+        .collect().map(_.getLong(1))
+      assert(served.forall(!delSet(_)), "a deleted id was served")
+      // retry is idempotent: the ids are gone, so the batch no-ops
+      val s4 = GraphIndex.delete(delIds.toDF("id"), tmp)
+      assert(s4 == s3, "re-deleting removed ids must be a no-op")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("rebuild reconciles a crash between append's state write and vector move-in") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec4")
     val tmp = s"$tmpDir/g"
