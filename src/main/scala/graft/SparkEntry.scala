@@ -173,6 +173,9 @@ object SparkEntry {
     // E43: serving-quality dashboard — per-query recall@k histogram
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
+    // E54: the same dashboard for the GRAPH tier — puts the graph
+    // family on the selection table next to E43/A24
+    "graph_recall_report" -> ((s, d) => GraphIndex.graphRecallReport(s, d)),
     // E50: the nprobe tuning curve (recall@k per grid point vs exact)
     "ann_param_sweep" -> ((s, d) => Autotune.sweepGrid(s, d)),
     // E53: the measured grids' argmin — the operating point picked
@@ -614,6 +617,8 @@ object SparkEntry {
     "graph_topk_filtered_midsel" -> ((s, d) => GraphIndex.graphTopkFilteredMidselOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
+    // E54: exact-window ∩ the full graph-serving replay, same fold
+    "graph_recall_report" -> ((s, d) => GraphIndex.graphRecallReportOracleSql(s, d)),
     // E50: UNION ALL of per-nprobe E43 blocks over the same literals
     "ann_param_sweep" -> ((s, d) => Dedup.annParamSweepOracleSql(s, d)),
     // E53: both grid replays nested + the same per-floor argmin

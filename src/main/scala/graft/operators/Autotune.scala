@@ -40,6 +40,19 @@ import org.apache.spark.sql.functions._
   * sidecar beside a persisted IVF-PQ tree and [[Pq.queryIvfPqTuned]]
   * serves with those defaults — the tuner's output is config, not
   * prose (AutotuneSpec pins the round trip).
+  *
+  * The GRAPH tier (A26) is deliberately NOT a row on the tier grid:
+  * the argmin composes two MARGINAL axes (coarse nprobe × code
+  * quality at a shared probe-all scan) whose losses multiply, while
+  * graph serving has no independent coarse axis — its entry IS the
+  * coarse quantizer at a constant nprobe=1 and its recall knob is
+  * (rounds, beam), a different operating curve that a
+  * (cand_per_query, bytes_per_vec) ordering cannot price against
+  * code tiers. The graph tier is graded against the SAME exact
+  * contract by its own E43-shaped dashboard (`graph_recall_report`,
+  * GraphIndex.graphRecallReport); an operator choosing an index
+  * reads the three reports (E43 nprobe / A24 codes / E54 graph)
+  * against the same floors.
   */
 object Autotune {
 

@@ -268,6 +268,57 @@ object GraphIndex {
        |$rounds""".stripMargin
   }
 
+  /** Driver query: `graph_recall_report` — E43's serving-quality
+    * dashboard for the GRAPH tier: the per-query recall@k histogram of
+    * seeded-beam serving vs the exact contract, exact integers end to
+    * end. This puts the graph family on the SELECTION TABLE next to
+    * the quantization tiers (E43 grades nprobe, A24 grades the code
+    * tiers, this grades the graph) — an operator choosing an index
+    * reads all three against the same exact contract. The graph tier
+    * deliberately does NOT join A24's (tier, refine) argmin grid: the
+    * tuner's tier axis measures CODE quality at a shared probe-all
+    * scan and composes with the nprobe axis multiplicatively, while
+    * graph serving has no independent coarse axis to compose with —
+    * its entry IS the coarse quantizer at a constant nprobe=1 and its
+    * recall knob is (rounds, beam), a different operating curve. The
+    * honest comparison is this report against the same floors
+    * (Autotune's scaladoc records the same rationale).
+    */
+  def graphRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = Ivf.exactEdges(spark, dir, k, DefaultMetric)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = graphTopk(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(served, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .groupBy(col("hits"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("hits")
+  }
+
+  /** graph_recall_report oracle: the exact top-k window ∩ the full
+    * graph-serving replay (both already this family's oracles), folded
+    * to the E43 histogram — nothing re-derived.
+    */
+  def graphRecallReportOracleSql(spark: SparkSession, dir: String,
+                                 k: Int = 5): String =
+    s"""WITH ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${Dedup.annTopkBatchOracleSql(k)}
+       |  ) t),
+       |sv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${graphTopkOracleSql(spark, dir, k)}
+       |  ) t),
+       |h AS (
+       |  SELECT e.query_id, CAST(count(s.query_id) AS BIGINT) AS hits
+       |  FROM ex e LEFT JOIN sv s
+       |    ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+       |  GROUP BY 1)
+       |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
+       |FROM h GROUP BY hits ORDER BY hits""".stripMargin
+
   // ------------------------------------------------- filtered serving
 
   /** Beam-width widening factors above this serve the exact pre-filter
