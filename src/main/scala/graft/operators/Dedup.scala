@@ -1988,7 +1988,8 @@ object Dedup {
     */
   private[graft] def descentRounds(vecs: DataFrame, init: DataFrame,
                                    n: Long, k: Int,
-                                   metric: Int = graft.functions.VectorMetric.Cosine)
+                                   metric: Int = graft.functions.VectorMetric.Cosine,
+                                   maxIters: Int = DescentMaxIters)
       : (DataFrame, Int) = {
     def withDist(pairs: DataFrame): DataFrame =
       pairs
@@ -2010,7 +2011,7 @@ object Dedup {
         var applied = 0
         var iter = 0
         var converged = false
-        while (iter < DescentMaxIters && !converged) {
+        while (iter < maxIters && !converged) {
           val nbrs = symCap(cur)
           val nbrsF = symCap(fresh)
           // the incremental rule: only pairs with a fresh side

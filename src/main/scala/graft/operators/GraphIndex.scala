@@ -62,6 +62,19 @@ object GraphIndex {
     * own adjacency) round 2 is measured saturation on the sf corpora
     * (GraphProbe: 0.972 → 0.974 → 0.975 at rounds 1/2/3); GraphSpec
     * pins the recall floor.
+    *
+    * The sf0.1 ceiling is the SUBSTRATE, and deeper builds are a
+    * measured NEGATIVE (round 13, GraphProbe grid at sf0.1): served
+    * recall is 0.879 because the 5-iter descent saturates at 0.742 on
+    * the 2,000 near-uniform vectors; beam rounds 1→3 buy +0.005,
+    * entry nprobe 2 and B = 4k stay ≤ 0.49 without the own-adjacency
+    * seed, and RAISING the descent cap converges logarithmically —
+    * 8 iters → 0.756 substrate / 0.889 served, 12 iters (2.4× build)
+    * → 0.769 / 0.899, still under 0.9. The knob that matters is graph
+    * quality at build, which this corpus (structureless by
+    * construction — the E37c uniform finding) caps; on clustered
+    * corpora the descent converges to recall 1.0 in the same budget.
+    * GraphSpec pins the sf0.1 served floor at 0.85.
     */
   val BeamRounds = 2
 

@@ -94,6 +94,30 @@ object GraphProbe {
     (1 to 3).foreach { r =>
       println(f"[gp] sym+own np=1 r=$r recall   ${beamAt(symEdges, 1, r, b, seedOwn = true)}%.3f")
     }
+    // the binding constraint at sf0.1 is the SUBSTRATE (the 5-iter
+    // descent saturates at 0.742; served = 0.879): measure whether a
+    // deeper descent at build time lifts the ceiling and what serving
+    // through the deeper graph buys
+    locally {
+      val idVecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val n = Tables.embeddingsCount(spark, dir)
+      val nc = Ivf.defaultK(n)
+      val np = math.max(1, math.min(Dedup.DescentInitNprobe, nc))
+      val init = Ivf.annBatch(spark, dir, k, VectorMetric.Cosine,
+          nprobeOpt = Some(np))
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      Seq(8, 12).foreach { mi =>
+        val (deep, it) = Dedup.descentRounds(idVecs, init, n, k, maxIters = mi)
+        println(f"[gp] deep descent mi=$mi recall ${recallOf(
+          deep.select(col("src").as("query_id"), col("dst").as("neighbor_id")))}%.3f (iters $it)")
+        val deepSym = deep.select("src", "dst").union(
+          deep.select(col("dst").as("src"), col("src").as("dst")))
+          .dropDuplicates("src", "dst")
+        println(f"[gp] deep mi=$mi sym+own r=2    ${beamAt(deepSym, 1, 2, b, seedOwn = true)}%.3f")
+        deep.unpersist()
+      }
+    }
     spark.stop()
   }
 }
