@@ -149,6 +149,17 @@ object Bench {
     // the learned-rotation model + rotated codes behind pq_topk_opq
     "memo_pq_codes_opq"  -> (() =>
       { operators.Pq.encode(spark, dir, opq = true); () }),
+    // the cosine RESIDUAL codes behind the mid-selectivity filtered
+    // graph route (round 13) — after memo_ivf_index_cos (they ride the
+    // normalized-corpus assignment)
+    "memo_pq_codes_res_cos" -> (() =>
+      { operators.Pq.encodeResidual(spark, dir,
+          metric = functions.VectorMetric.Cosine); () }),
+    // the L2 descent graph behind graph_topk_l2 (round 13) — its own
+    // line so the key measures serving, not the build
+    "memo_descent_graph_l2" -> (() =>
+      { operators.Dedup.descentGraph(spark, dir,
+          metric = functions.VectorMetric.L2); () }),
     // the learned merge table behind bpe_train/token_count_bpe/E39b —
     // warmed so whichever of the three keys runs first doesn't bill
     // the driver merge loop to itself
