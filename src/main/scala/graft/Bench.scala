@@ -169,7 +169,11 @@ object Bench {
     // these two lines measure only the grid MEASUREMENT itself — the
     // dashboard keys then serve the pinned grids
     "memo_sweep_grid" -> (() => { operators.Autotune.sweepGrid(spark, dir); () }),
-    "memo_tier_grid"  -> (() => { operators.Autotune.tierGrid(spark, dir); () }))
+    "memo_tier_grid"  -> (() => { operators.Autotune.tierGrid(spark, dir); () }),
+    // the persisted tuned tree behind ivfpq_topk_tuned — after the
+    // grids (writeAutotune reads them) and the residual codes, so this
+    // line measures ONLY the tree persist + sidecar write
+    "memo_ivfpq_tuned_tree" -> (() => { operators.Pq.tunedTree(spark, dir); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

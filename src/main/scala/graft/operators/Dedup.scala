@@ -2192,32 +2192,40 @@ object Dedup {
     * keys); at 100 TB the standard practice is measuring on a query
     * SAMPLE — the report composes with any query-side filter.
     */
-  def annRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = Ivf.exactEdges(spark, dir, k, graft.functions.VectorMetric.Cosine)
-      .select(col("query_id"), col("neighbor_id"))
-    val served = annTopkBatchNprobe(spark, dir, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(served, Seq("query_id", "neighbor_id"), "left")
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallHistogram(
+      Ivf.exactEdges(spark, dir, k, graft.functions.VectorMetric.Cosine),
+      annTopkBatchNprobe(spark, dir, k))
+
+  /** THE E43 fold — (hits, n_queries) of served vs exact — shared by
+    * every serving-tier dashboard (E43 nprobe, E54 graph) so the
+    * "same exact contract, same histogram" comparison is one
+    * definition, not per-key copies that can drift.
+    */
+  private[operators] def recallHistogram(exact: DataFrame,
+                                         served: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(served.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .groupBy(col("hits"))
       .agg(count(lit(1)).as("n_queries"))
       .orderBy("hits")
-  }
 
-  /** E43 oracle: the exact top-k window ∩ the nprobe centroid-literal
-    * replay (both already exist as this family's oracles), folded to
-    * the same histogram — nothing re-derived.
+  /** The oracle twin of [[recallHistogram]]: exact-replay ∩
+    * served-replay, folded to the same histogram.
     */
-  def annRecallReportOracleSql(spark: SparkSession, dir: String,
-                               k: Int = 5): String =
+  private[operators] def recallHistogramOracleSql(exSql: String,
+                                                  svSql: String): String =
     s"""WITH ex AS (
        |  SELECT query_id, neighbor_id FROM (
-       |${annTopkBatchOracleSql(k)}
+       |$exSql
        |  ) t),
        |sv AS (
        |  SELECT query_id, neighbor_id FROM (
-       |${Ivf.annBatchNprobeOracleSql(spark, dir, k)}
+       |$svSql
        |  ) t),
        |h AS (
        |  SELECT e.query_id, CAST(count(s.query_id) AS BIGINT) AS hits
@@ -2226,6 +2234,15 @@ object Dedup {
        |  GROUP BY 1)
        |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
        |FROM h GROUP BY hits ORDER BY hits""".stripMargin
+
+  /** E43 oracle: the exact top-k window ∩ the nprobe centroid-literal
+    * replay (both already exist as this family's oracles), folded to
+    * the same histogram — nothing re-derived.
+    */
+  def annRecallReportOracleSql(spark: SparkSession, dir: String,
+                               k: Int = 5): String =
+    recallHistogramOracleSql(annTopkBatchOracleSql(k),
+      Ivf.annBatchNprobeOracleSql(spark, dir, k))
 
   /** The nprobe grid E50 sweeps — fixed absolute probe counts so the
     * curve is comparable across corpus sizes (the tuner reads "probes

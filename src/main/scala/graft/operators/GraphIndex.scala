@@ -297,40 +297,19 @@ object GraphIndex {
     * honest comparison is this report against the same floors
     * (Autotune's scaladoc records the same rationale).
     */
-  def graphRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = Ivf.exactEdges(spark, dir, k, DefaultMetric)
-      .select(col("query_id"), col("neighbor_id"))
-    val served = graphTopk(spark, dir, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(served, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-      .groupBy(col("hits"))
-      .agg(count(lit(1)).as("n_queries"))
-      .orderBy("hits")
-  }
+  def graphRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Dedup.recallHistogram(
+      Ivf.exactEdges(spark, dir, k, DefaultMetric),
+      graphTopk(spark, dir, k))
 
   /** graph_recall_report oracle: the exact top-k window ∩ the full
     * graph-serving replay (both already this family's oracles), folded
-    * to the E43 histogram — nothing re-derived.
+    * to the SHARED E43 histogram — nothing re-derived, nothing forked.
     */
   def graphRecallReportOracleSql(spark: SparkSession, dir: String,
                                  k: Int = 5): String =
-    s"""WITH ex AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |${Dedup.annTopkBatchOracleSql(k)}
-       |  ) t),
-       |sv AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |${graphTopkOracleSql(spark, dir, k)}
-       |  ) t),
-       |h AS (
-       |  SELECT e.query_id, CAST(count(s.query_id) AS BIGINT) AS hits
-       |  FROM ex e LEFT JOIN sv s
-       |    ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
-       |  GROUP BY 1)
-       |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
-       |FROM h GROUP BY hits ORDER BY hits""".stripMargin
+    Dedup.recallHistogramOracleSql(Dedup.annTopkBatchOracleSql(k),
+      graphTopkOracleSql(spark, dir, k))
 
   // ------------------------------------------------- filtered serving
 
@@ -555,6 +534,84 @@ object GraphIndex {
   private def bucketOf(c: org.apache.spark.sql.Column) =
     pmod(c, lit(GraphBuckets.toLong)).cast("int")
 
+  // The ONE bucket-mutation protocol, shared by append / delete /
+  // rebuild-recovery so the crash-recovery contract is structural, not
+  // three hand-rolled copies coupled by directory-name convention (the
+  // round-13 review finding: delete had to invent its own staging name
+  // to dodge append's, and a crashed vector swap lost a bucket because
+  // recovery only knew append's layout).
+
+  /** Rename-aside replacement of the listed live buckets with their
+    * staged twins: live → `_old_<prefix>=N`, staged in, aside deleted.
+    * A fully-emptied bucket (no staged dir) simply disappears. Loud
+    * failures at every step; a crash mid-swap leaves the `_graph_tmp`
+    * marker (the caller's staging root) plus possibly one aside, which
+    * [[restoreAsides]] makes whole again during rebuild recovery.
+    */
+  private def swapBuckets(f: org.apache.hadoop.fs.FileSystem,
+                          liveDir: String, stagedDir: String,
+                          prefix: String, buckets: Seq[Int],
+                          op: String): Unit =
+    buckets.foreach { bk =>
+      val dst = new Path(s"$liveDir/$prefix=$bk")
+      val src = new Path(s"$stagedDir/$prefix=$bk")
+      val aside = new Path(s"$liveDir/_old_$prefix=$bk")
+      if (f.exists(dst) && !f.rename(dst, aside))
+        sys.error(s"$op: could not move stale bucket $dst aside")
+      if (f.exists(src) && !f.rename(src, dst))
+        sys.error(s"$op: rename $src -> $dst failed; old at $aside")
+      if (f.exists(aside) && !f.delete(aside, true))
+        sys.error(s"$op: could not clean up $aside")
+    }
+
+  /** Append-only move-in: every staged part-file lands in its live
+    * bucket (created if absent). Part names carry a per-job UUID, so a
+    * partially-completed move-in simply resumes file-by-file.
+    */
+  private def moveInFiles(f: org.apache.hadoop.fs.FileSystem,
+                          stagedDir: String, liveDir: String,
+                          prefix: String, op: String): Unit =
+    f.listStatus(new Path(stagedDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$prefix="))
+      .foreach { dDir =>
+        val dst = new Path(s"$liveDir/${dDir.getPath.getName}")
+        if (!f.exists(dst) && !f.mkdirs(dst))
+          sys.error(s"$op: could not create $dst")
+        f.listStatus(dDir.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach { file =>
+            if (!f.rename(file.getPath, new Path(dst, file.getPath.getName)))
+              sys.error(s"$op: rename ${file.getPath} -> $dst failed")
+          }
+      }
+
+  /** Make a crashed [[swapBuckets]] whole: for every `_old_<prefix>=N`
+    * aside, a MISSING live bucket means the crash hit between the two
+    * renames and the aside IS the authoritative content — rename it
+    * back; a present live bucket means the replacement landed and the
+    * aside is stale — delete it. MUST run before any read of the
+    * directory during recovery: an underscore-prefixed aside is
+    * invisible to parquet readers, so an unrestored `_vectors` aside
+    * would read as a silently truncated corpus and the bucket would be
+    * LOST with the re-descent (the round-13 review's delete-crash
+    * hole).
+    */
+  private def restoreAsides(f: org.apache.hadoop.fs.FileSystem,
+                            dir: String, prefix: String, op: String): Unit = {
+    val d = new Path(dir)
+    if (!f.exists(d)) return
+    f.listStatus(d)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"_old_$prefix="))
+      .foreach { st =>
+        val live = new Path(dir, st.getPath.getName.stripPrefix("_old_"))
+        if (f.exists(live)) {
+          if (!f.delete(st.getPath, true))
+            sys.error(s"$op: could not drop stale aside ${st.getPath}")
+        } else if (!f.rename(st.getPath, live))
+          sys.error(s"$op: could not restore aside ${st.getPath} -> $live")
+      }
+  }
+
   /** Persist a graph tree: bucket-partitioned edge lists at the root,
     * `_vectors` (id, vec, cluster_id — the coarse assignment the
     * append entry navigates from) / `_centroids` / `_meta` sidecars.
@@ -769,33 +826,11 @@ object GraphIndex {
     }
     IndexLifecycle.writeState(spark, indexPath, next)
     val f = fs(spark, indexPath)
-    // swap affected edge buckets (rename-aside, loud failures)
-    affected.foreach { bk =>
-      val dst = new Path(s"$indexPath/src_bucket=$bk")
-      val src = new Path(s"$tmp/edges/src_bucket=$bk")
-      val aside = new Path(s"$indexPath/_old_src_bucket=$bk")
-      if (f.exists(dst) && !f.rename(dst, aside))
-        sys.error(s"graph append: could not move stale bucket $dst aside")
-      if (f.exists(src) && !f.rename(src, dst))
-        sys.error(s"graph append: rename $src -> $dst failed; old at $aside")
-      if (f.exists(aside) && !f.delete(aside, true))
-        sys.error(s"graph append: could not clean up $aside")
-    }
-    // move new vector files into their live buckets (append-only)
-    val vtmp = new Path(s"$tmp/vectors")
-    f.listStatus(vtmp)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("vbucket="))
-      .foreach { dDir =>
-        val dst = new Path(s"$indexPath/_vectors/${dDir.getPath.getName}")
-        if (!f.exists(dst) && !f.mkdirs(dst))
-          sys.error(s"graph append: could not create $dst")
-        f.listStatus(dDir.getPath)
-          .filter(_.getPath.getName.startsWith("part-"))
-          .foreach { file =>
-            if (!f.rename(file.getPath, new Path(dst, file.getPath.getName)))
-              sys.error(s"graph append: rename ${file.getPath} -> $dst failed")
-          }
-      }
+    swapBuckets(f, indexPath, s"$tmp/edges", "src_bucket", affected,
+      "graph append")
+    // new vector files land in their live buckets (append-only)
+    moveInFiles(f, s"$tmp/vectors", s"$indexPath/_vectors", "vbucket",
+      "graph append")
     if (!f.delete(new Path(tmp), true))
       sys.error(s"graph append: could not clear staging dir $tmp")
     forward.unpersist()
@@ -904,22 +939,10 @@ object GraphIndex {
       size = s.size - d)
     IndexLifecycle.writeState(spark, indexPath, next)
     val f = fs(spark, indexPath)
-    def swap(liveDir: String, stagedDir: String, asidePrefix: String,
-             buckets: Seq[Int], prefix: String): Unit =
-      buckets.foreach { bk =>
-        val dst = new Path(s"$liveDir/$prefix=$bk")
-        val src = new Path(s"$stagedDir/$prefix=$bk")
-        val aside = new Path(s"$liveDir/$asidePrefix$prefix=$bk")
-        if (f.exists(dst) && !f.rename(dst, aside))
-          sys.error(s"graph delete: could not move stale bucket $dst aside")
-        // a fully-emptied bucket simply disappears (no staged dir)
-        if (f.exists(src) && !f.rename(src, dst))
-          sys.error(s"graph delete: rename $src -> $dst failed; old at $aside")
-        if (f.exists(aside) && !f.delete(aside, true))
-          sys.error(s"graph delete: could not clean up $aside")
-      }
-    swap(indexPath, s"$tmp/edges", "_old_", affected, "src_bucket")
-    swap(s"$indexPath/_vectors", s"$tmp/vectors_rw", "_old_", vAffected, "vbucket")
+    swapBuckets(f, indexPath, s"$tmp/edges", "src_bucket", affected,
+      "graph delete")
+    swapBuckets(f, s"$indexPath/_vectors", s"$tmp/vectors_rw", "vbucket",
+      vAffected, "graph delete")
     if (!f.delete(new Path(tmp), true))
       sys.error(s"graph delete: could not clear staging dir $tmp")
     touched.unpersist()
@@ -1019,22 +1042,21 @@ object GraphIndex {
       val marker = new Path(s"$indexPath/_graph_tmp")
       val f0 = fs(spark, indexPath)
       if (f0.exists(marker)) {
+        // FIRST make any crashed bucket swap whole: an unrestored
+        // `_vectors` aside is invisible to parquet readers, so both
+        // the reconcile count below and the re-descent would read a
+        // silently truncated corpus and the bucket would be LOST (a
+        // crashed delete's vector swap is the authoritative-data
+        // case; edge asides matter only for serving until the swap
+        // and are re-derived below either way)
+        restoreAsides(f0, s"$indexPath/_vectors", "vbucket",
+          "graph rebuild recovery")
+        restoreAsides(f0, indexPath, "src_bucket", "graph rebuild recovery")
         val staged = new Path(s"$indexPath/_graph_tmp/vectors")
         if (f0.exists(staged) &&
             s.size > readVectors(spark, indexPath).count()) {
-          f0.listStatus(staged)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("vbucket="))
-            .foreach { dDir =>
-              val dst = new Path(s"$indexPath/_vectors/${dDir.getPath.getName}")
-              if (!f0.exists(dst) && !f0.mkdirs(dst))
-                sys.error(s"graph rebuild recovery: could not create $dst")
-              f0.listStatus(dDir.getPath)
-                .filter(_.getPath.getName.startsWith("part-"))
-                .foreach { file =>
-                  if (!f0.rename(file.getPath, new Path(dst, file.getPath.getName)))
-                    sys.error(s"graph rebuild recovery: rename ${file.getPath} -> $dst failed")
-                }
-            }
+          moveInFiles(f0, staged.toString, s"$indexPath/_vectors", "vbucket",
+            "graph rebuild recovery")
         }
         if (!f0.delete(marker, true))
           sys.error(s"graph rebuild: could not discard staging dir $marker")

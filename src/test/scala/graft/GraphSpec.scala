@@ -381,6 +381,48 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild restores a crashed delete's vector-bucket aside (no bucket loss)") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec5")
+    val tmp = s"$tmpDir/g"
+    try {
+      val n = Tables.embeddingsCount(spark, sf)
+      GraphIndex.build(spark, sf, tmp, k)
+      val s = IndexLifecycle.status(spark, tmp)
+      // simulate delete crashing between its two vbucket renames: state
+      // already written (size − d), one live bucket sitting at the
+      // underscore-prefixed aside (invisible to parquet reads), the
+      // replacement still in staging
+      val fsys = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(s"$tmp/_vectors/vbucket=3")
+      val aside = new org.apache.hadoop.fs.Path(s"$tmp/_vectors/_old_vbucket=3")
+      assert(fsys.exists(live), "probe bucket must exist")
+      val bucketRows = spark.read.parquet(s"$tmp/_vectors/vbucket=3").count()
+      assert(fsys.rename(live, aside))
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/_graph_tmp/vectors_rw"))
+      IndexLifecycle.writeState(spark, tmp,
+        s.copy(isDirty = true, dirtyCount = 3L, size = s.size - 3))
+      // without the restore, the re-descent would read n − |bucket 3|
+      // vectors and the bucket would be silently gone forever
+      val s2 = GraphIndex.rebuild(spark, tmp)
+      assert(s2.size == n,
+        s"rebuild lost the aside bucket ($bucketRows rows): size ${s2.size} != $n")
+      assert(GraphIndex.readVectors(spark, tmp).count() == n)
+      // and a stale aside (replacement already live) is dropped, not
+      // restored over the new content
+      GraphIndex.build(spark, sf, tmp, k)
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/_vectors/_old_vbucket=5"))
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/_graph_tmp"))
+      val s3 = GraphIndex.rebuild(spark, tmp)
+      assert(s3.size == n)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$tmp/_vectors/_old_vbucket=5")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("rebuild reconciles a crash between append's state write and vector move-in") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec4")
     val tmp = s"$tmpDir/g"
