@@ -111,6 +111,11 @@ object Bench {
     // knn_graph_mutual / ann_recall_report / ann_param_sweep — after
     // memo_ivf_index so the k-means build isn't billed here
     "memo_exact_edges_cos" -> (() => operators.Ivf.warmExactEdges(spark, dir)),
+    // E56's exact top-C shortlist (C=20) — its own attributable line so
+    // ann_topk_mmr measures the greedy fold, not the probe-all pass
+    "memo_exact_edges_mmr" -> (() =>
+      { operators.Ivf.exactEdges(spark, dir, operators.Mmr.Candidates,
+          functions.VectorMetric.Cosine); () }),
     // E37c's converged NN-Descent graph (init + rounds): memoized per
     // (dir, k) — warmed here so the key line measures serving the
     // edge list, and the BUILD cost is its own attributable line
@@ -160,6 +165,10 @@ object Bench {
     "memo_descent_graph_l2" -> (() =>
       { operators.Dedup.descentGraph(spark, dir,
           metric = functions.VectorMetric.L2); () }),
+    // the DOT descent graph behind graph_topk_dot — same attribution
+    "memo_descent_graph_dot" -> (() =>
+      { operators.Dedup.descentGraph(spark, dir,
+          metric = functions.VectorMetric.Dot); () }),
     // the learned merge table behind bpe_train/token_count_bpe/E39b —
     // warmed so whichever of the three keys runs first doesn't bill
     // the driver merge loop to itself

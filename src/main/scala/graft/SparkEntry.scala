@@ -93,6 +93,10 @@ object SparkEntry {
     "decontaminate_ngram_exact" -> ((s, d) => Dedup.decontaminateNgramExact(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
+    // E56: MMR-diversified batch ANN — greedy λ·rel − (1−λ)·max-sim
+    // fold over the exact top-C shortlist (the RAG rerank stage);
+    // everything after the shortlist is O(N·C²), never corpus×corpus
+    "ann_topk_mmr" -> ((s, d) => Mmr.annTopkMmr(s, d)),
     // contrastive hard negatives: batch ANN with the label-inequality
     // predicate inside the probed-list scan (not a post-filter)
     "hard_negative_mining" -> ((s, d) => Dedup.hardNegativeMining(s, d)),
@@ -156,6 +160,12 @@ object SparkEntry {
     // all run l2), not a hardcoded constant
     "graph_topk_l2" -> ((s, d) =>
       GraphIndex.graphTopk(s, d, metric = graft.functions.VectorMetric.L2)),
+    // E51g: the family under DOT (max inner product — the retrieval
+    // scoring for unnormalized embeddings): descent, entry, and
+    // re-score all rank by negated q·c through the same plumbing —
+    // completes the family's metric parity with IVF/PQ (l2/cos/dot)
+    "graph_topk_dot" -> ((s, d) =>
+      GraphIndex.graphTopk(s, d, metric = graft.functions.VectorMetric.Dot)),
     // E51c: the A18d filtered contract on the graph path — unfiltered
     // navigation, widened beam, selector picked from the scored pool
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredQuery(s, d)),
@@ -257,6 +267,10 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // deterministic corpus shrink + training-shard assignment
     "sample_stratified"  -> (TextOps.sampleStratified _),
+    // E55: greedy k-center (farthest-point) coreset over the embedding
+    // corpus — the diversity-side complement of semantic_prune: one
+    // literal-center scan per round, no shuffle, exact covering radius
+    "sample_kcenter" -> ((s, d) => Coreset.sampleKcenter(s, d)),
     "pack_token_shards"  -> ((s, d) => TextOps.packTokenShards(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     // the full cleanup pass: + near-dup CLUSTER canonicalization (E13)
@@ -442,6 +456,9 @@ object SparkEntry {
     "embedding_neardup"   -> Dedup.embeddingNeardupOracleSql,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracleSql,
     "ann_topk_batch"      -> Dedup.annTopkBatchOracleSql(),
+    // E56: nested exact-shortlist replay + k−1 unrolled greedy rounds
+    // (GREATEST penalty fold + QUALIFY argmax)
+    "ann_topk_mmr"        -> Mmr.annTopkMmrOracleSql(),
     "hard_negative_mining" -> Dedup.hardNegativeMiningOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
@@ -474,6 +491,9 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCountOracleSql,
     "doc_fingerprint" -> TextOps.docFingerprintOracleSql,
     "sample_stratified" -> TextOps.sampleStratifiedOracleSql,
+    // E55: T−1 unrolled least-update + argmax CTE blocks (static SQL —
+    // the seed is min(vec_id) in-query)
+    "sample_kcenter" -> Coreset.sampleKcenterOracleSql(),
     "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "pipeline_dedup_corpus" -> TextOps.pipelineDedupCorpusOracleSql(),
@@ -610,6 +630,9 @@ object SparkEntry {
     // E51e: the same replay chain under the l2 distance template
     "graph_topk_l2" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d,
       metric = graft.functions.VectorMetric.L2)),
+    // E51g: and under the negated-inner-product template (MIPS)
+    "graph_topk_dot" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d,
+      metric = graft.functions.VectorMetric.Dot)),
     // E51c: the beam replay at the widened width, pooled + selector
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredOracleSql(s, d)),
     // E51d: the cosine residual-batch replay at the capped widened

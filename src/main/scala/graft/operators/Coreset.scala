@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorMetric
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E55: `sample_kcenter` — greedy k-center coreset selection over the
+  * embedding corpus (Gonzalez' farthest-point traversal, the standard
+  * 2-approximation): seed with the smallest vec_id, then T−1 rounds of
+  * "pick the vector farthest from everything selected so far". The
+  * output is the selected centers in pick order with each center's
+  * min-distance to the prior set at selection time — a non-increasing
+  * sequence whose row r is the exact covering radius of the first r−1
+  * centers, so the key doubles as the coreset-quality curve (the
+  * "how many diverse exemplars until the corpus is covered at radius
+  * ε" read every annotation-budget / eval-set-seeding pass wants).
+  *
+  * Reference tie-in: stackai-vector-db exposes flat/IVF indexes over
+  * the same embedding model (app/indexes/ivf.py builds on k-means
+  * cluster structure); k-center is the DIVERSITY-side complement the
+  * training-data pipeline needs (semantic_prune/E33 removes near-dups,
+  * this SELECTS a maximally-spread exemplar set). Deterministic end to
+  * end (seed = min id, ties by id), so unlike k-means it is
+  * oracle-checkable exactly.
+  *
+  * Scale shape (100 TB): each round is ONE corpus scan — the newly
+  * picked center rides into the plan as a LITERAL float array (no
+  * join, no shuffle), the running min-distance column updates with
+  * `least`, and the argmax is a TakeOrdered(1). Total work O(T·N)
+  * with O(T·dim) driver state; the per-round frame is
+  * localCheckpoint-pinned so round r never recomputes rounds < r.
+  * T is a knob (default 8) — production coreset sizes (10³-10⁴) pay
+  * the same per-round scan; for T beyond ~10² the batched variant
+  * (pick p farthest per scan, the k-center++ trade) is the extension
+  * point documented here rather than built.
+  */
+object Coreset {
+
+  /** Default number of selected centers (driver-key configuration). */
+  val DefaultT = 8
+
+  /** Greedy k-center: (rank, vec_id, dist) — dist is the pick's
+    * min-distance to the previously selected set (0.0 for the seed),
+    * i.e. the covering radius of the prefix before it. L2 domain (the
+    * classic k-center objective; the embedding model is unnormalized
+    * here, matching A1/A8's l2 contract).
+    */
+  def sampleKcenter(spark: SparkSession, dir: String,
+                    t: Int = DefaultT): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seed = vecs.orderBy(col("id").asc).limit(1)
+      .select(col("id"), col("vec")).head()
+    val seedId = seed.getLong(0)
+    var centerVec: Seq[Float] = seed.getSeq[Float](1)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (1, seedId, 0.0))
+    // (id, vec, md): running min-distance to the selected set. The new
+    // center enters as a literal array — a narrow projection, no join.
+    var md: DataFrame = null
+    var pickedId = seedId
+    (2 to t).foreach { r =>
+      val centerLit = array(centerVec.map(lit): _*)
+      val dist = Ivf.distCol(VectorMetric.L2, col("vec"), centerLit)
+      val next = (if (md == null) {
+        vecs.filter(col("id") =!= seedId)
+          .select(col("id"), col("vec"), dist.as("md"))
+      } else {
+        md.filter(col("id") =!= pickedId)
+          .select(col("id"), col("vec"), least(col("md"), dist).as("md"))
+      }).localCheckpoint(true)
+      if (md != null) md.unpersist()
+      md = next
+      val pick = md.orderBy(col("md").desc, col("id").asc).limit(1).head()
+      pickedId = pick.getLong(0)
+      centerVec = pick.getSeq[Float](1)
+      picked += ((r, pickedId, pick.getDouble(2)))
+    }
+    if (md != null) md.unpersist()
+    picked.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
+  }
+
+  /** The exact replay: T−1 unrolled CTE blocks, each the incremental
+    * `least(md, dist-to-new-center)` update plus the (md DESC, id)
+    * argmax — the literally identical double fold (list_distance on
+    * DOUBLE[] = the l2Distance kernel), so ranks and the dist column
+    * hash-match. Static SQL: the seed is `min(vec_id)` in-query.
+    */
+  def sampleKcenterOracleSql(t: Int = DefaultT): String = {
+    val d = Ivf.pairDistSqlTemplate(VectorMetric.L2)
+    // chain: m1 = dists to the seed; c_r = argmax of m_{r-1};
+    // m_r = least-update of m_{r-1} by c_r (excluding the pick)
+    val blocks = (2 to t).map { r =>
+      val prev = if (r == 2) "" else s"""m${r - 1} AS MATERIALIZED (
+         |  SELECT m.vec_id, m.embedding,
+         |    LEAST(m.md, ${d.format("m", "c")}) AS md
+         |  FROM m${r - 2} m, c${r - 1} c
+         |  WHERE m.vec_id <> c.vec_id),
+         |""".stripMargin
+      s"""${prev}c$r AS (
+         |  SELECT vec_id, embedding, md FROM m${r - 1}
+         |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to t)
+      .map(r => s"UNION ALL SELECT $r, vec_id, md FROM c$r")
+      .mkString("\n")
+    s"""WITH s1 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |m1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ${d.format("e", "s")} AS md
+       |  FROM embeddings e, s1 s WHERE e.vec_id <> s.vec_id),
+       |$blocks
+       |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dist FROM (
+       |  SELECT 1 AS rank, vec_id, CAST(0.0 AS DOUBLE) AS dist FROM s1
+       |  $rows) x(rank, vec_id, dist)
+       |ORDER BY rank""".stripMargin
+  }
+}

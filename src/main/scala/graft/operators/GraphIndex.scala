@@ -714,6 +714,45 @@ object GraphIndex {
       metric = metric)
   }
 
+  /** Filtered point-serving on a PERSISTED graph tree — the A18d
+    * contract (search_service.py:169-197) for out-of-corpus query
+    * batches against the disk layout. The graph tree stores its
+    * vectors bucketed by the coarse assignment (`_vectors`.cluster_id
+    * — a graph index stores its vectors, and this face is why the
+    * assignment is kept), so the filtered face serves IVF-STYLE off
+    * that layout instead of navigating the beam: the selector
+    * semi-joins the STORED side before the probed scan (survivors
+    * only — a post-filter could starve a query's k), and the probe
+    * count widens by ⌈n/f̂⌉ from the nprobe=1 entry budget, capped at
+    * ALL lists (the A18d recipe, through Pq's shared policy helpers —
+    * no per-query count jobs, the MINSTD stride estimate). Candidate
+    * mass per query is bounded by the probed lists' survivors — never
+    * |Q|·N — and a starved selector degrades gracefully: the cap
+    * probes every list, but only the f survivor rows live in them, so
+    * the scan IS the exact filtered ranking. One unified path, no
+    * BNLJ branch to go quadratic (the round-12 verdict's filtered-
+    * graph lesson applied to the persisted face).
+    */
+  def queryGraphBatchFiltered(spark: SparkSession, indexPath: String,
+                              queries: DataFrame, k: Int,
+                              selector: DataFrame): DataFrame = {
+    checkNoHalfApplied(spark, indexPath)
+    val (_, metric) = readMeta(spark, indexPath)
+    val sel = selector.select(col("id"))
+    val stored = readVectors(spark, indexPath)
+    val cents = IndexLifecycle.loadCentroids(spark, indexPath)
+    val n = IndexLifecycle.status(spark, indexPath).size
+    val fEst = Pq.estimatedSelectorSize(sel, k.toLong)
+    val np = Pq.widenedNprobe(EntryNprobe, n, fEst, cents.length)
+    val survivors = stored.join(sel, Seq("id"), "left_semi")
+      .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
+    val probes = Ivf.probeSelect(
+      queries.select(col("id").as("query_id"), col("vec").as("qvec")),
+      cents, np, metric)
+    Ivf.probedTopK(survivors, probes, k, metric)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------- lifecycle
 
   /** Build (version+1): the session descent graph persisted with its

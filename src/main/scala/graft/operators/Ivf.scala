@@ -1116,6 +1116,10 @@ object Ivf {
       "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
     case VectorMetric.L2 =>
       "list_distance(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+    case VectorMetric.Dot =>
+      // negated inner product: ascending dist ranks by descending q·c,
+      // the same double fold distCol's -dotProduct computes
+      "-list_inner_product(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
     case other => sys.error(s"no pair-distance SQL template for metric $other")
   }
 
@@ -1129,6 +1133,8 @@ object Ivf {
       "1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1])"
     case VectorMetric.L2 =>
       "list_distance(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1])"
+    case VectorMetric.Dot =>
+      "-list_inner_product(CAST(q.embedding AS DOUBLE[]), cv[t.j + 1])"
     case other => sys.error(s"no probe-distance SQL expr for metric $other")
   }
 

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions, VectorMetric}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E56: `ann_topk_mmr` — Maximal Marginal Relevance over the exact
+  * top-C cosine shortlist: for every corpus vector (the E6 batch
+  * shape), greedily pick k of its C=20 nearest neighbors maximizing
+  *   λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s)
+  * (Carbonell & Goldstein 1998; λ = 0.7) — the diversified-retrieval
+  * fold every RAG/context-window pipeline runs between ANN and the
+  * prompt: near-duplicate neighbors waste shortlist slots, and MMR
+  * trades a controlled amount of relevance for coverage.
+  *
+  * Reference tie-in: stackai-vector-db's search surface returns the
+  * raw metric top-k (app/services/search_service.py); MMR is the
+  * post-ranking stage the reference leaves to the caller, built here
+  * as a first-class batch operator on the same embedding model.
+  *
+  * Scale shape (100 TB): everything after the shortlist is bounded by
+  * C per query — the candidate-pair sim table is O(N·C²) rows keyed
+  * by query_id (never a corpus×corpus product), the greedy fold is
+  * k−1 rounds of an incremental GREATEST update against the latest
+  * pick (the k-center least-update pattern in similarity space) plus
+  * a per-query bounded top-1 aggregate (map-side combinable — never a
+  * window sort over the shuffled rows), and every frame is
+  * localCheckpoint-pinned so round r never recomputes rounds < r.
+  * The shortlist itself rides the session exact-edge memo (probe-all
+  * = the oracle contract; an nprobe shortlist composes identically).
+  *
+  * Deterministic end to end: scores are the same doubles in both
+  * engines (`1.0 − (1.0 − list_cosine_similarity)` — the established
+  * cross-engine cosine identity), ties break by candidate id, so the
+  * key is oracle-checked exactly (the generator unrolls the k−1
+  * greedy rounds as CTE blocks over the nested exact-shortlist
+  * replay).
+  */
+object Mmr {
+
+  /** Shortlist width the greedy fold diversifies over. */
+  val Candidates = 20
+
+  /** Selected diversified neighbors per query. */
+  val DefaultK = 5
+
+  /** λ numerator/denominator kept as exact doubles shared with the
+    * oracle text (0.7 relevance / 0.3 diversity).
+    */
+  val Lambda = 0.7
+
+  def annTopkMmr(spark: SparkSession, dir: String, k: Int = DefaultK,
+                 c: Int = Candidates): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cands = Ivf.exactEdges(spark, dir, c, VectorMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    // (query_id, cand, simq): relevance of each shortlist member
+    val cv = cands
+      .join(vecs.select(col("id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("cand"), col("vec").as("cv")), "cand")
+      .select(col("query_id"), col("cand"),
+        (lit(1.0) - VectorFunctions.cosineDistance(col("qv"), col("cv")))
+          .as("simq"))
+      .localCheckpoint(true)
+    // (query_id, a, b, simab): sims among shortlist members, O(N·C²)
+    val ps = cands.select(col("query_id"), col("cand").as("a"))
+      .join(cands.select(col("query_id"), col("cand").as("b")), "query_id")
+      .filter(col("a") =!= col("b"))
+      .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
+      .select(col("query_id"), col("a"), col("b"),
+        (lit(1.0) - VectorFunctions.cosineDistance(col("va"), col("vb")))
+          .as("simab"))
+      .localCheckpoint(true)
+    // per-query argmax via the bounded top-1 aggregate (map-side
+    // combinable — a row_number window would shuffle-sort all N·C rows
+    // per round); dist = −score so ascending (dist, id) is
+    // (score DESC, id ASC), the oracle's QUALIFY ordering
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy("query_id")
+        .agg(VectorFunctions.topKByDistance(-score, col("cand"), 1).as("nn"))
+        .select(col("query_id"), col("nn")(0)("id").as("cand"))
+    // round 1: pure relevance argmax = the shortlist's rank-1 member
+    val pick1 = argmax(cv, col("simq")).localCheckpoint(true)
+    // pick frames stay pinned until `out` materializes (they feed the
+    // final union; an early unpersist would drop checkpointed blocks
+    // the union still needs)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](cv, ps, pick1)
+    var picks: DataFrame = pick1.withColumn("rank", lit(1))
+    var latest = pick1
+    // rem: remaining candidates with the running diversity penalty
+    // (max sim to the selected set), updated incrementally against
+    // the LATEST pick only — the k-center least-update in sim space
+    var rem: DataFrame = null
+    (2 to k).foreach { r =>
+      val joined =
+        (if (rem == null) cv else rem)
+          .join(latest.withColumnRenamed("cand", "b"), "query_id")
+          .filter(col("cand") =!= col("b"))
+          .join(ps.withColumnRenamed("a", "cand"), Seq("query_id", "cand", "b"))
+      val next = (if (rem == null)
+          joined.select(col("query_id"), col("cand"), col("simq"),
+            col("simab").as("pen"))
+        else
+          joined.select(col("query_id"), col("cand"), col("simq"),
+            greatest(col("pen"), col("simab")).as("pen")))
+        .localCheckpoint(true)
+      if (rem != null) rem.unpersist()
+      rem = next
+      val pick = argmax(rem,
+          lit(Lambda) * col("simq") - lit(1.0 - Lambda) * col("pen"))
+        .localCheckpoint(true)
+      pinned += pick
+      latest = pick
+      picks = picks.union(pick.withColumn("rank", lit(r)))
+    }
+    val out = picks
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    if (rem != null) rem.unpersist()
+    pinned.foreach(_.unpersist())
+    out
+  }
+
+  /** The exact replay: nested exact-shortlist CTE (the E6 oracle at
+    * width C), the same relevance/pair-sim doubles, and k−1 unrolled
+    * greedy rounds (GREATEST penalty fold against the latest pick +
+    * the (score DESC, cand) argmax via QUALIFY).
+    */
+  def annTopkMmrOracleSql(k: Int = DefaultK, c: Int = Candidates): String = {
+    val lam = Lambda
+    val oneMinus = 1.0 - Lambda
+    val simExpr = (x: String, y: String) =>
+      s"1.0 - (1.0 - list_cosine_similarity(CAST($x.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[])))"
+    val rounds = (2 to k).map { r =>
+      val remPrev = if (r == 2) "cv" else s"rem${r - 1}"
+      val penExpr =
+        if (r == 2) "p.simab"
+        else s"GREATEST(m.pen, p.simab)"
+      s"""rem$r AS MATERIALIZED (
+         |  SELECT m.query_id, m.cand, m.simq, $penExpr AS pen
+         |  FROM $remPrev m
+         |  JOIN s${r - 1} s ON s.query_id = m.query_id AND m.cand <> s.cand
+         |  JOIN ps p ON p.query_id = m.query_id AND p.a = m.cand AND p.b = s.cand),
+         |s$r AS (
+         |  SELECT query_id, cand FROM rem$r
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST($lam AS DOUBLE)*simq - CAST($oneMinus AS DOUBLE)*pen DESC, cand) = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to k)
+      .map(r => s"UNION ALL SELECT query_id, cand, $r FROM s$r")
+      .mkString("\n")
+    s"""WITH cands AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id AS cand FROM (
+       |    ${Dedup.annTopkBatchOracleSql(c).replace("ORDER BY query_id, rank", "")}) z),
+       |cv AS MATERIALIZED (
+       |  SELECT t.query_id, t.cand, ${simExpr("q", "e")} AS simq
+       |  FROM cands t
+       |  JOIN embeddings q ON q.vec_id = t.query_id
+       |  JOIN embeddings e ON e.vec_id = t.cand),
+       |ps AS MATERIALIZED (
+       |  SELECT x.query_id, x.cand AS a, y.cand AS b, ${simExpr("ea", "eb")} AS simab
+       |  FROM cands x
+       |  JOIN cands y ON y.query_id = x.query_id AND y.cand <> x.cand
+       |  JOIN embeddings ea ON ea.vec_id = x.cand
+       |  JOIN embeddings eb ON eb.vec_id = y.cand),
+       |s1 AS (
+       |  SELECT query_id, cand FROM cv
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY simq DESC, cand) = 1),
+       |$rounds
+       |SELECT query_id, cand AS neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, cand, 1 AS rank FROM s1
+       |  $unions) u(query_id, cand, rank)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Coreset
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E55 sample_kcenter contracts: the greedy farthest-point traversal
+  * replicated by a driver-side fold over the collected fixture corpus
+  * (500×dim at sf0.001 — small enough to verify EXACTLY), the
+  * non-increasing radius sequence, and determinism.
+  */
+class CoresetSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val got = Coreset.sampleKcenter(spark, sf).collect()
+    .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  test("exact greedy replication on the collected fixture corpus") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val seedId = corpus.head._1
+    val byId = corpus.toMap
+    var md = corpus.filter(_._1 != seedId)
+      .map { case (id, v) => (id, l2(v, byId(seedId))) }.toMap
+    val want = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (1, seedId, 0.0))
+    (2 to Coreset.DefaultT).foreach { r =>
+      val (pid, pd) = md.toSeq.maxBy { case (id, d) => (d, -id) }
+      want += ((r, pid, pd))
+      md = (md - pid).map { case (id, d) =>
+        (id, math.min(d, l2(byId(id), byId(pid))))
+      }
+    }
+    assert(got.map(x => (x._1, x._2)).toSeq == want.map(x => (x._1, x._2)).toSeq,
+      s"pick sequence diverged: got ${got.toSeq} want ${want.toSeq}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9, s"radius at rank ${g._1}: ${g._3} vs ${w._3}")
+    }
+  }
+
+  test("radius sequence is non-increasing after the seed row") {
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+      s"covering radii must not increase: ${ds.toSeq}")
+  }
+
+  test("deterministic across invocations") {
+    val again = Coreset.sampleKcenter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+}

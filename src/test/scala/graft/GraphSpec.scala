@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{GraphIndex, IndexLifecycle}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Graph-based ANN serving + lifecycle contracts: beam-search recall
@@ -187,6 +187,77 @@ class GraphSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"l2 graph serving recall $mean < 0.9 (measured 0.978)")
+  }
+
+  test("dot graph serving: k rows per query, recall floor vs the dot exact contract") {
+    val dot = graft.functions.VectorMetric.Dot
+    val got = GraphIndex.graphTopk(spark, sf, k, dot)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.embeddingsCount(spark, sf)
+    assert(got.length == n * k, s"${got.length} rows != n*k")
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.Ivf
+      .exactEdges(spark, sf, k, dot)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      (ex & gotByQ.getOrElse(q, Set.empty)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"dot graph serving recall $mean < 0.9")
+  }
+
+  test("persisted filtered serving: selector-only results; starved = exact filtered ranking") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_qf")
+    val tmp = s"$tmpDir/g"
+    try {
+      import spark.implicits._
+      GraphIndex.build(spark, sf, tmp, k)
+      val n = Tables.embeddingsCount(spark, sf)
+      val queries = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 10)
+        .select((col("vec_id") + 2 * n).as("id"), col("embedding").as("vec"))
+      // mid-selectivity selector (even ids): k selector-only rows/query
+      val even = Tables.embeddings(spark, sf)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("id"))
+      val served = GraphIndex.queryGraphBatchFiltered(spark, tmp, queries, k, even)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(served.forall(_._2 % 2 == 0), "every served id obeys the selector")
+      assert(served.groupBy(_._1).forall(_._2.length == k),
+        "k rows per query at mid selectivity")
+      // starved selector: the scan IS the exact filtered ranking
+      val ids = Seq(3L, 7L, 11L)
+      val got = GraphIndex.queryGraphBatchFiltered(
+          spark, tmp, queries, k, ids.toDF("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3))
+      val corpus = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 12)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .toMap
+      def cosDist(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          acc += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        val norms = math.sqrt(na) * math.sqrt(nb)
+        if (norms == 0.0) 1.0 else 1.0 - acc / norms
+      }
+      val want = (0L until 10L).flatMap { q =>
+        ids.map(id => (id, cosDist(corpus(q), corpus(id))))
+          .sortBy { case (id, d) => (d, id) }.zipWithIndex
+          .map { case ((id, _), i) => (q + 2 * n, id, i + 1) }
+      }
+      assert(got.toSeq == want,
+        s"starved filtered serving must rank exactly: $got != $want")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("l2 graph lifecycle: metric persists in _meta, serving runs the tree's own metric") {

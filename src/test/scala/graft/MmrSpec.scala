@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Mmr
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E56 ann_topk_mmr contracts: the greedy MMR fold replicated exactly
+  * by a driver-side fold over the collected fixture corpus (the same
+  * doubles the engine computes: sim = 1.0 − (1.0 − acc/norms), λ·rel
+  * − (1−λ)·max-sim scoring, ties by id), k rows per query, rank-1 =
+  * the nearest neighbor, and the diversity guarantee that the picked
+  * set is never MORE self-similar than the plain top-k.
+  */
+class MmrSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val k = Mmr.DefaultK
+  private val c = Mmr.Candidates
+
+  private lazy val corpus: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+
+  // the engine's exact cosine double: 1.0 − (1.0 − acc/(√na·√nb))
+  private def sim(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      acc += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val norms = math.sqrt(na) * math.sqrt(nb)
+    val dist = if (norms == 0.0) 1.0 else 1.0 - acc / norms
+    1.0 - dist
+  }
+
+  private lazy val got = Mmr.annTopkMmr(spark, sf).collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+  private def mmrFold(q: Long): Seq[Long] = {
+    val qv = corpus(q)
+    val shortlist = corpus.keys.filter(_ != q).toSeq
+      .map(id => (id, sim(qv, corpus(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(c)
+    var selected = Vector(shortlist.head._1)
+    var remaining = shortlist.tail
+    (2 to k).foreach { _ =>
+      val pick = remaining.map { case (id, rel) =>
+        val pen = selected.map(s => sim(corpus(id), corpus(s))).max
+        (id, Mmr.Lambda * rel - (1.0 - Mmr.Lambda) * pen)
+      }.minBy { case (id, score) => (-score, id) }._1
+      selected :+= pick
+      remaining = remaining.filter(_._1 != pick)
+    }
+    selected
+  }
+
+  test("exact greedy replication on sampled queries") {
+    val byQ = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byQ.forall(_._2.size == k), "k rows per query")
+    // every 25th query id: exact pick-sequence equality
+    corpus.keys.toSeq.sorted.filter(_ % 25 == 0).foreach { q =>
+      assert(byQ(q) == mmrFold(q), s"MMR sequence diverged for query $q")
+    }
+  }
+
+  test("rank 1 is the plain nearest neighbor") {
+    val r1 = got.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    corpus.keys.toSeq.sorted.take(40).foreach { q =>
+      val nn = corpus.keys.filter(_ != q)
+        .map(id => (id, sim(corpus(q), corpus(id))))
+        .minBy { case (id, s) => (-s, id) }._1
+      assert(r1(q) == nn, s"rank-1 must be the top-relevance pick for $q")
+    }
+  }
+
+  test("selected set is never more self-similar than the plain top-k") {
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for {
+        a <- ids; b <- ids if a < b
+      } yield sim(corpus(a), corpus(b))
+      ps.sum / ps.size
+    }
+    val byQ = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val qs = corpus.keys.toSeq.sorted.take(60)
+    val (mmrSim, topkSim) = qs.map { q =>
+      val topk = corpus.keys.filter(_ != q).toSeq
+        .map(id => (id, sim(corpus(q), corpus(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+      (meanPairSim(byQ(q)), meanPairSim(topk))
+    }.unzip
+    assert(mmrSim.sum / qs.size <= topkSim.sum / qs.size + 1e-12,
+      "MMR must not increase mean pairwise similarity of the selection")
+  }
+}
