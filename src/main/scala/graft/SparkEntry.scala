@@ -97,6 +97,9 @@ object SparkEntry {
     // fold over the exact top-C shortlist (the RAG rerank stage);
     // everything after the shortlist is O(N·C²), never corpus×corpus
     "ann_topk_mmr" -> ((s, d) => Mmr.annTopkMmr(s, d)),
+    // E56b: the serving twin — the same fold over the nprobe shortlist
+    // (E6b's engine); the composition that runs at 100 TB
+    "ann_topk_mmr_nprobe" -> ((s, d) => Mmr.annTopkMmrNprobe(s, d)),
     // contrastive hard negatives: batch ANN with the label-inequality
     // predicate inside the probed-list scan (not a post-filter)
     "hard_negative_mining" -> ((s, d) => Dedup.hardNegativeMining(s, d)),
@@ -271,6 +274,10 @@ object SparkEntry {
     // corpus — the diversity-side complement of semantic_prune: one
     // literal-center scan per round, no shuffle, exact covering radius
     "sample_kcenter" -> ((s, d) => Coreset.sampleKcenter(s, d)),
+    // E55b: the batched variant — p farthest per scan (production
+    // coreset sizes: 10⁴ centers in 10⁴/p scans; measured trade in
+    // CoresetSpec, see the class note)
+    "sample_kcenter_batch" -> ((s, d) => Coreset.sampleKcenterBatch(s, d)),
     "pack_token_shards"  -> ((s, d) => TextOps.packTokenShards(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     // the full cleanup pass: + near-dup CLUSTER canonicalization (E13)
@@ -494,6 +501,8 @@ object SparkEntry {
     // E55: T−1 unrolled least-update + argmax CTE blocks (static SQL —
     // the seed is min(vec_id) in-query)
     "sample_kcenter" -> Coreset.sampleKcenterOracleSql(),
+    // E55b: R unrolled top-p + grouped min-over-batch LEAST blocks
+    "sample_kcenter_batch" -> Coreset.sampleKcenterBatchOracleSql(),
     "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "pipeline_dedup_corpus" -> TextOps.pipelineDedupCorpusOracleSql(),
@@ -619,6 +628,9 @@ object SparkEntry {
     "index_stats"           -> ((s, d) => Ivf.indexStatsOracleSql(s, d)),
     "ivf_query_nprobe"      -> ((s, d) => Ivf.ivfQueryNprobeOracleSql(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Ivf.annBatchNprobeOracleSql(s, d)),
+    // E56b: the shared MMR fold generator over the nested nprobe
+    // shortlist replay (one generator, two shortlist sources)
+    "ann_topk_mmr_nprobe" -> ((s, d) => Mmr.annTopkMmrNprobeOracleSql(s, d)),
     // E37b: the E6b oracle as a derived table + the mutual join
     "knn_graph_mutual_nprobe" -> ((s, d) => Dedup.knnGraphMutualNprobeOracleSql(s, d)),
     // E37c: the E6b init replay + the applied NN-Descent rounds

@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
   * with O(T·dim) driver state; the per-round frame is
   * localCheckpoint-pinned so round r never recomputes rounds < r.
   * T is a knob (default 8) — production coreset sizes (10³-10⁴) pay
-  * the same per-round scan; for T beyond ~10² the batched variant
-  * (pick p farthest per scan, the k-center++ trade) is the extension
-  * point documented here rather than built.
+  * the same per-round scan; for T beyond ~10² the BATCHED variant
+  * below ([[sampleKcenterBatch]], E55b) amortizes: p picks per scan,
+  * the standard batch-farthest-point trade (within-batch picks don't
+  * see each other, so a tight far-away cluster can absorb a whole
+  * batch where sequential greedy would take one — the coverage bound
+  * loosens from 2-approx toward 2·(1+ε) as p grows; both variants are
+  * shipped so the trade is a measured choice, not a default).
   */
 object Coreset {
 
@@ -80,6 +84,100 @@ object Coreset {
     }
     if (md != null) md.unpersist()
     picked.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
+  }
+
+  /** Batched rounds and picks-per-round (E55b: 1 + R·p centers). */
+  val BatchRounds = 4
+  val BatchP = 8
+
+  /** E55b: BATCHED greedy k-center — p farthest points per corpus
+    * scan instead of one (1 + R·p centers in R scans): each round
+    * takes the top-p by current min-distance (md DESC, id), then ONE
+    * update pass folds all p new centers into the running md
+    * (`least(md, min over the p literal centers)` — still a single
+    * narrow projection, no join). This is the production-coreset
+    * shape: 10⁴ centers = 10⁴/p scans. Output carries (rank, round,
+    * vec_id, dist) — dist is the pick's md BEFORE its round's update,
+    * so within a round the p dists are the honest "what the batch
+    * looked like when chosen" reads (within-batch picks don't see
+    * each other; see the class note on the coverage trade).
+    */
+  def sampleKcenterBatch(spark: SparkSession, dir: String,
+                         rounds: Int = BatchRounds,
+                         p: Int = BatchP): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seed = vecs.orderBy(col("id").asc).limit(1)
+      .select(col("id"), col("vec")).head()
+    val seedId = seed.getLong(0)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Double)](
+      (1, 0, seedId, 0.0))
+    var rank = 1
+    val seedLit = array(seed.getSeq[Float](1).map(lit): _*)
+    var md = vecs.filter(col("id") =!= seedId)
+      .select(col("id"), col("vec"),
+        Ivf.distCol(VectorMetric.L2, col("vec"), seedLit).as("md"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { r =>
+      val picks = md.orderBy(col("md").desc, col("id").asc).limit(p)
+        .select(col("id"), col("vec"), col("md")).collect()
+      picks.foreach { row =>
+        rank += 1
+        picked += ((rank, r, row.getLong(0), row.getDouble(2)))
+      }
+      val minToNew = picks.map { row =>
+        Ivf.distCol(VectorMetric.L2, col("vec"),
+          array(row.getSeq[Float](1).map(lit): _*))
+      }.reduce(least(_, _))
+      val ids = picks.map(_.getLong(0))
+      val next = md.filter(!col("id").isin(ids: _*))
+        .select(col("id"), col("vec"), least(col("md"), minToNew).as("md"))
+        .localCheckpoint(true)
+      md.unpersist()
+      md = next
+    }
+    md.unpersist()
+    picked.toSeq.toDF("rank", "round", "vec_id", "dist").orderBy("rank")
+  }
+
+  /** E55b oracle: R unrolled blocks — top-p by (md DESC, id) per
+    * round, then the min-over-batch LEAST update as a grouped
+    * cross-join against the p-row center CTE (MIN over the batch is
+    * order-independent, so it equals the engine's chained `least`
+    * fold exactly); global rank re-derived by the same (round,
+    * dist DESC, vec_id) order the engine appends in.
+    */
+  def sampleKcenterBatchOracleSql(rounds: Int = BatchRounds,
+                                  p: Int = BatchP): String = {
+    val d = Ivf.pairDistSqlTemplate(VectorMetric.L2)
+    val blocks = (1 to rounds).map { r =>
+      val prev = if (r == 1) "" else s"""m$r AS MATERIALIZED (
+         |  SELECT m.vec_id, first(m.embedding) AS embedding,
+         |    LEAST(m.md, MIN(${d.format("m", "c")})) AS md
+         |  FROM m${r - 1} m, c${r - 1} c
+         |  WHERE m.vec_id NOT IN (SELECT vec_id FROM c${r - 1})
+         |  GROUP BY m.vec_id, m.md),
+         |""".stripMargin
+      s"""${prev}c$r AS MATERIALIZED (
+         |  SELECT vec_id, embedding, md FROM m$r
+         |  ORDER BY md DESC, vec_id LIMIT $p)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds)
+      .map(r => s"UNION ALL SELECT $r, vec_id, md FROM c$r")
+      .mkString("\n")
+    s"""WITH s1 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |m1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ${d.format("e", "s")} AS md
+       |  FROM embeddings e, s1 s WHERE e.vec_id <> s.vec_id),
+       |$blocks
+       |SELECT CAST(row_number() OVER (ORDER BY round, dist DESC, vec_id) AS INTEGER) AS rank,
+       |  CAST(round AS INTEGER) AS round, vec_id, dist FROM (
+       |  SELECT 0 AS round, vec_id, CAST(0.0 AS DOUBLE) AS dist FROM s1
+       |  $rows) x(round, vec_id, dist)
+       |ORDER BY rank""".stripMargin
   }
 
   /** The exact replay: T−1 unrolled CTE blocks, each the incremental

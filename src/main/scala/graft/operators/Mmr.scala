@@ -51,10 +51,33 @@ object Mmr {
   val Lambda = 0.7
 
   def annTopkMmr(spark: SparkSession, dir: String, k: Int = DefaultK,
-                 c: Int = Candidates): DataFrame = {
+                 c: Int = Candidates): DataFrame =
+    mmrOverShortlist(spark, dir,
+      Ivf.exactEdges(spark, dir, c, VectorMetric.Cosine), k)
+
+  /** E56b: the SERVING twin — the same greedy fold over the nprobe
+    * shortlist (E6b's engine at nprobe = nClusters/4, width C). The
+    * fold is shortlist-source-agnostic, so this is the composition
+    * that runs at 100 TB: an approximate shortlist per query, then
+    * the bounded diversity rerank. Oracle-exact like E6b (the nprobe
+    * replay is deterministic given the trained centroids).
+    */
+  def annTopkMmrNprobe(spark: SparkSession, dir: String, k: Int = DefaultK,
+                       c: Int = Candidates): DataFrame = {
+    val n = Tables.embeddingsCount(spark, dir)
+    val np = math.max(1, Ivf.defaultK(n) / 4)
+    mmrOverShortlist(spark, dir,
+      Ivf.annBatch(spark, dir, c, VectorMetric.Cosine, nprobeOpt = Some(np)), k)
+  }
+
+  /** The greedy MMR fold over a given (query_id, neighbor_id) shortlist
+    * frame — shared by the exact contract and the nprobe serving twin.
+    */
+  private def mmrOverShortlist(spark: SparkSession, dir: String,
+                               shortlist: DataFrame, k: Int): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cands = Ivf.exactEdges(spark, dir, c, VectorMetric.Cosine)
+    val cands = shortlist
       .select(col("query_id"), col("neighbor_id").as("cand"))
     // (query_id, cand, simq): relevance of each shortlist member
     val cv = cands
@@ -131,7 +154,23 @@ object Mmr {
     * greedy rounds (GREATEST penalty fold against the latest pick +
     * the (score DESC, cand) argmax via QUALIFY).
     */
-  def annTopkMmrOracleSql(k: Int = DefaultK, c: Int = Candidates): String = {
+  def annTopkMmrOracleSql(k: Int = DefaultK, c: Int = Candidates): String =
+    mmrOracleSql(Dedup.annTopkBatchOracleSql(c), k)
+
+  /** E56b oracle: the SAME fold generator over the nested nprobe
+    * shortlist replay (E6b's centroid-literal oracle at width C) —
+    * one generator, two shortlist sources, the oracles cannot drift.
+    */
+  def annTopkMmrNprobeOracleSql(spark: SparkSession, dir: String,
+                                k: Int = DefaultK,
+                                c: Int = Candidates): String = {
+    val n = Tables.embeddingsCount(spark, dir)
+    val np = math.max(1, Ivf.defaultK(n) / 4)
+    mmrOracleSql(Ivf.annBatchNprobeOracleSql(spark, dir, c,
+      nprobeOpt = Some(np), metric = VectorMetric.Cosine), k)
+  }
+
+  private def mmrOracleSql(candsSql: String, k: Int): String = {
     val lam = Lambda
     val oneMinus = 1.0 - Lambda
     val simExpr = (x: String, y: String) =>
@@ -156,7 +195,7 @@ object Mmr {
       .mkString("\n")
     s"""WITH cands AS MATERIALIZED (
        |  SELECT query_id, neighbor_id AS cand FROM (
-       |    ${Dedup.annTopkBatchOracleSql(c).replace("ORDER BY query_id, rank", "")}) z),
+       |    ${candsSql.replace("ORDER BY query_id, rank", "")}) z),
        |cv AS MATERIALIZED (
        |  SELECT t.query_id, t.cand, ${simExpr("q", "e")} AS simq
        |  FROM cands t

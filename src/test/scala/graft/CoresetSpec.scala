@@ -46,6 +46,44 @@ class CoresetSpec extends AnyFunSuite {
     }
   }
 
+  test("batched variant: exact greedy-batch replication, round radii non-increasing") {
+    val gotB = Coreset.sampleKcenterBatch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val byId = corpus.toMap
+    val seedId = corpus.head._1
+    var md = corpus.filter(_._1 != seedId)
+      .map { case (id, v) => (id, l2(v, byId(seedId))) }.toMap
+    val want = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Double)](
+      (1, 0, seedId, 0.0))
+    var rank = 1
+    (1 to Coreset.BatchRounds).foreach { r =>
+      val picks = md.toSeq.sortBy { case (id, d) => (-d, id) }
+        .take(Coreset.BatchP)
+      picks.foreach { case (id, d) =>
+        rank += 1; want += ((rank, r, id, d))
+      }
+      val pickIds = picks.map(_._1).toSet
+      md = md.view.filterKeys(!pickIds(_)).toMap.map { case (id, d) =>
+        (id, math.min(d, picks.map(p => l2(byId(id), byId(p._1))).min))
+      }
+    }
+    assert(gotB.map(t => (t._1, t._2, t._3)).toSeq ==
+      want.map(t => (t._1, t._2, t._3)).toSeq,
+      s"batched pick sequence diverged")
+    gotB.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-9, s"radius at rank ${g._1}")
+    }
+    // per-round max radius never increases round over round
+    val roundMax = gotB.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
+      .map(_._2.map(_._4).max)
+    assert(roundMax.zip(roundMax.tail).forall { case (a, b) => a >= b },
+      s"round covering radii must not increase: $roundMax")
+  }
+
   test("radius sequence is non-increasing after the seed row") {
     val ds = got.drop(1).map(_._3)
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },

@@ -74,6 +74,23 @@ class MmrSpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe twin: k rows per query, rank-1 = the shortlist's top-relevance member") {
+    val served = Mmr.annTopkMmrNprobe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = served.groupBy(_._1)
+    assert(byQ.forall(_._2.length == k), "k rows per query")
+    val n = graft.Tables.embeddingsCount(spark, sf)
+    val np = math.max(1, graft.operators.Ivf.defaultK(n) / 4)
+    val short1 = graft.operators.Ivf
+      .annBatch(spark, sf, c, graft.functions.VectorMetric.Cosine,
+        nprobeOpt = Some(np))
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val r1 = served.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    assert(r1 == short1,
+      "MMR rank-1 must be the nprobe shortlist's top-relevance member")
+  }
+
   test("selected set is never more self-similar than the plain top-k") {
     def meanPairSim(ids: Seq[Long]): Double = {
       val ps = for {
