@@ -295,6 +295,9 @@ object SparkEntry {
     // E11d: the BMP pixel buffer DECODED (per-channel integer
     // mean/min/max) — the codec step made real for the 24bpp format
     "multimodal_pixel_stats"  -> ((s, d) => Multimodal.multimodalPixelStats(s, d)),
+    // E11e: perceptual image dedup — integer-exact aHash signatures
+    // over the decoded BMP pixel stream, exact-signature canon groups
+    "multimodal_dedup"        -> ((s, d) => Multimodal.multimodalDedup(s, d)),
     // D-series: Structured Streaming jobs (memory-sink execution)
     "stream_window_agg" -> (Streams.streamWindowAgg _),
     "stream_dedup"      -> (Streams.streamDedup _),
@@ -511,6 +514,9 @@ object SparkEntry {
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
     "multimodal_resize"       -> Multimodal.multimodalResizeOracleSql(),
     "multimodal_pixel_stats"  -> Multimodal.multimodalPixelStatsOracleSql,
+    // E11e: bytes recomputed from source text, same cross-multiplied
+    // bit rule and two-BIGINT packing
+    "multimodal_dedup"        -> Multimodal.multimodalDedupOracleSql,
     // streaming twins ARE oracle-checkable: D1 ≡ C5-shaped SQL,
     // D3 ≡ C6, D2 ≡ count-by-type (source has no duplicate event_ids)
     "stream_window_agg" -> Analytics.eventsWindowAggOracleSql,

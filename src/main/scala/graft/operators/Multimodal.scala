@@ -297,6 +297,108 @@ object Multimodal {
       |FROM px GROUP BY doc_id, n_px
       |ORDER BY doc_id""".stripMargin
 
+  /** E11e: PERCEPTUAL image dedup — average-hash (aHash) signatures
+    * over the decoded BMP pixel stream, then exact-signature grouping
+    * with a canonical representative (the E1/E33 canon shape). This is
+    * the multimodal member of the dedup family: byte-exact dedup
+    * misses re-encoded/perturbed images, so production image pipelines
+    * dedup on a perceptual hash; aHash is its integer-exact base case
+    * (pHash/dHash swap the bucket statistic, same plumbing).
+    *
+    * The 2-D 8×8 downscale becomes a 1-D 64-bucket partition of the
+    * pixel stream (bucket j = pixels with i·64 div n_px = j — the
+    * images here are synthesized 1-D streams; a real 2-D bucket only
+    * changes the bucket-index formula, and empty buckets of tiny
+    * images contribute 0 bits identically in both engines). Bit j is
+    * set iff bucket j's mean gray EXCEEDS the image mean — compared by
+    * integer CROSS-MULTIPLICATION (bucket_sum·n_px > total_sum·n_bucket,
+    * gray = b+g+r undivided), so there is no division, no float, and
+    * no rounding boundary anywhere; the 64 bits pack into two BIGINTs
+    * (sig_hi = bits 0-31, sig_lo = 32-63). At bodies ≥ ~10⁹ px the
+    * sum·n_px product needs DECIMAL(38) staging (the E29 note).
+    *
+    * Scale shape: the explode is O(total pixels) skinny integer rows
+    * fused into the scan (E11d's shape), then TWO map-side-combined
+    * aggregates (per-bucket, per-doc) and a signature-keyed group for
+    * the representative — payloads never shuffle, signatures do.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val withPx = payloads(spark, dir)
+      .filter(col("media_kind") === 0)
+      .select(col("doc_id"), col("payload"),
+        expr("(octet_length(payload) - 54) div 3").as("n_px"))
+      .filter(col("n_px") > 0)
+      .withColumn("i", explode(sequence(lit(0L), col("n_px") - 1)))
+    def chan(c: Int): Column =
+      conv(hex(col("payload").substr(
+        (lit(55L) + col("i") * 3L + c).cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    val bucketed = withPx
+      .select(col("doc_id"), col("n_px"),
+        expr("(i * 64) div n_px").as("j"),
+        (chan(0) + chan(1) + chan(2)).as("v"))
+      .groupBy("doc_id", "n_px", "j")
+      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
+      .localCheckpoint(true)
+    val tot = bucketed.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
+    // bit j set iff bucket mean > image mean (cross-multiplied), packed
+    // into two BIGINT halves; ≤64 skinny rows per doc at this point
+    val sigs = bucketed.join(tot, "doc_id")
+      .select(col("doc_id"), col("j"),
+        when(col("bsum") * col("n_px") > col("tsum") * col("bcnt"), 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CASE WHEN j < 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig_hi"),
+        sum(expr("CASE WHEN j >= 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j - 32 AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig_lo"))
+    val reps = sigs.groupBy("sig_hi", "sig_lo")
+      .agg(min(col("doc_id")).as("rep_id"))
+    val out = sigs.join(reps, Seq("sig_hi", "sig_lo"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    bucketed.unpersist()
+    out
+  }
+
+  /** E11e oracle: every byte recomputed independently from the source
+    * text (the E11d discipline), the same bucket partition, the same
+    * cross-multiplied bit rule, the same two-BIGINT packing and
+    * min-representative grouping.
+    */
+  def multimodalDedupOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) // 3 AS BIGINT) AS n_px
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, n_px, t.i * 64 // n_px AS j,
+      |    CAST(('0x' || substr(hx, CAST(t.i*6 + 1 AS INT), 2)) AS BIGINT)
+      |    + CAST(('0x' || substr(hx, CAST(t.i*6 + 3 AS INT), 2)) AS BIGINT)
+      |    + CAST(('0x' || substr(hx, CAST(t.i*6 + 5 AS INT), 2)) AS BIGINT) AS v
+      |  FROM b, UNNEST(range(0, n_px)) t(i)
+      |  WHERE n_px > 0),
+      |bk AS (
+      |  SELECT doc_id, n_px, j, CAST(sum(v) AS BIGINT) AS bsum,
+      |    CAST(count(*) AS BIGINT) AS bcnt
+      |  FROM px GROUP BY doc_id, n_px, j),
+      |tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum FROM bk GROUP BY doc_id),
+      |sg AS (
+      |  SELECT bk.doc_id,
+      |    CAST(sum(CASE WHEN j < 32 AND bsum * n_px > tsum * bcnt
+      |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi,
+      |    CAST(sum(CASE WHEN j >= 32 AND bsum * n_px > tsum * bcnt
+      |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo
+      |  FROM bk JOIN tt ON tt.doc_id = bk.doc_id
+      |  GROUP BY bk.doc_id),
+      |rp AS (SELECT sig_hi, sig_lo, min(doc_id) AS rep_id FROM sg GROUP BY sig_hi, sig_lo)
+      |SELECT s.doc_id, s.sig_hi, s.sig_lo, r.rep_id, s.doc_id = r.rep_id AS kept
+      |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
+      |ORDER BY s.doc_id""".stripMargin
+
   // ---------------------------------------------------------- decode
 
   case class MediaFeature(doc_id: Long, media_kind: Int, byte_len: Long,

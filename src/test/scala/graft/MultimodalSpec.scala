@@ -33,6 +33,56 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.feature.toSeq)).toSeq.sortBy(_._1))
   }
 
+  test("perceptual dedup: driver-side aHash replication, canon-group contracts") {
+    val got = Multimodal.multimodalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def sig(text: String): (Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val nPx = bytes.length / 3
+      val v = (0 until nPx).map(i =>
+        (bytes(i * 3) & 0xFF).toLong + (bytes(i * 3 + 1) & 0xFF) +
+          (bytes(i * 3 + 2) & 0xFF))
+      val bsum = new Array[Long](64); val bcnt = new Array[Long](64)
+      (0 until nPx).foreach { i =>
+        val j = (i.toLong * 64 / nPx).toInt; bsum(j) += v(i); bcnt(j) += 1
+      }
+      val tsum = v.sum
+      var hi = 0L; var lo = 0L
+      (0 until 64).foreach { j =>
+        if (bcnt(j) > 0 && bsum(j) * nPx > tsum * bcnt(j)) {
+          if (j < 32) hi |= (1L << j) else lo |= (1L << (j - 32))
+        }
+      }
+      (hi, lo)
+    }
+    // exact signature replication for every emitted row
+    got.foreach { case (id, hi, lo, _, _) =>
+      val (wh, wl) = sig(texts(id))
+      assert((hi, lo) == ((wh, wl)), s"aHash diverged for doc $id")
+    }
+    // canon contracts: rep = min id of the signature group, kept iff rep
+    val byGroup = got.groupBy(t => (t._2, t._3))
+    byGroup.foreach { case (_, rows) =>
+      val minId = rows.map(_._1).min
+      assert(rows.forall(_._4 == minId), "rep must be the group min id")
+      assert(rows.forall(t => t._5 == (t._1 == minId)), "kept iff canonical")
+    }
+    // identical texts (planted duplicates) share a group
+    val dupTexts = texts.groupBy(_._2).filter(_._2.size > 1)
+    dupTexts.foreach { case (_, docs) =>
+      val sigs = docs.toSeq.flatMap { case (id, _) =>
+        got.find(_._1 == id).map(t => (t._2, t._3))
+      }
+      assert(sigs.distinct.size <= 1,
+        "identical texts must land in one signature group")
+    }
+  }
+
   test("JVM header decode agrees with the in-plan Catalyst parse") {
     val meta = Multimodal.multimodalMeta(spark, sf).select("doc_id", "dim1", "dim2")
     val dec = Multimodal.decodeFeatures(spark, sf).toDF()
