@@ -114,8 +114,7 @@ object Bench {
     // E56's exact top-C shortlist (C=20) — its own attributable line so
     // ann_topk_mmr measures the greedy fold, not the probe-all pass
     "memo_exact_edges_mmr" -> (() =>
-      { operators.Ivf.exactEdges(spark, dir, operators.Mmr.Candidates,
-          functions.VectorMetric.Cosine); () }),
+      operators.Ivf.warmExactEdges(spark, dir, operators.Mmr.Candidates)),
     // E37c's converged NN-Descent graph (init + rounds): memoized per
     // (dir, k) — warmed here so the key line measures serving the
     // edge list, and the BUILD cost is its own attributable line

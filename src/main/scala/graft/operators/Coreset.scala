@@ -65,22 +65,31 @@ object Coreset {
     // center enters as a literal array — a narrow projection, no join.
     var md: DataFrame = null
     var pickedId = seedId
+    var exhausted = false
     (2 to t).foreach { r =>
-      val centerLit = array(centerVec.map(lit): _*)
-      val dist = Ivf.distCol(VectorMetric.L2, col("vec"), centerLit)
-      val next = (if (md == null) {
-        vecs.filter(col("id") =!= seedId)
-          .select(col("id"), col("vec"), dist.as("md"))
-      } else {
-        md.filter(col("id") =!= pickedId)
-          .select(col("id"), col("vec"), least(col("md"), dist).as("md"))
-      }).localCheckpoint(true)
-      if (md != null) md.unpersist()
-      md = next
-      val pick = md.orderBy(col("md").desc, col("id").asc).limit(1).head()
-      pickedId = pick.getLong(0)
-      centerVec = pick.getSeq[Float](1)
-      picked += ((r, pickedId, pick.getDouble(2)))
+      if (!exhausted) {
+        val centerLit = array(centerVec.map(lit): _*)
+        val dist = Ivf.distCol(VectorMetric.L2, col("vec"), centerLit)
+        val next = (if (md == null) {
+          vecs.filter(col("id") =!= seedId)
+            .select(col("id"), col("vec"), dist.as("md"))
+        } else {
+          md.filter(col("id") =!= pickedId)
+            .select(col("id"), col("vec"), least(col("md"), dist).as("md"))
+        }).localCheckpoint(true)
+        if (md != null) md.unpersist()
+        md = next
+        // t beyond the corpus: return the centers that exist (the
+        // driver-side greedy fold's behavior), never throw
+        val rows = md.orderBy(col("md").desc, col("id").asc).limit(1).collect()
+        if (rows.isEmpty) exhausted = true
+        else {
+          val pick = rows(0)
+          pickedId = pick.getLong(0)
+          centerVec = pick.getSeq[Float](1)
+          picked += ((r, pickedId, pick.getDouble(2)))
+        }
+      }
     }
     if (md != null) md.unpersist()
     picked.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
@@ -126,16 +135,20 @@ object Coreset {
         rank += 1
         picked += ((rank, r, row.getLong(0), row.getDouble(2)))
       }
-      val minToNew = picks.map { row =>
-        Ivf.distCol(VectorMetric.L2, col("vec"),
-          array(row.getSeq[Float](1).map(lit): _*))
-      }.reduce(least(_, _))
-      val ids = picks.map(_.getLong(0))
-      val next = md.filter(!col("id").isin(ids: _*))
-        .select(col("id"), col("vec"), least(col("md"), minToNew).as("md"))
-        .localCheckpoint(true)
-      md.unpersist()
-      md = next
+      // corpus exhausted before the configured rounds: return what
+      // exists (the oracle's UNION of empty blocks does the same)
+      if (picks.nonEmpty) {
+        val minToNew = picks.map { row =>
+          Ivf.distCol(VectorMetric.L2, col("vec"),
+            array(row.getSeq[Float](1).map(lit): _*))
+        }.reduce(least(_, _))
+        val ids = picks.map(_.getLong(0))
+        val next = md.filter(!col("id").isin(ids: _*))
+          .select(col("id"), col("vec"), least(col("md"), minToNew).as("md"))
+          .localCheckpoint(true)
+        md.unpersist()
+        md = next
+      }
     }
     md.unpersist()
     picked.toSeq.toDF("rank", "round", "vec_id", "dist").orderBy("rank")

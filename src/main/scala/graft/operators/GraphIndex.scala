@@ -743,13 +743,22 @@ object GraphIndex {
     val cents = IndexLifecycle.loadCentroids(spark, indexPath)
     val n = IndexLifecycle.status(spark, indexPath).size
     val fEst = Pq.estimatedSelectorSize(sel, k.toLong)
-    val np = Pq.widenedNprobe(EntryNprobe, n, fEst, cents.length)
+    // widen from the IVF SERVING base (nClusters/4, the E6b/A18d
+    // convention) — not the beam's nprobe=1 entry budget, which has
+    // the graph expansion behind it that this scan-shaped face lacks
+    val np = Pq.widenedNprobe(
+      math.max(1, cents.length / 4), n, fEst, cents.length)
     val survivors = stored.join(sel, Seq("id"), "left_semi")
       .select(col("cluster_id"), col("id").as("neighbor_id"), col("vec"))
     val probes = Ivf.probeSelect(
       queries.select(col("id").as("query_id"), col("vec").as("qvec")),
       cents, np, metric)
-    Ivf.probedTopK(survivors, probes, k, metric)
+    // shuffle-join the probe frame: this face takes ARBITRARY query
+    // batches, and a starved selector widens np toward all lists —
+    // broadcasting |Q|·np qvec rows is the O(N) memory hazard
+    // probedTopK's contract names (small-batch callers still win via
+    // AQE's runtime broadcast conversion)
+    Ivf.probedTopK(survivors, probes, k, metric, broadcastProbes = false)
       .orderBy("query_id", "rank")
   }
 

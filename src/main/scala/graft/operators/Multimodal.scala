@@ -353,6 +353,9 @@ object Multimodal {
           .as("sig_hi"),
         sum(expr("CASE WHEN j >= 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j - 32 AS INT)) ELSE CAST(0 AS BIGINT) END"))
           .as("sig_lo"))
+      // pinned: feeds BOTH the representative aggregate and the final
+      // join — unpinned, the whole packing chain executes twice
+      .localCheckpoint(true)
     val reps = sigs.groupBy("sig_hi", "sig_lo")
       .agg(min(col("doc_id")).as("rep_id"))
     val out = sigs.join(reps, Seq("sig_hi", "sig_lo"))
@@ -361,6 +364,7 @@ object Multimodal {
       .orderBy("doc_id")
       .localCheckpoint(true)
     bucketed.unpersist()
+    sigs.unpersist()
     out
   }
 

@@ -227,14 +227,7 @@ class GraphSpec extends AnyFunSuite {
       assert(served.forall(_._2 % 2 == 0), "every served id obeys the selector")
       assert(served.groupBy(_._1).forall(_._2.length == k),
         "k rows per query at mid selectivity")
-      // starved selector: the scan IS the exact filtered ranking
-      val ids = Seq(3L, 7L, 11L)
-      val got = GraphIndex.queryGraphBatchFiltered(
-          spark, tmp, queries, k, ids.toDF("id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        .sortBy(t => (t._1, t._3))
       val corpus = Tables.embeddings(spark, sf)
-        .filter(col("vec_id") < 12)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .toMap
@@ -246,6 +239,26 @@ class GraphSpec extends AnyFunSuite {
         val norms = math.sqrt(na) * math.sqrt(nb)
         if (norms == 0.0) 1.0 else 1.0 - acc / norms
       }
+      // recall floor at mid selectivity vs the exact filtered top-k
+      // (the widened-from-serving-base probe budget must actually find
+      // the survivors — selector obedience alone can't catch a probe
+      // budget collapse)
+      val evenIds = corpus.keys.filter(_ % 2 == 0).toSeq
+      val recalls = (0L until 10L).map { q =>
+        val exact = evenIds.map(id => (id, cosDist(corpus(q), corpus(id))))
+          .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+        val mine = served.filter(_._1 == q + 2 * n).map(_._2).toSet
+        (exact & mine).size.toDouble / k
+      }
+      val meanRecall = recalls.sum / recalls.size
+      assert(meanRecall >= 0.8,
+        s"persisted filtered serving recall $meanRecall < 0.8")
+      // starved selector: the scan IS the exact filtered ranking
+      val ids = Seq(3L, 7L, 11L)
+      val got = GraphIndex.queryGraphBatchFiltered(
+          spark, tmp, queries, k, ids.toDF("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3))
       val want = (0L until 10L).flatMap { q =>
         ids.map(id => (id, cosDist(corpus(q), corpus(id))))
           .sortBy { case (id, d) => (d, id) }.zipWithIndex
