@@ -183,6 +183,10 @@ object SparkEntry {
     // (in-neighbors inherit the deleted hop's surviving out-neighbors),
     // touched-bucket rewrites, read-backs prove vectors AND edges shrank
     "graph_delete" -> ((s, d) => GraphIndex.graphDelete(s, d)),
+    // A26h: the graph family's stats face — symmetrized-degree
+    // histogram (hub detection; out-degree is constant k, reverse
+    // edges are where hubs form)
+    "graph_stats" -> ((s, d) => GraphIndex.graphStats(s, d)),
     // E43: serving-quality dashboard — per-query recall@k histogram
     // of the nprobe tier vs the exact contract, exact integers
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReport(s, d)),
@@ -656,6 +660,8 @@ object SparkEntry {
     // E51d: the cosine residual-batch replay at the capped widened
     // probe count + selector candidate join + exact-refine tail
     "graph_topk_filtered_midsel" -> ((s, d) => GraphIndex.graphTopkFilteredMidselOracleSql(s, d)),
+    // A26h: the descent replay symmetrized + the two-level count fold
+    "graph_stats" -> ((s, d) => GraphIndex.graphStatsOracleSql(s, d)),
     // E43: exact-window ∩ nprobe-replay, folded to the hit histogram
     "ann_recall_report" -> ((s, d) => Dedup.annRecallReportOracleSql(s, d)),
     // E54: exact-window ∩ the full graph-serving replay, same fold

@@ -714,6 +714,49 @@ object GraphIndex {
       metric = metric)
   }
 
+  /** A26h: `graph_stats` — the A14/A23 stats face for the graph
+    * family: the SYMMETRIZED adjacency's degree histogram (out-degree
+    * is a constant k by the top-k merge, so the informative
+    * distribution is the symmetrized degree — reverse edges are where
+    * hubs form, and a heavy tail here is the signal that beam search
+    * will funnel through few nodes: the reason HNSW prunes neighbors
+    * and the repair-link delete re-caps at R). Rows: (degree,
+    * n_nodes), exact integers, one per occupied degree level — the
+    * same histogram shape as E43/E54's dashboards, so it composes
+    * with them on the operator's index-health page. Cost: the memoized
+    * descent graph + two map-side-combined aggregates over the O(N·k)
+    * skinny edge list; nothing corpus-sized moves.
+    */
+  def graphStats(spark: SparkSession, dir: String, k: Int = 5,
+                 metric: Int = DefaultMetric): DataFrame = {
+    val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
+    symmetrize(graph.select("src", "dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** graph_stats oracle: the descent replay symmetrized with the same
+    * DISTINCT union, the same two-level count fold. (Every node has
+    * out-degree k, so no zero-degree row can exist.)
+    */
+  def graphStatsOracleSql(spark: SparkSession, dir: String,
+                          k: Int = 5,
+                          metric: Int = DefaultMetric): String = {
+    val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k, metric)
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM ($graphSql) z),
+       |gs AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g
+       |    UNION ALL SELECT dst AS src, src AS dst FROM g) u),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM gs GROUP BY src)
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM dg GROUP BY degree ORDER BY degree""".stripMargin
+  }
+
   /** Filtered point-serving on a PERSISTED graph tree — the A18d
     * contract (search_service.py:169-197) for out-of-corpus query
     * batches against the disk layout. The graph tree stores its

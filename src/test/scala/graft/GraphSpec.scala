@@ -208,6 +208,22 @@ class GraphSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"dot graph serving recall $mean < 0.9")
   }
 
+  test("graph_stats: exact symmetrized-degree histogram") {
+    val got = GraphIndex.graphStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = graft.operators.Dedup.descentGraph(spark, sf, k)._1
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }.distinct
+    val want = sym.groupBy(_._1).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"degree histogram diverged: $got != $want")
+    val n = Tables.embeddingsCount(spark, sf)
+    assert(got.values.sum == n, "every node appears exactly once")
+    assert(got.map { case (d, c) => d * c }.sum == sym.length.toLong,
+      "weighted degrees = symmetrized edge count")
+  }
+
   test("persisted filtered serving: selector-only results; starved = exact filtered ranking") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_qf")
     val tmp = s"$tmpDir/g"
