@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   * batch where sequential greedy would take one — the coverage bound
   * loosens from 2-approx toward 2·(1+ε) as p grows; both variants are
   * shipped so the trade is a measured choice, not a default).
+  * Measured at 25× (tools/CoresetProbe, 50k×64 clustered, 33-center
+  * budget): sequential 32 scans 15.0 s vs batched 4 scans 4.6 s
+  * (3.3×), covering radius 6.37 vs 7.18 (1.127×).
   */
 object Coreset {
 
