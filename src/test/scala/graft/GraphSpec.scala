@@ -189,6 +189,30 @@ class GraphSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"l2 graph serving recall $mean < 0.9 (measured 0.978)")
   }
 
+  test("sf0.1 dot and l2 graph serving hold measured floors") {
+    val big = "/root/testdata/sf0.1"
+    def recallAt(metric: Int): Double = {
+      val got = GraphIndex.graphTopk(spark, big, k, metric).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = graft.operators.Ivf.exactEdges(spark, big, k, metric)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, ex) =>
+        (ex & got.getOrElse(q, Set.empty)).size.toDouble / k }
+      rs.sum / rs.size
+    }
+    // measured 0.876 / 0.879 — the same substrate ceiling as cosine's
+    // 0.879 (the 5-iter descent saturates on the near-uniform corpus,
+    // §8l task #6); floors pin the measurement against regression at
+    // the cosine test's 0.85 convention, not a tuned target
+    val dotR = recallAt(graft.functions.VectorMetric.Dot)
+    val l2R = recallAt(graft.functions.VectorMetric.L2)
+    assert(dotR >= 0.85, s"sf0.1 dot served recall $dotR < 0.85 (measured 0.876)")
+    assert(l2R >= 0.85, s"sf0.1 l2 served recall $l2R < 0.85 (measured 0.879)")
+  }
+
   test("dot graph serving: k rows per query, recall floor vs the dot exact contract") {
     val dot = graft.functions.VectorMetric.Dot
     val got = GraphIndex.graphTopk(spark, sf, k, dot)
@@ -474,6 +498,63 @@ class GraphSpec extends AnyFunSuite {
       // retry is idempotent: the ids are gone, so the batch no-ops
       val s4 = GraphIndex.delete(delIds.toDF("id"), tmp)
       assert(s4 == s3, "re-deleting removed ids must be a no-op")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("graph delete on an l2 tree: repair scores with the tree's own metric") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_dl2")
+    val tmp = s"$tmpDir/g"
+    try {
+      import spark.implicits._
+      val l2m = graft.functions.VectorMetric.L2
+      val n = Tables.embeddingsCount(spark, sf)
+      GraphIndex.build(spark, sf, tmp, k, metric = l2m)
+      def adjacency(): Map[Long, Seq[(Long, Double)]] =
+        GraphIndex.readEdges(spark, tmp).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      val before = adjacency()
+      val delIds = (0L until n).filter(_ % 17 == 0)
+      val s = GraphIndex.delete(delIds.toDF("id"), tmp)
+      assert(s.size == n - delIds.length)
+      val delSet = delIds.toSet
+      val after = adjacency()
+      val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      def l2d(a: Array[Float], b: Array[Float]): Double = {
+        var s2 = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i); s2 += d * d; i += 1
+        }
+        math.sqrt(s2)
+      }
+      // the repair merge must rank inherited hops by L2, not cosine
+      val touched = before.filter { case (src, out) =>
+        !delSet(src) && out.exists(e => delSet(e._1)) }.keySet
+      touched.foreach { u =>
+        val kept = before(u).filter(e => !delSet(e._1))
+        val inherited = before(u).map(_._1).filter(delSet).flatMap(v =>
+          before.getOrElse(v, Seq.empty).map(_._1)
+            .filter(w => !delSet(w) && w != u)
+            .map(w => (w, l2d(all(u), all(w)))))
+        val expected = (kept ++ inherited).distinct
+          .groupBy(_._1).map { case (id, ds) => (id, ds.map(_._2).min) }.toSeq
+          .sortBy { case (id, dist) => (dist, id) }
+          .take(GraphIndex.reverseCap(k)).map(_._1).toSet
+        assert(after(u).map(_._1).toSet == expected,
+          s"l2 repair of $u diverged from the l2 top-R merge")
+      }
+      // serving after delete stays l2 and never returns a deleted id
+      val probes = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 3 * n).as("id"), col("embedding").as("vec"))
+      val served = GraphIndex.queryGraphBatch(spark, tmp, probes, k)
+        .collect().map(_.getLong(1))
+      assert(served.forall(!delSet(_)), "a deleted id was served from the l2 tree")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
