@@ -57,6 +57,10 @@ object SparkEntry {
     // connected components over the exact pair graph: one canonical
     // survivor per dup CLUSTER (near-duplication is transitive)
     "dedup_components"    -> (Dedup.dedupComponents _),
+    // E57: quality-aware canonicalization — per near-dup component,
+    // the argmax-E8-quality member vs the min-id rule (the RefinedWeb
+    // keep-best-of-cluster policy; disagree rows = picks that change)
+    "dedup_components_quality" -> (Dedup.dedupComponentsQuality _),
     // SemDeDup-style semantic prune: exact cosine pairs → components →
     // one representative per group, kept flag per vector
     "semantic_prune"      -> (Dedup.semanticPrune _),
@@ -458,6 +462,8 @@ object SparkEntry {
     "dedup_exact_normalized" -> Dedup.dedupExactNormalizedOracleSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardOracleSql,
     "dedup_components"    -> Dedup.dedupComponentsOracleSql,
+    // E57: the E13 closure + the E8 score CTE + QUALIFY argmax
+    "dedup_components_quality" -> Dedup.dedupComponentsQualityOracleSql,
     "split_leakage_free"  -> Dedup.splitLeakageFreeOracleSql,
     "semantic_prune"      -> Dedup.semanticPruneOracleSql,
     "dedup_cluster_stats" -> Dedup.dedupClusterStatsOracleSql,

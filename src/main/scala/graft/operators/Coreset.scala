@@ -131,9 +131,13 @@ object Coreset {
       .select(col("id"), col("vec"),
         Ivf.distCol(VectorMetric.L2, col("vec"), seedLit).as("md"))
       .localCheckpoint(true)
+    var exhausted = false
     (1 to rounds).foreach { r =>
-      val picks = md.orderBy(col("md").desc, col("id").asc).limit(p)
-        .select(col("id"), col("vec"), col("md")).collect()
+      val picks =
+        if (exhausted) Array.empty[org.apache.spark.sql.Row]
+        else md.orderBy(col("md").desc, col("id").asc).limit(p)
+          .select(col("id"), col("vec"), col("md")).collect()
+      if (picks.isEmpty) exhausted = true
       picks.foreach { row =>
         rank += 1
         picked += ((rank, r, row.getLong(0), row.getDouble(2)))

@@ -1101,6 +1101,65 @@ object Dedup {
        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** E57: QUALITY-AWARE near-dup canonicalization — the RefinedWeb
+    * "keep the best member of the cluster" rule beside E16's min-id
+    * rule: per E13 component, the member with the highest E8 quality
+    * score (ties by doc_id) versus the min-id canonical, plus whether
+    * the two rules agree. Exact-duplicate groups have identical text
+    * (equal scores → the rules coincide), so this key matters exactly
+    * where near-dup members DIFFER — a crawl's short teaser vs the
+    * full article: min-id keeps whichever was crawled first,
+    * quality-canon keeps the better document. The disagree rows are
+    * the operator's read: how many cluster picks change if the
+    * pipeline switches rules (E16/E42's canon rule is the pluggable
+    * seam this key measures).
+    *
+    * Scale shape: the memoized E13 label table joined to E8's per-doc
+    * score (one codegen'd scan), ONE map-side-combined per-component
+    * aggregate with the bounded top-1 argmax (the E56 device — never
+    * a window sort); components are O(paired docs) rows.
+    */
+  def dedupComponentsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val comps = docComponentsFor(spark, dir)
+      .select(col("doc_id"), col("component_id"))
+    val scores = graft.operators.TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"))
+    comps.join(scores, "doc_id")
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canon_min_id"),
+        graft.functions.VectorFunctions
+          .topKByDistance(-col("score"), col("doc_id"), 1)(0)("id")
+          .as("canon_quality_id"))
+      .select(col("component_id"), col("n_members"), col("canon_min_id"),
+        col("canon_quality_id"),
+        (col("canon_min_id") === col("canon_quality_id")).as("rules_agree"))
+      .orderBy("component_id")
+  }
+
+  /** E57 oracle: the E13 recursive closure + the E8 score CTE, the
+    * (score DESC, doc_id) argmax via QUALIFY, the same rollup.
+    */
+  def dedupComponentsQualityOracleSql: String = {
+    val comps = dedupComponentsOracleSql.replace(" ORDER BY doc_id", "")
+    s"""WITH cmp AS MATERIALIZED (
+       |  SELECT doc_id, component_id FROM ($comps) z),
+       |sc AS (${graft.operators.TextOps.qualityScoreOracleSql}),
+       |j AS (SELECT c.component_id, c.doc_id, s.score
+       |      FROM cmp c JOIN sc s ON s.doc_id = c.doc_id),
+       |q AS (
+       |  SELECT component_id, doc_id AS canon_quality_id FROM j
+       |  QUALIFY row_number() OVER (PARTITION BY component_id
+       |    ORDER BY score DESC, doc_id) = 1)
+       |SELECT j.component_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(j.doc_id) AS canon_min_id,
+       |  any_value(q.canon_quality_id) AS canon_quality_id,
+       |  min(j.doc_id) = any_value(q.canon_quality_id) AS rules_agree
+       |FROM j JOIN q ON q.component_id = j.component_id
+       |GROUP BY j.component_id
+       |ORDER BY j.component_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- E52
 
   /** 80/10/10 split bands in permille: [0,800) train, [800,900) val,

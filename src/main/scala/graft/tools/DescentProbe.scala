@@ -41,12 +41,11 @@ object DescentProbe {
               .as("embedding"),
             pmod(col("id"), lit(10)).cast("int").as("label"))
         case _ =>
-          // 500 centers, ±0.05 jitter: within-cluster neighbors dominate
+          // 500 centers, ±0.05 jitter: within-cluster neighbors
+          // dominate (the shared ProbeUtil recipe — CoresetProbe and
+          // MmrProbe publish numbers on the SAME corpus)
           base.select(col("id").as("vec_id"),
-            transform(sequence(lit(0), lit(63)),
-              i => ((pmod(xxhash64(pmod(col("id"), lit(500L)), i), lit(2000L)) / lit(1000.0) - 1.0) +
-                (pmod(xxhash64(col("id"), i, lit(7L)), lit(100L)) / lit(1000.0) - 0.05)).cast("float"))
-              .as("embedding"),
+            ProbeUtil.clusteredEmbedding.as("embedding"),
             pmod(col("id"), lit(10)).cast("int").as("label"))
       }
       emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -16,20 +16,8 @@ object MmrProbe {
     val n = args.headOption.map(_.toInt).getOrElse(50000)
     val spark = GraftSession.builder("32", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[mmr] $name%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
-    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
-    spark.range(n.toLong).select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          i => ((pmod(xxhash64(pmod(col("id"), lit(500L)), i), lit(2000L)) / lit(1000.0) - 1.0) +
-            (pmod(xxhash64(col("id"), i, lit(7L)), lit(100L)) / lit(1000.0) - 0.05)).cast("float"))
-          .as("embedding"),
-        pmod(col("id"), lit(10)).cast("int").as("label"))
-      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def timed[T](name: String)(f: => T): T = ProbeUtil.timed("mmr")(name)(f)
+    val dir = ProbeUtil.writeClusteredCorpus(spark, n, "mmr")
     println(s"[mmr] corpus=clustered n=$n dim=64 C=${graft.operators.Mmr.Candidates}")
     timed("ivf index (memo)") { graft.operators.Ivf.warmIndex(spark, dir) }
     val nn = graft.Tables.embeddingsCount(spark, dir)
@@ -45,9 +33,7 @@ object MmrProbe {
       graft.operators.Mmr.mmrOverShortlistForProbe(spark, dir, shortlist)
         .queryExecution.toRdd.count()
     }
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    ProbeUtil.rmTree(dir)
     spark.stop()
   }
 }

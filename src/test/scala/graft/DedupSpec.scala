@@ -514,4 +514,29 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0)).toSeq
     assert(got == Seq(5L, 10L))
   }
+
+  test("E57 quality canon: argmax score per component, min-id parity, agree flag") {
+    import org.apache.spark.sql.functions.col
+    val got = Dedup.dedupComponentsQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.nonEmpty, "the fixture corpus has near-dup components")
+    val comps = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val scores = graft.operators.TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.map(_._1).toSet == comps.keySet, "one row per component")
+    got.foreach { case (cid, nm, cmin, cq, agree) =>
+      val members = comps(cid)
+      assert(nm == members.size.toLong, s"member count of $cid")
+      assert(cmin == members.min, s"min-id canon of $cid")
+      val want = members.toSeq
+        .map(id => (id, scores(id)))
+        .minBy { case (id, s) => (-s, id) }._1
+      assert(cq == want, s"quality canon of $cid: $cq != $want")
+      assert(agree == (cmin == cq), s"agree flag of $cid")
+    }
+  }
 }

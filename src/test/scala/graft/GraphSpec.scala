@@ -150,24 +150,30 @@ class GraphSpec extends AnyFunSuite {
     assert(got0 == want, s"starved filtered graph must rank exactly: $got0 != $want")
   }
 
+  /** Mean served recall of graphTopk vs the exact contract under one
+    * metric — the ONE recall definition every floor test in this spec
+    * pins against (a second hand-rolled copy could drift silently).
+    */
+  private def servedRecall(dir: String, metric: Int): Double = {
+    val got = GraphIndex.graphTopk(spark, dir, k, metric).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.Ivf.exactEdges(spark, dir, k, metric)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = exact.map { case (q, ex) =>
+      (ex & got.getOrElse(q, Set.empty)).size.toDouble / k }
+    rs.sum / rs.size
+  }
+
   test("sf0.1 graph serving holds the measured floor (the hard near-uniform regime)") {
     // the substrate saturates at 0.742 there (5-iter descent on 2,000
     // near-uniform vectors) and deeper builds are a measured negative
     // (12 iters = 2.4x build -> 0.899 served); this pins the seeded
     // beam's 0.879 against regression, NOT a target someone tuned to
-    val big = "/root/testdata/sf0.1"
-    val got = GraphIndex.graphTopk(spark, big, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val exact = operators.Ivf
-      .exactEdges(spark, big, k, graft.functions.VectorMetric.Cosine)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.map { case (q, ex) =>
-      (ex & got.getOrElse(q, Set.empty)).size.toDouble / k
-    }
-    val mean = recalls.sum / recalls.size
+    val mean = servedRecall("/root/testdata/sf0.1",
+      graft.functions.VectorMetric.Cosine)
     assert(mean >= 0.85, s"sf0.1 graph serving recall $mean < 0.85 (measured 0.879)")
   }
 
@@ -190,25 +196,13 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("sf0.1 dot and l2 graph serving hold measured floors") {
-    val big = "/root/testdata/sf0.1"
-    def recallAt(metric: Int): Double = {
-      val got = GraphIndex.graphTopk(spark, big, k, metric).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val exact = graft.operators.Ivf.exactEdges(spark, big, k, metric)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val rs = exact.map { case (q, ex) =>
-        (ex & got.getOrElse(q, Set.empty)).size.toDouble / k }
-      rs.sum / rs.size
-    }
     // measured 0.876 / 0.879 — the same substrate ceiling as cosine's
     // 0.879 (the 5-iter descent saturates on the near-uniform corpus,
     // §8l task #6); floors pin the measurement against regression at
     // the cosine test's 0.85 convention, not a tuned target
-    val dotR = recallAt(graft.functions.VectorMetric.Dot)
-    val l2R = recallAt(graft.functions.VectorMetric.L2)
+    val big = "/root/testdata/sf0.1"
+    val dotR = servedRecall(big, graft.functions.VectorMetric.Dot)
+    val l2R = servedRecall(big, graft.functions.VectorMetric.L2)
     assert(dotR >= 0.85, s"sf0.1 dot served recall $dotR < 0.85 (measured 0.876)")
     assert(l2R >= 0.85, s"sf0.1 l2 served recall $l2R < 0.85 (measured 0.879)")
   }
