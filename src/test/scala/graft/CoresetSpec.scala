@@ -90,6 +90,25 @@ class CoresetSpec extends AnyFunSuite {
       s"covering radii must not increase: ${ds.toSeq}")
   }
 
+  test("corpus exhaustion: both variants return the available centers, never throw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_tiny").toString
+    // 5 vectors < T=8 and far below 1 + 4*8: exhaustion paths in both
+    (0L until 5L).map(i =>
+        (i, Array.tabulate(8)(j => (i * 8 + j).toFloat / 10f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val seq5 = Coreset.sampleKcenter(spark, dir).collect()
+    assert(seq5.length == 5, s"sequential must return all 5 centers, got ${seq5.length}")
+    assert(seq5.map(_.getLong(1)).toSet == (0L until 5L).toSet)
+    val batch5 = Coreset.sampleKcenterBatch(spark, dir).collect()
+    assert(batch5.length == 5, s"batched must return all 5 centers, got ${batch5.length}")
+    assert(batch5.map(_.getLong(2)).toSet == (0L until 5L).toSet)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("deterministic across invocations") {
     val again = Coreset.sampleKcenter(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

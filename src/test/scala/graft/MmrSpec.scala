@@ -91,6 +91,27 @@ class MmrSpec extends AnyFunSuite {
       "MMR rank-1 must be the nprobe shortlist's top-relevance member")
   }
 
+  test("tiny corpus: shortlist smaller than k yields min(k, n-1) rows per query") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_tiny").toString
+    (0L until 4L).map(i =>
+        (i, Array.tabulate(8)(j => ((i * 3 + j) % 7).toFloat / 7f + 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Mmr.annTopkMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 4 && byQ.forall(_._2.length == 3),
+      s"each of 4 queries selects its 3 available candidates: ${out.toSeq}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSet == (0L until 4L).toSet - q,
+        "the whole shortlist is selected when it is smaller than k")
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("selected set is never more self-similar than the plain top-k") {
     def meanPairSim(ids: Seq[Long]): Double = {
       val ps = for {
