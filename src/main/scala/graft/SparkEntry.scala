@@ -286,6 +286,9 @@ object SparkEntry {
     // coreset sizes: 10⁴ centers in 10⁴/p scans; measured trade in
     // CoresetSpec, see the class note)
     "sample_kcenter_batch" -> ((s, d) => Coreset.sampleKcenterBatch(s, d)),
+    // E55c: the traversal under cosine distance (angular diversity for
+    // normalized-embedding corpora; dot refused — not a metric)
+    "sample_kcenter_cos" -> ((s, d) => Coreset.sampleKcenterCos(s, d)),
     "pack_token_shards"  -> ((s, d) => TextOps.packTokenShards(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     // the full cleanup pass: + near-dup CLUSTER canonicalization (E13)
@@ -516,6 +519,9 @@ object SparkEntry {
     "sample_kcenter" -> Coreset.sampleKcenterOracleSql(),
     // E55b: R unrolled top-p + grouped min-over-batch LEAST blocks
     "sample_kcenter_batch" -> Coreset.sampleKcenterBatchOracleSql(),
+    // E55c: the same generator under the cosine distance template
+    "sample_kcenter_cos" -> Coreset.sampleKcenterOracleSql(
+      metric = graft.functions.VectorMetric.Cosine),
     "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "pipeline_dedup_corpus" -> TextOps.pipelineDedupCorpusOracleSql(),

@@ -54,7 +54,25 @@ object Coreset {
     * here, matching A1/A8's l2 contract).
     */
   def sampleKcenter(spark: SparkSession, dir: String,
-                    t: Int = DefaultT): DataFrame = {
+                    t: Int = DefaultT): DataFrame =
+    sampleKcenterMetric(spark, dir, t, VectorMetric.L2)
+
+  /** E55c: the same traversal under COSINE distance — the coreset for
+    * normalized-embedding corpora where angular spread, not magnitude,
+    * is the diversity that matters. Cosine distance is a proper
+    * dissimilarity on the (near-)unit sphere so farthest-point keeps
+    * its meaning; DOT is refused loudly (not a metric — "farthest
+    * under inner product" just chases the largest-norm vector and the
+    * greedy bound has no interpretation).
+    */
+  def sampleKcenterCos(spark: SparkSession, dir: String,
+                       t: Int = DefaultT): DataFrame =
+    sampleKcenterMetric(spark, dir, t, VectorMetric.Cosine)
+
+  private def sampleKcenterMetric(spark: SparkSession, dir: String,
+                                  t: Int, metric: Int): DataFrame = {
+    require(metric != VectorMetric.Dot,
+      "k-center is undefined under dot: inner product is not a metric")
     import spark.implicits._
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -72,7 +90,7 @@ object Coreset {
     (2 to t).foreach { r =>
       if (!exhausted) {
         val centerLit = array(centerVec.map(lit): _*)
-        val dist = Ivf.distCol(VectorMetric.L2, col("vec"), centerLit)
+        val dist = Ivf.distCol(metric, col("vec"), centerLit)
         val next = (if (md == null) {
           vecs.filter(col("id") =!= seedId)
             .select(col("id"), col("vec"), dist.as("md"))
@@ -206,8 +224,9 @@ object Coreset {
     * DOUBLE[] = the l2Distance kernel), so ranks and the dist column
     * hash-match. Static SQL: the seed is `min(vec_id)` in-query.
     */
-  def sampleKcenterOracleSql(t: Int = DefaultT): String = {
-    val d = Ivf.pairDistSqlTemplate(VectorMetric.L2)
+  def sampleKcenterOracleSql(t: Int = DefaultT,
+                             metric: Int = VectorMetric.L2): String = {
+    val d = Ivf.pairDistSqlTemplate(metric)
     // chain: m1 = dists to the seed; c_r = argmax of m_{r-1};
     // m_r = least-update of m_{r-1} by c_r (excluding the pick)
     val blocks = (2 to t).map { r =>

@@ -90,6 +90,37 @@ class CoresetSpec extends AnyFunSuite {
       s"covering radii must not increase: ${ds.toSeq}")
   }
 
+  test("cosine variant: exact greedy replication under the angular fold") {
+    val gotC = Coreset.sampleKcenterCos(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        acc += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val norms = math.sqrt(na) * math.sqrt(nb)
+      if (norms == 0.0) 1.0 else 1.0 - acc / norms
+    }
+    val byId = corpus.toMap
+    val seedId = corpus.head._1
+    var md = corpus.filter(_._1 != seedId)
+      .map { case (id, v) => (id, cosD(v, byId(seedId))) }.toMap
+    val want = scala.collection.mutable.ArrayBuffer[(Int, Long)]((1, seedId))
+    (2 to Coreset.DefaultT).foreach { r =>
+      val (pid, _) = md.toSeq.maxBy { case (id, d) => (d, -id) }
+      want += ((r, pid))
+      md = (md - pid).map { case (id, d) =>
+        (id, math.min(d, cosD(byId(id), byId(pid))))
+      }
+    }
+    assert(gotC.map(x => (x._1, x._2)).toSeq == want.toSeq,
+      s"cosine pick sequence diverged: ${gotC.toSeq}")
+  }
+
   test("corpus exhaustion: both variants return the available centers, never throw") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cs_tiny").toString
