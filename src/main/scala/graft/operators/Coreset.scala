@@ -226,6 +226,10 @@ object Coreset {
     */
   def sampleKcenterOracleSql(t: Int = DefaultT,
                              metric: Int = VectorMetric.L2): String = {
+    // the same guard as the engine seam: both halves of the contract
+    // refuse the undefined objective, not just one
+    require(metric != VectorMetric.Dot,
+      "k-center is undefined under dot: inner product is not a metric")
     val d = Ivf.pairDistSqlTemplate(metric)
     // chain: m1 = dists to the seed; c_r = argmax of m_{r-1};
     // m_r = least-update of m_{r-1} by c_r (excluding the pick)

@@ -1113,6 +1113,11 @@ object Ivf {
     */
   private[operators] def pairDistSqlTemplate(metric: Int): String = metric match {
     case VectorMetric.Cosine =>
+      // PRECONDITION (validated by A15d's zero_vec rule): embeddings
+      // are non-zero. On a zero-norm row the engine pins dist = 1.0
+      // (VectorDistance's norms==0 branch) while this SQL yields NaN —
+      // the divergence is unreachable for corpora that pass
+      // validate_embeddings, which is the documented input contract.
       "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
     case VectorMetric.L2 =>
       "list_distance(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"

@@ -109,16 +109,22 @@ class CoresetSpec extends AnyFunSuite {
     val seedId = corpus.head._1
     var md = corpus.filter(_._1 != seedId)
       .map { case (id, v) => (id, cosD(v, byId(seedId))) }.toMap
-    val want = scala.collection.mutable.ArrayBuffer[(Int, Long)]((1, seedId))
+    val want = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (1, seedId, 0.0))
     (2 to Coreset.DefaultT).foreach { r =>
-      val (pid, _) = md.toSeq.maxBy { case (id, d) => (d, -id) }
-      want += ((r, pid))
+      val (pid, pd) = md.toSeq.maxBy { case (id, d) => (d, -id) }
+      want += ((r, pid, pd))
       md = (md - pid).map { case (id, d) =>
         (id, math.min(d, cosD(byId(id), byId(pid))))
       }
     }
-    assert(gotC.map(x => (x._1, x._2)).toSeq == want.toSeq,
+    assert(gotC.map(x => (x._1, x._2)).toSeq ==
+      want.map(x => (x._1, x._2)).toSeq,
       s"cosine pick sequence diverged: ${gotC.toSeq}")
+    gotC.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9,
+        s"cosine radius at rank ${g._1}: ${g._3} vs ${w._3}")
+    }
   }
 
   test("corpus exhaustion: both variants return the available centers, never throw") {
