@@ -87,32 +87,38 @@ object Coreset {
     var md: DataFrame = null
     var pickedId = seedId
     var exhausted = false
-    (2 to t).foreach { r =>
-      if (!exhausted) {
-        val centerLit = array(centerVec.map(lit): _*)
-        val dist = Ivf.distCol(metric, col("vec"), centerLit)
-        val next = (if (md == null) {
-          vecs.filter(col("id") =!= seedId)
-            .select(col("id"), col("vec"), dist.as("md"))
-        } else {
-          md.filter(col("id") =!= pickedId)
-            .select(col("id"), col("vec"), least(col("md"), dist).as("md"))
-        }).localCheckpoint(true)
-        if (md != null) md.unpersist()
-        md = next
-        // t beyond the corpus: return the centers that exist (the
-        // driver-side greedy fold's behavior), never throw
-        val rows = md.orderBy(col("md").desc, col("id").asc).limit(1).collect()
-        if (rows.isEmpty) exhausted = true
-        else {
-          val pick = rows(0)
-          pickedId = pick.getLong(0)
-          centerVec = pick.getSeq[Float](1)
-          picked += ((r, pickedId, pick.getDouble(2)))
+    // finally releases the round frame even when a round throws — a
+    // leaked eager checkpoint in this long-lived session only goes
+    // with GC
+    try {
+      (2 to t).foreach { r =>
+        if (!exhausted) {
+          val centerLit = array(centerVec.map(lit): _*)
+          val dist = Ivf.distCol(metric, col("vec"), centerLit)
+          val next = (if (md == null) {
+            vecs.filter(col("id") =!= seedId)
+              .select(col("id"), col("vec"), dist.as("md"))
+          } else {
+            md.filter(col("id") =!= pickedId)
+              .select(col("id"), col("vec"), least(col("md"), dist).as("md"))
+          }).localCheckpoint(true)
+          if (md != null) md.unpersist()
+          md = next
+          // t beyond the corpus: return the centers that exist (the
+          // driver-side greedy fold's behavior), never throw
+          val rows = md.orderBy(col("md").desc, col("id").asc).limit(1).collect()
+          if (rows.isEmpty) exhausted = true
+          else {
+            val pick = rows(0)
+            pickedId = pick.getLong(0)
+            centerVec = pick.getSeq[Float](1)
+            picked += ((r, pickedId, pick.getDouble(2)))
+          }
         }
       }
+    } finally {
+      if (md != null) md.unpersist()
     }
-    if (md != null) md.unpersist()
     picked.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
   }
 
@@ -150,32 +156,37 @@ object Coreset {
         Ivf.distCol(VectorMetric.L2, col("vec"), seedLit).as("md"))
       .localCheckpoint(true)
     var exhausted = false
-    (1 to rounds).foreach { r =>
-      val picks =
-        if (exhausted) Array.empty[org.apache.spark.sql.Row]
-        else md.orderBy(col("md").desc, col("id").asc).limit(p)
-          .select(col("id"), col("vec"), col("md")).collect()
-      if (picks.isEmpty) exhausted = true
-      picks.foreach { row =>
-        rank += 1
-        picked += ((rank, r, row.getLong(0), row.getDouble(2)))
+    // finally releases the round frame even when a round throws (the
+    // sequential fold's hygiene)
+    try {
+      (1 to rounds).foreach { r =>
+        val picks =
+          if (exhausted) Array.empty[org.apache.spark.sql.Row]
+          else md.orderBy(col("md").desc, col("id").asc).limit(p)
+            .select(col("id"), col("vec"), col("md")).collect()
+        if (picks.isEmpty) exhausted = true
+        picks.foreach { row =>
+          rank += 1
+          picked += ((rank, r, row.getLong(0), row.getDouble(2)))
+        }
+        // corpus exhausted before the configured rounds: return what
+        // exists (the oracle's UNION of empty blocks does the same)
+        if (picks.nonEmpty) {
+          val minToNew = picks.map { row =>
+            Ivf.distCol(VectorMetric.L2, col("vec"),
+              array(row.getSeq[Float](1).map(lit): _*))
+          }.reduce(least(_, _))
+          val ids = picks.map(_.getLong(0))
+          val next = md.filter(!col("id").isin(ids: _*))
+            .select(col("id"), col("vec"), least(col("md"), minToNew).as("md"))
+            .localCheckpoint(true)
+          md.unpersist()
+          md = next
+        }
       }
-      // corpus exhausted before the configured rounds: return what
-      // exists (the oracle's UNION of empty blocks does the same)
-      if (picks.nonEmpty) {
-        val minToNew = picks.map { row =>
-          Ivf.distCol(VectorMetric.L2, col("vec"),
-            array(row.getSeq[Float](1).map(lit): _*))
-        }.reduce(least(_, _))
-        val ids = picks.map(_.getLong(0))
-        val next = md.filter(!col("id").isin(ids: _*))
-          .select(col("id"), col("vec"), least(col("md"), minToNew).as("md"))
-          .localCheckpoint(true)
-        md.unpersist()
-        md = next
-      }
+    } finally {
+      md.unpersist()
     }
-    md.unpersist()
     picked.toSeq.toDF("rank", "round", "vec_id", "dist").orderBy("rank")
   }
 
@@ -190,8 +201,13 @@ object Coreset {
                                   p: Int = BatchP): String = {
     val d = Ivf.pairDistSqlTemplate(VectorMetric.L2)
     val blocks = (1 to rounds).map { r =>
+      // any_value is safe ONLY because m_r carries exactly one row per
+      // vec_id (m1 is keyed by embeddings.vec_id and every later block
+      // groups by it), so embedding is functionally dependent on the
+      // group key — stated here so the arbitrary-value aggregate reads
+      // as the invariant it relies on, not a lucky first()
       val prev = if (r == 1) "" else s"""m$r AS MATERIALIZED (
-         |  SELECT m.vec_id, first(m.embedding) AS embedding,
+         |  SELECT m.vec_id, any_value(m.embedding) AS embedding,
          |    LEAST(m.md, MIN(${d.format("m", "c")})) AS md
          |  FROM m${r - 1} m, c${r - 1} c
          |  WHERE m.vec_id NOT IN (SELECT vec_id FROM c${r - 1})

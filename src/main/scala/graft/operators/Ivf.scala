@@ -1113,12 +1113,14 @@ object Ivf {
     */
   private[operators] def pairDistSqlTemplate(metric: Int): String = metric match {
     case VectorMetric.Cosine =>
-      // PRECONDITION (validated by A15d's zero_vec rule): embeddings
-      // are non-zero. On a zero-norm row the engine pins dist = 1.0
-      // (VectorDistance's norms==0 branch) while this SQL yields NaN —
-      // the divergence is unreachable for corpora that pass
-      // validate_embeddings, which is the documented input contract.
-      "1.0 - list_cosine_similarity(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
+      // The engine pins dist = 1.0 on a zero-norm row (VectorDistance's
+      // norms==0 branch) where raw list_cosine_similarity yields NaN
+      // (0/0); the isnan guard makes the replay agree even OFF the
+      // A15d zero_vec contract instead of diverging exactly where the
+      // input is bad. The ELSE branch is the literally identical
+      // double, so on-contract values (and the hash) are unchanged;
+      // DuckDB's CSE folds the repeated similarity call.
+      "(CASE WHEN coalesce(isnan(list_cosine_similarity(CAST(%1$s.embedding AS DOUBLE[]), CAST(%2$s.embedding AS DOUBLE[]))), true) THEN 1.0 ELSE 1.0 - list_cosine_similarity(CAST(%1$s.embedding AS DOUBLE[]), CAST(%2$s.embedding AS DOUBLE[])) END)"
     case VectorMetric.L2 =>
       "list_distance(CAST(%s.embedding AS DOUBLE[]), CAST(%s.embedding AS DOUBLE[]))"
     case VectorMetric.Dot =>

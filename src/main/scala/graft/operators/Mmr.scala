@@ -120,44 +120,48 @@ object Mmr {
     val pick1 = argmax(cv, col("simq")).localCheckpoint(true)
     // pick frames stay pinned until `out` materializes (they feed the
     // final union; an early unpersist would drop checkpointed blocks
-    // the union still needs)
+    // the union still needs); the finally releases them even when a
+    // round throws mid-fold — checkpointed blocks in this long-lived
+    // session otherwise leak until GC
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](cv, ps, pick1)
-    var picks: DataFrame = pick1.withColumn("rank", lit(1))
-    var latest = pick1
     // rem: remaining candidates with the running diversity penalty
     // (max sim to the selected set), updated incrementally against
     // the LATEST pick only — the k-center least-update in sim space
     var rem: DataFrame = null
-    (2 to k).foreach { r =>
-      val joined =
-        (if (rem == null) cv else rem)
-          .join(latest.withColumnRenamed("cand", "b"), "query_id")
-          .filter(col("cand") =!= col("b"))
-          .join(ps.withColumnRenamed("a", "cand"), Seq("query_id", "cand", "b"))
-      val next = (if (rem == null)
-          joined.select(col("query_id"), col("cand"), col("simq"),
-            col("simab").as("pen"))
-        else
-          joined.select(col("query_id"), col("cand"), col("simq"),
-            greatest(col("pen"), col("simab")).as("pen")))
-        .localCheckpoint(true)
+    try {
+      var picks: DataFrame = pick1.withColumn("rank", lit(1))
+      var latest = pick1
+      (2 to k).foreach { r =>
+        val joined =
+          (if (rem == null) cv else rem)
+            .join(latest.withColumnRenamed("cand", "b"), "query_id")
+            .filter(col("cand") =!= col("b"))
+            .join(ps.withColumnRenamed("a", "cand"), Seq("query_id", "cand", "b"))
+        val next = (if (rem == null)
+            joined.select(col("query_id"), col("cand"), col("simq"),
+              col("simab").as("pen"))
+          else
+            joined.select(col("query_id"), col("cand"), col("simq"),
+              greatest(col("pen"), col("simab")).as("pen")))
+          .localCheckpoint(true)
+        if (rem != null) rem.unpersist()
+        rem = next
+        val pick = argmax(rem,
+            lit(Lambda) * col("simq") - lit(1.0 - Lambda) * col("pen"))
+          .localCheckpoint(true)
+        pinned += pick
+        latest = pick
+        picks = picks.union(pick.withColumn("rank", lit(r)))
+      }
+      picks
+        .select(col("query_id"), col("cand").as("neighbor_id"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+        .localCheckpoint(true) // eager: materialized before the finally
+    } finally {
       if (rem != null) rem.unpersist()
-      rem = next
-      val pick = argmax(rem,
-          lit(Lambda) * col("simq") - lit(1.0 - Lambda) * col("pen"))
-        .localCheckpoint(true)
-      pinned += pick
-      latest = pick
-      picks = picks.union(pick.withColumn("rank", lit(r)))
+      pinned.foreach(_.unpersist())
     }
-    val out = picks
-      .select(col("query_id"), col("cand").as("neighbor_id"),
-        col("rank").cast("int").as("rank"))
-      .orderBy("query_id", "rank")
-      .localCheckpoint(true)
-    if (rem != null) rem.unpersist()
-    pinned.foreach(_.unpersist())
-    out
   }
 
   /** The exact replay: nested exact-shortlist CTE (the E6 oracle at

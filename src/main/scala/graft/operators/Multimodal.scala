@@ -322,6 +322,12 @@ object Multimodal {
     * aggregates (per-bucket, per-doc) and a signature-keyed group for
     * the representative — payloads never shuffle, signatures do.
     */
+  /** Largest pixel count the cross-multiplied aHash bit rule is
+    * Long-exact for: 765·n_px² must fit a signed 64-bit int
+    * (⌊√(2⁶³/765)⌋ ≈ 1.098e8; held back to a round 1e8).
+    */
+  val MaxAhashPixels: Long = 100000000L
+
   def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
     val withPx = payloads(spark, dir)
       .filter(col("media_kind") === 0)
@@ -340,6 +346,20 @@ object Multimodal {
       .groupBy("doc_id", "n_px", "j")
       .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
       .localCheckpoint(true)
+    // RUNTIME guard on the cross-multiplied bit rule below: bsum·n_px
+    // and tsum·bcnt are bounded by 765·n_px², so n_px past ~1.1e8
+    // pixels silently wraps a BIGINT in Spark (non-ANSI) where DuckDB
+    // raises — the engine would emit wrong signatures exactly where
+    // the oracle errors. Loud refusal instead of a wrong hash; bodies
+    // that big need the products staged through DECIMAL(38) (the E29
+    // note). One cheap agg over the already-materialized bucket table.
+    bucketed.agg(max(col("n_px"))).head().getAs[Any](0) match {
+      case maxPx: Long => require(maxPx <= MaxAhashPixels,
+        s"multimodal_dedup: $maxPx pixels exceeds the $MaxAhashPixels " +
+          "Long-exact bound of the cross-multiplied bit rule — stage the " +
+          "products through DECIMAL(38) for bodies this large")
+      case _ => // empty corpus: nothing to guard
+    }
     val tot = bucketed.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
     // bit j set iff bucket mean > image mean (cross-multiplied), packed
     // into two BIGINT halves; ≤64 skinny rows per doc at this point
