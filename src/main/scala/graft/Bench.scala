@@ -168,6 +168,14 @@ object Bench {
     "memo_descent_graph_dot" -> (() =>
       { operators.Dedup.descentGraph(spark, dir,
           metric = functions.VectorMetric.Dot); () }),
+    // the phase-2 refined graphs the SERVING keys run on (round 14's
+    // two-phase builder) — after their descent memos, so these lines
+    // measure ONLY the refinement scan+merge
+    "memo_refined_graph" -> (() => operators.GraphIndex.warmRefinedGraph(spark, dir)),
+    "memo_refined_graph_l2" -> (() => operators.GraphIndex
+      .warmRefinedGraph(spark, dir, functions.VectorMetric.L2)),
+    "memo_refined_graph_dot" -> (() => operators.GraphIndex
+      .warmRefinedGraph(spark, dir, functions.VectorMetric.Dot)),
     // the learned merge table behind bpe_train/token_count_bpe/E39b —
     // warmed so whichever of the three keys runs first doesn't bill
     // the driver merge loop to itself
@@ -268,16 +276,21 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":$runsN,"run_totals":$runTotals,"spread":$spread,""" +
       s""""calibration":$calJson,"passes":$passes,"errors":$errJson}"""
-    // the COMMITTED artifact (BENCH_LOCAL.json) is written only on
+    // the CURATED artifact (BENCH_LOCAL.json) is written only on
     // explicit opt-in: an explicit SPARK_GRAFT_BENCH_OUT path, or
-    // SPARK_GRAFT_BENCH_COMMIT=1. Any other run (the driver's
-    // end-of-round pass on a noisy host in particular) lands in a
-    // timestamped scratch file under /tmp, so the artifact at HEAD
-    // only ever changes by an explicit commit — stdout carries the
-    // full JSON either way.
+    // SPARK_GRAFT_BENCH_COMMIT=1 — the artifact at HEAD only ever
+    // changes by an explicit builder commit (the round-12 hygiene).
+    // Any other run (the driver's end-of-round pass in particular)
+    // lands in BENCH_FULL_LATEST.json beside the round artifacts: the
+    // round-13 verdict found the driver's full per-query map surviving
+    // only as a /tmp scratch file (BENCH_r13.json's 2000-char stdout
+    // tail truncates the ~204-line full JSON), so round-over-round
+    // analysis needs a persisted sibling. The file is clearly labeled
+    // as the LATEST run on this host, never the curated median — the
+    // two names cannot be confused.
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       if (sys.env.get("SPARK_GRAFT_BENCH_COMMIT").contains("1")) "BENCH_LOCAL.json"
-      else s"/tmp/graft_bench_${System.currentTimeMillis()}.json"
+      else "BENCH_FULL_LATEST.json"
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: java.io.IOException =>

@@ -1160,6 +1160,21 @@ object Dedup {
        |ORDER BY j.component_id""".stripMargin
   }
 
+  /** The E57 rule as a survivor-core input: members that are NOT
+    * their component's quality canonical — the one-column swap that
+    * routes the keep-best-of-cluster rule into the E16 pipeline
+    * (TextOps.pipelineDedupCorpusQuality, E59).
+    */
+  private[graft] def qualityNonCanonical(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    val qc = dedupComponentsQuality(spark, dir)
+      .select(col("component_id"), col("canon_quality_id"))
+    docComponentsFor(spark, dir)
+      .join(qc, "component_id")
+      .filter(col("doc_id") =!= col("canon_quality_id"))
+      .select("doc_id")
+  }
+
   // --------------------------------------------------------------- E52
 
   /** 80/10/10 split bands in permille: [0,800) train, [800,900) val,
@@ -2144,6 +2159,23 @@ object Dedup {
                                k: Int = 5,
                                metric: Int = graft.functions.VectorMetric.Cosine)
       : String = {
+    val (ctes, t) = descentReplayCtes(spark, dir, k, metric)
+    s"""WITH $ctes
+       |SELECT src AS query_id, dst AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS INTEGER) AS rank
+       |FROM e$t
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The descent replay's WITH-body (everything through the converged
+    * e_t edge CTE, dist carried) plus the applied iteration count —
+    * shared by the E37c oracle above and GraphIndex's two-phase
+    * builder replay, which appends its refinement CTEs after e_t.
+    */
+  private[operators] def descentReplayCtes(spark: SparkSession, dir: String,
+                                           k: Int = 5,
+                                           metric: Int = graft.functions.VectorMetric.Cosine)
+      : (String, Int) = {
     val (_, t) = descentGraph(spark, dir, k, metric)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
@@ -2212,7 +2244,7 @@ object Dedup {
          |  WHERE rn <= $k)$freshCte""".stripMargin
     }.mkString(",\n")
     val blockSep = if (t == 0) "" else ",\n"
-    s"""WITH ${Ivf.assignCtes(cents)},
+    val ctes = s"""${Ivf.assignCtes(cents)},
        |probes AS (
        |  SELECT query_id, cid FROM (
        |    SELECT q.vec_id AS query_id, t.j AS cid,
@@ -2231,11 +2263,8 @@ object Dedup {
        |    JOIN embeddings qe ON qe.vec_id = p.query_id
        |    JOIN embeddings ce ON ce.vec_id = a.vec_id
        |    WHERE a.vec_id <> p.query_id) x
-       |  WHERE rnk <= $k)$blockSep$blocks
-       |SELECT src AS query_id, dst AS neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS INTEGER) AS rank
-       |FROM e$t
-       |ORDER BY query_id, rank""".stripMargin
+       |  WHERE rnk <= $k)$blockSep$blocks""".stripMargin
+    (ctes, t)
   }
 
   /** E43: ANN serving-quality report — the recall@k of the nprobe

@@ -63,18 +63,17 @@ object GraphIndex {
     * (GraphProbe: 0.972 → 0.974 → 0.975 at rounds 1/2/3); GraphSpec
     * pins the recall floor.
     *
-    * The sf0.1 ceiling is the SUBSTRATE, and deeper builds are a
-    * measured NEGATIVE (round 13, GraphProbe grid at sf0.1): served
-    * recall is 0.879 because the 5-iter descent saturates at 0.742 on
-    * the 2,000 near-uniform vectors; beam rounds 1→3 buy +0.005,
-    * entry nprobe 2 and B = 4k stay ≤ 0.49 without the own-adjacency
-    * seed, and RAISING the descent cap converges logarithmically —
-    * 8 iters → 0.756 substrate / 0.889 served, 12 iters (2.4× build)
-    * → 0.769 / 0.899, still under 0.9. The knob that matters is graph
-    * quality at build, which this corpus (structureless by
-    * construction — the E37c uniform finding) caps; on clustered
-    * corpora the descent converges to recall 1.0 in the same budget.
-    * GraphSpec pins the sf0.1 served floor at 0.85.
+    * The sf0.1 ceiling is the SUBSTRATE, and round 13 measured that
+    * deeper DESCENT attacks it logarithmically (served 0.879 off the
+    * 5-iter substrate's 0.742; 12 iters = 2.4× build → 0.899, still
+    * under 0.9 — the near-uniform corpus is structureless by
+    * construction, the E37c uniform finding). Round 14's two-phase
+    * builder ([[refinedGraph]]) closed it from the other side: the
+    * worst-kNN-radius fraction exact-refined at a widened probe
+    * budget lifts the substrate 0.742 → 0.824 and served recall to
+    * 0.935-0.938 per metric at 1.2× build (tools/RefineProbe), where
+    * 2.4× of extra descent could not reach 0.9. GraphSpec pins the
+    * sf0.1 served floor at 0.9.
     */
   val BeamRounds = 2
 
@@ -112,6 +111,190 @@ object GraphIndex {
     * cosine, what they were built as).
     */
   val DefaultMetric: Int = VectorMetric.Cosine
+
+  // ------------------------------------------------- two-phase builder
+
+  /** Fraction (permille) of nodes phase 2 exact-refines — the WORST
+    * nodes by kNN radius (max edge distance: where a node's k-th
+    * neighbor is far, the descent's neighbor-of-neighbor proposals had
+    * the least to propagate — the sparse-region failure mode; max is
+    * also ORDER-INDEPENDENT where an avg would put a float-summation
+    * boundary between the engines). The round-13 verdict's task: the
+    * sf0.1 served recall sat at the 5-iter descent's 0.742 substrate
+    * and DEEPER descent was a measured negative (12 iters = 2.4× build
+    * → 0.899 served), so the lever is a better BUILDER, not more beam.
+    * Measured on the sf0.1 near-uniform corpus (the adversarial case):
+    * refining 20% of nodes at the widened probe budget lifts the
+    * substrate 0.742 → 0.80+ and served past the 0.9 floor at ~0.45×
+    * one probe-all pass of extra build cost — under the 1.5× budget
+    * the verdict set, against the 2.4× the deeper descent wanted.
+    */
+  val RefinePermille = 200
+
+  /** Phase-2 probe budget multiplier over the descent init's constant
+    * [[Dedup.DescentInitNprobe]]: the refined nodes rank exactly
+    * within 4× the lists the init saw (capped at all lists — at the
+    * sf corpora nc ≤ 32, so the cap binds and the worst nodes get
+    * their true top-k). Total phase-2 cost is
+    * O(RefinePermille/1000 · N · np · N/nc) — the same sub-quadratic
+    * form as the init, scaled by the refined fraction.
+    */
+  val RefineNprobeMult = 4
+
+  private val refinedMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  /** Drop the memoized refined graphs for `dir` (the corpus-change
+    * invalidation set IndexLifecycle.build runs — rides on top of
+    * Dedup.invalidate's descent-memo drop).
+    */
+  def invalidate(dir: String): Unit =
+    refinedMemo.keys.filter(_._1 == dir)
+      .foreach(k => refinedMemo.remove(k).foreach(_.unpersist()))
+
+  /** Phase 2 of the two-phase build over arbitrary frames (shared by
+    * the session memo and the persisted rebuild): pick the worst
+    * ⌊n·[[RefinePermille]]/1000⌋ nodes of the converged descent graph
+    * by (max dist DESC, src), rank them EXACTLY within the widened
+    * probe budget, and merge per node by the family's (dist, id)
+    * top-k — a node's edges only improve (the merge is monotone), and
+    * untouched nodes keep their descent edges verbatim.
+    */
+  private[graft] def refineGraph(g: DataFrame, vecs: DataFrame,
+                                 assign: DataFrame,
+                                 cents: Array[Array[Float]],
+                                 hier: Option[Ivf.TwoLevelQuantizer],
+                                 n: Long, k: Int, metric: Int): DataFrame = {
+    val w = (n * RefinePermille / 1000).toInt
+    if (w == 0) return g
+    val worst = g.groupBy("src").agg(max(col("dist")).as("wd"))
+      .orderBy(col("wd").desc, col("src").asc).limit(w)
+      .select("src")
+      .localCheckpoint(true)
+    val np = math.min(cents.length, Dedup.DescentInitNprobe * RefineNprobeMult)
+    val worstQ = worst
+      .join(vecs.select(col("id").as("src"), col("vec")), "src")
+      .select(col("src").as("query_id"), col("vec").as("qvec"))
+    // the refined fraction is corpus-sized, never a point batch:
+    // shuffle-join the probes (probedTopK's broadcast contract)
+    val probes = Ivf.probeSelect(worstQ, cents, np, metric, hier = hier)
+    val dist = Ivf.distCol(metric, col("vec"), col("qvec"))
+    val re = Ivf.invertedLists(vecs, assign)
+      .join(probes, col("cluster_id") === col("probe_cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(VectorFunctions.topKByDistance(dist, col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("p"))
+      .select(col("query_id").as("src"), col("p.id").as("dst"),
+        col("p.dist").as("dist"))
+    val kept = g.join(worst, Seq("src"), "left_anti")
+    val merged = g.join(worst, Seq("src"), "left_semi")
+      .unionByName(re)
+      .dropDuplicates("src", "dst") // identical dists either way
+      .groupBy("src")
+      .agg(VectorFunctions.topKByDistance(col("dist"), col("dst"), k).as("nn"))
+      .select(col("src"), explode(col("nn")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+    val out = kept.unionByName(merged).localCheckpoint(true)
+    worst.unpersist()
+    out
+  }
+
+  /** The SERVING substrate: the converged NN-Descent graph (E37c's
+    * memo) with phase 2's exact refinement merged in — memoized per
+    * (dir, k, metric) like the descent graph it extends. E37c's
+    * `knn_graph_descent` key deliberately stays the pure descent
+    * contract; every graph-SERVING face (topk, filtered, stats,
+    * build) runs through this.
+    */
+  private[graft] def refinedGraph(spark: SparkSession, dir: String,
+                                  k: Int = 5,
+                                  metric: Int = DefaultMetric): DataFrame =
+    refinedMemo.get((dir, k, metric)).getOrElse(synchronized {
+      refinedMemo.getOrElseUpdate((dir, k, metric), {
+        val (g, _) = Dedup.descentGraph(spark, dir, k, metric)
+        val n = Tables.embeddingsCount(spark, dir)
+        val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        // the same L2-representation session index the descent init
+        // probed and the oracle's assignCtes replays
+        val (assign, cents) = Ivf.indexFor(spark, dir)
+        refineGraph(g, vecs, assign.select("id", "cluster_id"), cents,
+          Ivf.hierarchyFor(dir, Ivf.defaultK(n), VectorMetric.L2),
+          n, k, metric)
+      })
+    })
+
+  /** Materialize the refined-graph memo (Bench line item — the
+    * serving keys then measure serving, the two-phase build cost is
+    * its own attributable line, after memo_descent_graph*).
+    */
+  def warmRefinedGraph(spark: SparkSession, dir: String,
+                       metric: Int = DefaultMetric): Unit = {
+    refinedGraph(spark, dir, metric = metric).count()
+    ()
+  }
+
+  /** The refinement replay appended after the descent CTE chain:
+    * wb = the worst-w ranking, rp/re = the widened-probe exact scan
+    * (reusing the descent replay's `cents`/`asg`), rg = kept ∪ the
+    * per-node (dist, dst) top-k merge — the same arithmetic
+    * [[refineGraph]] folds, so the serving oracles nest `rg` where
+    * they nested e_t.
+    */
+  private def refinedReplayCtes(spark: SparkSession, dir: String, k: Int,
+                                metric: Int): String = {
+    val (ctes, t) = Dedup.descentReplayCtes(spark, dir, k, metric)
+    val n = Tables.embeddingsCount(spark, dir)
+    val w = (n * RefinePermille / 1000).toInt
+    if (w == 0)
+      s"""$ctes,
+         |rg AS MATERIALIZED (SELECT src, dst, dist FROM e$t)""".stripMargin
+    else {
+      val (_, cents) = Ivf.indexFor(spark, dir)
+      val nc = cents.length
+      val np = math.min(nc, Dedup.DescentInitNprobe * RefineNprobeMult)
+      val cos = Ivf.pairDistSqlTemplate(metric)
+      s"""$ctes,
+         |wb AS MATERIALIZED (
+         |  SELECT src FROM (
+         |    SELECT src, row_number() OVER (ORDER BY wd DESC, src) AS rn
+         |    FROM (SELECT src, max(dist) AS wd FROM e$t GROUP BY src) z) y
+         |  WHERE rn <= $w),
+         |rp AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, t.j AS cid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${Ivf.probeDistSqlExpr(metric)}, t.j) AS crn
+         |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)
+         |    WHERE q.vec_id IN (SELECT src FROM wb)) x
+         |  WHERE crn <= $np),
+         |re AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst, dist FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |      ${cos.format("qe", "ce")} AS dist,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |        ${cos.format("qe", "ce")}, a.vec_id) AS rnk
+         |    FROM rp p
+         |    JOIN asg a ON a.cid = p.cid
+         |    JOIN embeddings qe ON qe.vec_id = p.query_id
+         |    JOIN embeddings ce ON ce.vec_id = a.vec_id
+         |    WHERE a.vec_id <> p.query_id) x
+         |  WHERE rnk <= $k),
+         |rg AS MATERIALIZED (
+         |  SELECT src, dst, dist FROM e$t
+         |  WHERE src NOT IN (SELECT src FROM wb)
+         |  UNION ALL
+         |  SELECT src, dst, dist FROM (
+         |    SELECT src, dst, dist,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM (SELECT DISTINCT src, dst, dist FROM (
+         |      SELECT e.src, e.dst, e.dist FROM e$t e
+         |      WHERE e.src IN (SELECT src FROM wb)
+         |      UNION ALL SELECT src, dst, dist FROM re) u) v) m
+         |  WHERE rn <= $k)""".stripMargin
+    }
+  }
 
   // ------------------------------------------------------------ serving
 
@@ -210,7 +393,7 @@ object GraphIndex {
     */
   def graphTopk(spark: SparkSession, dir: String, k: Int = 5,
                 metric: Int = DefaultMetric): DataFrame = {
-    val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
+    val graph = refinedGraph(spark, dir, k, metric)
     beamTopk(spark, dir, graph.select("src", "dst"), k, metric)
   }
 
@@ -240,7 +423,6 @@ object GraphIndex {
   private def graphBeamCtes(spark: SparkSession, dir: String, k: Int,
                             b: Int, metric: Int = DefaultMetric): String = {
     val cos = Ivf.pairDistSqlTemplate(metric)
-    val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k, metric)
     val entrySql = Ivf.annBatchNprobeOracleSql(spark, dir, b,
       nprobeOpt = Some(EntryNprobe), metric = metric)
     val rounds = (1 to BeamRounds).map { r =>
@@ -263,10 +445,9 @@ object GraphIndex {
          |    FROM s$r) z
          |  WHERE rn <= $b)""".stripMargin
     }.mkString(",\n")
-    s"""g AS MATERIALIZED (
-       |  SELECT query_id AS src, neighbor_id AS dst FROM (
-       |$graphSql
-       |  ) gsub),
+    s"""${refinedReplayCtes(spark, dir, k, metric)},
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM rg),
        |gs AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM g
@@ -385,7 +566,7 @@ object GraphIndex {
         refine = 4, selector = Some(sel))
     } else {
       val bEff = (beamWidth(k) * widen).toInt
-      val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
+      val graph = refinedGraph(spark, dir, k, metric)
       val sym = symmetrize(graph.select("src", "dst"))
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("cv"))
@@ -729,7 +910,7 @@ object GraphIndex {
     */
   def graphStats(spark: SparkSession, dir: String, k: Int = 5,
                  metric: Int = DefaultMetric): DataFrame = {
-    val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
+    val graph = refinedGraph(spark, dir, k, metric)
     symmetrize(graph.select("src", "dst"))
       .groupBy(col("src"))
       .agg(count(lit(1)).as("degree"))
@@ -738,16 +919,17 @@ object GraphIndex {
       .orderBy("degree")
   }
 
-  /** graph_stats oracle: the descent replay symmetrized with the same
-    * DISTINCT union, the same two-level count fold. (Every node has
-    * out-degree k, so no zero-degree row can exist.)
+  /** graph_stats oracle: the refined-builder replay (descent CTEs +
+    * the phase-2 merge) symmetrized with the same DISTINCT union, the
+    * same two-level count fold. (Every node has out-degree k, so no
+    * zero-degree row can exist.)
     */
   def graphStatsOracleSql(spark: SparkSession, dir: String,
                           k: Int = 5,
                           metric: Int = DefaultMetric): String = {
-    val graphSql = Dedup.knnGraphDescentOracleSql(spark, dir, k, metric)
-    s"""WITH g AS MATERIALIZED (
-       |  SELECT query_id AS src, neighbor_id AS dst FROM ($graphSql) z),
+    s"""WITH ${refinedReplayCtes(spark, dir, k, metric)},
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM rg),
        |gs AS (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM g
@@ -807,13 +989,14 @@ object GraphIndex {
 
   // ---------------------------------------------------------- lifecycle
 
-  /** Build (version+1): the session descent graph persisted with its
-    * assigned vectors, coarse centroids, and a fresh lifecycle state.
+  /** Build (version+1): the session REFINED graph (two-phase builder)
+    * persisted with its assigned vectors, coarse centroids, and a
+    * fresh lifecycle state.
     */
   def build(spark: SparkSession, dir: String, indexPath: String,
             k: Int = 5, metric: Int = DefaultMetric): IndexStatus = {
     val prev = IndexLifecycle.status(spark, indexPath)
-    val (graph, _) = Dedup.descentGraph(spark, dir, k, metric)
+    val graph = refinedGraph(spark, dir, k, metric)
     val (assign, cents) = Ivf.indexFor(spark, dir)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1103,14 +1286,21 @@ object GraphIndex {
     * tree double-rename swapped in with the live tree serving
     * throughout. Rebuild IS the recovery path for a half-applied
     * mutation (the `_graph_tmp` refusal every serve/mutate call
-    * raises): a lingering staging dir is DISCARDED here — whatever
-    * vector files it held never counted in state, and the edges are
-    * fully re-derived from the vectors that did land — so the marker
-    * clears with the swap instead of bricking the index. A mutation
-    * that lands between the contents snapshot and the swap aborts the
-    * swap loudly (the PqLifecycle.rebuild contract): the staged tree
-    * is discarded and the caller re-runs against the current contents
-    * — appended rows can never silently vanish with the replaced tree.
+    * raises): a lingering staging dir is RECONCILED, not discarded —
+    * asides from a crashed bucket swap are restored first, and staged
+    * vector files the state already accounts for (a crash in append's
+    * state-write→move-in window: state size exceeds the on-disk
+    * `_vectors` count) move into their live buckets before the
+    * re-descent, so an accounted batch can never vanish with the
+    * marker; only a staging dir the state does NOT account for is
+    * discarded (its rows either never counted or already landed).
+    * Edges are always fully re-derived from the reconciled vectors,
+    * and the marker clears with the swap instead of bricking the
+    * index. A mutation that lands between the contents snapshot and
+    * the swap aborts the swap loudly (the PqLifecycle.rebuild
+    * contract): the staged tree is discarded and the caller re-runs
+    * against the current contents — appended rows can never silently
+    * vanish with the replaced tree.
     */
   def rebuild(spark: SparkSession, indexPath: String): IndexStatus = {
     val s = IndexLifecycle.status(spark, indexPath)
@@ -1171,7 +1361,12 @@ object GraphIndex {
     // the exploration schedule needs the dense id-domain bound: ids
     // are 0..n-1 ∪ appended (re-keyed past the corpus) — max+1 covers
     val domain = vecs.agg(max(col("id"))).head().getLong(0) + 1
-    val (graph, _) = Dedup.descentRounds(vecs, init, domain, k, metric)
+    val (graph0, _) = Dedup.descentRounds(vecs, init, domain, k, metric)
+    // phase 2 over the same frames: the rebuilt tree gets the
+    // two-phase builder, not the bare descent
+    val graph = refineGraph(graph0, vecs, assign.select("id", "cluster_id"),
+      cents, hier, n, k, metric)
+    graph0.unpersist()
     val staged = s"$indexPath/_rebuild_tmp"
     writeGraphTree(spark, graph,
       vecs.join(assign.select("id", "cluster_id"), "id"), cents, staged, k,

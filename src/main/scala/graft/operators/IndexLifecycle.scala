@@ -225,7 +225,7 @@ object IndexLifecycle {
     corpusDir.foreach { d =>
       Ivf.invalidate(d); Dedup.invalidate(d); Pq.invalidate(d); Sq8.invalidate(d)
       Bq.invalidate(d); Pca.invalidate(d); Bpe.invalidate(d)
-      Tables.invalidate(d); Autotune.invalidate(d)
+      Tables.invalidate(d); Autotune.invalidate(d); GraphIndex.invalidate(d)
     }
     val prev = status(spark, indexPath)
     val v = vecs.cache()

@@ -28,7 +28,7 @@ class GraphSpec extends AnyFunSuite {
       (ex & gotByQ.getOrElse(q, Set.empty)).size.toDouble / k
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.9, s"graph serving recall $mean < 0.9")
+    assert(mean >= 0.95, s"graph serving recall $mean < 0.95 (measured 0.987)")
   }
 
   test("graph lifecycle: out-degree contracts, untouched adjacency stable, rebuilt tree serves") {
@@ -168,13 +168,15 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("sf0.1 graph serving holds the measured floor (the hard near-uniform regime)") {
-    // the substrate saturates at 0.742 there (5-iter descent on 2,000
-    // near-uniform vectors) and deeper builds are a measured negative
-    // (12 iters = 2.4x build -> 0.899 served); this pins the seeded
-    // beam's 0.879 against regression, NOT a target someone tuned to
+    // the bare-descent substrate saturates at 0.742 there (5 iters on
+    // 2,000 near-uniform vectors; 12 iters = 2.4x build -> 0.899
+    // served, a measured negative); the round-14 two-phase builder
+    // exact-refines the worst-kNN-radius fraction and lifts the
+    // substrate to 0.824 / served to 0.936 (tools/RefineProbe) — this
+    // pins that measurement against regression
     val mean = servedRecall("/root/testdata/sf0.1",
       graft.functions.VectorMetric.Cosine)
-    assert(mean >= 0.85, s"sf0.1 graph serving recall $mean < 0.85 (measured 0.879)")
+    assert(mean >= 0.9, s"sf0.1 graph serving recall $mean < 0.9 (measured 0.936)")
   }
 
   test("l2 graph serving: k rows per query, recall floor vs the l2 exact contract") {
@@ -192,19 +194,19 @@ class GraphSpec extends AnyFunSuite {
       (ex & gotByQ.getOrElse(q, Set.empty)).size.toDouble / k
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.9, s"l2 graph serving recall $mean < 0.9 (measured 0.978)")
+    assert(mean >= 0.95, s"l2 graph serving recall $mean < 0.95 (measured 0.989)")
   }
 
   test("sf0.1 dot and l2 graph serving hold measured floors") {
-    // measured 0.876 / 0.879 — the same substrate ceiling as cosine's
-    // 0.879 (the 5-iter descent saturates on the near-uniform corpus,
-    // §8l task #6); floors pin the measurement against regression at
-    // the cosine test's 0.85 convention, not a tuned target
+    // measured 0.935 / 0.938 under the round-14 two-phase builder
+    // (was 0.876 / 0.879 on the bare descent); floors pin the
+    // measurement against regression at the cosine test's 0.9
+    // convention, not a tuned target
     val big = "/root/testdata/sf0.1"
     val dotR = servedRecall(big, graft.functions.VectorMetric.Dot)
     val l2R = servedRecall(big, graft.functions.VectorMetric.L2)
-    assert(dotR >= 0.85, s"sf0.1 dot served recall $dotR < 0.85 (measured 0.876)")
-    assert(l2R >= 0.85, s"sf0.1 l2 served recall $l2R < 0.85 (measured 0.879)")
+    assert(dotR >= 0.9, s"sf0.1 dot served recall $dotR < 0.9 (measured 0.935)")
+    assert(l2R >= 0.9, s"sf0.1 l2 served recall $l2R < 0.9 (measured 0.938)")
   }
 
   test("dot graph serving: k rows per query, recall floor vs the dot exact contract") {
@@ -223,13 +225,48 @@ class GraphSpec extends AnyFunSuite {
       (ex & gotByQ.getOrElse(q, Set.empty)).size.toDouble / k
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.9, s"dot graph serving recall $mean < 0.9")
+    assert(mean >= 0.95, s"dot graph serving recall $mean < 0.95 (measured 0.986)")
+  }
+
+  test("two-phase builder: monotone refinement, untouched nodes verbatim, degree k") {
+    val (g, _) = operators.Dedup.descentGraph(spark, sf, k)
+    val rg = GraphIndex.refinedGraph(spark, sf, k)
+    def radii(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val before = radii(g)
+    val after = radii(rg)
+    assert(after.keySet == before.keySet, "refinement must not drop nodes")
+    // the merge is monotone: no node's kNN radius worsens, and the
+    // refined fraction genuinely improves somewhere
+    before.foreach { case (src, r0) =>
+      assert(after(src) <= r0, s"node $src radius worsened: ${after(src)} > $r0")
+    }
+    assert(before.exists { case (src, r0) => after(src) < r0 },
+      "phase 2 changed nothing — the refinement is vacuous on this corpus")
+    // every node still carries exactly k out-edges
+    val deg = rg.groupBy("src").count().collect().map(_.getLong(1))
+    assert(deg.forall(_ == k), "refined out-degree must stay k")
+    // nodes OUTSIDE the worst set keep their descent edges verbatim
+    val n = Tables.embeddingsCount(spark, sf)
+    val w = (n * GraphIndex.RefinePermille / 1000).toInt
+    val worst = before.toSeq.sortBy { case (src, r0) => (-r0, src) }
+      .take(w).map(_._1).toSet
+    def adj(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ga = adj(g); val rga = adj(rg)
+    before.keySet.filterNot(worst).foreach { src =>
+      assert(rga(src) == ga(src), s"untouched node $src adjacency changed")
+    }
   }
 
   test("graph_stats: exact symmetrized-degree histogram") {
     val got = GraphIndex.graphStats(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val edges = graft.operators.Dedup.descentGraph(spark, sf, k)._1
+    // the stats face reports on the SERVING graph (the refined
+    // builder's output), not the bare descent substrate
+    val edges = GraphIndex.refinedGraph(spark, sf, k)
       .select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val sym = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }.distinct
