@@ -104,6 +104,10 @@ object SparkEntry {
     // E56b: the serving twin — the same fold over the nprobe shortlist
     // (E6b's engine); the composition that runs at 100 TB
     "ann_topk_mmr_nprobe" -> ((s, d) => Mmr.annTopkMmrNprobe(s, d)),
+    // E58: the λ tuning grid for the rerank — relevance retained vs
+    // diversity bought per λ, one shortlist + one pair table for the
+    // whole grid; doubles via nested ordered folds, oracle-exact
+    "mmr_lambda_sweep" -> ((s, d) => Mmr.mmrLambdaSweep(s, d)),
     // contrastive hard negatives: batch ANN with the label-inequality
     // predicate inside the probed-list scan (not a post-filter)
     "hard_negative_mining" -> ((s, d) => Dedup.hardNegativeMining(s, d)),
@@ -293,6 +297,10 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, d) => TextOps.pipelineCleanCorpus(s, d)),
     // the full cleanup pass: + near-dup CLUSTER canonicalization (E13)
     "pipeline_dedup_corpus" -> ((s, d) => TextOps.pipelineDedupCorpus(s, d)),
+    // E59: the same pass under the RefinedWeb keep-best-of-cluster
+    // canonical (E57's rule routed into the pipeline's survivor core)
+    "pipeline_dedup_corpus_quality" ->
+      ((s, d) => TextOps.pipelineDedupCorpusQuality(s, d)),
     // the AT-SCALE fuzzy twin: MinHash-LSH candidates → exact Jaccard
     // verify → star-contraction → same survivor rule (rows-only —
     // xxhash64 candidates; containment + ≥0.95 agreement in DedupSpec)
@@ -309,6 +317,9 @@ object SparkEntry {
     // E11e: perceptual image dedup — integer-exact aHash signatures
     // over the decoded BMP pixel stream, exact-signature canon groups
     "multimodal_dedup"        -> ((s, d) => Multimodal.multimodalDedup(s, d)),
+    // E11f: banded-energy sign signature over decoded PCM WAV samples
+    // (integer-exact like the BMP aHash; amplitude-scale invariant)
+    "multimodal_dedup_audio"  -> ((s, d) => Multimodal.multimodalDedupAudio(s, d)),
     // D-series: Structured Streaming jobs (memory-sink execution)
     "stream_window_agg" -> (Streams.streamWindowAgg _),
     "stream_dedup"      -> (Streams.streamDedup _),
@@ -340,6 +351,10 @@ object SparkEntry {
     // D15: the continuous-ingest lifecycle for the GRAPH index family —
     // per-trigger search-then-link + dirt + policy-fired re-descent
     "stream_graph_append" -> (Streams.streamGraphAppend _),
+    // D16: continuous CORESET maintenance — per-trigger threshold
+    // admission (the doubling-algorithm insertion) against a persisted
+    // center store; equals the batch sequential scan by construction
+    "stream_kcenter" -> (Streams.streamKcenter _),
     // D13: continuous FUZZY-dedup ingest — arrivals near-dup-checked
     // against a persisted MinHash signature store per micro-batch
     // (rows-only: xxhash64 minhashes; StreamsSpec multi-batch proof)
@@ -482,6 +497,8 @@ object SparkEntry {
     // E56: nested exact-shortlist replay + k−1 unrolled greedy rounds
     // (GREATEST penalty fold + QUALIFY argmax)
     "ann_topk_mmr"        -> Mmr.annTopkMmrOracleSql(),
+    // E58: the same fold generator unrolled per λ over ONE cv/ps block
+    "mmr_lambda_sweep"    -> Mmr.mmrLambdaSweepOracleSql(),
     "hard_negative_mining" -> Dedup.hardNegativeMiningOracleSql(),
     "lang_id"         -> TextOps.langIdOracleSql,
     "quality_score"   -> TextOps.qualityScoreOracleSql,
@@ -525,6 +542,8 @@ object SparkEntry {
     "pack_token_shards" -> TextOps.packTokenShardsOracleSql(),
     "pipeline_clean_corpus" -> TextOps.pipelineCleanCorpusOracleSql(),
     "pipeline_dedup_corpus" -> TextOps.pipelineDedupCorpusOracleSql(),
+    "pipeline_dedup_corpus_quality" ->
+      TextOps.pipelineDedupCorpusQualityOracleSql(),
     "pipeline_attrition_report" -> TextOps.pipelineAttritionReportOracleSql(),
     "multimodal_meta" -> Multimodal.multimodalMetaOracleSql,
     "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleOracleSql(),
@@ -533,6 +552,7 @@ object SparkEntry {
     // E11e: bytes recomputed from source text, same cross-multiplied
     // bit rule and two-BIGINT packing
     "multimodal_dedup"        -> Multimodal.multimodalDedupOracleSql,
+    "multimodal_dedup_audio"  -> Multimodal.multimodalDedupAudioOracleSql,
     // streaming twins ARE oracle-checkable: D1 ≡ C5-shaped SQL,
     // D3 ≡ C6, D2 ≡ count-by-type (source has no duplicate event_ids)
     "stream_window_agg" -> Analytics.eventsWindowAggOracleSql,
@@ -658,6 +678,9 @@ object SparkEntry {
     // E37c: the E6b init replay + the applied NN-Descent rounds
     // unrolled as CTE blocks (iteration count from the converged run)
     "knn_graph_descent" -> ((s, d) => Dedup.knnGraphDescentOracleSql(s, d)),
+    // D16: the E55 radius replay + the unrolled threshold-admission
+    // chain (block count from the memoized sequential scan)
+    "stream_kcenter" -> ((s, d) => Coreset.streamKcenterOracleSql(s, d)),
     // E51: the descent replay nested as the graph + entry replay +
     // unrolled beam rounds
     "graph_topk" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d)),

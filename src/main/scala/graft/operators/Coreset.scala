@@ -122,6 +122,156 @@ object Coreset {
     picked.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
   }
 
+  // ---------------------------------------------- threshold (D16 core)
+
+  /** The rank of the E55 pick whose admission distance becomes the
+    * STREAMING threshold radius: r = the covering radius of the first
+    * [[RadiusRank]]−1 greedy centers. The doubling-algorithm family
+    * (Charikar et al.) maintains a k-center under insertions with a
+    * fixed admission radius; deriving r FROM the batch k-center keeps
+    * it corpus-calibrated and fully replayable (the oracle re-derives
+    * it from the same E55 chain) instead of a magic constant. Measured
+    * (tools/KcProbe): the sf corpora's distances concentrate, so the
+    * admitted count stays in single digits across ranks 3-5 — the
+    * packing number at any covering-radius-derived r is small there;
+    * rank 5 gives the richest non-degenerate coreset (4 / 6 centers at
+    * sf0.001 / sf0.1).
+    */
+  val RadiusRank = 5
+
+  /** The admission radius for `dir` (loud when the corpus is smaller
+    * than the rank — the threshold rule has no calibration there).
+    */
+  private[graft] def thresholdRadius(spark: SparkSession, dir: String): Double = {
+    val rows = sampleKcenter(spark, dir, RadiusRank)
+      .filter(col("rank") === RadiusRank).select("dist").collect()
+    require(rows.nonEmpty,
+      s"kcenter threshold: corpus at $dir has fewer than $RadiusRank points")
+    rows(0).getDouble(0)
+  }
+
+  /** Threshold admission over an (id, vec) frame in ascending id order
+    * against `centers0`: a point joins the coreset iff its distance to
+    * every current center EXCEEDS r (strict — both engines). Returns
+    * the newly admitted (id, vec, md-at-admission) in admission order;
+    * when `centers0` is empty the min-id point seeds with dist 0.0
+    * (the E55 seed convention). The running min-distance updates with
+    * the same literal-center `least` folds as E55, so every double is
+    * the shared kernel's; each round is one bounded job over the
+    * SHRINKING candidate frame (points already within r of a center
+    * drop before the loop — at a calibrated r the candidates are the
+    * uncovered minority, and the admitted count is bounded by the
+    * corpus' packing number at r, never batch-sized).
+    */
+  private[graft] def thresholdAdmit(vecs: DataFrame,
+                                    centers0: Seq[(Long, Seq[Float])],
+                                    r: Double,
+                                    metric: Int = VectorMetric.L2)
+      : Seq[(Long, Seq[Float], Double)] = {
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float], Double)]()
+    var seedFilter: Option[Long] = None
+    var cents = centers0
+    if (cents.isEmpty) {
+      val seed = vecs.orderBy(col("id").asc).limit(1)
+        .select(col("id"), col("vec")).collect()
+      if (seed.isEmpty) return Seq.empty
+      val (sid, sv) = (seed(0).getLong(0), seed(0).getSeq[Float](1))
+      admitted += ((sid, sv, 0.0))
+      cents = Seq((sid, sv))
+      seedFilter = Some(sid)
+    }
+    val md0 = cents.map { case (_, v) =>
+      Ivf.distCol(metric, col("vec"), array(v.map(lit): _*))
+    }.reduce(least(_, _))
+    var cur = seedFilter.fold(vecs)(sid => vecs.filter(col("id") =!= sid))
+      .select(col("id"), col("vec"), md0.as("md"))
+      .filter(col("md") > r)
+      .localCheckpoint(true)
+    try {
+      var done = false
+      while (!done) {
+        val rows = cur.orderBy(col("id").asc).limit(1).collect()
+        if (rows.isEmpty) done = true
+        else {
+          val (id, v, d) =
+            (rows(0).getLong(0), rows(0).getSeq[Float](1), rows(0).getDouble(2))
+          admitted += ((id, v, d))
+          val dist = Ivf.distCol(metric, col("vec"), array(v.map(lit): _*))
+          val next = cur.filter(col("id") =!= id)
+            .select(col("id"), col("vec"), least(col("md"), dist).as("md"))
+            .filter(col("md") > r)
+            .localCheckpoint(true)
+          cur.unpersist()
+          cur = next
+        }
+      }
+    } finally cur.unpersist()
+    admitted.toSeq
+  }
+
+  private val thresholdMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Double)]]
+
+  /** The full-corpus sequential threshold scan (id order) — the batch
+    * twin D16's streamed drain must equal (StreamsSpec pins it) and
+    * the source of the oracle's unroll count. Memoized per dir.
+    */
+  private[graft] def kcenterThresholdPicks(spark: SparkSession,
+                                           dir: String): Seq[(Long, Double)] =
+    thresholdMemo.getOrElseUpdate(dir, {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val r = thresholdRadius(spark, dir)
+      thresholdAdmit(vecs, Seq.empty, r).map(t => (t._1, t._3))
+    })
+
+  /** D16 oracle: the threshold chain unrolled — the E55 replay (nested
+    * once, MATERIALIZED) yields the radius; then J blocks of "least-
+    * update by the last admitted center, admit the min-id point whose
+    * running min-distance exceeds r" (admitted ids are strictly
+    * increasing BY THEOREM: a point with md > r against a LARGER
+    * center set had md > r at its own scan position and would already
+    * be a center — so min-id admission needs no id lower bound, and
+    * rank = row_number by vec_id is the admission order). J comes from
+    * the session's memoized sequential scan, exactly like the descent
+    * replay's iteration count.
+    */
+  def streamKcenterOracleSql(spark: SparkSession, dir: String): String = {
+    val j = kcenterThresholdPicks(spark, dir).size - 1
+    val d = Ivf.pairDistSqlTemplate(VectorMetric.L2)
+    val blocks = (2 to j + 1).map { i =>
+      val prev = if (i == 2) "" else s"""tm${i - 1} AS MATERIALIZED (
+         |  SELECT m.vec_id, m.embedding,
+         |    LEAST(m.md, ${d.format("m", "c")}) AS md
+         |  FROM tm${i - 2} m, tc${i - 1} c
+         |  WHERE m.vec_id <> c.vec_id),
+         |""".stripMargin
+      s"""${prev}tc$i AS (
+         |  SELECT vec_id, embedding, md FROM tm${i - 1}
+         |  WHERE md > (SELECT r FROM rr)
+         |  ORDER BY vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to j + 1)
+      .map(i => s"UNION ALL SELECT vec_id, md FROM tc$i")
+      .mkString("\n")
+    val blockSep = if (j == 0) "" else ",\n"
+    s"""WITH rr AS MATERIALIZED (
+       |  SELECT dist AS r FROM (
+       |${sampleKcenterOracleSql(RadiusRank)}
+       |  ) kcr WHERE rank = $RadiusRank),
+       |tc1 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |tm1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ${d.format("e", "s")} AS md
+       |  FROM embeddings e, tc1 s WHERE e.vec_id <> s.vec_id)$blockSep$blocks
+       |SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS rank,
+       |  vec_id, dist FROM (
+       |  SELECT vec_id, CAST(0.0 AS DOUBLE) AS dist FROM tc1
+       |  $rows) x(vec_id, dist)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Batched rounds and picks-per-round (E55b: 1 + R·p centers). */
   val BatchRounds = 4
   val BatchP = 8

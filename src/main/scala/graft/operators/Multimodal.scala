@@ -423,6 +423,133 @@ object Multimodal {
       |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Largest PCM sample count the audio band rule is Long-exact for:
+    * |sample| ≤ 32768, so 32768·n_samp² must fit a signed 64-bit int
+    * (⌊√(2⁶³/32768)⌋ ≈ 1.67e7; held back to a round 1.6e7).
+    */
+  val MaxWavSamples: Long = 16000000L
+
+  /** E11f: PERCEPTUAL audio dedup over the WAV containers — the
+    * round-13 verdict's task: the E11 stub-boundary argument does NOT
+    * hold for canonical PCM, whose sample decode is pure integer
+    * arithmetic exactly like the BMP pixels (16-bit little-endian
+    * signed samples after the 44-byte header the synthesizer writes).
+    * The signature is the chromaprint SHAPE in its integer-exact base
+    * case: partition the sample stream into 64 bands (band j =
+    * samples with i·64 div n = j), band energy = Σ|sample| (absolute
+    * amplitude — sums of squares change nothing structural and halve
+    * the overflow headroom), bit j set iff the band's MEAN energy
+    * exceeds the clip's mean — compared by integer CROSS-
+    * MULTIPLICATION (bsum·n_samp > tsum·bcnt), so there is no
+    * division, no float, no rounding boundary; 64 bits pack into the
+    * same two-BIGINT (sig_hi, sig_lo) as E11e, exact-signature canon
+    * groups with the min-id representative. The rule is AMPLITUDE-
+    * SCALE INVARIANT by construction (scaling every sample by c
+    * scales both sides of the comparison by c) — MultimodalSpec pins
+    * the perturbation (same clip at 2× gain ⇒ identical signature).
+    *
+    * Scale shape: E11d/E11e's — one codegen'd explode to skinny
+    * integer rows fused into the scan, two map-side-combined
+    * aggregates, a signature-keyed group; payloads never shuffle.
+    */
+  def multimodalDedupAudio(spark: SparkSession, dir: String): DataFrame =
+    audioCanonGroups(payloads(spark, dir)
+      .filter(col("media_kind") === 1)
+      .select(col("doc_id"), col("payload")))
+
+  /** The signature + canon-group engine over an arbitrary
+    * (doc_id, payload) WAV frame — the spec's perturbation seam.
+    */
+  private[graft] def audioCanonGroups(wavs: DataFrame): DataFrame = {
+    val withS = wavs
+      .select(col("doc_id"), col("payload"),
+        expr("(octet_length(payload) - 44) div 2").as("n_samp"))
+      .filter(col("n_samp") > 0)
+      .withColumn("i", explode(sequence(lit(0L), col("n_samp") - 1)))
+    def byteAt(off: Column): Column =
+      conv(hex(col("payload").substr(off.cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    // 16-bit LE signed: raw = lo + 256·hi, two's complement past 2¹⁵
+    val raw = byteAt(lit(45L) + col("i") * 2L) +
+      byteAt(lit(46L) + col("i") * 2L) * 256L
+    val samp = when(raw >= 32768L, raw - 65536L).otherwise(raw)
+    val banded = withS
+      .select(col("doc_id"), col("n_samp"),
+        expr("(i * 64) div n_samp").as("j"),
+        abs(samp).as("v"))
+      .groupBy("doc_id", "n_samp", "j")
+      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
+      .localCheckpoint(true)
+    // the same Long-exactness refusal as the image rule (E29 note)
+    banded.agg(max(col("n_samp"))).head().getAs[Any](0) match {
+      case mx: Long => require(mx <= MaxWavSamples,
+        s"multimodal_dedup_audio: $mx samples exceeds the $MaxWavSamples " +
+          "Long-exact bound of the cross-multiplied band rule — stage the " +
+          "products through DECIMAL(38) for clips this long")
+      case _ => // empty corpus: nothing to guard
+    }
+    val tot = banded.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
+    val sigs = banded.join(tot, "doc_id")
+      .select(col("doc_id"), col("j"),
+        when(col("bsum") * col("n_samp") > col("tsum") * col("bcnt"), 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CASE WHEN j < 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig_hi"),
+        sum(expr("CASE WHEN j >= 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j - 32 AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig_lo"))
+      .localCheckpoint(true)
+    val reps = sigs.groupBy("sig_hi", "sig_lo")
+      .agg(min(col("doc_id")).as("rep_id"))
+    val out = sigs.join(reps, Seq("sig_hi", "sig_lo"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    banded.unpersist()
+    sigs.unpersist()
+    out
+  }
+
+  /** E11f oracle: every sample recomputed independently from the
+    * source text (the E11d discipline — hex-nibble extraction over
+    * encode(text), the same two's-complement fold), the same band
+    * partition, cross-multiplied bit rule, two-BIGINT packing and
+    * min-representative grouping.
+    */
+  def multimodalDedupAudioOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samp
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |px AS (
+      |  SELECT doc_id, n_samp, i * 64 // n_samp AS j,
+      |    abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS v
+      |  FROM (
+      |    SELECT doc_id, n_samp, t.i AS i,
+      |      CAST(('0x' || substr(hx, CAST(t.i*4 + 1 AS INT), 2)) AS BIGINT)
+      |      + 256 * CAST(('0x' || substr(hx, CAST(t.i*4 + 3 AS INT), 2)) AS BIGINT) AS raw
+      |    FROM b, UNNEST(range(0, n_samp)) t(i)
+      |    WHERE n_samp > 0) q),
+      |bk AS (
+      |  SELECT doc_id, n_samp, j, CAST(sum(v) AS BIGINT) AS bsum,
+      |    CAST(count(*) AS BIGINT) AS bcnt
+      |  FROM px GROUP BY doc_id, n_samp, j),
+      |tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum FROM bk GROUP BY doc_id),
+      |sg AS (
+      |  SELECT bk.doc_id,
+      |    CAST(sum(CASE WHEN j < 32 AND bsum * n_samp > tsum * bcnt
+      |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi,
+      |    CAST(sum(CASE WHEN j >= 32 AND bsum * n_samp > tsum * bcnt
+      |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo
+      |  FROM bk JOIN tt ON tt.doc_id = bk.doc_id
+      |  GROUP BY bk.doc_id),
+      |rp AS (SELECT sig_hi, sig_lo, min(doc_id) AS rep_id FROM sg GROUP BY sig_hi, sig_lo)
+      |SELECT s.doc_id, s.sig_hi, s.sig_lo, r.rep_id, s.doc_id = r.rep_id AS kept
+      |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
+      |ORDER BY s.doc_id""".stripMargin
+
   // ---------------------------------------------------------- decode
 
   case class MediaFeature(doc_id: Long, media_kind: Int, byte_len: Long,

@@ -533,6 +533,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs_clean"))
       .orderBy("source")
 
+  /** E59: `pipeline_dedup_corpus_quality` — E16 with the RefinedWeb
+    * keep-best-of-cluster canonical (E57's (score DESC, doc_id)
+    * argmax) in place of min-id: the round-13 verdict's routing task —
+    * the quality-aware rule existed only as a REPORT (E57) while the
+    * pipelines kept min-id; this runs the pipeline under the better
+    * rule through the SAME shared survivor core (the near-dup
+    * non-canonical set is the one degree of freedom), so the two
+    * pipelines cannot drift on the gates, the exact canon, or the
+    * component graph. The exact-dup stage deliberately stays min-id:
+    * exact-duplicate members have identical text and therefore
+    * identical scores — the rules coincide there by construction
+    * (E57's scaladoc), so swapping it would change nothing but cost a
+    * second window. DedupSpec pins the survivor-set relationship
+    * against E16 (same size per component count, disagreement exactly
+    * on the E57 rules_agree=false clusters).
+    */
+  def pipelineDedupCorpusQuality(spark: SparkSession, dir: String,
+                                 lang: String = "en",
+                                 minScore: Double = 0.3): DataFrame =
+    survivorRollup(pipelineDedupQualitySurvivors(spark, dir, lang, minScore))
+
+  /** E59 survivor set — DedupSpec's comparison handle. */
+  private[graft] def pipelineDedupQualitySurvivors(spark: SparkSession,
+                                                   dir: String,
+                                                   lang: String = "en",
+                                                   minScore: Double = 0.3): DataFrame =
+    dedupSurvivorsOn(spark, dir, Dedup.qualityNonCanonical(spark, dir),
+      lang, minScore)
+
   /** E42: the AT-SCALE composed fuzzy-dedup pass — the published
     * big-corpus recipe (Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better" §4; Penedo et al. 2023 RefinedWeb
@@ -694,13 +723,14 @@ object TextOps {
        |FROM flagged f
        |GROUP BY source ORDER BY source""".stripMargin
 
-  /** Oracle: the E12 CTE chain plus the E13 recursive-CTE closure; the
-    * survivor rule is identical (exact canon ∧ not a non-canonical
-    * component member).
+  /** The shared E16-oracle CTE chain (clean gate, exact canon, the
+    * E13 recursive closure through `reach`) — the two survivor rules
+    * (min-id / E57 quality) append their own noncanon + final, so
+    * they can only differ on the canonical column, exactly like the
+    * engine's [[dedupSurvivorsOn]] seam.
     */
-  def pipelineDedupCorpusOracleSql(lang: String = "en",
-                                   minScore: Double = 0.3): String =
-    s"""WITH RECURSIVE lang_pred AS (${langIdOracleSql}),
+  private def pipelineDedupCtes(lang: String, minScore: Double): String =
+    s"""lang_pred AS (${langIdOracleSql}),
        |qual AS (${qualityScoreOracleSql}),
        |clean AS (
        |  SELECT d.doc_id, d.source, d.text
@@ -724,13 +754,45 @@ object TextOps {
        |reach(src, dst) AS (
        |  SELECT src, dst FROM edges
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  /** Oracle: the E12 CTE chain plus the E13 recursive-CTE closure; the
+    * survivor rule is identical (exact canon ∧ not a non-canonical
+    * component member).
+    */
+  def pipelineDedupCorpusOracleSql(lang: String = "en",
+                                   minScore: Double = 0.3): String =
+    s"""WITH RECURSIVE ${pipelineDedupCtes(lang, minScore)},
        |noncanon AS (
        |  SELECT src AS doc_id FROM reach GROUP BY src
        |  HAVING least(src, min(dst)) <> src)
        |SELECT source, count(*) AS n_docs_clean
        |FROM clean JOIN canon USING (doc_id)
        |WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** E59 oracle: the SAME chain; the near-dup canonical is the E57
+    * (score DESC, doc_id) argmax per component instead of min-id —
+    * one rule swap, nothing else re-derived.
+    */
+  def pipelineDedupCorpusQualityOracleSql(lang: String = "en",
+                                          minScore: Double = 0.3): String =
+    s"""WITH RECURSIVE ${pipelineDedupCtes(lang, minScore)},
+       |cmp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |qc AS (
+       |  SELECT c.component_id, c.doc_id AS canon_quality_id
+       |  FROM cmp c JOIN qual q ON q.doc_id = c.doc_id
+       |  QUALIFY row_number() OVER (PARTITION BY c.component_id
+       |    ORDER BY q.score DESC, c.doc_id) = 1),
+       |noncanonq AS (
+       |  SELECT c.doc_id FROM cmp c
+       |  JOIN qc ON qc.component_id = c.component_id
+       |  WHERE c.doc_id <> qc.canon_quality_id)
+       |SELECT source, count(*) AS n_docs_clean
+       |FROM clean JOIN canon USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM noncanonq)
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- E10

@@ -1319,6 +1319,99 @@ object Streams {
     */
   def streamGraphAppendOracleSql: String = streamIndexAppendOracleSql
 
+  /** D16's per-trigger sink body: threshold-admit the micro-batch into
+    * the persisted center store (a point joins iff its distance to
+    * EVERY current center exceeds r — the doubling-algorithm insertion
+    * step, Coreset.thresholdAdmit's id-order fold), then land the
+    * admitted rows as this batch's store subdir. A replayed batch
+    * NO-OPs on its landed subdir (at-least-once → exactly-once, the
+    * D10 store discipline); an admission-free batch still lands an
+    * empty typed subdir so the landed count stays honest.
+    */
+  private[graft] def kcenterBatch(store: String, r: Double)
+                                 (batch: DataFrame, batchId: Long): Unit = {
+    val ss = batch.sparkSession
+    val sub = new org.apache.hadoop.fs.Path(s"$store/b$batchId")
+    val fsy = sub.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (fsy.exists(sub)) return
+    // current centers: bounded by the corpus' packing number at r —
+    // the collect is the doubling algorithm's O(k) state, never data
+    val centers0: Seq[(Long, Seq[Float])] =
+      if (!fsy.exists(new org.apache.hadoop.fs.Path(store))) Seq.empty
+      else ss.read.parquet(s"$store/*").select("id", "vec").collect()
+        .map(row => (row.getLong(0), row.getSeq[Float](1))).toSeq
+    val admitted = graft.operators.Coreset.thresholdAdmit(
+      batch.select("id", "vec"), centers0, r)
+    import ss.implicits._
+    admitted.toDF("id", "vec", "dist")
+      .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+  }
+
+  /** D16 driver entry: `stream_kcenter` — the E55 coreset family run
+    * as an INGEST property: a 100 TB pipeline selects exemplars
+    * continuously, not in one pass, so the coreset must be MAINTAINED
+    * under appended micro-batches. The radius comes from the batch
+    * k-center's covering-radius prefix (Coreset.thresholdRadius — the
+    * corpus-calibrated doubling-algorithm threshold, oracle-replayable
+    * end to end); landing files split by ascending id RANGE and land
+    * sequentially between drains (the D10b pattern), so the streamed
+    * admission order equals the sequential id-order scan and the
+    * result is batch-split invariant BY CONSTRUCTION — StreamsSpec
+    * pins equality against Coreset's full-corpus twin, and the
+    * unrolled threshold chain oracle-checks the key exactly.
+    */
+  def streamKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_kc")
+    val store = tmp.resolve("centers").toString
+    val landing = tmp.resolve("landing").toString
+    try {
+      val vecs = Tables.embeddings(ss, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val r = graft.operators.Coreset.thresholdRadius(ss, dir)
+      val maxId = vecs.agg(max(col("id"))).head().getLong(0)
+      def land(name: String, pred: org.apache.spark.sql.Column): Unit =
+        vecs.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(s"$landing/$name")
+      land("f1", col("id") <= maxId / 3)
+      val schema = ss.read.parquet(s"$landing/f1").schema
+      val incoming = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$landing/f*")
+      val ckpt = tmpCheckpoint()
+      val q = incoming.writeStream
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          kcenterBatch(store, r)(b.toDF(), id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        land("f2", col("id") > maxId / 3 && col("id") <= 2 * maxId / 3)
+        q.processAllAvailable()
+        land("f3", col("id") > 2 * maxId / 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fsy = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      val landed = fsy.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).count(_.matches("b\\d+"))
+      require(landed == 3,
+        s"driver entry expects three landed batches, got $landed")
+      // admission order = ascending vec_id (admitted ids strictly
+      // increase — see the oracle's theorem note), so the read-back
+      // ranks by id
+      val result = ss.read.parquet(s"$store/*")
+        .select(col("id").as("vec_id"), col("dist"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+          .cast("int"))
+        .select("rank", "vec_id", "dist")
+        .orderBy("rank")
+        .localCheckpoint(true)
+      deleteTree(ckpt)
+      result
+    } finally deleteTree(tmp)
+  }
+
   def streamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
     val docs = Tables.documents(ss, dir)

@@ -43,6 +43,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dedup_corpus_quality: same survivor count, disagreement only on rules_agree=false clusters") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sf = "/root/testdata/sf0.001"
+    val minId = ids(graft.operators.TextOps.pipelineDedupSurvivors(spark, sf))
+    val qual = ids(graft.operators.TextOps.pipelineDedupQualitySurvivors(spark, sf))
+    assert(qual.nonEmpty, "quality pipeline kept nothing")
+    // the rules swap exactly one member per disagreeing cluster, so the
+    // SYMMETRIC DIFFERENCE is confined to docs whose component has
+    // rules_agree = false (modulo the clean gate dropping a would-be
+    // canonical) — nothing outside a disagreeing cluster may move
+    val disagree = graft.operators.Dedup.dedupComponentsQuality(spark, sf)
+      .filter(!org.apache.spark.sql.functions.col("rules_agree"))
+      .select("component_id").collect().map(_.getLong(0)).toSet
+    val members = graft.operators.Dedup.dedupComponents(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, c) => disagree(c) }.map(_._1).toSet
+    val moved = (minId diff qual) ++ (qual diff minId)
+    assert(moved.subsetOf(members),
+      s"docs moved outside disagreeing clusters: ${moved -- members}")
+    assert(moved.nonEmpty,
+      "the sf0.001 corpus must exercise at least one disagreeing cluster " +
+        "(otherwise the key is vacuous here)")
+  }
+
   private def vecPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

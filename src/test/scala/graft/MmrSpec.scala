@@ -112,6 +112,28 @@ class MmrSpec extends AnyFunSuite {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("lambda sweep: monotone trade, baseline equals the lambda=1 limit's shape") {
+    val rows = Mmr.mmrLambdaSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Mmr.SweepLambdas.map(_.toLong),
+      "one row per grid lambda, ordered")
+    // the baseline column is the lambda-independent pure-relevance sum
+    assert(rows.map(_._3).distinct.length == 1,
+      "rel_topk_sum must not vary with lambda")
+    // the trade is monotone on this corpus: relevance retained
+    // non-decreasing in lambda, self-similarity bought non-decreasing
+    // in lambda (higher lambda = closer to plain top-k = more relevant
+    // AND more self-similar)
+    rows.sliding(2).foreach { case Array((l1, r1, _, d1), (l2, r2, _, d2)) =>
+      assert(r1 <= r2 + 1e-12, s"rel_sum not monotone: λ$l1=$r1 > λ$l2=$r2")
+      assert(d1 <= d2 + 1e-12, s"div_sum not monotone: λ$l1=$d1 > λ$l2=$d2")
+    }
+    // no lambda retains more relevance than the pure top-k baseline
+    rows.foreach { case (lp, rel, base, _) =>
+      assert(rel <= base + 1e-12, s"λ$lp rel_sum $rel exceeds the top-k $base")
+    }
+  }
+
   test("selected set is never more self-similar than the plain top-k") {
     def meanPairSim(ids: Seq[Long]): Double = {
       val ps = for {

@@ -24,6 +24,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(over == Map("bmp" -> 54L, "wav" -> 44L, "gvid" -> 12L))
   }
 
+  test("audio dedup: amplitude-scaled clip keeps its signature; distinct clip differs") {
+    import spark.implicits._
+    // canonical 44-byte header + 16-bit LE samples (header bytes are
+    // offset padding for the signature engine — it reads samples only)
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val body = samples.flatMap { s =>
+        val u = if (s < 0) s + 65536 else s
+        Seq((u & 0xFF).toByte, ((u >> 8) & 0xFF).toByte)
+      }
+      (Array.fill[Byte](44)(0) ++ body.toArray)
+    }
+    // a structured clip with |s| < 16384 so the 2x gain cannot clip
+    val base = (0 until 256).map(i =>
+      (math.sin(i / 7.0) * 8000).toInt + (if (i % 16 == 0) 4000 else 0))
+    val scaled = base.map(_ * 2)
+    val other = (0 until 256).map(i => (math.cos(i / 3.0) * 9000).toInt)
+    val wavs = Seq((0L, wavOf(base)), (1L, wavOf(scaled)), (2L, wavOf(other)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioCanonGroups(wavs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    // amplitude-scale invariance: same banded-energy sign pattern
+    assert(got(0)._2 == got(1)._2,
+      s"2x gain changed the signature: ${got(0)._2} != ${got(1)._2}")
+    assert(got(0)._3 == 0L && got(1)._3 == 0L && got(0)._4 && !got(1)._4,
+      "the scaled twin must canon-group under the base clip")
+    // a structurally different clip lands in its own group
+    assert(got(2)._2 != got(0)._2 && got(2)._4,
+      "a distinct clip must keep its own signature")
+    // the signature genuinely uses the samples: non-trivial bit pattern
+    assert(got(0)._2 != ((0L, 0L)), "all-zero signature is degenerate")
+  }
+
+  test("audio dedup driver key: exact replication of the band rule on one clip") {
+    // replicate the engine end-to-end in driver-side integer arithmetic
+    // for one sf document (the E11e aHash-replication discipline)
+    val row = Multimodal.multimodalDedupAudio(spark, sf)
+      .filter(col("doc_id") === 1L).head()
+    val text = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 1L).select("text").head().getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length / 2
+    val v = (0 until n).map { i =>
+      val raw = (bytes(2 * i) & 0xFF) + 256 * (bytes(2 * i + 1) & 0xFF)
+      math.abs(if (raw >= 32768) raw - 65536 else raw).toLong
+    }
+    val byBand = v.zipWithIndex.groupBy { case (_, i) => i.toLong * 64 / n }
+    val tsum = v.sum
+    var hi = 0L; var lo = 0L
+    byBand.foreach { case (j, vs) =>
+      val bsum = vs.map(_._1).sum
+      if (bsum * n > tsum * vs.length) {
+        if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+      }
+    }
+    assert((row.getLong(1), row.getLong(2)) == ((hi, lo)),
+      "engine signature diverged from the driver-side band fold")
+  }
+
   test("batched decode emits one feature row per payload with stable stub features") {
     val feats = Multimodal.decodeFeatures(spark, sf).collect()
     assert(feats.length == 500)

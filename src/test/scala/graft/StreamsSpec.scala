@@ -23,6 +23,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(stream) == rows(batch))
   }
 
+  test("D16 stream_kcenter == the batch sequential threshold scan (multi-batch equivalence)") {
+    val got = Streams.streamKcenter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // admission order is ascending id (the oracle's theorem), so the
+    // batch twin's picks rank directly
+    val want = graft.operators.Coreset.kcenterThresholdPicks(spark, sf)
+      .zipWithIndex.map { case ((id, d), i) => (i + 1, id, d) }
+    assert(got == want,
+      s"streamed coreset diverged from the sequential scan: $got != $want")
+    // the key is non-vacuous here: admissions happened beyond the seed
+    assert(got.length > 1, "no point admitted beyond the seed — the radius " +
+      "calibration is degenerate on this corpus")
+    // every admitted distance genuinely exceeds the threshold radius
+    val r = graft.operators.Coreset.thresholdRadius(spark, sf)
+    assert(got.drop(1).forall(_._3 > r), "an admitted point sits within r")
+  }
+
   test("D2 stream_dedup keeps every distinct event_id (no dups in source)") {
     val stream = Streams.streamDedup(spark, sf)
     val batch = graft.Tables.events(spark, sf)
