@@ -176,6 +176,11 @@ object Bench {
       .warmRefinedGraph(spark, dir, functions.VectorMetric.L2)),
     "memo_refined_graph_dot" -> (() => operators.GraphIndex
       .warmRefinedGraph(spark, dir, functions.VectorMetric.Dot)),
+    // the persisted tuned graph tree (build + measured grid + sidecar)
+    // behind graph_topk_tuned / graph_autotune / the persisted
+    // filtered key — after the refined/exact-edge memos it rides
+    "memo_graph_tuned_tree" -> (() =>
+      operators.GraphIndex.warmGraphTunedTree(spark, dir)),
     // the learned merge table behind bpe_train/token_count_bpe/E39b —
     // warmed so whichever of the three keys runs first doesn't bill
     // the driver merge loop to itself

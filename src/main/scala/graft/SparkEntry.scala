@@ -97,6 +97,15 @@ object SparkEntry {
     "decontaminate_ngram_exact" -> ((s, d) => Dedup.decontaminateNgramExact(s, d)),
     "ann_topk_batch"      -> ((s, d) => Dedup.annTopkBatch(s, d)),
     "ann_topk_batch_nprobe" -> ((s, d) => Dedup.annTopkBatchNprobe(s, d)),
+    // A26i: the graph tier's own closed tuning loop — the measured
+    // (rounds, beam) grid + per-floor cheapest-qualifying argmin
+    "graph_autotune" -> ((s, d) => GraphIndex.graphAutotune(s, d)),
+    // A26j: the pick SERVES — persisted sidecar read back as config
+    "graph_topk_tuned" -> ((s, d) => GraphIndex.graphTopkTuned(s, d)),
+    // A26k: the persisted filtered face (stored-layout IVF-style
+    // serving with selector semi-join + widened probes) as a key
+    "graph_topk_filtered_persisted" ->
+      ((s, d) => GraphIndex.graphTopkFilteredPersistedQuery(s, d)),
     // E56: MMR-diversified batch ANN — greedy λ·rel − (1−λ)·max-sim
     // fold over the exact top-C shortlist (the RAG rerank stage);
     // everything after the shortlist is O(N·C²), never corpus×corpus
@@ -690,6 +699,16 @@ object SparkEntry {
     // E51g: and under the negated-inner-product template (MIPS)
     "graph_topk_dot" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d,
       metric = graft.functions.VectorMetric.Dot)),
+    // A26i: four suffixed beam chains over one substrate replay + hit
+    // counts vs the exact contract + the same (cost, rounds, beam)
+    // argmin SQL
+    "graph_autotune" -> ((s, d) => GraphIndex.graphAutotuneOracleSql(s, d)),
+    // A26j: the beam chain at the re-derived tuned operating point
+    "graph_topk_tuned" -> ((s, d) => GraphIndex.graphTopkTunedOracleSql(s, d)),
+    // A26k: the widened-probe stored-layout replay (selector on the
+    // stored side, self included — the arbitrary-batch contract)
+    "graph_topk_filtered_persisted" ->
+      ((s, d) => GraphIndex.graphTopkFilteredPersistedOracleSql(s, d)),
     // E51c: the beam replay at the widened width, pooled + selector
     "graph_topk_filtered" -> ((s, d) => GraphIndex.graphTopkFilteredOracleSql(s, d)),
     // E51d: the cosine residual-batch replay at the capped widened

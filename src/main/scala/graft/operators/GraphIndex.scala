@@ -314,8 +314,10 @@ object GraphIndex {
     */
   private[graft] def beamTopk(spark: SparkSession, dir: String,
                               edges: DataFrame, k: Int,
-                              metric: Int = DefaultMetric): DataFrame = {
-    val b = beamWidth(k)
+                              metric: Int = DefaultMetric,
+                              rounds: Int = BeamRounds,
+                              bOverride: Option[Int] = None): DataFrame = {
+    val b = bOverride.getOrElse(beamWidth(k))
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("cv"))
     val sym = symmetrize(edges)
@@ -326,7 +328,7 @@ object GraphIndex {
       .select(col("query_id"), col("neighbor_id").as("cand"))
       .union(sym.select(col("src").as("query_id"), col("dst").as("cand")))
       .dropDuplicates("query_id", "cand")
-    beamRounds(entry, sym, vecs, k, b, metric = metric)
+    beamRounds(entry, sym, vecs, k, b, metric = metric, rounds = rounds)
   }
 
   /** The shared round loop: `beam0` (query_id, cand) expands through
@@ -338,14 +340,15 @@ object GraphIndex {
   private[graft] def beamRounds(beam0: DataFrame, edges: DataFrame,
                                     vecs: DataFrame, k: Int, b: Int,
                                     qvecsOpt: Option[DataFrame] = None,
-                                    metric: Int = DefaultMetric): DataFrame = {
+                                    metric: Int = DefaultMetric,
+                                    rounds: Int = BeamRounds): DataFrame = {
     val qvecs = qvecsOpt.getOrElse(
       vecs.select(col("id").as("query_id"), col("cv").as("qv")))
     val e = edges.select(col("src").as("cand"), col("dst"))
     var beam = beam0
     var cur: DataFrame = null
     var r = 0
-    while (r < BeamRounds) {
+    while (r < rounds) {
       val expand = beam.join(e, "cand")
         .select(col("query_id"), col("dst").as("cand"))
       val cands = beam.select("query_id", "cand").union(expand)
@@ -414,53 +417,69 @@ object GraphIndex {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** The shared beam-replay CTE chain at beam width `b`: the
-    * converged-graph replay (g), its symmetrization (gs), the seeded
-    * b0, and per round (c/s/b) — the candidate union, the exact
-    * re-score, the top-b prune. Both the unfiltered and the filtered
-    * oracle append their own final SELECT.
+  /** The refined-builder substrate replay shared by every serving
+    * oracle: the refinement chain (rg), the served graph (g), its
+    * symmetrization (gs).
     */
-  private def graphBeamCtes(spark: SparkSession, dir: String, k: Int,
-                            b: Int, metric: Int = DefaultMetric): String = {
-    val cos = Ivf.pairDistSqlTemplate(metric)
-    val entrySql = Ivf.annBatchNprobeOracleSql(spark, dir, b,
-      nprobeOpt = Some(EntryNprobe), metric = metric)
-    val rounds = (1 to BeamRounds).map { r =>
-      val prev = s"b${r - 1}"
-      s"""c$r AS (
-         |  SELECT DISTINCT query_id, cand FROM (
-         |    SELECT query_id, cand FROM $prev
-         |    UNION ALL
-         |    SELECT bb.query_id, gs.dst AS cand FROM $prev bb JOIN gs ON gs.src = bb.cand) z
-         |  WHERE cand <> query_id),
-         |s$r AS MATERIALIZED (
-         |  SELECT c.query_id, c.cand, ${cos.format("qe", "ce")} AS dist
-         |  FROM c$r c
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ce ON ce.vec_id = c.cand),
-         |b$r AS MATERIALIZED (
-         |  SELECT query_id, cand, dist FROM (
-         |    SELECT query_id, cand, dist,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS rn
-         |    FROM s$r) z
-         |  WHERE rn <= $b)""".stripMargin
-    }.mkString(",\n")
+  private def graphSubstrateCtes(spark: SparkSession, dir: String, k: Int,
+                                 metric: Int): String =
     s"""${refinedReplayCtes(spark, dir, k, metric)},
        |g AS MATERIALIZED (
        |  SELECT src, dst FROM rg),
        |gs AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM g
-       |    UNION ALL SELECT dst AS src, src AS dst FROM g) z),
-       |b0 AS MATERIALIZED (
+       |    UNION ALL SELECT dst AS src, src AS dst FROM g) z)""".stripMargin
+
+  /** One beam chain over an in-scope `gs` at (rounds, b): the seeded
+    * b0 and per round (c/s/b) — the candidate union, the exact
+    * re-score, the top-b prune. CTE names carry `sfx` so the autotune
+    * oracle can run the whole config grid over ONE substrate replay.
+    */
+  private def beamChainCtes(spark: SparkSession, dir: String, k: Int,
+                            b: Int, metric: Int, rounds: Int,
+                            sfx: String): String = {
+    val cos = Ivf.pairDistSqlTemplate(metric)
+    val entrySql = Ivf.annBatchNprobeOracleSql(spark, dir, b,
+      nprobeOpt = Some(EntryNprobe), metric = metric)
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"b${r - 1}$sfx"
+      s"""c$r$sfx AS (
+         |  SELECT DISTINCT query_id, cand FROM (
+         |    SELECT query_id, cand FROM $prev
+         |    UNION ALL
+         |    SELECT bb.query_id, gs.dst AS cand FROM $prev bb JOIN gs ON gs.src = bb.cand) z
+         |  WHERE cand <> query_id),
+         |s$r$sfx AS MATERIALIZED (
+         |  SELECT c.query_id, c.cand, ${cos.format("qe", "ce")} AS dist
+         |  FROM c$r$sfx c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.cand),
+         |b$r$sfx AS MATERIALIZED (
+         |  SELECT query_id, cand, dist FROM (
+         |    SELECT query_id, cand, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS rn
+         |    FROM s$r$sfx) z
+         |  WHERE rn <= $b)""".stripMargin
+    }.mkString(",\n")
+    s"""b0$sfx AS MATERIALIZED (
        |  SELECT DISTINCT query_id, cand FROM (
        |    SELECT query_id, neighbor_id AS cand FROM (
        |$entrySql
        |    ) esub
        |    UNION ALL
        |    SELECT src AS query_id, dst AS cand FROM gs) z),
-       |$rounds""".stripMargin
+       |$roundCtes""".stripMargin
   }
+
+  /** The default-config chain (substrate + one beam chain, bare CTE
+    * names) — the shape the unfiltered and filtered oracles append
+    * their final SELECT to.
+    */
+  private def graphBeamCtes(spark: SparkSession, dir: String, k: Int,
+                            b: Int, metric: Int = DefaultMetric): String =
+    s"""${graphSubstrateCtes(spark, dir, k, metric)},
+       |${beamChainCtes(spark, dir, k, b, metric, BeamRounds, "")}""".stripMargin
 
   /** Driver query: `graph_recall_report` — E43's serving-quality
     * dashboard for the GRAPH tier: the per-query recall@k histogram of
@@ -491,6 +510,229 @@ object GraphIndex {
                                  k: Int = 5): String =
     Dedup.recallHistogramOracleSql(Dedup.annTopkBatchOracleSql(k),
       graphTopkOracleSql(spark, dir, k))
+
+  // ------------------------------------------------------ graph tuner
+
+  /** The (rounds, beam-multiplier) operating grid A26i measures. The
+    * graph tier deliberately has NO row on A24's (tier, refine) grid
+    * (its recall knob is this curve, not code quality — Autotune's
+    * scaladoc records the rationale); this gives it the SAME closed
+    * loop the PQ family got in round 12: measure the grid, persist the
+    * pick, serve from it.
+    */
+  val TuneGrid: Seq[(Int, Int)] = Seq((1, 1), (1, 2), (2, 1), (2, 2))
+
+  /** The recall floor `graph_topk_tuned` serves (permille — the A24
+    * floor convention; the two-phase builder clears 900 at every sf).
+    */
+  val GraphTunedFloor = 900
+
+  /** [[graphTopk]] at an explicit (rounds, beam) operating point —
+    * the serving face the tuner's pick drives.
+    */
+  private[graft] def graphTopkAt(spark: SparkSession, dir: String, k: Int,
+                                 metric: Int, rounds: Int, b: Int): DataFrame = {
+    val graph = refinedGraph(spark, dir, k, metric)
+    beamTopk(spark, dir, graph.select("src", "dst"), k, metric,
+      rounds = rounds, bOverride = Some(b))
+  }
+
+  private val tuneMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Int, Long)]]
+
+  /** The measured grid: per (rounds, beam) config, the served
+    * recall@k permille vs the exact contract (exact integers — hits
+    * via a semi join count, permille by integer division). Memoized
+    * per (dir, k) so the grid key, the sidecar write, and the oracle
+    * generators share one measurement pass.
+    */
+  private[graft] def graphTuneGrid(spark: SparkSession, dir: String,
+                                   k: Int = 5): Seq[(Int, Int, Long)] =
+    tuneMemo.getOrElseUpdate((dir, k), {
+      val exact = Ivf.exactEdges(spark, dir, k, DefaultMetric)
+        .select("query_id", "neighbor_id")
+      val nq = Tables.embeddingsCount(spark, dir)
+      TuneGrid.map { case (rounds, mult) =>
+        val b = beamWidth(k) * mult
+        val hits = graphTopkAt(spark, dir, k, DefaultMetric, rounds, b)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        (rounds, b, hits * 1000L / (k * nq))
+      }
+    })
+
+  /** A26i: `graph_autotune` — the per-floor argmin over the measured
+    * (rounds, beam) grid: the CHEAPEST config meeting the floor,
+    * ordered by (rounds·beam — the per-query expansion work is
+    * O(rounds·beam·deg), so their product is the cost axis — then
+    * rounds, then beam as deterministic tiebreaks); -1 sentinels when
+    * no measured config qualifies (the E53 "bigger grid" signal,
+    * never a silent clamp). Oracle-checked end-to-end: the generator
+    * replays all four serving configs over ONE substrate replay,
+    * counts hits against the exact contract, and applies the same
+    * argmin SQL.
+    */
+  def graphAutotune(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val grid = graphTuneGrid(spark, dir, k)
+    val rows = Autotune.Floors.map { f =>
+      val pick = grid.filter(_._3 >= f)
+        .sortBy { case (r, b, _) => (r.toLong * b, r, b) }.headOption
+      pick match {
+        case Some((r, b, rec)) =>
+          (f.toLong, r.toLong, b.toLong, rec, r.toLong * b)
+        case None => (f.toLong, -1L, -1L, -1L, -1L)
+      }
+    }
+    rows.toDF("floor_permille", "rounds", "beam", "recall_permille", "cost")
+      .orderBy("floor_permille")
+  }
+
+  /** A26i oracle: the four beam chains suffixed over one substrate,
+    * hit counts vs the nested exact replay, the same integer permille
+    * and (cost, rounds, beam) argmin.
+    */
+  def graphAutotuneOracleSql(spark: SparkSession, dir: String,
+                             k: Int = 5): String = {
+    val chains = TuneGrid.map { case (rounds, mult) =>
+      val b = beamWidth(k) * mult
+      beamChainCtes(spark, dir, k, b, DefaultMetric, rounds, s"_${rounds}_$b")
+    }.mkString(",\n")
+    val gridRows = TuneGrid.map { case (rounds, mult) =>
+      val b = beamWidth(k) * mult
+      val sfx = s"_${rounds}_$b"
+      s"""SELECT $rounds AS rounds, $b AS beam,
+         |  (SELECT count(*) FROM (
+         |     SELECT query_id, cand,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS rnk
+         |     FROM b$rounds$sfx) t
+         |   JOIN ex e ON e.query_id = t.query_id AND e.neighbor_id = t.cand
+         |   WHERE t.rnk <= $k) AS hits""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val floors = Autotune.Floors
+      .map(f => s"(CAST($f AS BIGINT))").mkString(", ")
+    s"""WITH ${graphSubstrateCtes(spark, dir, k, DefaultMetric)},
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |${Dedup.annTopkBatchOracleSql(k)}
+       |  ) exs),
+       |$chains,
+       |grid AS MATERIALIZED (
+       |  SELECT rounds, beam,
+       |    hits * 1000 // ($k * (SELECT count(*) FROM embeddings)) AS recall_permille
+       |  FROM ($gridRows) gr),
+       |floors(floor_permille) AS (VALUES $floors),
+       |pick AS (
+       |  SELECT floor_permille, rounds, beam, recall_permille FROM (
+       |    SELECT f.floor_permille, g.rounds, g.beam, g.recall_permille,
+       |      row_number() OVER (PARTITION BY f.floor_permille
+       |        ORDER BY g.rounds * g.beam, g.rounds, g.beam) AS rn
+       |    FROM floors f
+       |    LEFT JOIN grid g ON g.recall_permille >= f.floor_permille) z
+       |  WHERE rn = 1)
+       |SELECT floor_permille,
+       |  CAST(coalesce(rounds, -1) AS BIGINT) AS rounds,
+       |  CAST(coalesce(beam, -1) AS BIGINT) AS beam,
+       |  CAST(coalesce(recall_permille, -1) AS BIGINT) AS recall_permille,
+       |  CAST(coalesce(rounds * beam, -1) AS BIGINT) AS cost
+       |FROM pick
+       |ORDER BY floor_permille""".stripMargin
+  }
+
+  /** Persist the tuner's pick for `floor` into an `_autotune_graph`
+    * sidecar beside a persisted graph tree — config the serving
+    * defaults read ([[graphTopkTuned]]), not a report a human
+    * transcribes (the writeAutotune pattern).
+    */
+  def writeGraphAutotune(spark: SparkSession, dir: String, indexPath: String,
+                         floor: Int = GraphTunedFloor, k: Int = 5): Unit = {
+    require(Autotune.Floors.contains(floor),
+      s"floor $floor is not on the tuned grid ${Autotune.Floors.mkString("/")}")
+    graphAutotune(spark, dir, k)
+      .filter(col("floor_permille") === floor.toLong)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/_autotune_graph")
+  }
+
+  /** The persisted pick ((rounds, beam); -1 sentinels mean "no
+    * qualifying config" and the caller's defaults stand).
+    */
+  private[graft] def loadGraphAutotune(spark: SparkSession,
+                                       indexPath: String): Option[(Long, Long)] = {
+    val p = new Path(s"$indexPath/_autotune_graph")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else spark.read.parquet(s"$indexPath/_autotune_graph")
+      .select("rounds", "beam").head(1).headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  private val tunedTreeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The session's tuned graph tree: one persisted build + the
+    * sidecar write per corpus (its own bench warmer line, so the
+    * serving key measures tuned SERVING — the Pq.tunedTree pattern).
+    */
+  private[graft] def tunedGraphTree(spark: SparkSession, dir: String): String =
+    tunedTreeMemo.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_graph_tuned").resolve("g").toString
+      build(spark, dir, tmp)
+      writeGraphAutotune(spark, dir, tmp)
+      tmp
+    })
+
+  /** Materialize the tuned-tree memo (Bench line item). */
+  def warmGraphTunedTree(spark: SparkSession, dir: String): Unit = {
+    tunedGraphTree(spark, dir)
+    ()
+  }
+
+  /** The (rounds, beam) graph_topk_tuned ends up serving: the
+    * persisted pick when it qualifies, else the family defaults — THE
+    * arithmetic shared by engine (via the sidecar + gate) and oracle
+    * generator (via the memoized grid), the queryIvfPqTuned contract.
+    */
+  private def graphTunedOperatingPoint(spark: SparkSession, dir: String,
+                                       k: Int): (Int, Int) =
+    graphTuneGrid(spark, dir, k).filter(_._3 >= GraphTunedFloor)
+      .sortBy { case (r, b, _) => (r.toLong * b, r, b) }.headOption
+      .map { case (r, b, _) => (r, b) }
+      .getOrElse((BeamRounds, beamWidth(k)))
+
+  /** A26j: `graph_topk_tuned` — the graph tuner's loop CLOSED on a
+    * benched, oracle-checked path: the session graph tree persists
+    * with its `_autotune_graph` sidecar (the measured pick for the
+    * [[GraphTunedFloor]] floor), and the batch serves at the
+    * SIDECAR's (rounds, beam) — config, not prose. Falls back to the
+    * family defaults on the -1 sentinels, the same arithmetic the
+    * oracle generator replays.
+    */
+  def graphTopkTuned(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tree = tunedGraphTree(spark, dir)
+    val (rounds, b) = loadGraphAutotune(spark, tree) match {
+      case Some((r, bw)) if r > 0 && bw > 0 => (r.toInt, bw.toInt)
+      case _ => (BeamRounds, beamWidth(k))
+    }
+    graphTopkAt(spark, dir, k, DefaultMetric, rounds, b)
+  }
+
+  /** A26j oracle: the serving replay at the tuned operating point —
+    * the generator re-derives the pick from the same measured-grid
+    * argmin (+ the same sentinel fallback), then emits the beam chain
+    * at that (rounds, beam).
+    */
+  def graphTopkTunedOracleSql(spark: SparkSession, dir: String,
+                              k: Int = 5): String = {
+    val (rounds, b) = graphTunedOperatingPoint(spark, dir, k)
+    s"""WITH ${graphSubstrateCtes(spark, dir, k, DefaultMetric)},
+       |${beamChainCtes(spark, dir, k, b, DefaultMetric, rounds, "")}
+       |SELECT query_id, cand AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
+       |FROM b$rounds
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------- filtered serving
 
@@ -653,6 +895,69 @@ object GraphIndex {
                                        k: Int = 5): String =
     filteredOracleSql(spark, dir, k, midselSelector(spark, dir),
       a => s"$a.vec_id % 17 = 1")
+
+  /** A26k driver query: `graph_topk_filtered_persisted` — the
+    * PERSISTED filtered face ([[queryGraphBatchFiltered]]) exercised
+    * end-to-end on the driver surface (the round-13 ADVICE item: it
+    * was the one face without a key or oracle): the session's tuned
+    * graph tree serves the corpus as a query batch under the even-id
+    * selector (~50% — the widened-probe regime). This face takes
+    * ARBITRARY query batches, so there is no self-exclusion: an even
+    * query's rank 1 is itself at distance 0, and the oracle replays
+    * exactly that.
+    */
+  def graphTopkFilteredPersistedQuery(spark: SparkSession, dir: String,
+                                      k: Int = 5): DataFrame = {
+    val tree = tunedGraphTree(spark, dir)
+    val queries = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sel = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2L)) === 0)
+      .select(col("vec_id").as("id"))
+    queryGraphBatchFiltered(spark, tree, queries, k, sel)
+  }
+
+  /** A26k oracle: the widened-probe IVF-style replay off the stored
+    * layout — probe count from the SAME Pq policy helpers the engine
+    * calls (estimated selector size, widening from the serving base,
+    * capped at all lists), the selector semi-joined on the stored
+    * side, exact (dist, id) top-k, self included.
+    */
+  def graphTopkFilteredPersistedOracleSql(spark: SparkSession, dir: String,
+                                          k: Int = 5): String = {
+    val (_, cents) = Ivf.indexFor(spark, dir)
+    val nc = cents.length
+    val n = Tables.embeddingsCount(spark, dir)
+    val sel = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2L)) === 0)
+      .select(col("vec_id").as("id"))
+    val fEst = Pq.estimatedSelectorSize(sel, k.toLong)
+    val np = Pq.widenedNprobe(math.max(1, nc / 4), n, fEst, nc)
+    val cos = Ivf.pairDistSqlTemplate(DefaultMetric)
+    s"""WITH ${Ivf.assignCtes(cents)},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.j AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${Ivf.probeDistSqlExpr(DefaultMetric)}, t.j) AS crn
+       |    FROM embeddings q, cents, UNNEST(range(0, $nc)) t(j)) x
+       |  WHERE crn <= $np),
+       |surv AS (
+       |  SELECT a.vec_id AS neighbor_id, a.cid FROM asg a
+       |  WHERE a.vec_id % 2 = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, s.neighbor_id, ${cos.format("qe", "ce")} AS dist
+       |  FROM probes p
+       |  JOIN surv s ON s.cid = p.cid
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ce ON ce.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+       |  FROM cand) x
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** graph_topk_filtered* oracle: branch + widening arithmetic from
     * Pq's shared policy helpers (the SAME calls the engine makes), so

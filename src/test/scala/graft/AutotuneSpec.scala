@@ -61,6 +61,39 @@ class AutotuneSpec extends AnyFunSuite {
       }
   }
 
+  test("graph tuner: every pick is the measured argmin under its floor; tuned serving consumes it") {
+    val gi = graft.operators.GraphIndex
+    val grid = gi.graphTuneGrid(spark, sf)
+    assert(grid.map(t => (t._1, t._2)).toSet ==
+      gi.TuneGrid.map { case (r, m) => (r, gi.beamWidth(5) * m) }.toSet,
+      "one measured row per grid config")
+    gi.graphAutotune(spark, sf).collect().foreach { r =>
+      val floor = r.getAs[Long]("floor_permille")
+      val (rounds, beam, rec) = (r.getAs[Long]("rounds"),
+        r.getAs[Long]("beam"), r.getAs[Long]("recall_permille"))
+      val qual = grid.filter(_._3 >= floor)
+      if (rounds < 0) assert(qual.isEmpty,
+        s"floor $floor got a sentinel but ${qual.size} configs qualify")
+      else {
+        assert(rec >= floor, s"pick under floor $floor misses it: $rec")
+        val want = qual.minBy { case (rr, bb, _) => (rr.toLong * bb, rr, bb) }
+        assert((rounds, beam) == ((want._1.toLong, want._2.toLong)),
+          s"floor $floor pick ($rounds,$beam) is not the measured argmin $want")
+      }
+    }
+    // the sidecar round-trips and the tuned serving runs the pick
+    val tree = gi.tunedGraphTree(spark, sf)
+    val pick = gi.loadGraphAutotune(spark, tree)
+    assert(pick.isDefined, "_autotune_graph sidecar must round-trip")
+    val (pr, pb) = pick.get
+    assert(pr > 0 && pb > 0,
+      "the 900-permille floor must be attainable under the two-phase builder")
+    val tuned = gi.graphTopkTuned(spark, sf).collect().toSeq
+    val explicit = gi.graphTopkAt(spark, sf, 5,
+      graft.functions.VectorMetric.Cosine, pr.toInt, pb.toInt).collect().toSeq
+    assert(tuned == explicit, "tuned graph serving must run the persisted pick")
+  }
+
   test("writeAutotune refuses an off-grid floor at write time") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_at_bad")
     try {
