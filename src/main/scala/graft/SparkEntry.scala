@@ -329,6 +329,10 @@ object SparkEntry {
     // E11f: banded-energy sign signature over decoded PCM WAV samples
     // (integer-exact like the BMP aHash; amplitude-scale invariant)
     "multimodal_dedup_audio"  -> ((s, d) => Multimodal.multimodalDedupAudio(s, d)),
+    // E11g: frame-sampled banded signature over the GV01 byte slices —
+    // the modality triple's video member (sampling is the perceptual
+    // part; real codecs stay behind the decodeOne stub boundary)
+    "multimodal_dedup_video"  -> ((s, d) => Multimodal.multimodalDedupVideo(s, d)),
     // D-series: Structured Streaming jobs (memory-sink execution)
     "stream_window_agg" -> (Streams.streamWindowAgg _),
     "stream_dedup"      -> (Streams.streamDedup _),
@@ -562,6 +566,7 @@ object SparkEntry {
     // bit rule and two-BIGINT packing
     "multimodal_dedup"        -> Multimodal.multimodalDedupOracleSql,
     "multimodal_dedup_audio"  -> Multimodal.multimodalDedupAudioOracleSql,
+    "multimodal_dedup_video"  -> Multimodal.multimodalDedupVideoOracleSql(),
     // streaming twins ARE oracle-checkable: D1 ≡ C5-shaped SQL,
     // D3 ≡ C6, D2 ≡ count-by-type (source has no duplicate event_ids)
     "stream_window_agg" -> Analytics.eventsWindowAggOracleSql,

@@ -550,6 +550,138 @@ object Multimodal {
       |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Largest SAMPLED byte-stream length the video band rule is
+    * Long-exact for (255·L² ≤ 2⁶³; ⌊√(2⁶³/255)⌋ ≈ 1.9e8).
+    */
+  val MaxGvidSampledBytes: Long = 180000000L
+
+  /** E11g: PERCEPTUAL video dedup over the GV01 containers —
+    * completing the modality triple (E11e images, E11f audio): sample
+    * every `every`-th frame (E11b's sampler — frame boundaries parsed
+    * from the header, byte slices of the body), concatenate the
+    * sampled frames into one byte stream, and signature it with the
+    * SAME integer-exact machinery: 64-band partition of the sampled
+    * stream, band energy = Σ byte value, bit j set iff band mean >
+    * stream mean by cross-multiplication (bsum·L > tsum·bcnt, L = the
+    * sampled length), two-BIGINT packing, exact-signature canon
+    * groups. Frame SAMPLING is the video-specific part (a re-encoded
+    * duplicate shares its sampled frames; hashing every byte would
+    * just be E1 on the container) — the real-codec per-frame pixel
+    * decode stays behind the documented decodeOne stub boundary, but
+    * the sampling arithmetic, the container slicing, and the
+    * signature fold are all real and oracle-checked.
+    *
+    * Scale shape: one explode to O(sampled bytes) skinny integer rows
+    * fused into the scan (the sampler bounds it to ~1/every of the
+    * body), then E11e's two map-side-combined aggregates + the
+    * signature-keyed group.
+    */
+  def multimodalDedupVideo(spark: SparkSession, dir: String,
+                           every: Int = 4): DataFrame =
+    videoCanonGroups(payloads(spark, dir)
+      .filter(col("media_kind") === 2)
+      .select(col("doc_id"), col("payload")), every)
+
+  /** The signature + canon-group engine over an arbitrary
+    * (doc_id, payload) GV01 frame — the spec's perturbation seam
+    * (two clips differing ONLY in unsampled frames must collide).
+    */
+  private[graft] def videoCanonGroups(gvids: DataFrame,
+                                      every: Int): DataFrame = {
+    val p = col("payload")
+    val sampled = gvids
+      .select(col("doc_id"), p,
+        leParse(p, 9, 4).as("n_frames"),
+        (octet_length(p).cast("long") - 12).as("body_len"))
+      .withColumn("frame_len", expr("body_len div n_frames"))
+      .filter(col("frame_len") > 0)
+      .withColumn("n_sampled", expr(s"(n_frames - 1) div $every + 1"))
+      .withColumn("len_s", col("n_sampled") * col("frame_len"))
+      .withColumn("sord",
+        explode(sequence(lit(0L), col("n_sampled") - 1)))
+      .withColumn("w", explode(sequence(lit(0L), col("frame_len") - 1)))
+    val bodyOff = col("sord") * lit(every.toLong) * col("frame_len") + col("w")
+    val streamOff = col("sord") * col("frame_len") + col("w")
+    val banded = sampled
+      .select(col("doc_id"), col("len_s"),
+        (streamOff * 64L).as("s64"),
+        conv(hex(p.substr((lit(13L) + bodyOff).cast("int"), lit(1))), 16, 10)
+          .cast("long").as("v"))
+      .select(col("doc_id"), col("len_s"),
+        expr("s64 div len_s").as("j"), col("v"))
+      .groupBy("doc_id", "len_s", "j")
+      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
+      .localCheckpoint(true)
+    banded.agg(max(col("len_s"))).head().getAs[Any](0) match {
+      case mx: Long => require(mx <= MaxGvidSampledBytes,
+        s"multimodal_dedup_video: $mx sampled bytes exceeds the " +
+          s"$MaxGvidSampledBytes Long-exact bound of the band rule")
+      case _ => // empty corpus: nothing to guard
+    }
+    val tot = banded.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
+    val sigs = banded.join(tot, "doc_id")
+      .select(col("doc_id"), col("j"),
+        when(col("bsum") * col("len_s") > col("tsum") * col("bcnt"), 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CASE WHEN j < 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig_hi"),
+        sum(expr("CASE WHEN j >= 32 THEN bit * shiftleft(CAST(1 AS BIGINT), CAST(j - 32 AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig_lo"))
+      .localCheckpoint(true)
+    val reps = sigs.groupBy("sig_hi", "sig_lo")
+      .agg(min(col("doc_id")).as("rep_id"))
+    val out = sigs.join(reps, Seq("sig_hi", "sig_lo"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    banded.unpersist()
+    sigs.unpersist()
+    out
+  }
+
+  /** E11g oracle: frame geometry recomputed from the source columns
+    * (the E11b discipline), every sampled byte re-extracted from the
+    * source text, the same band rule, packing, grouping.
+    */
+  def multimodalDedupVideoOracleSql(every: Int = 4): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(doc_id % 24 + 1 AS BIGINT) AS n_frames,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id, hx, n_frames, body_len // n_frames AS frame_len,
+       |    ((n_frames - 1) // $every + 1) AS n_sampled
+       |  FROM b WHERE body_len // n_frames > 0),
+       |px AS (
+       |  SELECT doc_id, n_sampled * frame_len AS len_s,
+       |    (t.i * frame_len + u.w) * 64 // (n_sampled * frame_len) AS j,
+       |    CAST(('0x' || substr(hx,
+       |      CAST((t.i * $every * frame_len + u.w) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+       |  FROM f,
+       |    UNNEST(range(0, n_sampled)) t(i),
+       |    UNNEST(range(0, frame_len)) u(w)),
+       |bk AS (
+       |  SELECT doc_id, len_s, j, CAST(sum(v) AS BIGINT) AS bsum,
+       |    CAST(count(*) AS BIGINT) AS bcnt
+       |  FROM px GROUP BY doc_id, len_s, j),
+       |tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum FROM bk GROUP BY doc_id),
+       |sg AS (
+       |  SELECT bk.doc_id,
+       |    CAST(sum(CASE WHEN j < 32 AND bsum * len_s > tsum * bcnt
+       |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi,
+       |    CAST(sum(CASE WHEN j >= 32 AND bsum * len_s > tsum * bcnt
+       |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo
+       |  FROM bk JOIN tt ON tt.doc_id = bk.doc_id
+       |  GROUP BY bk.doc_id),
+       |rp AS (SELECT sig_hi, sig_lo, min(doc_id) AS rep_id FROM sg GROUP BY sig_hi, sig_lo)
+       |SELECT s.doc_id, s.sig_hi, s.sig_lo, r.rep_id, s.doc_id = r.rep_id AS kept
+       |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
+       |ORDER BY s.doc_id""".stripMargin
+
   // ---------------------------------------------------------- decode
 
   case class MediaFeature(doc_id: Long, media_kind: Int, byte_len: Long,

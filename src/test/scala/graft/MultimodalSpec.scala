@@ -57,6 +57,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0)._2 != ((0L, 0L)), "all-zero signature is degenerate")
   }
 
+  test("video dedup: unsampled-frame perturbation collides, sampled-frame change separates") {
+    import spark.implicits._
+    // GV01: magic + width(4, LE) + n_frames(4, LE) + body
+    def gvidOf(frames: Seq[Array[Byte]]): Array[Byte] = {
+      def le4(v: Int) = Array[Byte](
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      ("GV01".getBytes("UTF-8") ++ le4(32) ++ le4(frames.length) ++
+        frames.flatten).toArray
+    }
+    val every = 4
+    // 8 frames of 16 bytes; sampler takes frames 0 and 4
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 31 + i * 7) % 251).toByte)
+    val base = (0 until 8).map(frame)
+    // perturb frame 2 (UNSAMPLED): the perceptual signature must hold
+    val unsampledPerturb = base.updated(2, frame(99))
+    // perturb frame 4 (SAMPLED): the signature must move
+    val sampledPerturb = base.updated(4, frame(99))
+    val gvids = Seq((0L, gvidOf(base)), (1L, gvidOf(unsampledPerturb)),
+        (2L, gvidOf(sampledPerturb)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.videoCanonGroups(gvids, every).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got(0)._2 == got(1)._2,
+      "a change confined to unsampled frames must not move the signature")
+    assert(got(0)._3 == 0L && got(1)._3 == 0L,
+      "the unsampled-perturbed twin canon-groups under the base clip")
+    assert(got(2)._2 != got(0)._2,
+      "a sampled-frame change must move the signature")
+    assert(got(0)._2 != ((0L, 0L)), "all-zero signature is degenerate")
+  }
+
   test("audio dedup driver key: exact replication of the band rule on one clip") {
     // replicate the engine end-to-end in driver-side integer arithmetic
     // for one sf document (the E11e aHash-replication discipline)
