@@ -146,6 +146,53 @@ class CoresetSpec extends AnyFunSuite {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("threshold admission: driver-fold replication, covered batch admits nothing, tiny corpus refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // exact replication of the sequential threshold scan against a
+    // driver-side fold (the E55 replication discipline)
+    val r = Coreset.thresholdRadius(spark, sf)
+    val got = Coreset.kcenterThresholdPicks(spark, sf)
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    var centers = Vector(corpus.head)
+    var want = Vector((corpus.head._1, 0.0))
+    corpus.tail.foreach { case (id, v) =>
+      val md = centers.map(c => l2(v, c._2)).min
+      if (md > r) { centers :+= ((id, v)); want :+= ((id, md)) }
+    }
+    assert(got == want.toSeq,
+      s"threshold scan diverged from the driver fold: $got != $want")
+    // a batch entirely covered by existing centers admits nothing
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents0 = centers.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+    assert(Coreset.thresholdAdmit(vecs, cents0, r).isEmpty,
+      "re-feeding the corpus against the final center set must admit nothing")
+    // an empty frame admits nothing (and doesn't throw on the seed path)
+    assert(Coreset.thresholdAdmit(vecs.filter(col("id") < 0), Seq.empty, r).isEmpty)
+    // a corpus smaller than RadiusRank refuses loudly (no calibration)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc_tiny").toString
+    (0L until (Coreset.RadiusRank - 1).toLong).map(i =>
+        (i, Array.tabulate(8)(j => (i * 3 + j).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Coreset.thresholdRadius(spark, dir)
+    }
+    assert(e.getMessage.contains("fewer than"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("deterministic across invocations") {
     val again = Coreset.sampleKcenter(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

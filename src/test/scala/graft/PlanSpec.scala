@@ -323,6 +323,27 @@ class PlanSpec extends AnyFunSuite {
       s"the routed branch must rank through the compressed filtered batch:\n$plan")
   }
 
+  test("persisted filtered graph serving: selector semi-joins the stored side, no all-pairs") {
+    // A26k's contract: the stored-layout face must stay a probed scan
+    // with the selector semi-joined BEFORE it — the same no-N×f rule
+    // as the session face; condition-free Cross BNLJs (the bounded
+    // centroid broadcast) are the only nested loops allowed
+    val df = graft.operators.GraphIndex
+      .graphTopkFilteredPersistedQuery(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val badBnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains("query_id") || !l.contains("Cross"))
+      .toSeq
+    assert(badBnlj.isEmpty,
+      s"persisted filtered serving planned an N×f nested loop:\n${badBnlj.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"),
+      s"persisted filtered serving planned a cartesian product:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the selector must semi-join the stored side:\n$plan")
+  }
+
   test("decontaminate_ngram_exact: eval windows broadcast into one corpus scan") {
     val df = graft.operators.Dedup.decontaminateNgramExact(spark, sf)
     df.collect()
