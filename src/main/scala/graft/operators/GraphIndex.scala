@@ -125,9 +125,14 @@ object GraphIndex {
     * → 0.899 served), so the lever is a better BUILDER, not more beam.
     * Measured on the sf0.1 near-uniform corpus (the adversarial case):
     * refining 20% of nodes at the widened probe budget lifts the
-    * substrate 0.742 → 0.80+ and served past the 0.9 floor at ~0.45×
-    * one probe-all pass of extra build cost — under the 1.5× budget
-    * the verdict set, against the 2.4× the deeper descent wanted.
+    * substrate 0.742 → 0.824 and served past the 0.9 floor at ≤1.2×
+    * build — under the 1.5× budget the verdict set, against the 2.4×
+    * the deeper descent wanted. Phase 2 runs under a CONVERGENCE GATE
+    * (see [[refinedGraph]]): a descent that converged before its
+    * iteration cap skips it — measured at 25× on the clustered corpus
+    * (tools/RefineProbe): the converged fixpoint is already the exact
+    * graph (substrate 1.000) and an ungated phase 2 spent 0.88× of
+    * the build re-confirming it.
     */
   val RefinePermille = 200
 
@@ -212,16 +217,28 @@ object GraphIndex {
                                   metric: Int = DefaultMetric): DataFrame =
     refinedMemo.get((dir, k, metric)).getOrElse(synchronized {
       refinedMemo.getOrElseUpdate((dir, k, metric), {
-        val (g, _) = Dedup.descentGraph(spark, dir, k, metric)
-        val n = Tables.embeddingsCount(spark, dir)
-        val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
-          .select(col("vec_id").as("id"), col("embedding").as("vec")))
-        // the same L2-representation session index the descent init
-        // probed and the oracle's assignCtes replays
-        val (assign, cents) = Ivf.indexFor(spark, dir)
-        refineGraph(g, vecs, assign.select("id", "cluster_id"), cents,
-          Ivf.hierarchyFor(dir, Ivf.defaultK(n), VectorMetric.L2),
-          n, k, metric)
+        val (g, iters) = Dedup.descentGraph(spark, dir, k, metric)
+        // the convergence gate (measured at 25×, tools/RefineProbe): a
+        // descent that CONVERGED before its iteration cap found a
+        // fixpoint even the exploration schedule stopped improving —
+        // on the clustered corpus that fixpoint IS the exact graph
+        // (substrate 1.000) and phase 2 spent 0.88× of the build
+        // re-confirming it. Refine only when the descent hit the cap
+        // still improving (the structureless regime where the win
+        // lives: sf0.1's 0.742 → 0.824). Deterministic and replayable:
+        // the oracle generator reads the same memoized iteration count.
+        if (iters < Dedup.DescentMaxIters) g
+        else {
+          val n = Tables.embeddingsCount(spark, dir)
+          val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")))
+          // the same L2-representation session index the descent init
+          // probed and the oracle's assignCtes replays
+          val (assign, cents) = Ivf.indexFor(spark, dir)
+          refineGraph(g, vecs, assign.select("id", "cluster_id"), cents,
+            Ivf.hierarchyFor(dir, Ivf.defaultK(n), VectorMetric.L2),
+            n, k, metric)
+        }
       })
     })
 
@@ -246,7 +263,10 @@ object GraphIndex {
                                 metric: Int): String = {
     val (ctes, t) = Dedup.descentReplayCtes(spark, dir, k, metric)
     val n = Tables.embeddingsCount(spark, dir)
-    val w = (n * RefinePermille / 1000).toInt
+    // the engine's convergence gate, from the same memoized count
+    val w =
+      if (t < Dedup.DescentMaxIters) 0
+      else (n * RefinePermille / 1000).toInt
     if (w == 0)
       s"""$ctes,
          |rg AS MATERIALIZED (SELECT src, dst, dist FROM e$t)""".stripMargin
@@ -1666,12 +1686,19 @@ object GraphIndex {
     // the exploration schedule needs the dense id-domain bound: ids
     // are 0..n-1 ∪ appended (re-keyed past the corpus) — max+1 covers
     val domain = vecs.agg(max(col("id"))).head().getLong(0) + 1
-    val (graph0, _) = Dedup.descentRounds(vecs, init, domain, k, metric)
+    val (graph0, rbIters) = Dedup.descentRounds(vecs, init, domain, k, metric)
     // phase 2 over the same frames: the rebuilt tree gets the
-    // two-phase builder, not the bare descent
-    val graph = refineGraph(graph0, vecs, assign.select("id", "cluster_id"),
-      cents, hier, n, k, metric)
-    graph0.unpersist()
+    // two-phase builder, not the bare descent — under the same
+    // convergence gate as the session face (a converged descent's
+    // fixpoint does not pay the refinement pass)
+    val graph =
+      if (rbIters < Dedup.DescentMaxIters) graph0
+      else {
+        val rg = refineGraph(graph0, vecs, assign.select("id", "cluster_id"),
+          cents, hier, n, k, metric)
+        graph0.unpersist()
+        rg
+      }
     val staged = s"$indexPath/_rebuild_tmp"
     writeGraphTree(spark, graph,
       vecs.join(assign.select("id", "cluster_id"), "id"), cents, staged, k,
