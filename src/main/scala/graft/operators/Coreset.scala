@@ -212,6 +212,15 @@ object Coreset {
   private val thresholdMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Double)]]
 
+  /** Drop the memoized sequential scan for `dir` (the corpus-change
+    * invalidation set — a data change must not serve a stale unroll
+    * count to the D16 oracle generator).
+    */
+  def invalidate(dir: String): Unit = {
+    thresholdMemo.remove(dir)
+    ()
+  }
+
   /** The full-corpus sequential threshold scan (id order) — the batch
     * twin D16's streamed drain must equal (StreamsSpec pins it) and
     * the source of the oracle's unroll count. Memoized per dir.

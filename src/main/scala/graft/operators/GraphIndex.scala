@@ -149,13 +149,26 @@ object GraphIndex {
   private val refinedMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
 
-  /** Drop the memoized refined graphs for `dir` (the corpus-change
-    * invalidation set IndexLifecycle.build runs — rides on top of
-    * Dedup.invalidate's descent-memo drop).
+  /** Drop the memoized refined graphs, tune grids, and tuned trees
+    * for `dir` (the corpus-change invalidation set
+    * IndexLifecycle.build runs — rides on top of Dedup.invalidate's
+    * descent-memo drop; a data change must not serve a stale grid or
+    * a tree built over the old corpus).
     */
-  def invalidate(dir: String): Unit =
+  def invalidate(dir: String): Unit = {
     refinedMemo.keys.filter(_._1 == dir)
       .foreach(k => refinedMemo.remove(k).foreach(_.unpersist()))
+    tuneMemo.keys.filter(_._1 == dir).foreach(tuneMemo.remove)
+    tunedTreeMemo.remove(dir).foreach { tree =>
+      // the tree lives under the JVM temp dir (tunedGraphTree) — drop
+      // the whole directory so the next call rebuilds over fresh data
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tree).getParent
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 
   /** Phase 2 of the two-phase build over arbitrary frames (shared by
     * the session memo and the persisted rebuild): pick the worst

@@ -221,11 +221,13 @@ object IndexLifecycle {
     // every per-corpus session memo must drop on a data change — a new
     // memoized operator family MUST be added here (the full set:
     // IVF assignments, shingle sets, PQ models/codes, SQ8 models/codes,
-    // BQ models/codes, corpus counts, autotune grids)
+    // BQ models/codes, corpus counts, autotune grids, refined graphs +
+    // graph tune grids + tuned graph trees, the kcenter threshold scan)
     corpusDir.foreach { d =>
       Ivf.invalidate(d); Dedup.invalidate(d); Pq.invalidate(d); Sq8.invalidate(d)
       Bq.invalidate(d); Pca.invalidate(d); Bpe.invalidate(d)
       Tables.invalidate(d); Autotune.invalidate(d); GraphIndex.invalidate(d)
+      Coreset.invalidate(d)
     }
     val prev = status(spark, indexPath)
     val v = vecs.cache()
