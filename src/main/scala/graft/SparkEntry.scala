@@ -30,6 +30,11 @@ object SparkEntry {
     "index_lifecycle"     -> (IndexLifecycle.indexLifecycle _),
     "index_delete"        -> (IndexLifecycle.indexDelete _),
     "ivfpq_lifecycle"     -> (PqLifecycle.ivfpqLifecycle _),
+    // A19b: the SQ8 tier's persisted lifecycle — build / frozen-model
+    // append / bucket-rewrite delete / disk read-back (round 15: the
+    // 4x tier joins the A18b state machine every other serving tier
+    // already speaks)
+    "sq8_lifecycle"       -> (Sq8Lifecycle.sq8Lifecycle _),
     // small-files compaction of the persisted lists (row conservation
     // proven by disk read-back; file behavior pinned in the spec)
     "index_compact"       -> (IndexLifecycle.indexCompact _),
@@ -100,8 +105,22 @@ object SparkEntry {
     // A26i: the graph tier's own closed tuning loop — the measured
     // (rounds, beam) grid + per-floor cheapest-qualifying argmin
     "graph_autotune" -> ((s, d) => GraphIndex.graphAutotune(s, d)),
+    // A26l/A26m: the same measured loop per serving metric — the
+    // sidecar carries one pick per metric, so l2/dot serve measured
+    // operating points exactly like cosine (round-15: closes the §9
+    // cosine-only-grid asymmetry)
+    "graph_autotune_l2" -> ((s, d) =>
+      GraphIndex.graphAutotune(s, d, metric = graft.functions.VectorMetric.L2)),
+    "graph_autotune_dot" -> ((s, d) =>
+      GraphIndex.graphAutotune(s, d, metric = graft.functions.VectorMetric.Dot)),
     // A26j: the pick SERVES — persisted sidecar read back as config
     "graph_topk_tuned" -> ((s, d) => GraphIndex.graphTopkTuned(s, d)),
+    // A26n/A26o: tuned serving honoring the PER-METRIC sidecar pick
+    // (sentinel fallback to the family defaults, same as cosine)
+    "graph_topk_tuned_l2" -> ((s, d) =>
+      GraphIndex.graphTopkTuned(s, d, metric = graft.functions.VectorMetric.L2)),
+    "graph_topk_tuned_dot" -> ((s, d) =>
+      GraphIndex.graphTopkTuned(s, d, metric = graft.functions.VectorMetric.Dot)),
     // A26k: the persisted filtered face (stored-layout IVF-style
     // serving with selector semi-join + widened probes) as a key
     "graph_topk_filtered_persisted" ->
@@ -215,6 +234,11 @@ object SparkEntry {
     // E53: the measured grids' argmin — the operating point picked
     // per recall floor (smallest nprobe; cheapest (tier, refine))
     "ann_autotune" -> ((s, d) => Autotune.annAutotune(s, d)),
+    // A27: the MEASURED family-level selection (linear/ivf/ivfpq/graph
+    // + operating config) — per-floor argmin over the memoized
+    // E50/E53/A26i grids under the stated (cand, bytes, family)
+    // objective; closes the selection story A9's heuristic opened
+    "index_select" -> ((s, d) => Autotune.indexSelect(s, d)),
     // A23: one-row index-health summary (list sizes + imbalance
     // permille — the alert signal; index_stats is the detail view)
     "ivf_balance_report" -> (Ivf.ivfBalanceReport _),
@@ -367,7 +391,13 @@ object SparkEntry {
     // D16: continuous CORESET maintenance — per-trigger threshold
     // admission (the doubling-algorithm insertion) against a persisted
     // center store; equals the batch sequential scan by construction
-    "stream_kcenter" -> (Streams.streamKcenter _),
+    "stream_kcenter" -> ((s, d) => Streams.streamKcenter(s, d)),
+    // D16b: the same continuous coreset under COSINE — the angular
+    // exemplar set a normalized-embedding ingest maintains (round 15:
+    // radius calibrated through the cosine k-center chain, same
+    // threshold admission, same batch-split invariance)
+    "stream_kcenter_cos" -> ((s, d) =>
+      Streams.streamKcenter(s, d, graft.functions.VectorMetric.Cosine)),
     // D13: continuous FUZZY-dedup ingest — arrivals near-dup-checked
     // against a persisted MinHash signature store per micro-batch
     // (rows-only: xxhash64 minhashes; StreamsSpec multi-batch proof)
@@ -465,6 +495,7 @@ object SparkEntry {
     "index_lifecycle"     -> IndexLifecycle.indexLifecycleOracleSql,
     "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
     "ivfpq_lifecycle"     -> PqLifecycle.ivfpqLifecycleOracleSql,
+    "sq8_lifecycle"       -> Sq8Lifecycle.sq8LifecycleOracleSql,
     "index_compact"       -> IndexLifecycle.indexCompactOracleSql,
     // E51b: the graph lifecycle's state arithmetic (append dirt,
     // threshold crossing, rebuild reset, read-back size)
@@ -695,6 +726,9 @@ object SparkEntry {
     // D16: the E55 radius replay + the unrolled threshold-admission
     // chain (block count from the memoized sequential scan)
     "stream_kcenter" -> ((s, d) => Coreset.streamKcenterOracleSql(s, d)),
+    // D16b: the unrolled threshold chain under the cosine template
+    "stream_kcenter_cos" -> ((s, d) => Coreset.streamKcenterOracleSql(s, d,
+      graft.functions.VectorMetric.Cosine)),
     // E51: the descent replay nested as the graph + entry replay +
     // unrolled beam rounds
     "graph_topk" -> ((s, d) => GraphIndex.graphTopkOracleSql(s, d)),
@@ -708,8 +742,19 @@ object SparkEntry {
     // counts vs the exact contract + the same (cost, rounds, beam)
     // argmin SQL
     "graph_autotune" -> ((s, d) => GraphIndex.graphAutotuneOracleSql(s, d)),
+    // A26l/A26m: the same grid replay under the l2 / negated-dot
+    // distance templates, hit counts vs their own exact contracts
+    "graph_autotune_l2" -> ((s, d) => GraphIndex.graphAutotuneOracleSql(s, d,
+      metric = graft.functions.VectorMetric.L2)),
+    "graph_autotune_dot" -> ((s, d) => GraphIndex.graphAutotuneOracleSql(s, d,
+      metric = graft.functions.VectorMetric.Dot)),
     // A26j: the beam chain at the re-derived tuned operating point
     "graph_topk_tuned" -> ((s, d) => GraphIndex.graphTopkTunedOracleSql(s, d)),
+    // A26n/A26o: the tuned replay at each metric's re-derived pick
+    "graph_topk_tuned_l2" -> ((s, d) => GraphIndex.graphTopkTunedOracleSql(s, d,
+      metric = graft.functions.VectorMetric.L2)),
+    "graph_topk_tuned_dot" -> ((s, d) => GraphIndex.graphTopkTunedOracleSql(s, d,
+      metric = graft.functions.VectorMetric.Dot)),
     // A26k: the widened-probe stored-layout replay (selector on the
     // stored side, self included — the arbitrary-batch contract)
     "graph_topk_filtered_persisted" ->
@@ -729,6 +774,9 @@ object SparkEntry {
     "ann_param_sweep" -> ((s, d) => Dedup.annParamSweepOracleSql(s, d)),
     // E53: both grid replays nested + the same per-floor argmin
     "ann_autotune" -> ((s, d) => Autotune.annAutotuneOracleSql(s, d)),
+    // A27: the three grid replays nested + the family-cost arithmetic
+    // + the same (cand, bytes, family) argmin
+    "index_select" -> ((s, d) => Autotune.indexSelectOracleSql(s, d)),
     // A23: assignment replay → the same list-size aggregate arithmetic
     "ivf_balance_report" -> ((s, d) => Ivf.ivfBalanceReportOracleSql(s, d)),
     // A24: all five tiers' encode + shortlist + re-rank replayed over

@@ -701,11 +701,7 @@ object Analytics {
       // serve from the maintained table on disk — the oracle's full
       // recompute must match it
       spark.read.parquet(s"$tmp/agg_v2").orderBy("event_type").localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   /** C27: time-series resample + gap fill — per user, the dense DAILY
@@ -888,11 +884,7 @@ object Analytics {
       maintained.write.mode("overwrite").parquet(s"$tmp/hist_v2")
       spark.read.parquet(s"$tmp/hist_v2")
         .orderBy("user_id", "valid_from", "event_id").localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   def scd2UpsertOracleSql: String =

@@ -205,6 +205,145 @@ object Autotune {
        |ORDER BY floor_permille""".stripMargin
   }
 
+  /** A27: `index_select` — the MEASURED family-level selection the
+    * round-14 verdict asked for: A9's `index_recommend` replays the
+    * reference's size/dim heuristic (app/indexes/manager.py:40-64),
+    * but the engine measures everything a real pick needs, so this
+    * key derives a per-floor family recommendation (linear / ivf /
+    * ivfpq / graph + operating config) from the MEMOIZED grids by
+    * replayable argmin — the A26i pattern at the family level.
+    *
+    * Stated objective, per composed recall floor: among the families'
+    * cheapest qualifying operating points, minimize ESTIMATED SCORED
+    * CANDIDATES PER QUERY (the cost that scales with traffic), then
+    * bytes per vector (the memory footprint), then the family name as
+    * the deterministic tiebreak. Family rows:
+    *   - linear: qualifies everywhere (recall 1000 by construction);
+    *     cand = n, bytes = 4·dim.
+    *   - ivf (raw-vector nprobe serving): smallest nprobe whose E50
+    *     sweep recall meets the floor DIRECTLY (no second loss axis —
+    *     the re-rank is exact); cand = n·nprobe/nc (the expected
+    *     probed-list mass, integer division), bytes = 4·dim.
+    *   - ivfpq: the E53 composed pick at the floor (axis-bar
+    *     qualification, measured cand_per_query = the exact-refine
+    *     work, tier bytes) — qualifying iff both axes found a config.
+    *   - graph: the A26i cheapest qualifying (rounds, beam); cand =
+    *     rounds·beam·2k (each beam slot scores ~deg = 2k expansion
+    *     neighbors), bytes = 4·dim + 20·k (vectors + the (src, dst,
+    *     dist) adjacency rows).
+    * The candidate estimates price DIFFERENT per-candidate work (an
+    * ADC lookup is cheaper than a raw-float distance) — the objective
+    * deliberately counts candidates, not cycles, and says so; the
+    * dashboards (E43/A24/E54) stay the place to read the raw curves.
+    * Every input is an exact-integer engine measurement or a session
+    * constant, so the key is oracle-checked end-to-end: the generator
+    * nests the E50/E53/A26i replays verbatim and applies the same
+    * arithmetic and argmin in SQL.
+    */
+  def indexSelect(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddingsCount(spark, dir)
+    val nc = Ivf.defaultK(n).toLong
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0).toLong
+    val sweep = sweepGrid(spark, dir, k)
+      .select("nprobe", "recall_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e53 = annAutotune(spark, dir, k).collect()
+      .map(r => r.getAs[Long]("floor_permille") ->
+        (r.getAs[Long]("nprobe"), r.getAs[String]("tier"),
+          r.getAs[Long]("refine"), r.getAs[Long]("cand_per_query"),
+          r.getAs[Long]("bytes_per_vec"))).toMap
+    val graph = GraphIndex.graphTuneGrid(spark, dir, k)
+    // (family, nprobe, tier, refine, rounds, beam, cand, bytes)
+    type Fam = (String, Long, String, Long, Long, Long, Long, Long)
+    val rows = Floors.map { f =>
+      val cands = scala.collection.mutable.ArrayBuffer[Fam](
+        ("linear", -1L, "none", -1L, -1L, -1L, n, 4L * dim))
+      sweep.filter(_._2 >= f).map(_._1).sorted.headOption.foreach { np =>
+        cands += (("ivf", np, "none", -1L, -1L, -1L, n * np / nc, 4L * dim))
+      }
+      e53.get(f.toLong).foreach { case (np, tier, refine, cand, bytes) =>
+        if (np > 0 && tier != "none")
+          cands += (("ivfpq", np, tier, refine, -1L, -1L, cand, bytes))
+      }
+      graph.filter(_._3 >= f)
+        .sortBy { case (r, b, _) => (r.toLong * b, r, b) }.headOption
+        .foreach { case (r, b, _) =>
+          cands += (("graph", -1L, "none", -1L, r.toLong, b.toLong,
+            r.toLong * b * 2 * k, 4L * dim + 20L * k))
+        }
+      val best = cands.minBy { case (fam, _, _, _, _, _, cand, bytes) =>
+        (cand, bytes, fam) }
+      (f.toLong, best._1, best._2, best._3, best._4, best._5, best._6,
+        best._7, best._8)
+    }
+    rows.toDF("floor_permille", "family", "nprobe", "tier", "refine",
+        "rounds", "beam", "cand_per_query", "bytes_per_vec")
+      .orderBy("floor_permille")
+  }
+
+  /** A27 oracle: the three grid replays nested VERBATIM (each already
+    * its own key's oracle — nothing re-derived), the same family cost
+    * arithmetic with (n, nc, dim, k) inlined as session-constant
+    * integers, the same (cand, bytes, family) argmin.
+    */
+  def indexSelectOracleSql(spark: SparkSession, dir: String,
+                           k: Int = 5): String = {
+    val n = Tables.embeddingsCount(spark, dir)
+    val nc = Ivf.defaultK(n).toLong
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0).toLong
+    val floorsRows = Floors.map(f => s"(CAST($f AS BIGINT))").mkString(", ")
+    s"""WITH floors(floor_permille) AS (VALUES $floorsRows),
+       |sw0 AS MATERIALIZED (
+       |  SELECT nprobe, recall_permille AS np_recall FROM (
+       |${Dedup.annParamSweepOracleSql(spark, dir, k)}
+       |  ) t),
+       |e53 AS MATERIALIZED (
+       |  SELECT * FROM (
+       |${annAutotuneOracleSql(spark, dir, k)}
+       |  ) t),
+       |gsel AS MATERIALIZED (
+       |  SELECT * FROM (
+       |${GraphIndex.graphAutotuneOracleSql(spark, dir, k)}
+       |  ) t),
+       |fam AS (
+       |  SELECT f.floor_permille, 'linear' AS family,
+       |    CAST(-1 AS BIGINT) AS nprobe, 'none' AS tier,
+       |    CAST(-1 AS BIGINT) AS refine, CAST(-1 AS BIGINT) AS rounds,
+       |    CAST(-1 AS BIGINT) AS beam, CAST($n AS BIGINT) AS cand_per_query,
+       |    CAST(${4L * dim} AS BIGINT) AS bytes_per_vec
+       |  FROM floors f
+       |  UNION ALL
+       |  SELECT floor_permille, 'ivf', np, 'none', CAST(-1 AS BIGINT),
+       |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |    CAST($n * np // $nc AS BIGINT), CAST(${4L * dim} AS BIGINT)
+       |  FROM (
+       |    SELECT f.floor_permille, CAST(min(s.nprobe) AS BIGINT) AS np
+       |    FROM floors f JOIN sw0 s ON s.np_recall >= f.floor_permille
+       |    GROUP BY 1) q
+       |  UNION ALL
+       |  SELECT floor_permille, 'ivfpq', nprobe, tier, refine,
+       |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), cand_per_query,
+       |    bytes_per_vec
+       |  FROM e53 WHERE nprobe > 0 AND tier <> 'none'
+       |  UNION ALL
+       |  SELECT floor_permille, 'graph', CAST(-1 AS BIGINT), 'none',
+       |    CAST(-1 AS BIGINT), rounds, beam,
+       |    CAST(rounds * beam * 2 * $k AS BIGINT),
+       |    CAST(${4L * dim + 20L * k} AS BIGINT)
+       |  FROM gsel WHERE rounds > 0)
+       |SELECT floor_permille, family, nprobe, tier, refine, rounds, beam,
+       |  cand_per_query, bytes_per_vec
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY floor_permille
+       |    ORDER BY cand_per_query, bytes_per_vec, family) AS rn
+       |  FROM fam) z
+       |WHERE rn = 1
+       |ORDER BY floor_permille""".stripMargin
+  }
+
   /** Persist the tuner's pick for `floor` into an `_autotune` sidecar
     * beside a persisted index tree — config the serving defaults read
     * ([[Pq.queryIvfPqTuned]]), not a report a human transcribes.

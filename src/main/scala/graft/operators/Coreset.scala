@@ -141,9 +141,14 @@ object Coreset {
 
   /** The admission radius for `dir` (loud when the corpus is smaller
     * than the rank — the threshold rule has no calibration there).
+    * Metric-parametric since round 15 (the D16 parity task): a
+    * normalized-embedding pipeline maintains an ANGULAR coreset, so
+    * the radius calibrates through the cosine k-center chain when the
+    * stream admits under cosine (dot refuses at the shared E55 seam).
     */
-  private[graft] def thresholdRadius(spark: SparkSession, dir: String): Double = {
-    val rows = sampleKcenter(spark, dir, RadiusRank)
+  private[graft] def thresholdRadius(spark: SparkSession, dir: String,
+                                     metric: Int = VectorMetric.L2): Double = {
+    val rows = sampleKcenterMetric(spark, dir, RadiusRank, metric)
       .filter(col("rank") === RadiusRank).select("dist").collect()
     require(rows.nonEmpty,
       s"kcenter threshold: corpus at $dir has fewer than $RadiusRank points")
@@ -210,28 +215,30 @@ object Coreset {
   }
 
   private val thresholdMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Double)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, Double)]]
 
-  /** Drop the memoized sequential scan for `dir` (the corpus-change
+  /** Drop the memoized sequential scans for `dir` (the corpus-change
     * invalidation set — a data change must not serve a stale unroll
     * count to the D16 oracle generator).
     */
   def invalidate(dir: String): Unit = {
-    thresholdMemo.remove(dir)
+    thresholdMemo.keys.filter(_._1 == dir).foreach(thresholdMemo.remove)
     ()
   }
 
   /** The full-corpus sequential threshold scan (id order) — the batch
     * twin D16's streamed drain must equal (StreamsSpec pins it) and
-    * the source of the oracle's unroll count. Memoized per dir.
+    * the source of the oracle's unroll count. Memoized per
+    * (dir, metric).
     */
-  private[graft] def kcenterThresholdPicks(spark: SparkSession,
-                                           dir: String): Seq[(Long, Double)] =
-    thresholdMemo.getOrElseUpdate(dir, {
+  private[graft] def kcenterThresholdPicks(spark: SparkSession, dir: String,
+                                           metric: Int = VectorMetric.L2)
+      : Seq[(Long, Double)] =
+    thresholdMemo.getOrElseUpdate((dir, metric), {
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val r = thresholdRadius(spark, dir)
-      thresholdAdmit(vecs, Seq.empty, r).map(t => (t._1, t._3))
+      val r = thresholdRadius(spark, dir, metric)
+      thresholdAdmit(vecs, Seq.empty, r, metric).map(t => (t._1, t._3))
     })
 
   /** D16 oracle: the threshold chain unrolled — the E55 replay (nested
@@ -245,9 +252,10 @@ object Coreset {
     * the session's memoized sequential scan, exactly like the descent
     * replay's iteration count.
     */
-  def streamKcenterOracleSql(spark: SparkSession, dir: String): String = {
-    val j = kcenterThresholdPicks(spark, dir).size - 1
-    val d = Ivf.pairDistSqlTemplate(VectorMetric.L2)
+  def streamKcenterOracleSql(spark: SparkSession, dir: String,
+                             metric: Int = VectorMetric.L2): String = {
+    val j = kcenterThresholdPicks(spark, dir, metric).size - 1
+    val d = Ivf.pairDistSqlTemplate(metric)
     val blocks = (2 to j + 1).map { i =>
       val prev = if (i == 2) "" else s"""tm${i - 1} AS MATERIALIZED (
          |  SELECT m.vec_id, m.embedding,
@@ -266,7 +274,7 @@ object Coreset {
     val blockSep = if (j == 0) "" else ",\n"
     s"""WITH rr AS MATERIALIZED (
        |  SELECT dist AS r FROM (
-       |${sampleKcenterOracleSql(RadiusRank)}
+       |${sampleKcenterOracleSql(RadiusRank, metric)}
        |  ) kcr WHERE rank = $RadiusRank),
        |tc1 AS (
        |  SELECT vec_id, embedding FROM embeddings

@@ -154,6 +154,14 @@ object GraphIndex {
     * IndexLifecycle.build runs — rides on top of Dedup.invalidate's
     * descent-memo drop; a data change must not serve a stale grid or
     * a tree built over the old corpus).
+    *
+    * Ordering contract: the tuned-tree delete removes files a
+    * DataFrame still holding the persisted sidecar/tree MAY lazily
+    * re-read — invalidate must not race in-flight tuned-tree reads in
+    * the same session (the caller quiesces tuned serving before a
+    * corpus swap, exactly as IndexLifecycle.build does: it
+    * invalidates BEFORE building the new corpus' state, never under
+    * live queries).
     */
   def invalidate(dir: String): Unit = {
     refinedMemo.keys.filter(_._1 == dir)
@@ -161,12 +169,12 @@ object GraphIndex {
     tuneMemo.keys.filter(_._1 == dir).foreach(tuneMemo.remove)
     tunedTreeMemo.remove(dir).foreach { tree =>
       // the tree lives under the JVM temp dir (tunedGraphTree) — drop
-      // the whole directory so the next call rebuilds over fresh data
-      import scala.jdk.CollectionConverters._
+      // the whole directory (closed-stream walk) so the next call
+      // rebuilds over fresh data, and deregister from the shutdown
+      // sweep so the hook never double-deletes
       val root = java.nio.file.Paths.get(tree).getParent
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.streaming.Streams.deleteTree(root)
+      graft.TempTrees.deregister(root.toString)
     }
   }
 
@@ -181,7 +189,6 @@ object GraphIndex {
   private[graft] def refineGraph(g: DataFrame, vecs: DataFrame,
                                  assign: DataFrame,
                                  cents: Array[Array[Float]],
-                                 hier: Option[Ivf.TwoLevelQuantizer],
                                  n: Long, k: Int, metric: Int): DataFrame = {
     val w = (n * RefinePermille / 1000).toInt
     if (w == 0) return g
@@ -194,8 +201,15 @@ object GraphIndex {
       .join(vecs.select(col("id").as("src"), col("vec")), "src")
       .select(col("src").as("query_id"), col("vec").as("qvec"))
     // the refined fraction is corpus-sized, never a point batch:
-    // shuffle-join the probes (probedTopK's broadcast contract)
-    val probes = Ivf.probeSelect(worstQ, cents, np, metric, hier = hier)
+    // shuffle-join the probes (probedTopK's broadcast contract).
+    // probe selection is FLAT (hier = None) deliberately: the oracle
+    // (refinedReplayCtes' rp) replays a flat top-np centroid rank, and
+    // the two must agree at ANY nc — a two-level-trained hierarchy's
+    // approximate selection diverges from the flat oracle as soon as
+    // nc exceeds the np cap (the round-14 ADVICE parity finding).
+    // Cost: O(nc) centroid distances per refined node instead of
+    // O(√nc) — dominated by the exact ranking inside the probed lists.
+    val probes = Ivf.probeSelect(worstQ, cents, np, metric, hier = None)
     val dist = Ivf.distCol(metric, col("vec"), col("qvec"))
     val re = Ivf.invertedLists(vecs, assign)
       .join(probes, col("cluster_id") === col("probe_cluster"))
@@ -249,7 +263,6 @@ object GraphIndex {
           // probed and the oracle's assignCtes replays
           val (assign, cents) = Ivf.indexFor(spark, dir)
           refineGraph(g, vecs, assign.select("id", "cluster_id"), cents,
-            Ivf.hierarchyFor(dir, Ivf.defaultK(n), VectorMetric.L2),
             n, k, metric)
         }
       })
@@ -571,28 +584,50 @@ object GraphIndex {
   }
 
   private val tuneMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Int, Long)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Int, Long)]]
+
+  /** The metrics the graph tier serves (and therefore tunes): the
+    * sidecar carries one measured pick per member, so `graph_topk_l2`
+    * and `graph_topk_dot` serve a measured operating point exactly
+    * like cosine does (the round-14 verdict's asymmetry: only cosine
+    * was measured/persisted, and the measured cosine dividend —
+    * (rounds=1, beam=2k), HALF the default expansion work at the same
+    * floor — was exactly what l2/dot were leaving on the table).
+    */
+  private[graft] val GraphMetrics: Seq[Int] =
+    Seq(VectorMetric.Cosine, VectorMetric.L2, VectorMetric.Dot)
 
   /** The measured grid: per (rounds, beam) config, the served
     * recall@k permille vs the exact contract (exact integers — hits
     * via a semi join count, permille by integer division). Memoized
-    * per (dir, k) so the grid key, the sidecar write, and the oracle
-    * generators share one measurement pass.
+    * per (dir, k, metric) so the grid key, the sidecar write, and the
+    * oracle generators share one measurement pass.
     */
   private[graft] def graphTuneGrid(spark: SparkSession, dir: String,
-                                   k: Int = 5): Seq[(Int, Int, Long)] =
-    tuneMemo.getOrElseUpdate((dir, k), {
-      val exact = Ivf.exactEdges(spark, dir, k, DefaultMetric)
+                                   k: Int = 5,
+                                   metric: Int = DefaultMetric): Seq[(Int, Int, Long)] =
+    tuneMemo.getOrElseUpdate((dir, k, metric), {
+      val exact = Ivf.exactEdges(spark, dir, k, metric)
         .select("query_id", "neighbor_id")
       val nq = Tables.embeddingsCount(spark, dir)
       TuneGrid.map { case (rounds, mult) =>
         val b = beamWidth(k) * mult
-        val hits = graphTopkAt(spark, dir, k, DefaultMetric, rounds, b)
+        val hits = graphTopkAt(spark, dir, k, metric, rounds, b)
           .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .count()
         (rounds, b, hits * 1000L / (k * nq))
       }
     })
+
+  /** Materialize one metric's tune grid (Bench line items — the
+    * autotune/tuned keys then measure the argmin/serving, the grid
+    * MEASUREMENT is its own attributable line per metric).
+    */
+  def warmGraphTuneGrid(spark: SparkSession, dir: String,
+                        metric: Int = DefaultMetric): Unit = {
+    graphTuneGrid(spark, dir, metric = metric)
+    ()
+  }
 
   /** A26i: `graph_autotune` — the per-floor argmin over the measured
     * (rounds, beam) grid: the CHEAPEST config meeting the floor,
@@ -605,9 +640,10 @@ object GraphIndex {
     * counts hits against the exact contract, and applies the same
     * argmin SQL.
     */
-  def graphAutotune(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def graphAutotune(spark: SparkSession, dir: String, k: Int = 5,
+                    metric: Int = DefaultMetric): DataFrame = {
     import spark.implicits._
-    val grid = graphTuneGrid(spark, dir, k)
+    val grid = graphTuneGrid(spark, dir, k, metric)
     val rows = Autotune.Floors.map { f =>
       val pick = grid.filter(_._3 >= f)
         .sortBy { case (r, b, _) => (r.toLong * b, r, b) }.headOption
@@ -625,11 +661,31 @@ object GraphIndex {
     * hit counts vs the nested exact replay, the same integer permille
     * and (cost, rounds, beam) argmin.
     */
+  /** The per-metric exact-contract SQL the grid oracles count hits
+    * against: cosine keeps the E6 replay VERBATIM (zero drift with
+    * the exact keys), l2/dot rank by the family's shared pair-distance
+    * template with the same (dist, id) tie-break the engine's
+    * exactEdges folds.
+    */
+  private def exactContractSql(k: Int, metric: Int): String =
+    if (metric == VectorMetric.Cosine) Dedup.annTopkBatchOracleSql(k)
+    else {
+      val d = Ivf.pairDistSqlTemplate(metric)
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${d.format("q", "c")}, c.vec_id) AS rank
+         |  FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id) t
+         |WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+    }
+
   def graphAutotuneOracleSql(spark: SparkSession, dir: String,
-                             k: Int = 5): String = {
+                             k: Int = 5,
+                             metric: Int = DefaultMetric): String = {
     val chains = TuneGrid.map { case (rounds, mult) =>
       val b = beamWidth(k) * mult
-      beamChainCtes(spark, dir, k, b, DefaultMetric, rounds, s"_${rounds}_$b")
+      beamChainCtes(spark, dir, k, b, metric, rounds, s"_${rounds}_$b")
     }.mkString(",\n")
     val gridRows = TuneGrid.map { case (rounds, mult) =>
       val b = beamWidth(k) * mult
@@ -644,10 +700,10 @@ object GraphIndex {
     }.mkString("\nUNION ALL ")
     val floors = Autotune.Floors
       .map(f => s"(CAST($f AS BIGINT))").mkString(", ")
-    s"""WITH ${graphSubstrateCtes(spark, dir, k, DefaultMetric)},
+    s"""WITH ${graphSubstrateCtes(spark, dir, k, metric)},
        |ex AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
-       |${Dedup.annTopkBatchOracleSql(k)}
+       |${exactContractSql(k, metric)}
        |  ) exs),
        |$chains,
        |grid AS MATERIALIZED (
@@ -675,28 +731,43 @@ object GraphIndex {
   /** Persist the tuner's pick for `floor` into an `_autotune_graph`
     * sidecar beside a persisted graph tree — config the serving
     * defaults read ([[graphTopkTuned]]), not a report a human
-    * transcribes (the writeAutotune pattern).
+    * transcribes (the writeAutotune pattern). Since round 15 the
+    * sidecar carries one row PER METRIC (`metric` column): every
+    * serving metric reads its OWN measured pick, closing the SURVEY
+    * §9 asymmetry where l2/dot served hand-set defaults while cosine
+    * served tuned.
     */
   def writeGraphAutotune(spark: SparkSession, dir: String, indexPath: String,
                          floor: Int = GraphTunedFloor, k: Int = 5): Unit = {
     require(Autotune.Floors.contains(floor),
       s"floor $floor is not on the tuned grid ${Autotune.Floors.mkString("/")}")
-    graphAutotune(spark, dir, k)
-      .filter(col("floor_permille") === floor.toLong)
+    GraphMetrics.map { m =>
+      graphAutotune(spark, dir, k, m)
+        .filter(col("floor_permille") === floor.toLong)
+        .withColumn("metric", lit(m))
+    }.reduce(_.unionByName(_))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/_autotune_graph")
   }
 
-  /** The persisted pick ((rounds, beam); -1 sentinels mean "no
-    * qualifying config" and the caller's defaults stand).
+  /** The persisted pick for `metric` ((rounds, beam); -1 sentinels
+    * mean "no qualifying config" and the caller's defaults stand).
+    * Legacy metric-less sidecars read as cosine, what they were
+    * measured as (the `_meta` metric convention).
     */
-  private[graft] def loadGraphAutotune(spark: SparkSession,
-                                       indexPath: String): Option[(Long, Long)] = {
+  private[graft] def loadGraphAutotune(spark: SparkSession, indexPath: String,
+                                       metric: Int = DefaultMetric): Option[(Long, Long)] = {
     val p = new Path(s"$indexPath/_autotune_graph")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
-    else spark.read.parquet(s"$indexPath/_autotune_graph")
-      .select("rounds", "beam").head(1).headOption
-      .map(r => (r.getLong(0), r.getLong(1)))
+    else {
+      val df = spark.read.parquet(s"$indexPath/_autotune_graph")
+      val rows =
+        if (df.columns.contains("metric")) df.filter(col("metric") === metric)
+        else if (metric == DefaultMetric) df
+        else df.filter(lit(false))
+      rows.select("rounds", "beam").head(1).headOption
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
   }
 
   private val tunedTreeMemo =
@@ -708,8 +779,11 @@ object GraphIndex {
     */
   private[graft] def tunedGraphTree(spark: SparkSession, dir: String): String =
     tunedTreeMemo.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_graph_tuned").resolve("g").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_graph_tuned")
+      // shutdown-hook sweep: a session cycling corpora leaves no
+      // orphaned trees even when invalidate() never runs
+      graft.TempTrees.register(root.toString)
+      val tmp = root.resolve("g").toString
       build(spark, dir, tmp)
       writeGraphAutotune(spark, dir, tmp)
       tmp
@@ -727,8 +801,8 @@ object GraphIndex {
     * generator (via the memoized grid), the queryIvfPqTuned contract.
     */
   private def graphTunedOperatingPoint(spark: SparkSession, dir: String,
-                                       k: Int): (Int, Int) =
-    graphTuneGrid(spark, dir, k).filter(_._3 >= GraphTunedFloor)
+                                       k: Int, metric: Int): (Int, Int) =
+    graphTuneGrid(spark, dir, k, metric).filter(_._3 >= GraphTunedFloor)
       .sortBy { case (r, b, _) => (r.toLong * b, r, b) }.headOption
       .map { case (r, b, _) => (r, b) }
       .getOrElse((BeamRounds, beamWidth(k)))
@@ -736,18 +810,20 @@ object GraphIndex {
   /** A26j: `graph_topk_tuned` — the graph tuner's loop CLOSED on a
     * benched, oracle-checked path: the session graph tree persists
     * with its `_autotune_graph` sidecar (the measured pick for the
-    * [[GraphTunedFloor]] floor), and the batch serves at the
-    * SIDECAR's (rounds, beam) — config, not prose. Falls back to the
-    * family defaults on the -1 sentinels, the same arithmetic the
-    * oracle generator replays.
+    * [[GraphTunedFloor]] floor, one row per metric), and the batch
+    * serves at the SIDECAR's (rounds, beam) for ITS metric — config,
+    * not prose. Falls back to the family defaults on the -1 sentinels,
+    * the same arithmetic the oracle generator replays. The l2/dot
+    * faces (A26n/A26o) are the same loop at their metric.
     */
-  def graphTopkTuned(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def graphTopkTuned(spark: SparkSession, dir: String, k: Int = 5,
+                     metric: Int = DefaultMetric): DataFrame = {
     val tree = tunedGraphTree(spark, dir)
-    val (rounds, b) = loadGraphAutotune(spark, tree) match {
+    val (rounds, b) = loadGraphAutotune(spark, tree, metric) match {
       case Some((r, bw)) if r > 0 && bw > 0 => (r.toInt, bw.toInt)
       case _ => (BeamRounds, beamWidth(k))
     }
-    graphTopkAt(spark, dir, k, DefaultMetric, rounds, b)
+    graphTopkAt(spark, dir, k, metric, rounds, b)
   }
 
   /** A26j oracle: the serving replay at the tuned operating point —
@@ -756,10 +832,11 @@ object GraphIndex {
     * at that (rounds, beam).
     */
   def graphTopkTunedOracleSql(spark: SparkSession, dir: String,
-                              k: Int = 5): String = {
-    val (rounds, b) = graphTunedOperatingPoint(spark, dir, k)
-    s"""WITH ${graphSubstrateCtes(spark, dir, k, DefaultMetric)},
-       |${beamChainCtes(spark, dir, k, b, DefaultMetric, rounds, "")}
+                              k: Int = 5,
+                              metric: Int = DefaultMetric): String = {
+    val (rounds, b) = graphTunedOperatingPoint(spark, dir, k, metric)
+    s"""WITH ${graphSubstrateCtes(spark, dir, k, metric)},
+       |${beamChainCtes(spark, dir, k, b, metric, rounds, "")}
        |SELECT query_id, cand AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand) AS INTEGER) AS rank
        |FROM b$rounds
@@ -1596,11 +1673,7 @@ object GraphIndex {
         .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
         .orderBy("phase")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   /** Every 7th vec_id deleted: d/n ≈ 1/7 crosses the 0.1 threshold;
@@ -1708,7 +1781,7 @@ object GraphIndex {
       if (rbIters < Dedup.DescentMaxIters) graph0
       else {
         val rg = refineGraph(graph0, vecs, assign.select("id", "cluster_id"),
-          cents, hier, n, k, metric)
+          cents, n, k, metric)
         graph0.unpersist()
         rg
       }
@@ -1798,11 +1871,7 @@ object GraphIndex {
         .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
         .orderBy("phase")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   /** d1 = ceil(0.05·n) then d2 = ceil(0.07·n) appended (cumulative

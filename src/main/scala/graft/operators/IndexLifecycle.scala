@@ -342,11 +342,7 @@ object IndexLifecycle {
         .toDF("phase", "expected_rows", "total_rows")
         .orderBy("phase")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   def indexCompactOracleSql: String =
@@ -564,9 +560,7 @@ object IndexLifecycle {
       // the state table is tiny and checkpointed; the two full index
       // copies under /tmp must not outlive the query (repeated bench
       // runs would otherwise fill the disk)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.streaming.Streams.deleteTree(tmpDir)
     }
   }
 
@@ -599,11 +593,7 @@ object IndexLifecycle {
         // deleted below; its blocks are GC'd with the DataFrame, unlike
         // a cache() registration the CacheManager would hold forever
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   /** Every 7th vec_id is deleted; dirty ratio d/n = ~1/7 crosses the

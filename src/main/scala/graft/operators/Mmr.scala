@@ -152,8 +152,13 @@ object Mmr {
     // final union; an early unpersist would drop checkpointed blocks
     // the union still needs); the finally releases them even when a
     // round throws mid-fold — checkpointed blocks in this long-lived
-    // session otherwise leak until GC
-    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](cv, ps, pick1)
+    // session otherwise leak until GC. ONLY frames this fold created:
+    // cv/ps are caller-owned (pairTables' "caller unpersists"
+    // contract) and mmrLambdaSweep reuses them across the whole λ
+    // grid — releasing them here only happened to work because
+    // unpersist after localCheckpoint keeps the checkpointed blocks
+    // (the round-14 ADVICE finding)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](pick1)
     // rem: remaining candidates with the running diversity penalty
     // (max sim to the selected set), updated incrementally against
     // the LATEST pick only — the k-center least-update in sim space

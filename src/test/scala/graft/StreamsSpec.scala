@@ -40,6 +40,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.drop(1).forall(_._3 > r), "an admitted point sits within r")
   }
 
+  test("D16b cosine stream_kcenter == the batch angular threshold scan (multi-batch equivalence)") {
+    val cos = graft.functions.VectorMetric.Cosine
+    val got = Streams.streamKcenter(spark, sf, cos).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.operators.Coreset.kcenterThresholdPicks(spark, sf, cos)
+      .zipWithIndex.map { case ((id, d), i) => (i + 1, id, d) }
+    assert(got == want,
+      s"cosine streamed coreset diverged from the sequential scan: $got != $want")
+    assert(got.length > 1, "no point admitted beyond the seed — the cosine " +
+      "radius calibration is degenerate on this corpus")
+    // every admitted distance exceeds the COSINE-calibrated radius, and
+    // the angular radius really is a different calibration than L2's
+    val r = graft.operators.Coreset.thresholdRadius(spark, sf, cos)
+    assert(got.drop(1).forall(_._3 > r), "an admitted point sits within r")
+    assert(r != graft.operators.Coreset.thresholdRadius(spark, sf),
+      "cosine and L2 calibrations coincide — the metric is not plumbed")
+  }
+
   test("D2 stream_dedup keeps every distinct event_id (no dups in source)") {
     val stream = Streams.streamDedup(spark, sf)
     val batch = graft.Tables.events(spark, sf)
