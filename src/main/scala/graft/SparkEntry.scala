@@ -35,6 +35,11 @@ object SparkEntry {
     // 4x tier joins the A18b state machine every other serving tier
     // already speaks)
     "sq8_lifecycle"       -> (Sq8Lifecycle.sq8Lifecycle _),
+    // A21b/A22b: the BQ (256x) and PCA tiers on the same shared
+    // TierLifecycle seam — every quantized serving tier now speaks
+    // the A18b state machine (closes the §9 "persisted faces" item)
+    "bq_lifecycle"        -> (BqLifecycle.bqLifecycle _),
+    "pca_lifecycle"       -> (PcaLifecycle.pcaLifecycle _),
     // small-files compaction of the persisted lists (row conservation
     // proven by disk read-back; file behavior pinned in the spec)
     "index_compact"       -> (IndexLifecycle.indexCompact _),
@@ -496,6 +501,8 @@ object SparkEntry {
     "index_delete"        -> IndexLifecycle.indexDeleteOracleSql,
     "ivfpq_lifecycle"     -> PqLifecycle.ivfpqLifecycleOracleSql,
     "sq8_lifecycle"       -> Sq8Lifecycle.sq8LifecycleOracleSql,
+    "bq_lifecycle"        -> BqLifecycle.bqLifecycleOracleSql,
+    "pca_lifecycle"       -> PcaLifecycle.pcaLifecycleOracleSql,
     "index_compact"       -> IndexLifecycle.indexCompactOracleSql,
     // E51b: the graph lifecycle's state arithmetic (append dirt,
     // threshold crossing, rebuild reset, read-back size)

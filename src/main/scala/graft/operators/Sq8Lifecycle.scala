@@ -5,8 +5,8 @@ import graft.functions.VectorMetric
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Lifecycle for a PERSISTED SQ8 layout — the round-14 verdict's gap:
-  * the 4× tier existed only as an in-session selection-table memo
+/** A19b: lifecycle for a PERSISTED SQ8 layout — the round-14 verdict's
+  * gap: the 4× tier existed only as an in-session selection-table memo
   * (Sq8.scala exported no write/read/query face) while every other
   * serving tier (IVF-PQ: PqLifecycle, graph: GraphIndex) has
   * build → frozen-model append → partition-rewrite delete → read-back.
@@ -14,39 +14,15 @@ import org.apache.spark.sql.functions._
   * (the reference's IndexService contract,
   * app/services/index_service.py:56-198).
   *
-  * Layout: `(cluster_id, id, codes)` parquet partitioned by
-  * `cluster_id = id mod buckets` (buckets = [[bucketsFor]], √n-scaled,
-  * persisted in `_meta`) — SQ8 is a FLAT scan tier (no
-  * coarse quantizer; its query reads every code row at a quarter of
-  * the raw bytes), so the partition key exists for MUTATION locality,
-  * not probe pruning: a delete rewrites only the buckets that hold
-  * deleted ids (IndexLifecycle.deleteFrom — same anti-join, same
-  * rename-aside atomicity, same dirt accounting), an append lands one
-  * file per touched bucket (IndexLifecycle.landAppend — same
-  * `_append_tmp` crash consistency). Sidecars: `_model` (per-dimension
-  * (pos, lo, scale) rows — the FULL frozen model, so an appended
-  * vector can never encode under a different model than the build's)
-  * and `_meta` (dim, metric).
+  * Layout and protocols are [[TierLifecycle]]'s (the shared flat-tier
+  * seam — SQ8/BQ/PCA cannot drift on bucketing or state arithmetic);
+  * this object owns only what is genuinely SQ8's: the `_model` sidecar
+  * (per-dimension (pos, lo, scale) rows — the FULL frozen model, so an
+  * appended vector can never encode under a different model than the
+  * build's), the `_meta` (dim, metric, buckets), the encode
+  * expression, and the symmetric dequantized-distance disk query.
   */
 object Sq8Lifecycle {
-
-  /** Minimum bucket count for the code lists (mutation-locality
-    * partitioning, not probe pruning). The ACTUAL count SCALES with
-    * the corpus — `max(16, Ivf.defaultK(n))`, the same √n growth as
-    * the IVF list count — because a fixed 16 at 100 TB would make a
-    * point delete rewrite n/16 rows (~6 TB); with √n buckets a
-    * rewrite touches O(√n) rows, the same locality class as the
-    * cluster-partitioned tiers. The chosen count persists in `_meta`
-    * so appends land in the SAME bucketing the build used (a changed
-    * constant can never scatter an existing tree).
-    */
-  val Sq8MinBuckets = 16
-
-  private[graft] def bucketsFor(n: Long): Int =
-    math.max(Sq8MinBuckets, Ivf.defaultK(n))
-
-  private def bucketOf(c: org.apache.spark.sql.Column, buckets: Int) =
-    pmod(c, lit(buckets.toLong)).cast("int")
 
   /** Build (version+1): train per-dimension (min, scale) on the corpus
     * (Sq8.train — ONE map-side-combined aggregation), encode every
@@ -55,24 +31,19 @@ object Sq8Lifecycle {
     */
   def build(spark: SparkSession, dir: String, indexPath: String,
             metric: Int = VectorMetric.L2): IndexStatus = {
-    val prev = IndexLifecycle.status(spark, indexPath)
     val m = Sq8.train(spark, dir, metric)
     val n = Tables.embeddingsCount(spark, dir)
-    val buckets = bucketsFor(n)
-    Sq8.encode(spark, dir, metric)
-      .select(bucketOf(col("id"), buckets).as("cluster_id"), col("id"), col("codes"))
-      .repartition(col("cluster_id")) // one file per bucket
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(indexPath)
-    import spark.implicits._
-    m.mins.indices.map(i => (i, m.mins(i), m.scales(i))).toDF("pos", "lo", "scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_model")
-    Seq((m.mins.length, metric, buckets)).toDF("dim", "metric", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_meta")
-    val next = IndexStatus("sq8", isBuilt = true, isDirty = false, size = n,
-      embeddingDim = m.mins.length, builtAt = System.currentTimeMillis(),
-      version = prev.version + 1, dirtyCount = 0L, totalVectors = n)
-    IndexLifecycle.writeState(spark, indexPath, next)
-    next
+    val buckets = TierLifecycle.bucketsFor(n)
+    TierLifecycle.landBuild(spark, indexPath, "sq8",
+      Sq8.encode(spark, dir, metric).select(col("id"), col("codes")),
+      n, m.mins.length, buckets, () => {
+        import spark.implicits._
+        m.mins.indices.map(i => (i, m.mins(i), m.scales(i)))
+          .toDF("pos", "lo", "scale")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_model")
+        Seq((m.mins.length, metric, buckets)).toDF("dim", "metric", "buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_meta")
+      })
   }
 
   /** The persisted model, read back from the index's own sidecars —
@@ -94,25 +65,20 @@ object Sq8Lifecycle {
     * normalize the new vectors first, matching the build
     * representation; out-of-range dimensions clamp to 0/255 — the
     * standard SQ8 saturation, never a retrain) and land the
-    * (cluster_id, id, codes) rows crash-consistently
-    * (IndexLifecycle.landAppend). Growth is dirt against the
-    * as-of-build total, so the dirty-ratio policy decides when the
-    * model retrains.
+    * (cluster_id, id, codes) rows crash-consistently. Growth is dirt
+    * against the as-of-build total, so the dirty-ratio policy decides
+    * when the model retrains.
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
-    val s = IndexLifecycle.status(spark, indexPath)
-    require(s.isBuilt, "append requires a built index (build first)")
-    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
     val (m, metric, buckets) = loadModel(spark, indexPath)
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
-    val staged = v.select(bucketOf(col("id"), buckets).as("cluster_id"), col("id"),
+    val staged = v.select(
+      TierLifecycle.bucketOf(col("id"), buckets).as("cluster_id"), col("id"),
       graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
         .as("codes"))
-    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
-      size = s.size + n)
-    IndexLifecycle.landAppend(spark, indexPath, staged, next)
+    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n)
     v.unpersist()
     next
   }
@@ -150,32 +116,15 @@ object Sq8Lifecycle {
     * deterministic table — build, frozen-model append (sub-threshold
     * dirt), delete (crossing the threshold), and an on-disk read-back
     * proving the code lists really grew and shrank. Phases and
-    * arithmetic are IDENTICAL to A18b's (the point: every persisted
-    * tier speaks the same state machine), so the oracle is shared.
+    * arithmetic are the SHARED TierLifecycle.fourPhase (identical to
+    * A18b's — the point: every persisted tier speaks the same state
+    * machine), so the oracle is shared too.
     */
-  def sq8Lifecycle(spark: SparkSession, dir: String): DataFrame = {
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_sq8_lc")
-    val tmp = tmpDir.toString
-    try {
-      val n = Tables.embeddings(spark, dir).count()
-      val vecs = Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = build(spark, dir, tmp)
-      val d = math.ceil(0.05 * n).toLong
-      val s2 = append(
-        vecs.filter(col("id") < d).select((col("id") + n).as("id"), col("vec")), tmp)
-      val s3 = delete(vecs.filter(col("id") % 7 === 0).select("id"), tmp)
-      val s4 = s3.copy(size = spark.read.parquet(tmp).count()) // read-back
-      import spark.implicits._
-      Seq(s1, s2, s3, s4).zipWithIndex
-        .map { case (s, i) =>
-          (i + 1, s.version, s.isDirty, s.dirtyCount, s.size,
-            s.shouldRebuild(IndexLifecycle.RebuildThreshold)) }
-        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
-        .orderBy("phase")
-        .localCheckpoint()
-    } finally graft.streaming.Streams.deleteTree(tmpDir)
-  }
+  def sq8Lifecycle(spark: SparkSession, dir: String): DataFrame =
+    TierLifecycle.fourPhase(spark, dir, "graft_sq8_lc",
+      tmp => build(spark, dir, tmp),
+      (vs, tmp) => append(vs, tmp),
+      (ids, tmp) => delete(ids, tmp))
 
   /** Identical arithmetic to A18b's oracle — same append fraction,
     * same delete stride, same 4 phases (the SQ8 tree counts growth

@@ -24,7 +24,7 @@ class Sq8LifecycleSpec extends AnyFunSuite {
     val (m, metric, buckets) = Sq8Lifecycle.loadModel(spark, path)
     val trained = Sq8.train(spark, sf)
     assert(metric == graft.functions.VectorMetric.L2)
-    assert(buckets == Sq8Lifecycle.bucketsFor(500),
+    assert(buckets == graft.operators.TierLifecycle.bucketsFor(500),
       "the build's bucket count must persist in _meta")
     assert(m.mins.toSeq == trained.mins.toSeq && m.scales.toSeq == trained.scales.toSeq,
       "_model sidecar must round-trip the trained (min, scale) arrays")
@@ -66,7 +66,7 @@ class Sq8LifecycleSpec extends AnyFunSuite {
               .sortBy(_._1)
         }.toMap
     val before = partitionFiles()
-    assert(before.size == Sq8Lifecycle.bucketsFor(500),
+    assert(before.size == graft.operators.TierLifecycle.bucketsFor(500),
       "the build must land one partition per bucket")
 
     // id 0 lives in bucket 0 (cluster_id = id mod buckets)

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Bq, BqLifecycle, Pca, PcaLifecycle, TierLifecycle}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BQ/PCA persisted-lifecycle contracts on the shared TierLifecycle
+  * seam (the Sq8LifecycleSpec pins mirrored onto the other two flat
+  * tiers): frozen-model appends tie byte-exactly with the build,
+  * deletes rewrite only the affected buckets, sidecar models
+  * round-trip, and disk queries serve the two-tier shape.
+  */
+class TierLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("BQ: frozen-threshold append ties byte-exactly; hamming disk query + refine serve it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bqlc").toString
+    val s1 = BqLifecycle.build(spark, sf, path)
+    assert(s1.isBuilt && s1.version == 1 && s1.size == 500 && !s1.isDirty)
+
+    val (m, buckets) = BqLifecycle.loadModel(spark, path)
+    val trained = Bq.train(spark, sf)
+    assert(m.thresholds.toSeq == trained.thresholds.toSeq,
+      "_model sidecar must round-trip the trained mean thresholds")
+    assert(buckets == TierLifecycle.bucketsFor(500))
+
+    import spark.implicits._
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val s2 = BqLifecycle.append(Seq((9999L, v1.toSeq)).toDF("id", "vec"), path)
+    assert(s2.version == s1.version && s2.size == 501 && s2.dirtyCount == 1)
+    val codes = spark.read.parquet(path).filter(col("id").isin(1L, 9999L))
+      .select(col("id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes(9999L) == codes(1L),
+      "identical content must sign-encode byte-identically under frozen thresholds")
+
+    // hamming-only disk query: the copy ties with its original at h=0
+    val top2 = BqLifecycle.query(spark, path, v1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top2.map(_._1).toSet == Set(1L, 9999L) && top2.forall(_._2 == 0.0),
+      s"appended copy must tie at hamming 0, got ${top2.toSeq}")
+    // refined query against the primary store re-ranks exactly
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val refined = BqLifecycle.query(spark, path, v1, k = 2,
+      refineWith = Some(raw)).collect().map(_.getLong(0)).toSet
+    assert(refined.contains(1L), "refine must keep the exact nearest neighbor")
+
+    // delete rewrites only the hit bucket (id 3 -> bucket 3)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(bucket: Int) = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/cluster_id=$bucket")).toSeq
+      .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1)
+    val untouchedBefore = files(5)
+    val s3 = BqLifecycle.delete(Seq(3L).toDF("id"), path)
+    assert(s3.size == s2.size - 1)
+    assert(files(5) == untouchedBefore, "an unrelated bucket was rewritten")
+    assert(spark.read.parquet(path).filter(col("id") === 3L).count() == 0)
+  }
+
+  test("PCA: frozen-basis append projects byte-exactly; reduced disk query + refine serve it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pcalc").toString
+    val s1 = PcaLifecycle.build(spark, sf, path)
+    assert(s1.isBuilt && s1.version == 1 && s1.size == 500 && !s1.isDirty)
+
+    val (basis, dim, d, _) = PcaLifecycle.loadModel(spark, path)
+    val trained = Pca.train(spark, sf)
+    assert(dim == trained.dim && d == Pca.ReducedDim)
+    assert((0 until d).forall(i => basis(i).toSeq == trained.basis(i).toSeq),
+      "_model sidecar must round-trip the top-d component rows")
+
+    import spark.implicits._
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val s2 = PcaLifecycle.append(Seq((9999L, v1.toSeq)).toDF("id", "vec"), path)
+    assert(s2.version == s1.version && s2.size == 501 && s2.dirtyCount == 1)
+    val rvecs = spark.read.parquet(path).filter(col("id").isin(1L, 9999L))
+      .select(col("id"), col("rvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rvecs(9999L) == rvecs(1L),
+      "identical content must project byte-identically under the frozen basis")
+
+    // reduced-space disk query: the copy ties with its original at 0
+    val top2 = PcaLifecycle.query(spark, path, v1, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 9999L), s"appended copy must tie, got $top2")
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val refined = PcaLifecycle.query(spark, path, v1, k = 2,
+      refineWith = Some(raw)).collect().map(_.getLong(0)).toSet
+    assert(refined.contains(1L), "refine must keep the exact nearest neighbor")
+  }
+
+  test("BQ/PCA driver keys: the shared four-phase arithmetic") {
+    val n = 500L
+    val dd = math.ceil(0.05 * n).toLong
+    val r = (0L until n).count(_ % 7 == 0).toLong
+    val want = Seq(
+      (1, 1, false, 0L, n, false),
+      (2, 1, true, dd, n + dd, 1.0 * dd / n >= 0.1),
+      (3, 1, true, dd + r, n + dd - r, 1.0 * (dd + r) / n >= 0.1),
+      (4, 1, true, dd + r, n + dd - r, 1.0 * (dd + r) / n >= 0.1))
+    Seq(BqLifecycle.bqLifecycle(spark, sf), PcaLifecycle.pcaLifecycle(spark, sf))
+      .foreach { df =>
+        val got = df.collect().map(x => (x.getInt(0), x.getInt(1),
+          x.getBoolean(2), x.getLong(3), x.getLong(4), x.getBoolean(5))).toSeq
+        assert(got == want)
+      }
+  }
+}
