@@ -69,9 +69,11 @@ object BqLifecycle {
     next
   }
 
-  /** Point delete: the shared bucket-rewrite. */
-  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus =
-    IndexLifecycle.deleteFrom(deleteIds, indexPath, idCol = "id")
+  /** Point delete: the shared PARTITION-PRUNED bucket-rewrite. */
+  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    val (_, buckets) = loadModel(deleteIds.sparkSession, indexPath)
+    TierLifecycle.deletePruned(deleteIds, indexPath, buckets)
+  }
 
   /** Disk query: hamming top-k from the stored codes alone (XOR +
     * popcount over 8 bytes/candidate at dim 64); `refineWith` = the

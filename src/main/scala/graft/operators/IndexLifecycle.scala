@@ -429,8 +429,17 @@ object IndexLifecycle {
     * (Ivf.writeIndex), IVF-PQ code lists as `id` (Pq.writeIvfPq); the
     * rewrite, the swap and the dirt accounting are identical.
     */
+  /** `bucketHint`: for layouts whose partition key is COMPUTABLE from
+    * the row id (the TierLifecycle flat tiers: cluster_id = id mod
+    * buckets), the caller passes the deleted ids' bucket set and BOTH
+    * the hits scan and the rewrite read only those partitions
+    * (partition-pruned at the source — at 100 TB a point delete then
+    * touches one bucket, never the tree). Content-assigned layouts
+    * (IVF lists) cannot know their partitions a priori and pass None.
+    */
   private[operators] def deleteFrom(deleteIds: DataFrame, indexPath: String,
-                                    idCol: String): IndexStatus = {
+                                    idCol: String,
+                                    bucketHint: Option[Seq[Int]] = None): IndexStatus = {
     val spark = deleteIds.sparkSession
     val s = status(spark, indexPath)
     require(s.isBuilt, "delete requires a built index (build first)")
@@ -439,7 +448,9 @@ object IndexLifecycle {
     // removed count (the anti-join itself is idempotent, but size/
     // dirtyCount would silently drift — even below zero on repeats)
     val ids = broadcast(deleteIds.select(col("id").as("del_id")).distinct())
-    val lists = spark.read.parquet(indexPath)
+    val lists0 = spark.read.parquet(indexPath)
+    val lists = bucketHint.fold(lists0)(h =>
+      lists0.filter(col("cluster_id").isInCollection(h)))
     val hits = lists.join(ids, col(idCol) === col("del_id"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .collect()

@@ -73,9 +73,11 @@ object PcaLifecycle {
     next
   }
 
-  /** Point delete: the shared bucket-rewrite. */
-  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus =
-    IndexLifecycle.deleteFrom(deleteIds, indexPath, idCol = "id")
+  /** Point delete: the shared PARTITION-PRUNED bucket-rewrite. */
+  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    val (_, _, _, buckets) = loadModel(deleteIds.sparkSession, indexPath)
+    TierLifecycle.deletePruned(deleteIds, indexPath, buckets)
+  }
 
   /** Disk query: reduced-space l2 top-k from the stored projections
     * (d floats per candidate — dim/d of the raw scan bytes);

@@ -83,11 +83,14 @@ object Sq8Lifecycle {
     next
   }
 
-  /** Point delete over the code lists: rewrite-and-swap ONLY the
-    * affected buckets (the shared IndexLifecycle.deleteFrom).
+  /** Point delete over the code lists: the PARTITION-PRUNED shared
+    * rewrite — the deleted ids' buckets are computable (id mod
+    * buckets), so the scan and swap touch only those partitions.
     */
-  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus =
-    IndexLifecycle.deleteFrom(deleteIds, indexPath, idCol = "id")
+  def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    val (_, _, buckets) = loadModel(deleteIds.sparkSession, indexPath)
+    TierLifecycle.deletePruned(deleteIds, indexPath, buckets)
+  }
 
   /** Query the PERSISTED index from disk: quantize the query through
     * the sidecar model and rank the stored codes by the symmetric SQ8

@@ -73,6 +73,22 @@ private[graft] object TierLifecycle {
     next
   }
 
+  /** Partition-pruned point delete for the modulo-bucketed layouts:
+    * unlike a content-assigned layout (IVF — which list holds a vector
+    * is unknowable without scanning), these tiers COMPUTE each deleted
+    * id's bucket, so the shared deleteFrom scans and rewrites only the
+    * affected partitions. The bucket set is a tiny distinct over the
+    * delete batch (≤ buckets values), never a corpus job.
+    */
+  def deletePruned(deleteIds: DataFrame, indexPath: String,
+                   buckets: Int): IndexStatus = {
+    val hint = deleteIds
+      .select(bucketOf(col("id"), buckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    IndexLifecycle.deleteFrom(deleteIds, indexPath, idCol = "id",
+      bucketHint = Some(hint))
+  }
+
   /** The four-phase driver-key body every tier lifecycle shares —
     * build, frozen-model append of ceil(0.05·n) re-keyed vectors,
     * delete of every 7th original (crossing the rebuild threshold),

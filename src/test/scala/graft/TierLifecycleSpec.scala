@@ -94,6 +94,37 @@ class TierLifecycleSpec extends AnyFunSuite {
     assert(refined.contains(1L), "refine must keep the exact nearest neighbor")
   }
 
+  test("deletePruned's bucket-hint filter partition-prunes the scan (one file read of 16)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.operators.Sq8Lifecycle.build(spark, sf, path)
+    // the exact filter form deleteFrom applies under a bucket hint
+    val df = spark.read.parquet(path)
+      .filter(col("cluster_id").isInCollection(Seq(3)))
+    df.queryExecution.toRdd.count()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(df.queryExecution.executedPlan)
+    assert(ss.nonEmpty, "no file scan found in the pruned-delete plan")
+    assert(ss.forall(_.partitionFilters.nonEmpty),
+      "the bucket-hint filter must reach the scan as a PARTITION filter")
+    // one bucket = one file on this build (repartition(cluster_id))
+    assert(ss.map(_.metrics("numFiles").value).sum == 1,
+      "the pruned scan must read exactly the hinted bucket's file")
+    // and the pruned delete's semantics match the unpruned contract:
+    // deleting a missing id whose bucket exists is still a no-op
+    import spark.implicits._
+    val s0 = graft.operators.IndexLifecycle.status(spark, path)
+    val s1 = graft.operators.Sq8Lifecycle.delete(Seq(500003L).toDF("id"), path)
+    assert(s1.size == s0.size && s1.dirtyCount == s0.dirtyCount,
+      "missing-id delete must stay a no-op under the bucket hint")
+  }
+
   test("BQ/PCA driver keys: the shared four-phase arithmetic") {
     val n = 500L
     val dd = math.ceil(0.05 * n).toLong
