@@ -58,6 +58,7 @@ object BqLifecycle {
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
+    TierLifecycle.requireMutable(spark, indexPath)
     val (m, buckets) = loadModel(spark, indexPath)
     val v = newVecs.cache()
     val n = v.count()
@@ -71,6 +72,7 @@ object BqLifecycle {
 
   /** Point delete: the shared PARTITION-PRUNED bucket-rewrite. */
   def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    TierLifecycle.requireMutable(deleteIds.sparkSession, indexPath)
     val (_, buckets) = loadModel(deleteIds.sparkSession, indexPath)
     TierLifecycle.deletePruned(deleteIds, indexPath, buckets)
   }

@@ -60,6 +60,7 @@ object PcaLifecycle {
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
+    TierLifecycle.requireMutable(spark, indexPath)
     val (basis, dim, d, buckets) = loadModel(spark, indexPath)
     require(basis.length == dim && basis.forall(_.length == dim),
       "basis must be the full square matrix")
@@ -75,6 +76,7 @@ object PcaLifecycle {
 
   /** Point delete: the shared PARTITION-PRUNED bucket-rewrite. */
   def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    TierLifecycle.requireMutable(deleteIds.sparkSession, indexPath)
     val (_, _, _, buckets) = loadModel(deleteIds.sparkSession, indexPath)
     TierLifecycle.deletePruned(deleteIds, indexPath, buckets)
   }

@@ -71,6 +71,7 @@ object Sq8Lifecycle {
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
+    TierLifecycle.requireMutable(spark, indexPath)
     val (m, metric, buckets) = loadModel(spark, indexPath)
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
@@ -88,6 +89,7 @@ object Sq8Lifecycle {
     * buckets), so the scan and swap touch only those partitions.
     */
   def delete(deleteIds: DataFrame, indexPath: String): IndexStatus = {
+    TierLifecycle.requireMutable(deleteIds.sparkSession, indexPath)
     val (_, _, buckets) = loadModel(deleteIds.sparkSession, indexPath)
     TierLifecycle.deletePruned(deleteIds, indexPath, buckets)
   }

@@ -73,6 +73,17 @@ private[graft] object TierLifecycle {
     next
   }
 
+  /** Loud precondition every tier mutation runs BEFORE touching its
+    * model sidecar: an unbuilt/half-applied tree must fail with the
+    * lifecycle's own message, not an opaque parquet path error from a
+    * missing `_model`.
+    */
+  def requireMutable(spark: SparkSession, indexPath: String): Unit = {
+    require(IndexLifecycle.status(spark, indexPath).isBuilt,
+      "mutation requires a built index (build first)")
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+  }
+
   /** Partition-pruned point delete for the modulo-bucketed layouts:
     * unlike a content-assigned layout (IVF — which list holds a vector
     * is unknowable without scanning), these tiers COMPUTE each deleted
