@@ -81,10 +81,16 @@ object BqLifecycle {
     * popcount over 8 bytes/candidate at dim 64); `refineWith` = the
     * caller's raw (id, vec) primary store stacks the exact re-rank
     * (Bq.topK's two-tier shape) — the shortlist is k·refine wide then.
+    * `metric` drives only that exact re-rank (the hamming shortlist is
+    * metric-free — the one-sign-bit-model-serves-l2-AND-cosine
+    * contract): a cosine caller gets a cosine re-rank through the
+    * persisted face exactly as through the in-session Bq.topK.
     */
   def query(spark: SparkSession, indexPath: String, queryVec: Array[Float],
             k: Int, refineWith: Option[DataFrame] = None,
-            refine: Int = 8): DataFrame = {
+            refine: Int = 8,
+            metric: Int = graft.functions.VectorMetric.L2): DataFrame = {
+    TierLifecycle.requireServable(spark, indexPath)
     val (m, _) = loadModel(spark, indexPath)
     val qCodes = Bq.encodeQuery(queryVec, m)
     val ham = graft.functions.BqFunctions
@@ -97,7 +103,7 @@ object BqLifecycle {
         shortlist.select(col("neighbor_id"), col("hdist").cast("double").as("dist"))
           .limit(k)
       case Some(raw) =>
-        val exact = Ivf.distCol(graft.functions.VectorMetric.L2,
+        val exact = Ivf.distCol(metric,
           col("vec"), typedlit(queryVec.toSeq))
         shortlist.limit(k * math.max(1, refine)).select(col("neighbor_id"))
           .join(raw.withColumnRenamed("id", "neighbor_id"), "neighbor_id")

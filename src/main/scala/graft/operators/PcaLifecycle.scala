@@ -89,6 +89,7 @@ object PcaLifecycle {
   def query(spark: SparkSession, indexPath: String, queryVec: Array[Float],
             k: Int, refineWith: Option[DataFrame] = None,
             refine: Int = 8): DataFrame = {
+    TierLifecycle.requireServable(spark, indexPath)
     val (basis, dim, d, _) = loadModel(spark, indexPath)
     require(queryVec.length == dim,
       s"query dim ${queryVec.length} != index dim $dim")

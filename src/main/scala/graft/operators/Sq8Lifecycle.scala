@@ -101,6 +101,7 @@ object Sq8Lifecycle {
     */
   def query(spark: SparkSession, indexPath: String, queryVec: Array[Float],
             k: Int): DataFrame = {
+    TierLifecycle.requireServable(spark, indexPath)
     val (m, metric, _) = loadModel(spark, indexPath)
     require(queryVec.length == m.mins.length,
       s"query dim ${queryVec.length} != index dim ${m.mins.length}")

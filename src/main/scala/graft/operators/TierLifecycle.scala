@@ -84,6 +84,20 @@ private[graft] object TierLifecycle {
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
   }
 
+  /** The read-only sibling of [[requireMutable]], run by every tier
+    * SERVE path before loadModel/read (the IndexLifecycle.query
+    * contract: 'called by every serve path'): after a crash between a
+    * delete's two swap renames the bucket's rows live only under an
+    * `_old_cluster_id=N` path parquet readers skip, so a query that
+    * skipped this check would silently answer minus an entire bucket
+    * instead of refusing loudly.
+    */
+  def requireServable(spark: SparkSession, indexPath: String): Unit = {
+    require(IndexLifecycle.status(spark, indexPath).isBuilt,
+      "query requires a built index (build first)")
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+  }
+
   /** Partition-pruned point delete for the modulo-bucketed layouts:
     * unlike a content-assigned layout (IVF — which list holds a vector
     * is unknowable without scanning), these tiers COMPUTE each deleted

@@ -14,8 +14,15 @@ class Sq8LifecycleSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Temp index trees must not outlive the test run. */
+  private def withTree[T](prefix: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally graft.streaming.Streams.deleteTree(dir)
+  }
+
   test("frozen-model append ties with the original build; disk query serves it") {
-    val path = java.nio.file.Files.createTempDirectory("graft_sq8lc_append").toString
+    withTree("graft_sq8lc_append") { path =>
     val s1 = Sq8Lifecycle.build(spark, sf, path)
     assert(s1.isBuilt && s1.version == 1 && s1.size == 500 && !s1.isDirty)
 
@@ -48,10 +55,11 @@ class Sq8LifecycleSpec extends AnyFunSuite {
     val top2 = Sq8Lifecycle.query(spark, path, v1, k = 2)
       .collect().map(_.getLong(0)).toSet
     assert(top2 == Set(1L, 9999L), s"appended copy must tie with its original, got $top2")
+    }
   }
 
   test("delete rewrites only the affected buckets; read-back shrinks; no-op for missing ids") {
-    val path = java.nio.file.Files.createTempDirectory("graft_sq8lc_delete").toString
+    withTree("graft_sq8lc_delete") { path =>
     val s1 = Sq8Lifecycle.build(spark, sf, path)
 
     val fsys = new org.apache.hadoop.fs.Path(path)
@@ -86,6 +94,7 @@ class Sq8LifecycleSpec extends AnyFunSuite {
     // missing ids are a no-op (reference remove_vector returns False)
     val s3 = Sq8Lifecycle.delete(Seq(424242L).toDF("id"), path)
     assert(s3.size == s2.size && s3.dirtyCount == s2.dirtyCount)
+    }
   }
 
   test("driver key: the four-phase state table matches the shared A18b arithmetic") {

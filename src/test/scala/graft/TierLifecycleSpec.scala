@@ -14,8 +14,17 @@ class TierLifecycleSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Temp index trees must not outlive the test run (the TempTrees/
+    * deleteTree hygiene the production code enforces).
+    */
+  private def withTree[T](prefix: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally graft.streaming.Streams.deleteTree(dir)
+  }
+
   test("BQ: frozen-threshold append ties byte-exactly; hamming disk query + refine serve it") {
-    val path = java.nio.file.Files.createTempDirectory("graft_bqlc").toString
+    withTree("graft_bqlc") { path =>
     val s1 = BqLifecycle.build(spark, sf, path)
     assert(s1.isBuilt && s1.version == 1 && s1.size == 500 && !s1.isDirty)
 
@@ -59,10 +68,11 @@ class TierLifecycleSpec extends AnyFunSuite {
     assert(s3.size == s2.size - 1)
     assert(files(5) == untouchedBefore, "an unrelated bucket was rewritten")
     assert(spark.read.parquet(path).filter(col("id") === 3L).count() == 0)
+    }
   }
 
   test("PCA: frozen-basis append projects byte-exactly; reduced disk query + refine serve it") {
-    val path = java.nio.file.Files.createTempDirectory("graft_pcalc").toString
+    withTree("graft_pcalc") { path =>
     val s1 = PcaLifecycle.build(spark, sf, path)
     assert(s1.isBuilt && s1.version == 1 && s1.size == 500 && !s1.isDirty)
 
@@ -92,10 +102,11 @@ class TierLifecycleSpec extends AnyFunSuite {
     val refined = PcaLifecycle.query(spark, path, v1, k = 2,
       refineWith = Some(raw)).collect().map(_.getLong(0)).toSet
     assert(refined.contains(1L), "refine must keep the exact nearest neighbor")
+    }
   }
 
   test("deletePruned's bucket-hint filter partition-prunes the scan (one file read of 16)") {
-    val path = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    withTree("graft_prune") { path =>
     graft.operators.Sq8Lifecycle.build(spark, sf, path)
     // the exact filter form deleteFrom applies under a bucket hint
     val df = spark.read.parquet(path)
@@ -123,6 +134,61 @@ class TierLifecycleSpec extends AnyFunSuite {
     val s1 = graft.operators.Sq8Lifecycle.delete(Seq(500003L).toDF("id"), path)
     assert(s1.size == s0.size && s1.dirtyCount == s0.dirtyCount,
       "missing-id delete must stay a no-op under the bucket hint")
+    }
+  }
+
+  test("every tier's disk query refuses a half-applied tree with the lifecycle's message") {
+    import spark.implicits._
+    val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // (build, query) per tier — the serve-path precondition sweep: a
+    // crash between a delete's two swap renames leaves _old_cluster_id=N,
+    // and the query must refuse loudly, never answer minus a bucket
+    val tiers: Seq[(String, String => Unit, String => Unit)] = Seq(
+      ("sq8",
+        p => { graft.operators.Sq8Lifecycle.build(spark, sf, p); () },
+        p => { graft.operators.Sq8Lifecycle.query(spark, p, v1, 2).collect(); () }),
+      ("bq",
+        p => { BqLifecycle.build(spark, sf, p); () },
+        p => { BqLifecycle.query(spark, p, v1, 2).collect(); () }),
+      ("pca",
+        p => { PcaLifecycle.build(spark, sf, p); () },
+        p => { PcaLifecycle.query(spark, p, v1, 2).collect(); () }))
+    tiers.foreach { case (tier, build, query) =>
+      withTree(s"graft_${tier}_halfapplied") { path =>
+        build(path)
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(path, "_old_cluster_id=3"))
+        val e = intercept[IllegalArgumentException] { query(path) }
+        assert(e.getMessage.contains("half-applied mutation"),
+          s"$tier query must refuse with the lifecycle's message, got: ${e.getMessage}")
+      }
+      // and an unbuilt tree refuses with the lifecycle's message too,
+      // not an opaque parquet path error from the missing _model
+      withTree(s"graft_${tier}_unbuilt") { path =>
+        val e = intercept[IllegalArgumentException] { query(path) }
+        assert(e.getMessage.contains("build first"),
+          s"$tier query on an unbuilt tree must say 'build first', got: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("BQ persisted refine serves the caller's metric (cosine ≡ in-session Bq.topK)") {
+    withTree("graft_bq_metric") { path =>
+      BqLifecycle.build(spark, sf, path)
+      val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val raw = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cos = graft.functions.VectorMetric.Cosine
+      val viaDisk = BqLifecycle.query(spark, path, q, k = 5,
+        refineWith = Some(raw), metric = cos)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaSession = Bq.topK(spark, sf, q, k = 5, metric = cos)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaDisk == viaSession,
+        "the persisted face's cosine re-rank must match the in-session twin")
+    }
   }
 
   test("BQ/PCA driver keys: the shared four-phase arithmetic") {
