@@ -53,15 +53,21 @@ object Bq {
     */
   def train(spark: SparkSession, dir: String): Model =
     models.getOrElse(dir, synchronized {
-      models.getOrElseUpdate(dir, {
-        val rows = corpus(spark, dir)
-          .select(posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy("pos").agg(avg(col("x")).as("mu"))
-          .orderBy("pos").collect()
-        require(rows.nonEmpty, "cannot train BQ on an empty corpus")
-        Model(rows.map(_.getDouble(1)))
-      })
+      models.getOrElseUpdate(dir, trainFrom(corpus(spark, dir)))
     })
+
+  /** The training aggregation over an EXPLICIT (id, vec) frame — the
+    * rebuild path's face, un-memoized (the dir-keyed [[train]] wraps
+    * it for the session corpus).
+    */
+  private[graft] def trainFrom(vecs: DataFrame): Model = {
+    val rows = vecs
+      .select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x")).as("mu"))
+      .orderBy("pos").collect()
+    require(rows.nonEmpty, "cannot train BQ on an empty corpus")
+    Model(rows.map(_.getDouble(1)))
+  }
 
   /** Corpus as (id, codes binary of ceil(dim/8) bytes), memoized. */
   def encode(spark: SparkSession, dir: String): DataFrame =

@@ -55,17 +55,28 @@ object BqLifecycle {
     * FROZEN sidecar thresholds and land crash-consistently. No
     * retrain — a drifted mean only degrades bit balance, which the
     * dirty-ratio policy eventually answers with a rebuild.
+    * `streamBatchId`/`streamId` are the foreachBatch at-least-once
+    * guard (the PqLifecycle.append contract, via the shared
+    * appendStaged): a replayed batch NO-OPs before paying the encode.
     */
-  def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
+  def append(newVecs: DataFrame, indexPath: String,
+             streamBatchId: Option[Long] = None,
+             streamId: Option[String] = None): IndexStatus = {
     val spark = newVecs.sparkSession
     TierLifecycle.requireMutable(spark, indexPath)
+    // replay no-op BEFORE the model load and the batch count — the
+    // shared appendStaged re-checks under the same state read it writes
+    val s0 = IndexLifecycle.status(spark, indexPath)
+    if (streamBatchId.exists(_ <= s0.appliedBatchFor(streamId.getOrElse(""))))
+      return s0
     val (m, buckets) = loadModel(spark, indexPath)
     val v = newVecs.cache()
     val n = v.count()
     val staged = v.select(
       TierLifecycle.bucketOf(col("id"), buckets).as("cluster_id"), col("id"),
       graft.functions.BqFunctions.bqEncode(col("vec"), m.thresholds).as("codes"))
-    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n)
+    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n,
+      streamBatchId, streamId)
     v.unpersist()
     next
   }
@@ -113,14 +124,37 @@ object BqLifecycle {
     }
   }
 
-  /** Driver query: the shared four-phase state machine over the BQ
-    * tree (TierLifecycle.fourPhase — the A18b arithmetic verbatim).
+  /** Out-of-band rebuild (the shared [[TierLifecycle.rebuild]] with
+    * BQ's own parts): retrain the per-dimension mean thresholds on the
+    * current contents, re-sign-encode, re-level buckets, staged swap.
+    */
+  def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = currentVecs.sparkSession
+    TierLifecycle.requireMutable(spark, indexPath)
+    TierLifecycle.rebuild(currentVecs, indexPath, "bq", (v, buckets, tmp) => {
+      val m = Bq.trainFrom(v)
+      val rows = v.select(col("id"),
+        graft.functions.BqFunctions.bqEncode(col("vec"), m.thresholds).as("codes"))
+      (rows, m.dim, () => {
+        import spark.implicits._
+        m.thresholds.indices.map(i => (i, m.thresholds(i))).toDF("pos", "mu")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_model")
+        Seq((m.dim, buckets)).toDF("dim", "buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+      })
+    })
+  }
+
+  /** Driver query: the shared five-phase state machine over the BQ
+    * tree (TierLifecycle.fivePhase — the A18b arithmetic for phases
+    * 1-4, the rebuild reset as phase 5).
     */
   def bqLifecycle(spark: SparkSession, dir: String): DataFrame =
-    TierLifecycle.fourPhase(spark, dir, "graft_bq_lc",
+    TierLifecycle.fivePhase(spark, dir, "graft_bq_lc",
       tmp => build(spark, dir, tmp),
       (vs, tmp) => append(vs, tmp),
-      (ids, tmp) => delete(ids, tmp))
+      (ids, tmp) => delete(ids, tmp),
+      (vs, tmp) => rebuild(vs, tmp))
 
-  def bqLifecycleOracleSql: String = PqLifecycle.ivfpqLifecycleOracleSql
+  def bqLifecycleOracleSql: String = TierLifecycle.tierLifecycleOracleSql
 }

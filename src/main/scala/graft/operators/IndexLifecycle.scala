@@ -487,6 +487,64 @@ object IndexLifecycle {
     next
   }
 
+  /** The rebuild SWAP protocol (the reference's atomic snapshot
+    * replacement, index_service.py:270-284, expressed as directory
+    * renames) — shared by every out-of-band rebuild (PqLifecycle for
+    * the IVF-PQ layout, TierLifecycle for the flat SQ8/BQ/PCA tiers),
+    * so the concurrent-mutation guards cannot drift between families.
+    * `tmp` holds the COMPLETE staged tree (lists + sidecars + its
+    * already-written state); `entry` is the live state the caller read
+    * on entry. Two checks narrow the lost-update window: the live
+    * state re-read just before the renames (abort: staged tree
+    * discarded, loud retry error) and a second re-read of the
+    * moved-aside tree right after the first rename (restore: live tree
+    * renamed back, staged discarded). A crash during staging leaves
+    * the live index untouched; a crash between the renames leaves BOTH
+    * complete trees under loud names — never a half-mixed model.
+    * `beforeSwap` is the test seam that lands a mutation inside the
+    * guarded window.
+    */
+  private[operators] def swapRebuilt(spark: SparkSession, indexPath: String,
+                                     tmp: Path, entry: IndexStatus,
+                                     beforeSwap: () => Unit = () => ()): Unit = {
+    val f = fs(spark, indexPath)
+    beforeSwap()
+    // abort-before-swap: an append/delete that landed AFTER the
+    // caller's contents snapshot exists only in the live tree —
+    // swapping it away would silently lose those rows (and a carried
+    // stream watermark would even block their replay).
+    val live0 = status(spark, indexPath)
+    if ((live0.version, live0.dirtyCount, live0.size, live0.appliedStreams) !=
+        (entry.version, entry.dirtyCount, entry.size, entry.appliedStreams)) {
+      f.delete(tmp, true)
+      sys.error(s"rebuild: concurrent mutation landed during staging " +
+        s"(entry state $entry, live state $live0) — staged tree discarded, " +
+        "re-run rebuild against the current contents")
+    }
+    val live = new Path(indexPath)
+    val aside = new Path(s"${indexPath}_old_v${entry.version}")
+    if (!f.rename(live, aside))
+      sys.error(s"rebuild: could not move live index $live aside")
+    // second check AFTER the move-aside: a mutation that slipped in
+    // between the abort check and the rename travelled WITH the tree —
+    // restore it and retry rather than deleting it as the old version
+    val moved = status(spark, aside.toString)
+    if ((moved.version, moved.dirtyCount, moved.size, moved.appliedStreams) !=
+        (entry.version, entry.dirtyCount, entry.size, entry.appliedStreams)) {
+      if (!f.rename(aside, live))
+        sys.error(s"rebuild: late mutation detected but could not restore " +
+          s"$aside to $live — recover by hand before serving")
+      f.delete(tmp, true)
+      sys.error("rebuild: concurrent mutation landed between the abort check " +
+        "and the swap — live tree restored, staged tree discarded, re-run " +
+        "rebuild against the current contents")
+    }
+    if (!f.rename(tmp, live))
+      sys.error(s"rebuild: rename $tmp -> $live failed; last good version at $aside")
+    if (!f.delete(aside, true))
+      sys.error(s"rebuild: could not clean up old version $aside")
+  }
+
   /** Refuse to operate on an index carrying a half-applied mutation
     * marker: `_old_cluster_id=N` (a crash between a delete's two swap
     * renames) or `_append_tmp` (a crash inside an append's stage/move

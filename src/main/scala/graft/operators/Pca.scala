@@ -56,8 +56,13 @@ object Pca {
   /** Bounded deterministic training sample (the shared quantizer
     * budget: ceiling-division hash modulus + orderBy.limit).
     */
-  private def trainSample(spark: SparkSession, dir: String): Array[Array[Float]] = {
-    val vecs = corpus(spark, dir)
+  private def trainSample(spark: SparkSession, dir: String): Array[Array[Float]] =
+    sampleFrom(corpus(spark, dir))
+
+  /** The bounded deterministic sample over an EXPLICIT (id, vec)
+    * frame — shared by the dir-keyed trainer and the rebuild path.
+    */
+  private def sampleFrom(vecs: DataFrame): Array[Array[Float]] = {
     val n = vecs.count()
     require(n > 0, "cannot train PCA on an empty corpus")
     val sampled =
@@ -74,45 +79,53 @@ object Pca {
     */
   def train(spark: SparkSession, dir: String): Model =
     models.getOrElse(dir, synchronized {
-      models.getOrElseUpdate(dir, {
-        val sample = trainSample(spark, dir)
-        val dim = sample(0).length
-        val n = sample.length
-        val mean = new Array[Double](dim)
-        sample.foreach { v =>
-          var i = 0; while (i < dim) { mean(i) += v(i); i += 1 }
-        }
-        var i = 0; while (i < dim) { mean(i) /= n; i += 1 }
-        val cov = Array.ofDim[Double](dim, dim)
-        sample.foreach { v =>
-          var a = 0
-          while (a < dim) {
-            val xa = v(a) - mean(a)
-            var b = a
-            while (b < dim) { cov(a)(b) += xa * (v(b) - mean(b)); b += 1 }
-            a += 1
-          }
-        }
-        var a = 0
-        while (a < dim) {
-          var b = a
-          while (b < dim) {
-            cov(a)(b) /= math.max(1, n - 1); cov(b)(a) = cov(a)(b); b += 1
-          }
-          a += 1
-        }
-        val cm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((r, c) => cov(r)(c))
-        val es = breeze.linalg.eigSym(cm)
-        // eigSym returns ascending eigenvalues; flip to descending
-        val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2)
-        val total = math.max(es.eigenvalues.toArray.map(math.max(_, 0.0)).sum, 1e-300)
-        val basis = order.map { j =>
-          Array.tabulate(dim)(r => es.eigenvectors(r, j))
-        }
-        val varExp = order.map(j => math.max(es.eigenvalues(j), 0.0) / total)
-        Model(dim, basis, varExp)
-      })
+      models.getOrElseUpdate(dir, eigOf(trainSample(spark, dir)))
     })
+
+  /** [[train]] over an EXPLICIT (id, vec) frame — the rebuild path's
+    * face, un-memoized (the dir-keyed [[train]] wraps the same
+    * sample + eigendecomposition for the session corpus).
+    */
+  private[graft] def trainFrom(vecs: DataFrame): Model =
+    eigOf(sampleFrom(vecs))
+
+  private def eigOf(sample: Array[Array[Float]]): Model = {
+    val dim = sample(0).length
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0; while (i < dim) { mean(i) += v(i); i += 1 }
+    }
+    var i = 0; while (i < dim) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      var a = 0
+      while (a < dim) {
+        val xa = v(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += xa * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) {
+        cov(a)(b) /= math.max(1, n - 1); cov(b)(a) = cov(a)(b); b += 1
+      }
+      a += 1
+    }
+    val cm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((r, c) => cov(r)(c))
+    val es = breeze.linalg.eigSym(cm)
+    // eigSym returns ascending eigenvalues; flip to descending
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2)
+    val total = math.max(es.eigenvalues.toArray.map(math.max(_, 0.0)).sum, 1e-300)
+    val basis = order.map { j =>
+      Array.tabulate(dim)(r => es.eigenvectors(r, j))
+    }
+    val varExp = order.map(j => math.max(es.eigenvalues(j), 0.0) / total)
+    Model(dim, basis, varExp)
+  }
 
   /** Corpus projected to the top `d` components: (id, rvec array<float>
     * of length d). One codegen'd map (RotateVector + slice), memoized.

@@ -111,14 +111,41 @@ object PcaLifecycle {
     }
   }
 
-  /** Driver query: the shared four-phase state machine over the PCA
-    * tree (TierLifecycle.fourPhase — the A18b arithmetic verbatim).
+  /** Out-of-band rebuild (the shared [[TierLifecycle.rebuild]] with
+    * PCA's own parts): re-run the sampled covariance +
+    * eigendecomposition on the current contents, re-project every
+    * vector through the NEW basis (rotate-then-slice, the build's
+    * kernel), re-level buckets, staged swap. The tree's reduced dim
+    * is kept across rebuilds (the serving contract's shape).
+    */
+  def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = currentVecs.sparkSession
+    TierLifecycle.requireMutable(spark, indexPath)
+    val (_, _, d, _) = loadModel(spark, indexPath)
+    TierLifecycle.rebuild(currentVecs, indexPath, "pca", (v, buckets, tmp) => {
+      val m = Pca.trainFrom(v)
+      val rows = v.select(col("id"),
+        slice(RotateFunctions.rotateVector(col("vec"), m.basis), 1, d).as("rvec"))
+      (rows, m.dim, () => {
+        import spark.implicits._
+        (0 until m.dim).map(i => (i, m.basis(i).toSeq)).toDF("pos", "comp")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_model")
+        Seq((m.dim, d, buckets)).toDF("dim", "rdim", "buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+      })
+    })
+  }
+
+  /** Driver query: the shared five-phase state machine over the PCA
+    * tree (TierLifecycle.fivePhase — the A18b arithmetic for phases
+    * 1-4, the rebuild reset as phase 5).
     */
   def pcaLifecycle(spark: SparkSession, dir: String): DataFrame =
-    TierLifecycle.fourPhase(spark, dir, "graft_pca_lc",
+    TierLifecycle.fivePhase(spark, dir, "graft_pca_lc",
       tmp => build(spark, dir, tmp),
       (vs, tmp) => append(vs, tmp),
-      (ids, tmp) => delete(ids, tmp))
+      (ids, tmp) => delete(ids, tmp),
+      (vs, tmp) => rebuild(vs, tmp))
 
-  def pcaLifecycleOracleSql: String = PqLifecycle.ivfpqLifecycleOracleSql
+  def pcaLifecycleOracleSql: String = TierLifecycle.tierLifecycleOracleSql
 }

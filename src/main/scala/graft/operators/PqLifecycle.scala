@@ -209,43 +209,10 @@ object PqLifecycle {
       version = s.version + 1, dirtyCount = 0L, totalVectors = n,
       appliedStreams = s.appliedStreams)
     IndexLifecycle.writeState(spark, tmp.toString, next)
-    beforeSwap()
-    // abort-before-swap: an append/delete that landed AFTER the
-    // currentVecs snapshot exists only in the live tree — swapping it
-    // away would silently lose those rows (and a carried stream
-    // watermark would even block their replay). Re-read the live state
-    // and refuse if anything moved since entry; the staged tree is
-    // deleted and the caller re-runs rebuild over the fresh contents.
-    val live0 = IndexLifecycle.status(spark, indexPath)
-    if ((live0.version, live0.dirtyCount, live0.size, live0.appliedStreams) !=
-        (s.version, s.dirtyCount, s.size, s.appliedStreams)) {
-      fs.delete(tmp, true)
-      sys.error(s"rebuild: concurrent mutation landed during staging " +
-        s"(entry state $s, live state $live0) — staged tree discarded, " +
-        "re-run rebuild against the current contents")
-    }
-    val live = new org.apache.hadoop.fs.Path(indexPath)
-    val aside = new org.apache.hadoop.fs.Path(s"${indexPath}_old_v${s.version}")
-    if (!fs.rename(live, aside))
-      sys.error(s"rebuild: could not move live index $live aside")
-    // second check AFTER the move-aside: a mutation that slipped in
-    // between the abort check and the rename travelled WITH the tree —
-    // restore it and retry rather than deleting it as the old version
-    val moved = IndexLifecycle.status(spark, aside.toString)
-    if ((moved.version, moved.dirtyCount, moved.size, moved.appliedStreams) !=
-        (s.version, s.dirtyCount, s.size, s.appliedStreams)) {
-      if (!fs.rename(aside, live))
-        sys.error(s"rebuild: late mutation detected but could not restore " +
-          s"$aside to $live — recover by hand before serving")
-      fs.delete(tmp, true)
-      sys.error("rebuild: concurrent mutation landed between the abort check " +
-        "and the swap — live tree restored, staged tree discarded, re-run " +
-        "rebuild against the current contents")
-    }
-    if (!fs.rename(tmp, live))
-      sys.error(s"rebuild: rename $tmp -> $live failed; last good version at $aside")
-    if (!fs.delete(aside, true))
-      sys.error(s"rebuild: could not clean up old version $aside")
+    // shared swap protocol (IndexLifecycle.swapRebuilt): abort check,
+    // rename-aside, post-rename re-check, cleanup — one implementation
+    // for every rebuilt family
+    IndexLifecycle.swapRebuilt(spark, indexPath, tmp, s, beforeSwap)
     next
   }
 

@@ -55,22 +55,32 @@ object Sq8 {
   def train(spark: SparkSession, dir: String,
             metric: Int = VectorMetric.L2): Model =
     models.get((dir, Ivf.repr(metric))).getOrElse(synchronized {
-      models.getOrElseUpdate((dir, Ivf.repr(metric)), {
-        val rows = corpus(spark, dir, metric)
-          .select(posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy("pos")
-          .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-          .orderBy("pos")
-          .collect()
-        require(rows.nonEmpty, "cannot train SQ8 on an empty corpus")
-        val mins = rows.map(_.getFloat(1).toDouble)
-        val scales = rows.map { r =>
-          val span = r.getFloat(2).toDouble - r.getFloat(1).toDouble
-          if (span <= 0.0) 1.0 else 255.0 / span
-        }
-        Model(mins, scales)
-      })
+      models.getOrElseUpdate((dir, Ivf.repr(metric)),
+        trainFrom(corpus(spark, dir, metric)))
     })
+
+  /** The training aggregation over an EXPLICIT (id, vec) frame — the
+    * rebuild path's face (TierLifecycle.rebuild retrains on an index's
+    * current logical contents, which no corpus dir names), deliberately
+    * un-memoized: the dir-keyed [[train]] wraps it for the session
+    * corpus. Cosine callers pass already-normalized vectors (the
+    * corpus()/Ivf.metricTransform representation).
+    */
+  private[graft] def trainFrom(vecs: DataFrame): Model = {
+    val rows = vecs
+      .select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy("pos")
+      .collect()
+    require(rows.nonEmpty, "cannot train SQ8 on an empty corpus")
+    val mins = rows.map(_.getFloat(1).toDouble)
+    val scales = rows.map { r =>
+      val span = r.getFloat(2).toDouble - r.getFloat(1).toDouble
+      if (span <= 0.0) 1.0 else 255.0 / span
+    }
+    Model(mins, scales)
+  }
 
   /** Corpus as (id, codes binary — ONE byte per dimension, the real 4×
     * budget in cache and shuffle, not just on disk).

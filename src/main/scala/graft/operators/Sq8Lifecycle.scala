@@ -118,23 +118,52 @@ object Sq8Lifecycle {
       .limit(k)
   }
 
+  /** Out-of-band rebuild (the shared [[TierLifecycle.rebuild]] with
+    * SQ8's own parts): retrain the per-dimension (min, scale) model on
+    * the RAW current contents, re-encode every vector, re-level the
+    * buckets at the new size, staged swap. The tree's metric is kept
+    * across rebuilds (a cosine tree retrains on normalized content,
+    * the same representation the build used).
+    */
+  def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
+    val spark = currentVecs.sparkSession
+    TierLifecycle.requireMutable(spark, indexPath)
+    val (_, metric, _) = loadModel(spark, indexPath)
+    TierLifecycle.rebuild(Ivf.metricTransform(currentVecs, metric), indexPath,
+      "sq8", (v, buckets, tmp) => {
+        val m = Sq8.trainFrom(v)
+        val rows = v.select(col("id"),
+          graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
+            .as("codes"))
+        (rows, m.mins.length, () => {
+          import spark.implicits._
+          m.mins.indices.map(i => (i, m.mins(i), m.scales(i)))
+            .toDF("pos", "lo", "scale")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_model")
+          Seq((m.mins.length, metric, buckets)).toDF("dim", "metric", "buckets")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+        })
+      })
+  }
+
   /** Driver query: the SQ8 lifecycle state machine end-to-end as one
     * deterministic table — build, frozen-model append (sub-threshold
-    * dirt), delete (crossing the threshold), and an on-disk read-back
-    * proving the code lists really grew and shrank. Phases and
-    * arithmetic are the SHARED TierLifecycle.fourPhase (identical to
-    * A18b's — the point: every persisted tier speaks the same state
-    * machine), so the oracle is shared too.
+    * dirt), delete (crossing the threshold), an on-disk read-back
+    * proving the code lists really grew and shrank, and the rebuild
+    * the fired policy asks for (retrain + re-encode + version 2 +
+    * dirt reset, its own read-back). Phases and arithmetic are the
+    * SHARED TierLifecycle.fivePhase (the point: every persisted tier
+    * speaks the same state machine), so the oracle is shared too.
     */
   def sq8Lifecycle(spark: SparkSession, dir: String): DataFrame =
-    TierLifecycle.fourPhase(spark, dir, "graft_sq8_lc",
+    TierLifecycle.fivePhase(spark, dir, "graft_sq8_lc",
       tmp => build(spark, dir, tmp),
       (vs, tmp) => append(vs, tmp),
-      (ids, tmp) => delete(ids, tmp))
+      (ids, tmp) => delete(ids, tmp),
+      (vs, tmp) => rebuild(vs, tmp))
 
-  /** Identical arithmetic to A18b's oracle — same append fraction,
-    * same delete stride, same 4 phases (the SQ8 tree counts growth
-    * and shrinkage exactly as the IVF-PQ one does).
+  /** The shared tier arithmetic — phases 1-4 identical to A18b's
+    * oracle, phase 5 the rebuild reset.
     */
-  def sq8LifecycleOracleSql: String = PqLifecycle.ivfpqLifecycleOracleSql
+  def sq8LifecycleOracleSql: String = TierLifecycle.tierLifecycleOracleSql
 }

@@ -61,14 +61,28 @@ private[graft] object TierLifecycle {
     * (cluster_id, id, payload…): the shared dirt accounting + the
     * crash-consistent landAppend protocol. The caller encoded against
     * its FROZEN sidecar model — nothing retrains here.
+    * `streamBatchId`/`streamId` are the at-least-once replay guard for
+    * foreachBatch callers (the PqLifecycle.append contract verbatim):
+    * the per-stream watermark is recorded in the SAME state write
+    * landAppend does before moving files in, so a replayed batch sees
+    * its own stream's watermark >= batchId and NO-OPs instead of
+    * landing duplicate code rows.
     */
   def appendStaged(spark: SparkSession, indexPath: String,
-                   staged: DataFrame, n: Long): IndexStatus = {
+                   staged: DataFrame, n: Long,
+                   streamBatchId: Option[Long] = None,
+                   streamId: Option[String] = None): IndexStatus = {
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "append requires a built index (build first)")
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
-    val next = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
+    if (streamBatchId.exists(_ <= s.appliedBatchFor(streamId.getOrElse(""))))
+      return s
+    val grown = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
       size = s.size + n)
+    val next = streamBatchId match {
+      case Some(b) => grown.withAppliedBatch(streamId.getOrElse(""), b)
+      case None => grown
+    }
     IndexLifecycle.landAppend(spark, indexPath, staged, next)
     next
   }
@@ -114,16 +128,73 @@ private[graft] object TierLifecycle {
       bucketHint = Some(hint))
   }
 
-  /** The four-phase driver-key body every tier lifecycle shares —
+  /** Out-of-band rebuild for a flat tier — the close of the
+    * reference's lazy-rebuild loop (index_service.py:56-198, the
+    * exact policy PqLifecycle.rebuild implements for IVF-PQ) on the
+    * shared seam: when the dirty-ratio policy fires, retrain the
+    * tier's model on the index's CURRENT logical contents, re-encode
+    * every vector under the new model, and land the result as
+    * version+1 with dirt reset. `currentVecs` is the RAW (id, vec)
+    * view of what the index should now hold (the tier's stored codes
+    * are lossy, so a rebuild by definition starts from the primary
+    * store); the caller passes it ALREADY in the tier's training
+    * representation (cosine trees: metric-transformed). `trainEncode`
+    * owns what is genuinely the tier's: train the new model from the
+    * cached contents, return the encoded (id, payload…) rows, the
+    * model dim, and a sidecar writer targeting the STAGED tree.
+    *
+    * The bucket count is re-derived from the new size (√(n/2) growth —
+    * a rebuild is exactly when the layout gets to re-level itself),
+    * the whole new tree stages at `<path>_rebuild_tmp` while the live
+    * index keeps serving, and the swap runs the SHARED protocol
+    * (IndexLifecycle.swapRebuilt: abort-on-concurrent-mutation before
+    * and after the move-aside, loud names on every crash window). The
+    * stream watermark map carries over — a rebuild must not reopen
+    * replay windows for an ingest stream running against the tier.
+    */
+  def rebuild(currentVecs: DataFrame, indexPath: String, kind: String,
+              trainEncode: (DataFrame, Int, String) => (DataFrame, Int, () => Unit),
+              beforeSwap: () => Unit = () => ()): IndexStatus = {
+    val spark = currentVecs.sparkSession
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, "rebuild requires a built index (build first)")
+    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+    val fs = IndexLifecycle.fs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"${indexPath}_rebuild_tmp")
+    fs.delete(tmp, true)
+    val v = currentVecs.cache()
+    val n = v.count()
+    val buckets = bucketsFor(n)
+    val (rows, dim, writeSidecars) = trainEncode(v, buckets, tmp.toString)
+    rows.select(bucketOf(col("id"), buckets).as("cluster_id") +:
+        rows.columns.map(col): _*)
+      .repartition(col("cluster_id")) // one file per bucket
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp.toString)
+    writeSidecars()
+    val next = IndexStatus(kind, isBuilt = true, isDirty = false, size = n,
+      embeddingDim = dim, builtAt = System.currentTimeMillis(),
+      version = s.version + 1, dirtyCount = 0L, totalVectors = n,
+      appliedStreams = s.appliedStreams)
+    IndexLifecycle.writeState(spark, tmp.toString, next)
+    v.unpersist()
+    IndexLifecycle.swapRebuilt(spark, indexPath, tmp, s, beforeSwap)
+    next
+  }
+
+  /** The five-phase driver-key body every tier lifecycle shares —
     * build, frozen-model append of ceil(0.05·n) re-keyed vectors,
     * delete of every 7th original (crossing the rebuild threshold),
-    * disk read-back — so all the lifecycle keys verify against the
-    * ONE A18b oracle (PqLifecycle.ivfpqLifecycleOracleSql).
+    * disk read-back, and the REBUILD the fired policy asks for
+    * (retrain on the current logical contents → version 2, dirt
+    * reset, its own read-back) — so all the tier keys verify against
+    * the ONE shared oracle ([[tierLifecycleOracleSql]]: phases 1-4
+    * are the A18b arithmetic verbatim, phase 5 closes the loop).
     */
-  def fourPhase(spark: SparkSession, dir: String, tmpPrefix: String,
+  def fivePhase(spark: SparkSession, dir: String, tmpPrefix: String,
                 build: String => IndexStatus,
                 append: (DataFrame, String) => IndexStatus,
-                delete: (DataFrame, String) => IndexStatus): DataFrame = {
+                delete: (DataFrame, String) => IndexStatus,
+                rebuild: (DataFrame, String) => IndexStatus): DataFrame = {
     val tmpDir = java.nio.file.Files.createTempDirectory(tmpPrefix)
     val tmp = tmpDir.toString
     try {
@@ -132,13 +203,20 @@ private[graft] object TierLifecycle {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val s1 = build(tmp)
       val d = math.ceil(0.05 * n).toLong
-      val s2 = append(
-        vecs.filter(col("id") < d).select((col("id") + n).as("id"), col("vec")),
-        tmp)
+      val appended = vecs.filter(col("id") < d)
+        .select((col("id") + n).as("id"), col("vec"))
+      val s2 = append(appended, tmp)
       val s3 = delete(vecs.filter(col("id") % 7 === 0).select("id"), tmp)
       val s4 = s3.copy(size = spark.read.parquet(tmp).count()) // read-back
+      // phase 3 crossed the threshold (should_rebuild fired) — run the
+      // rebuild it asks for, on the index's current LOGICAL contents
+      // (originals minus deletions, plus the appended arrivals), then
+      // prove the re-encoded tree really landed with a disk read-back
+      val current = vecs.filter(col("id") % 7 =!= 0).unionAll(appended)
+      val s5 = rebuild(current, tmp)
+        .copy(size = spark.read.parquet(tmp).count()) // read-back
       import spark.implicits._
-      Seq(s1, s2, s3, s4).zipWithIndex
+      Seq(s1, s2, s3, s4, s5).zipWithIndex
         .map { case (s, i) =>
           (i + 1, s.version, s.isDirty, s.dirtyCount, s.size,
             s.shouldRebuild(IndexLifecycle.RebuildThreshold)) }
@@ -147,4 +225,21 @@ private[graft] object TierLifecycle {
         .localCheckpoint()
     } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
+
+  /** The shared tier-lifecycle oracle: phases 1-4 are A18b's
+    * arithmetic verbatim (d = ceil(0.05·n) appended, every 7th
+    * original deleted, read-back); phase 5 is the rebuild — version 2,
+    * clean, size = the rebuilt tree's n + d − r rows, policy reset.
+    */
+  def tierLifecycleOracleSql: String =
+    """WITH p AS (SELECT count(*) AS n,
+      |  CAST(ceil(0.05*count(*)) AS BIGINT) AS d,
+      |  CAST(count(*) FILTER (WHERE vec_id % 7 = 0) AS BIGINT) AS r FROM embeddings)
+      |SELECT 1 AS phase, 1 AS version, false AS is_dirty, CAST(0 AS BIGINT) AS dirty_count,
+      |       n AS size, false AS should_rebuild FROM p
+      |UNION ALL SELECT 2, 1, true, d, n + d, (1.0*d/n >= 0.1) FROM p
+      |UNION ALL SELECT 3, 1, true, d + r, n + d - r, (1.0*(d+r)/n >= 0.1) FROM p
+      |UNION ALL SELECT 4, 1, true, d + r, n + d - r, (1.0*(d+r)/n >= 0.1) FROM p
+      |UNION ALL SELECT 5, 2, false, CAST(0 AS BIGINT), n + d - r, false FROM p
+      |ORDER BY phase""".stripMargin
 }

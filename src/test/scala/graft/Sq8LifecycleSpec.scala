@@ -97,9 +97,9 @@ class Sq8LifecycleSpec extends AnyFunSuite {
     }
   }
 
-  test("driver key: the four-phase state table matches the shared A18b arithmetic") {
+  test("driver key: the five-phase state table matches the shared tier arithmetic") {
     val rows = Sq8Lifecycle.sq8Lifecycle(spark, sf).collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5)
     val n = 500L
     val d = math.ceil(0.05 * n).toLong
     val r = (0L until n).count(_ % 7 == 0).toLong
@@ -109,6 +109,7 @@ class Sq8LifecycleSpec extends AnyFunSuite {
       (1, 1, false, 0L, n, false),
       (2, 1, true, d, n + d, 1.0 * d / n >= 0.1),
       (3, 1, true, d + r, n + d - r, 1.0 * (d + r) / n >= 0.1),
-      (4, 1, true, d + r, n + d - r, 1.0 * (d + r) / n >= 0.1)))
+      (4, 1, true, d + r, n + d - r, 1.0 * (d + r) / n >= 0.1),
+      (5, 2, false, 0L, n + d - r, false)))
   }
 }

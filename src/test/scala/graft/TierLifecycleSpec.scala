@@ -191,7 +191,7 @@ class TierLifecycleSpec extends AnyFunSuite {
     }
   }
 
-  test("BQ/PCA driver keys: the shared four-phase arithmetic") {
+  test("BQ/PCA driver keys: the shared five-phase arithmetic (rebuild closes the loop)") {
     val n = 500L
     val dd = math.ceil(0.05 * n).toLong
     val r = (0L until n).count(_ % 7 == 0).toLong
@@ -199,12 +199,91 @@ class TierLifecycleSpec extends AnyFunSuite {
       (1, 1, false, 0L, n, false),
       (2, 1, true, dd, n + dd, 1.0 * dd / n >= 0.1),
       (3, 1, true, dd + r, n + dd - r, 1.0 * (dd + r) / n >= 0.1),
-      (4, 1, true, dd + r, n + dd - r, 1.0 * (dd + r) / n >= 0.1))
+      (4, 1, true, dd + r, n + dd - r, 1.0 * (dd + r) / n >= 0.1),
+      (5, 2, false, 0L, n + dd - r, false))
     Seq(BqLifecycle.bqLifecycle(spark, sf), PcaLifecycle.pcaLifecycle(spark, sf))
       .foreach { df =>
         val got = df.collect().map(x => (x.getInt(0), x.getInt(1),
           x.getBoolean(2), x.getLong(3), x.getLong(4), x.getBoolean(5))).toSeq
         assert(got == want)
       }
+  }
+
+  test("rebuild re-encodes under the NEW model and removes the old/staged trees") {
+    withTree("graft_bq_rebuild") { path =>
+      import spark.implicits._
+      val s1 = BqLifecycle.build(spark, sf, path)
+      val (oldModel, _) = BqLifecycle.loadModel(spark, path)
+      // current contents = a SHIFTED corpus (every component +1.0):
+      // the retrained thresholds MUST move, so stale-model codes would
+      // be detectably wrong
+      val shifted = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => (x + lit(1.0f))).as("vec"))
+      val s2 = BqLifecycle.rebuild(shifted, path)
+      assert(s2.version == s1.version + 1 && !s2.isDirty && s2.dirtyCount == 0L)
+      val (newModel, _) = BqLifecycle.loadModel(spark, path)
+      assert(newModel.thresholds.toSeq != oldModel.thresholds.toSeq,
+        "rebuild must retrain the thresholds on the current contents")
+      assert(newModel.thresholds.zip(oldModel.thresholds).forall {
+        case (nw, od) => math.abs(nw - (od + 1.0)) < 1e-4 },
+        "the retrained means must track the shifted content")
+      // code coherence: the stored codes are the NEW model's encoding
+      // of the new contents, byte-for-byte
+      val v0 = shifted.filter(col("id") === 0L)
+        .select(col("vec")).head().getSeq[Float](0).toArray
+      val stored = spark.read.parquet(path).filter(col("id") === 0L)
+        .select(col("codes")).head().getAs[Array[Byte]](0).toSeq
+      assert(stored == Bq.encodeQuery(v0, newModel).toSeq,
+        "stored codes must be the NEW model's encoding")
+      // the staged tree and the moved-aside old version are gone
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"${path}_rebuild_tmp")),
+        "staged tree must not survive the swap")
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"${path}_old_v1")),
+        "the moved-aside old version must be cleaned up")
+      // and the rebuilt tree serves (the refusal sweep's precondition
+      // passes — no markers anywhere)
+      assert(BqLifecycle.query(spark, path, v0, k = 1)
+        .collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("rebuild aborts loudly when a concurrent mutation lands during staging") {
+    withTree("graft_sq8_abort") { path =>
+      import spark.implicits._
+      graft.operators.Sq8Lifecycle.build(spark, sf, path)
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val v9 = Tables.embeddings(spark, sf).filter(col("vec_id") === 9L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // land a delete inside the staging window via the test seam
+      val e = intercept[RuntimeException] {
+        TierLifecycle.rebuild(vecs, path, "sq8",
+          (v, buckets, tmp) => {
+            val m = graft.operators.Sq8.trainFrom(v)
+            (v.select(col("id"),
+              graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
+                .as("codes")), m.mins.length, () => {
+              m.mins.indices.map(i => (i, m.mins(i), m.scales(i)))
+                .toDF("pos", "lo", "scale")
+                .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_model")
+              Seq((m.mins.length, graft.functions.VectorMetric.L2, buckets))
+                .toDF("dim", "metric", "buckets")
+                .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+            })
+          },
+          beforeSwap = () => {
+            graft.operators.Sq8Lifecycle.delete(Seq(9L).toDF("id"), path); ()
+          })
+      }
+      assert(e.getMessage.contains("concurrent mutation"),
+        s"got: ${e.getMessage}")
+      // the live tree kept the concurrent delete and still serves
+      assert(spark.read.parquet(path).filter(col("id") === 9L).count() == 0)
+      assert(graft.operators.Sq8Lifecycle.query(spark, path, v9, k = 1)
+        .collect().nonEmpty)
+    }
   }
 }
