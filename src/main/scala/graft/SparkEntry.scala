@@ -244,6 +244,9 @@ object SparkEntry {
     // E50/E53/A26i grids under the stated (cand, bytes, family)
     // objective; closes the selection story A9's heuristic opened
     "index_select" -> ((s, d) => Autotune.indexSelect(s, d)),
+    // A28: the manager's DISPATCH role — the A27 pick at the stated
+    // floor ROUTES the batch through that family's tuned serving face
+    "knn_auto" -> ((s, d) => Autotune.knnAuto(s, d)),
     // A23: one-row index-health summary (list sizes + imbalance
     // permille — the alert signal; index_stats is the detail view)
     "ivf_balance_report" -> (Ivf.ivfBalanceReport _),
@@ -784,6 +787,9 @@ object SparkEntry {
     // A27: the three grid replays nested + the family-cost arithmetic
     // + the same (cand, bytes, family) argmin
     "index_select" -> ((s, d) => Autotune.indexSelectOracleSql(s, d)),
+    // A28: the same family argmin replayed over the memoized grids,
+    // then the routed family's own serving oracle verbatim
+    "knn_auto" -> ((s, d) => Autotune.knnAutoOracleSql(s, d)),
     // A23: assignment replay → the same list-size aggregate arithmetic
     "ivf_balance_report" -> ((s, d) => Ivf.ivfBalanceReportOracleSql(s, d)),
     // A24: all five tiers' encode + shortlist + re-rank replayed over

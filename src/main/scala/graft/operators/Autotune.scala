@@ -344,6 +344,75 @@ object Autotune {
        |ORDER BY floor_permille""".stripMargin
   }
 
+  /** The recall floor [[knnAuto]] routes at (the writeAutotune
+    * default — the operating point a deployment states once).
+    */
+  val AutoFloor = 700
+
+  /** A28: `knn_auto` — the DISPATCH role of the reference's
+    * IndexManager (app/indexes/manager.py:40-64: the manager doesn't
+    * just recommend an index, it ROUTES queries to it), driven by the
+    * MEASURED family pick instead of the size heuristic: read A27's
+    * argmin at the stated [[AutoFloor]] and serve through that
+    * family's existing tuned face —
+    *   - linear → the exact batch scan (E6's contract);
+    *   - ivf    → the probed batch at the PICK's nprobe (E6b's face,
+    *     the smallest measured-qualifying probe count);
+    *   - ivfpq  → A18e's sidecar-tuned serving (the face serves the
+    *     PQ-family operating point IT can honor — queryIvfPqTuned's
+    *     gate — lifted to the batch shape with query_id 0, its
+    *     single-query convention);
+    *   - graph  → the beam at the PICK's (rounds, beam) (A26j's
+    *     serving kernel).
+    * The family argmin always exists (linear qualifies at every floor
+    * by construction — recall 1000), so there is no unroutable case;
+    * the oracle generator replays the SAME argmin over the memoized
+    * grids and emits the routed family's own serving oracle verbatim.
+    * AutotuneSpec pins serving ≡ the picked family's own key.
+    */
+  def knnAuto(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val pick = indexSelect(spark, dir, k)
+      .filter(col("floor_permille") === AutoFloor.toLong).head()
+    pick.getAs[String]("family") match {
+      case "linear" => Dedup.annTopkBatch(spark, dir, k)
+      case "ivf" =>
+        Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine,
+            nprobeOpt = Some(pick.getAs[Long]("nprobe").toInt))
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      case "ivfpq" =>
+        Pq.ivfpqTopkTuned(spark, dir, k)
+          .select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
+      case "graph" =>
+        GraphIndex.graphTopkAt(spark, dir, k,
+          graft.functions.VectorMetric.Cosine,
+          pick.getAs[Long]("rounds").toInt, pick.getAs[Long]("beam").toInt)
+      case other => sys.error(s"unroutable family pick '$other'") // unreachable: linear always qualifies
+    }
+  }
+
+  /** A28 oracle: the same family argmin (replayed over the memoized
+    * grids in Scala — the graphTopkTuned operating-point pattern),
+    * then the routed family's own serving oracle verbatim.
+    */
+  def knnAutoOracleSql(spark: SparkSession, dir: String, k: Int = 5): String = {
+    val pick = indexSelect(spark, dir, k)
+      .filter(col("floor_permille") === AutoFloor.toLong).head()
+    pick.getAs[String]("family") match {
+      case "linear" => Dedup.annTopkBatchOracleSql(k)
+      case "ivf" =>
+        Ivf.annBatchNprobeOracleSql(spark, dir, k,
+          nprobeOpt = Some(pick.getAs[Long]("nprobe").toInt))
+      case "ivfpq" =>
+        s"""SELECT CAST(0 AS BIGINT) AS query_id, neighbor_id, rank FROM (
+           |${Pq.ivfpqTopkTunedOracleSql(spark, dir, k)}
+           |) t ORDER BY rank""".stripMargin
+      case "graph" =>
+        GraphIndex.graphTopkAtOracleSql(spark, dir, k,
+          pick.getAs[Long]("rounds").toInt, pick.getAs[Long]("beam").toInt)
+      case other => sys.error(s"unroutable family pick '$other'")
+    }
+  }
+
   /** Persist the tuner's pick for `floor` into an `_autotune` sidecar
     * beside a persisted index tree — config the serving defaults read
     * ([[Pq.queryIvfPqTuned]]), not a report a human transcribes.

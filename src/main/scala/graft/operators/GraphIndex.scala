@@ -835,6 +835,16 @@ object GraphIndex {
                               k: Int = 5,
                               metric: Int = DefaultMetric): String = {
     val (rounds, b) = graphTunedOperatingPoint(spark, dir, k, metric)
+    graphTopkAtOracleSql(spark, dir, k, rounds, b, metric)
+  }
+
+  /** The serving replay at an EXPLICIT (rounds, beam) operating point —
+    * the oracle twin of [[graphTopkAt]], shared by the tuned faces and
+    * A28's auto-routed serving.
+    */
+  private[graft] def graphTopkAtOracleSql(spark: SparkSession, dir: String,
+                                          k: Int, rounds: Int, b: Int,
+                                          metric: Int = DefaultMetric): String =
     s"""WITH ${graphSubstrateCtes(spark, dir, k, metric)},
        |${beamChainCtes(spark, dir, k, b, metric, rounds, "")}
        |SELECT query_id, cand AS neighbor_id,
@@ -842,7 +852,6 @@ object GraphIndex {
        |FROM b$rounds
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   // ------------------------------------------------- filtered serving
 

@@ -175,6 +175,36 @@ class AutotuneSpec extends AnyFunSuite {
       "every floor fell back to the linear scan — the grids are degenerate")
   }
 
+  test("knn_auto serves exactly the picked family's own tuned face (the dispatch wiring)") {
+    val pick = Autotune.indexSelect(spark, sf)
+      .filter(col("floor_permille") === Autotune.AutoFloor.toLong).head()
+    val family = pick.getAs[String]("family")
+    val got = Autotune.knnAuto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // the picked family's key, run DIRECTLY at the pick's operating
+    // point — knn_auto must reproduce it row-for-row
+    val wantDf = family match {
+      case "linear" => graft.operators.Dedup.annTopkBatch(spark, sf)
+      case "ivf" =>
+        graft.operators.Ivf.annBatch(spark, sf, 5,
+          graft.functions.VectorMetric.Cosine,
+          nprobeOpt = Some(pick.getAs[Long]("nprobe").toInt))
+      case "ivfpq" =>
+        Pq.ivfpqTopkTuned(spark, sf, 5)
+          .select(org.apache.spark.sql.functions.lit(0L).as("query_id"),
+            col("neighbor_id"), col("rank"))
+      case "graph" =>
+        graft.operators.GraphIndex.graphTopkAt(spark, sf, 5,
+          graft.functions.VectorMetric.Cosine,
+          pick.getAs[Long]("rounds").toInt, pick.getAs[Long]("beam").toInt)
+    }
+    val want = wantDf.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got.nonEmpty, "knn_auto served nothing")
+    assert(got == want,
+      s"knn_auto (family $family) diverged from the family's own serving")
+  }
+
   test("writeAutotune refuses an off-grid floor at write time") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_at_bad")
     try {
