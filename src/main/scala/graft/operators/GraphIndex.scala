@@ -523,9 +523,10 @@ object GraphIndex {
     * their final SELECT to.
     */
   private def graphBeamCtes(spark: SparkSession, dir: String, k: Int,
-                            b: Int, metric: Int = DefaultMetric): String =
+                            b: Int, metric: Int = DefaultMetric,
+                            rounds: Int = BeamRounds): String =
     s"""${graphSubstrateCtes(spark, dir, k, metric)},
-       |${beamChainCtes(spark, dir, k, b, metric, BeamRounds, "")}""".stripMargin
+       |${beamChainCtes(spark, dir, k, b, metric, rounds, "")}""".stripMargin
 
   /** Driver query: `graph_recall_report` — E43's serving-quality
     * dashboard for the GRAPH tier: the per-query recall@k histogram of
@@ -926,7 +927,16 @@ object GraphIndex {
       Pq.resBatch(spark, dir, k, nprobeOpt = Some(npEff), metric = metric,
         refine = 4, selector = Some(sel))
     } else {
-      val bEff = (beamWidth(k) * widen).toInt
+      // base width and round count come from the TUNED operating point
+      // (the measured argmin at GraphTunedFloor, sentinel fallback to
+      // the family defaults — graphTunedOperatingPoint, the SAME
+      // arithmetic the oracle generator replays): the tuner's dividend
+      // (typically HALF the default expansion work at the same floor)
+      // now reaches the filtered contract too, and the widening
+      // argument is unchanged — the pool's matching mass at
+      // selectivity f/n matches the unfiltered TUNED pool
+      val (tRounds, tBeam) = graphTunedOperatingPoint(spark, dir, k, metric)
+      val bEff = (tBeam * widen).toInt
       val graph = refinedGraph(spark, dir, k, metric)
       val sym = symmetrize(graph.select("src", "dst"))
       val vecs = Tables.embeddings(spark, dir)
@@ -940,7 +950,7 @@ object GraphIndex {
       val e = sym.select(col("src").as("cand"), col("dst"))
       var beam = entry
       val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      (1 to BeamRounds).foreach { _ =>
+      (1 to tRounds).foreach { _ =>
         val expand = beam.join(e, "cand")
           .select(col("query_id"), col("dst").as("cand"))
         val cands = beam.select("query_id", "cand").union(expand)
@@ -1113,11 +1123,14 @@ object GraphIndex {
         candJoin = s"\n  JOIN embeddings fe ON fe.vec_id = a.vec_id AND ${pred("fe")}",
         metric = DefaultMetric, refine = 4)
     } else {
-      val bEff = (beamWidth(k) * widen).toInt
-      val poolUnion = (1 to BeamRounds)
+      // the engine's tuned base (rounds, beam) — the same derivation,
+      // so the replay widens from the identical operating point
+      val (tRounds, tBeam) = graphTunedOperatingPoint(spark, dir, k, DefaultMetric)
+      val bEff = (tBeam * widen).toInt
+      val poolUnion = (1 to tRounds)
         .map(r => s"SELECT query_id, cand, dist FROM s$r")
         .mkString("\n    UNION ALL ")
-      s"""WITH ${graphBeamCtes(spark, dir, k, bEff)},
+      s"""WITH ${graphBeamCtes(spark, dir, k, bEff, DefaultMetric, tRounds)},
          |pool AS MATERIALIZED (
          |  SELECT DISTINCT query_id, cand, dist FROM (
          |    $poolUnion) z),
