@@ -43,6 +43,9 @@ object SparkEntry {
     // small-files compaction of the persisted lists (row conservation
     // proven by disk read-back; file behavior pinned in the spec)
     "index_compact"       -> (IndexLifecycle.indexCompact _),
+    // A19c: the same maintenance pass on the flat-tier bucket layout
+    // (appends are accretive there exactly as in the IVF lists)
+    "tier_compact"        -> (TierLifecycle.tierCompact _),
     "index_stats"         -> (Ivf.indexStats _),
     "validate_chunks"     -> (Validate.validateChunks _),
     "validate_documents"  -> (Validate.validateDocuments _),
@@ -507,6 +510,7 @@ object SparkEntry {
     "bq_lifecycle"        -> BqLifecycle.bqLifecycleOracleSql,
     "pca_lifecycle"       -> PcaLifecycle.pcaLifecycleOracleSql,
     "index_compact"       -> IndexLifecycle.indexCompactOracleSql,
+    "tier_compact"        -> TierLifecycle.tierCompactOracleSql,
     // E51b: the graph lifecycle's state arithmetic (append dirt,
     // threshold crossing, rebuild reset, read-back size)
     "graph_lifecycle"     -> GraphIndex.graphLifecycleOracleSql,

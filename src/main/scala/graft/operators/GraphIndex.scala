@@ -1661,6 +1661,32 @@ object GraphIndex {
     next
   }
 
+  /** A20's small-files maintenance pass for the graph tree's ONE
+    * accretive layout: `_vectors` accumulates one part-file per
+    * touched vbucket per append (moveInFiles), while the edge buckets
+    * rewrite wholesale (one file per bucket) on every mutation and so
+    * never accumulate. Shared core (IndexLifecycle.compactLayout —
+    * threshold-gated, rename-aside, content-neutral), wrapped in the
+    * family's `_graph_tmp` marker: a crash mid-swap refuses loudly on
+    * every serve/mutate path and rebuild's reconcile (restoreAsides)
+    * makes the buckets whole. State is never touched. Returns the
+    * number of vbuckets rewritten; pinned in GraphSpec.
+    */
+  def compact(spark: SparkSession, indexPath: String, maxFiles: Int = 4): Int = {
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, "compact requires a built graph (build first)")
+    checkNoHalfApplied(spark, indexPath)
+    val f = fs(spark, indexPath)
+    val marker = new Path(s"$indexPath/_graph_tmp")
+    if (!f.mkdirs(marker))
+      sys.error(s"graph compact: could not create staging marker $marker")
+    val nRw = IndexLifecycle.compactLayout(
+      spark, s"$indexPath/_vectors", "vbucket", maxFiles)
+    if (!f.delete(marker, true))
+      sys.error(s"graph compact: could not clear staging marker $marker")
+    nRw
+  }
+
   /** Driver query: `graph_delete` — the remove_vector contract on the
     * graph layout end-to-end: build, repair-link delete of every 7th
     * vector, then disk read-backs proving (phase 3) `_vectors` really

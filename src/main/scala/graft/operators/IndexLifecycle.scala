@@ -370,27 +370,41 @@ object IndexLifecycle {
     val s = status(spark, indexPath)
     require(s.isBuilt, "compact requires a built index (build first)")
     checkNoHalfAppliedMutation(spark, indexPath)
-    val f = fs(spark, indexPath)
-    val affected = f.listStatus(new Path(indexPath))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster_id="))
+    compactLayout(spark, indexPath, "cluster_id", maxFiles)
+  }
+
+  /** The compaction core over ANY `<partCol>=N`-bucketed parquet tree —
+    * the A20 contract generalized so every accretive bucket layout in
+    * the engine (IVF/IVF-PQ lists and the flat SQ8/BQ/PCA tiers at
+    * `cluster_id=`, the graph's `_vectors` at `vbucket=`) shares ONE
+    * implementation of threshold-gating, the rename-aside swap, and
+    * the `_old_<partCol>=` crash markers. Content-neutral by
+    * construction (rows are read and rewritten, state is never
+    * touched); callers own their family's preconditions.
+    */
+  private[operators] def compactLayout(spark: SparkSession, scanPath: String,
+                                       partCol: String, maxFiles: Int): Int = {
+    val f = fs(spark, scanPath)
+    val affected = f.listStatus(new Path(scanPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .filter(d => f.listStatus(d.getPath)
         .count(_.getPath.getName.startsWith("part-")) > maxFiles)
-      .map(_.getPath.getName.stripPrefix("cluster_id="))
+      .map(_.getPath.getName.stripPrefix(s"$partCol="))
       .toSeq
     if (affected.isEmpty) return 0
-    val tmp = s"$indexPath/_compact_rewrite"
-    spark.read.parquet(indexPath)
-      .filter(col("cluster_id").cast("string").isInCollection(affected))
-      .repartition(col("cluster_id")) // one file per rewritten list
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
-    affected.foreach { cid =>
-      val dst = new Path(s"$indexPath/cluster_id=$cid")
-      val src = new Path(s"$tmp/cluster_id=$cid")
-      val aside = new Path(s"$indexPath/_old_cluster_id=$cid")
+    val tmp = s"$scanPath/_compact_rewrite"
+    spark.read.parquet(scanPath)
+      .filter(col(partCol).cast("string").isInCollection(affected))
+      .repartition(col(partCol)) // one file per rewritten bucket
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    affected.foreach { bk =>
+      val dst = new Path(s"$scanPath/$partCol=$bk")
+      val src = new Path(s"$tmp/$partCol=$bk")
+      val aside = new Path(s"$scanPath/_old_$partCol=$bk")
       if (f.exists(dst) && !f.rename(dst, aside))
-        sys.error(s"compact: could not move stale list $dst aside")
+        sys.error(s"compact: could not move stale bucket $dst aside")
       if (!f.rename(src, dst))
-        sys.error(s"compact: rename $src -> $dst failed; stale list kept at $aside")
+        sys.error(s"compact: rename $src -> $dst failed; stale bucket kept at $aside")
       if (f.exists(aside) && !f.delete(aside, true))
         sys.error(s"compact: could not clean up $aside")
     }

@@ -226,6 +226,54 @@ private[graft] object TierLifecycle {
     } finally graft.streaming.Streams.deleteTree(tmpDir)
   }
 
+  /** A19c driver query: `tier_compact` — the A20 small-files
+    * maintenance pass exercised on the flat-tier bucket layout. Every
+    * frozen-model append lands ONE part-file per touched bucket
+    * (IndexLifecycle.landAppend — crash-consistent but accretive), so
+    * a continuously-fed SQ8/BQ/PCA tree hits the same small-files wall
+    * the IVF lists do: at 100 TB a bucket with thousands of tiny files
+    * pays a task + footer read per file on every scan. The shared
+    * compact (IndexLifecycle.compactLayout through the A20 face —
+    * threshold-gated, rename-aside, marker-refusing) answers it
+    * identically: build the SQ8 tree, two appends (every touched
+    * bucket now holds >1 part-file), compact at maxFiles=1, and a full
+    * read-back per phase proving row conservation — the oracle
+    * recomputes the expected totals arithmetically (A20's oracle
+    * verbatim), so a compaction that lost or duplicated rows cannot
+    * pass. File-count collapse, idempotence, and untouched-bucket
+    * byte-identity are pinned in TierLifecycleSpec.
+    */
+  def tierCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_tier_compact")
+    val tmp = tmpDir.toString
+    try {
+      val n = Tables.embeddings(spark, dir).count()
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val d1 = math.ceil(0.03 * n).toLong
+      val d2 = math.ceil(0.02 * n).toLong
+      Sq8Lifecycle.build(spark, dir, tmp)
+      Sq8Lifecycle.append(vecs.filter(col("id") < d1)
+        .select((col("id") + n).as("id"), col("vec")), tmp)
+      Sq8Lifecycle.append(vecs.filter(col("id") < d2)
+        .select((col("id") + n + d1).as("id"), col("vec")), tmp)
+      def readBack: Long = spark.read.parquet(tmp).count()
+      val before = readBack
+      IndexLifecycle.compact(spark, tmp, maxFiles = 1)
+      val after = readBack
+      import spark.implicits._
+      Seq((1, n + d1 + d2, before), (2, n + d1 + d2, after))
+        .toDF("phase", "expected_rows", "total_rows")
+        .orderBy("phase")
+        .localCheckpoint()
+    } finally graft.streaming.Streams.deleteTree(tmpDir)
+  }
+
+  /** Same arithmetic as A20's oracle (same append fractions, same
+    * row-conservation shape).
+    */
+  def tierCompactOracleSql: String = IndexLifecycle.indexCompactOracleSql
+
   /** The shared tier-lifecycle oracle: phases 1-4 are A18b's
     * arithmetic verbatim (d = ceil(0.05·n) appended, every 7th
     * original deleted, read-back); phase 5 is the rebuild — version 2,

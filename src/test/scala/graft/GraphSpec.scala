@@ -455,6 +455,53 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph compact: accreted vbuckets collapse, content neutral, serving unchanged") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_cp")
+    val tmp = s"$tmpDir/g"
+    try {
+      val n = Tables.embeddingsCount(spark, sf)
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      GraphIndex.build(spark, sf, tmp, k)
+      // two appends: each lands one extra part-file in its touched
+      // vbuckets (the accretive moveInFiles path)
+      GraphIndex.append(vecs.filter(col("id") < 4)
+        .select((col("id") + n).as("id"), col("vec")), tmp)
+      GraphIndex.append(vecs.filter(col("id") >= 4 && col("id") < 8)
+        .select((col("id") + n).as("id"), col("vec")), tmp)
+      val fsys = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def vbucketFiles(): Map[String, Int] = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/_vectors")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("vbucket="))
+        .map(d => d.getPath.getName -> fsys.listStatus(d.getPath)
+          .count(_.getPath.getName.startsWith("part-"))).toMap
+      assert(vbucketFiles().values.exists(_ > 1),
+        "appends must have accreted part-files in some vbucket")
+      val idsBefore = GraphIndex.readVectors(spark, tmp)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val sBefore = graft.operators.IndexLifecycle.status(spark, tmp)
+      val rewrote = GraphIndex.compact(spark, tmp, maxFiles = 1)
+      assert(rewrote > 0, "the accreted vbuckets must be rewritten")
+      assert(vbucketFiles().values.forall(_ == 1),
+        "every vbucket must collapse to one file at maxFiles=1")
+      val idsAfter = GraphIndex.readVectors(spark, tmp)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(idsAfter == idsBefore, "compaction must be content-neutral")
+      val sAfter = graft.operators.IndexLifecycle.status(spark, tmp)
+      assert(sAfter == sBefore, "compaction must not touch lifecycle state")
+      // the compacted tree still serves (no marker left behind)
+      assert(GraphIndex.queryGraphBatch(spark, tmp,
+        vecs.filter(col("id") === 0L), k).count() == k)
+      // idempotent
+      assert(GraphIndex.compact(spark, tmp, maxFiles = 1) == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("graph delete: repair-link rewires in-edges, untouched stable, deleted never served") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_gspec_del")
     val tmp = s"$tmpDir/g"

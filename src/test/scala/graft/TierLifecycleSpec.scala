@@ -173,6 +173,42 @@ class TierLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("tier compact: touched buckets collapse, untouched byte-identical, rows conserved, idempotent") {
+    withTree("graft_tier_cp") { path =>
+      import spark.implicits._
+      graft.operators.Sq8Lifecycle.build(spark, sf, path)
+      val (_, _, buckets) = graft.operators.Sq8Lifecycle.loadModel(spark, path)
+      val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // two appends aimed at bucket 0 only (ids ≡ 0 mod buckets):
+      // bucket 0 accumulates part-files, every other bucket untouched
+      graft.operators.Sq8Lifecycle.append(
+        Seq((buckets * 1000L, v1.toSeq)).toDF("id", "vec"), path)
+      graft.operators.Sq8Lifecycle.append(
+        Seq((buckets * 2000L, v1.toSeq)).toDF("id", "vec"), path)
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(bucket: Int) = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/cluster_id=$bucket")).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1)
+      assert(files(0).size == 3, "two appends must land two extra files in bucket 0")
+      val untouchedBefore = files(1)
+      val idsBefore = spark.read.parquet(path)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val n1 = graft.operators.IndexLifecycle.compact(spark, path, maxFiles = 1)
+      assert(n1 == 1, s"only bucket 0 exceeded the threshold, rewrote $n1")
+      assert(files(0).size == 1, "the touched bucket must collapse to one file")
+      assert(files(1) == untouchedBefore,
+        "an untouched bucket's very files must survive compaction")
+      val idsAfter = spark.read.parquet(path)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(idsAfter == idsBefore, "compaction must be content-neutral")
+      // idempotent: nothing left over the threshold
+      assert(graft.operators.IndexLifecycle.compact(spark, path, maxFiles = 1) == 0)
+    }
+  }
+
   test("BQ persisted refine serves the caller's metric (cosine ≡ in-session Bq.topK)") {
     withTree("graft_bq_metric") { path =>
       BqLifecycle.build(spark, sf, path)
