@@ -396,6 +396,10 @@ object SparkEntry {
     // foreachBatch → PqLifecycle.append per trigger (frozen model,
     // crash-consistent staging), state + disk read-back as the output
     "stream_index_append" -> (Streams.streamIndexAppend _),
+    // D17: the same continuous-ingest lifecycle into the 256x BQ tier
+    // (frozen-threshold encode per trigger, mid-stream compaction of
+    // the accreted buckets, rebuild closing the fired policy)
+    "stream_bq_append" -> (Streams.streamBqAppend _),
     // D15: the continuous-ingest lifecycle for the GRAPH index family —
     // per-trigger search-then-link + dirt + policy-fired re-descent
     "stream_graph_append" -> (Streams.streamGraphAppend _),
@@ -566,6 +570,7 @@ object SparkEntry {
     // D11 ≡ the same classifier + per-source rollup in batch SQL
     "stream_quality_filter" -> TextOps.qualityClassifierRollupOracleSql,
     "stream_index_append"   -> Streams.streamIndexAppendOracleSql,
+    "stream_bq_append"      -> Streams.streamBqAppendOracleSql,
     "stream_graph_append"   -> Streams.streamGraphAppendOracleSql,
     "stream_attrition"      -> TextOps.attritionIngestOracleSql(),
     "quality_gopher"  -> TextOps.qualityGopherOracleSql,

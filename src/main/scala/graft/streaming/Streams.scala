@@ -1216,6 +1216,107 @@ object Streams {
       |UNION ALL SELECT 5, 2, false, d, n + d, false FROM p
       |ORDER BY phase""".stripMargin
 
+  /** D17's per-trigger sink body: frozen-threshold sign-bit encode of
+    * the micro-batch into the persisted BQ tier (BqLifecycle.append)
+    * under the same per-stream replay watermark as D12 (a replayed
+    * batch NO-OPs before paying the encode). Empty triggers skip.
+    */
+  private[graft] def bqAppendBatch(indexPath: String, streamId: String)
+                                  (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.BqLifecycle.append(batch.select("id", "vec"), indexPath,
+        streamBatchId = Some(batchId), streamId = Some(streamId))
+      ()
+    }
+
+  /** Attach the D17 foreachBatch sink to an incoming (id, vec) stream —
+    * shared by the driver harness and the spec's MemoryStream harness.
+    */
+  private[graft] def runBqAppend(incoming: DataFrame, indexPath: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val ckpt = tmpCheckpoint()
+    val q = incoming.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        bqAppendBatch(indexPath, ckpt.toString)(b.toDF(), id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    (q, ckpt)
+  }
+
+  /** D17 driver entry: `stream_bq_append` — D12's continuous-ingest
+    * lifecycle applied to the BQ tier, the tree a 100 TB cluster
+    * actually holds in RAM (the bit codes are 0.4% of the raw corpus —
+    * BqLifecycle's own scaladoc argument; this face is how that tree
+    * stays fresh without rebuild downtime): build the persisted
+    * sign-bit tier, stream the arrival set (first ceil(0.2·n) vectors
+    * re-keyed past the corpus) through a 3-file landing zone at
+    * maxFilesPerTrigger=1 — three real micro-batches, each encoding
+    * against the FROZEN sidecar thresholds and landing one file per
+    * touched bucket under the per-stream replay watermark — then run
+    * the A19c-shared COMPACTION over the accreted buckets (the D10b
+    * mid-stream-maintenance precedent; content-neutral, which the
+    * phase-3 read-back proves through the oracle), and close the loop
+    * with the fired policy's out-of-band rebuild (TierLifecycle
+    * .rebuild: retrained thresholds over corpus + arrivals, version 2,
+    * dirt reset) and its own read-back. Same 5-phase arithmetic as
+    * D12, so the key is oracle-checked and batch-split invariant by
+    * construction; code-level pins live in StreamsSpec.
+    */
+  def streamBqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_bq")
+    val indexPath = tmpRoot.resolve("index").toString
+    val landing = tmpRoot.resolve("landing").toString
+    try {
+      val n = Tables.embeddings(ss, dir).count()
+      val vecs = Tables.embeddings(ss, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s1 = graft.operators.BqLifecycle.build(ss, dir, indexPath)
+      val d = math.ceil(0.2 * n).toLong
+      val arrivals = vecs.filter(col("id") < d)
+        .select((col("id") + n).as("id"), col("vec"))
+      arrivals
+        .repartition(3) // 3 landing files → 3 triggers → 3 appends
+        .write.mode("overwrite").parquet(landing)
+      val schema = ss.read.parquet(landing).schema
+      val incoming = Sources.streamDir(ss, landing, schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val (q, ckpt) = runBqAppend(incoming, indexPath)
+      try q.processAllAvailable() finally q.stop()
+      deleteTree(ckpt)
+      val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
+      // mid-stream maintenance: each trigger landed one part-file per
+      // touched bucket — compact them away; the read-back below
+      // passing the oracle IS the content-neutrality proof
+      graft.operators.IndexLifecycle.compact(ss, indexPath, maxFiles = 1)
+      val disk = ss.read.parquet(indexPath)
+      val (total, arrived) = (disk.count(), disk.filter(col("id") >= n).count())
+      // the drain left should_rebuild = true — retrain on the current
+      // logical contents (corpus + arrivals)
+      val s3 = graft.operators.BqLifecycle.rebuild(
+        vecs.unionAll(arrivals), indexPath)
+      val disk2 = ss.read.parquet(indexPath)
+      val (total2, arrived2) = (disk2.count(), disk2.filter(col("id") >= n).count())
+      val thr = graft.operators.IndexLifecycle.RebuildThreshold
+      import ss.implicits._
+      Seq(
+        (1, s1.version, s1.isDirty, s1.dirtyCount, s1.size, s1.shouldRebuild(thr)),
+        (2, s2.version, s2.isDirty, s2.dirtyCount, s2.size, s2.shouldRebuild(thr)),
+        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)),
+        (4, s3.version, s3.isDirty, s3.dirtyCount, s3.size, s3.shouldRebuild(thr)),
+        (5, s3.version, s3.isDirty, arrived2, total2, s3.shouldRebuild(thr)))
+        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
+        .orderBy("phase")
+        // eager: materialize before the temp index tree is deleted
+        .localCheckpoint()
+    } finally deleteTree(tmpRoot)
+  }
+
+  /** The D12 arithmetic verbatim — the point: the BQ tier's ingest
+    * face speaks the same state machine as the IVF-PQ one.
+    */
+  def streamBqAppendOracleSql: String = streamIndexAppendOracleSql
+
   /** D15's per-trigger sink body: search-then-link the micro-batch
     * into the persisted GRAPH index (GraphIndex.append — entry at the
     * nearest coarse list, beam search for k out-edges, reverse-cap,

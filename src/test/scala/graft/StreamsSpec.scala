@@ -366,6 +366,42 @@ class StreamsSpec extends AnyFunSuite {
     Streams.deleteTree(root)
   }
 
+  test("D17 BQ streamed appends: accumulation ties with one batch append; replay no-ops") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{BqLifecycle, IndexLifecycle}
+    val root = java.nio.file.Files.createTempDirectory("graft_d17")
+    val idxA = root.resolve("idxA").toString // streamed (sink body)
+    val idxB = root.resolve("idxB").toString // one-shot batch twin
+    try {
+      val vecs = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val n = vecs.count()
+      BqLifecycle.build(spark, sf, idxA)
+      BqLifecycle.build(spark, sf, idxB)
+      val b1 = vecs.filter(col("id") < 4).select((col("id") + n).as("id"), col("vec"))
+      val b2 = vecs.filter(col("id") === 4).select((col("id") + n).as("id"), col("vec"))
+      Streams.bqAppendBatch(idxA, "ckptA")(b1, 0L)
+      Streams.bqAppendBatch(idxA, "ckptA")(b2, 1L)
+      val s1 = IndexLifecycle.status(spark, idxA)
+      assert(s1.dirtyCount == 5L && s1.size == n + 5 && s1.isDirty)
+      val diskBefore = spark.read.parquet(idxA).count()
+      // a sink retry replaying an applied batch must change NOTHING
+      Streams.bqAppendBatch(idxA, "ckptA")(b2, 1L)
+      val s2 = IndexLifecycle.status(spark, idxA)
+      assert(s2.size == s1.size && s2.dirtyCount == s1.dirtyCount)
+      assert(spark.read.parquet(idxA).count() == diskBefore,
+        "a replayed batch landed duplicate code rows")
+      // cross-batch accumulation: streamed codes == one batch append
+      // of the SAME arrival set (both frozen-threshold encodes)
+      BqLifecycle.append(b1.union(b2), idxB)
+      def codeRows(idx: String) = spark.read.parquet(idx)
+        .select(col("cluster_id").cast("int"), col("id"), col("codes"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(codeRows(idxA) == codeRows(idxB))
+    } finally Streams.deleteTree(root)
+  }
+
   test("D12 replay of an applied batchId is a no-op (at-least-once safety)") {
     import org.apache.spark.sql.functions._
     import graft.operators.{IndexLifecycle, PqLifecycle}
