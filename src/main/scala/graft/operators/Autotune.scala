@@ -358,10 +358,14 @@ object Autotune {
     *   - linear → the exact batch scan (E6's contract);
     *   - ivf    → the probed batch at the PICK's nprobe (E6b's face,
     *     the smallest measured-qualifying probe count);
-    *   - ivfpq  → A18e's sidecar-tuned serving (the face serves the
-    *     PQ-family operating point IT can honor — queryIvfPqTuned's
-    *     gate — lifted to the batch shape with query_id 0, its
-    *     single-query convention);
+    *   - ivfpq  → the persisted tuned tree served at the PICK's OWN
+    *     (nprobe, refine) when the picked tier is PQ-family (the
+    *     operating point the argmin was won on — Pq.queryIvfPq with
+    *     explicit overrides), falling back to A18e's sidecar point
+    *     when the pick's tier is sq8/bq/pca (codes the persisted
+    *     IVF-PQ face cannot serve — queryIvfPqTuned's own gate); both
+    *     lifted to the batch shape with query_id 0, the family's
+    *     single-query convention;
     *   - graph  → the beam at the PICK's (rounds, beam) (A26j's
     *     serving kernel).
     * The family argmin always exists (linear qualifies at every floor
@@ -380,8 +384,23 @@ object Autotune {
             nprobeOpt = Some(pick.getAs[Long]("nprobe").toInt))
           .select(col("query_id"), col("neighbor_id"), col("rank"))
       case "ivfpq" =>
-        Pq.ivfpqTopkTuned(spark, dir, k)
-          .select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
+        val np = pick.getAs[Long]("nprobe")
+        val rf = pick.getAs[Long]("refine")
+        val tier = pick.getAs[String]("tier")
+        val served =
+          if (np > 0 && rf > 0 && PqFamilyTiers.contains(tier)) {
+            // serve at the pick's OWN measured operating point — the
+            // (nprobe, refine) the family argmin priced
+            val tree = Pq.tunedTree(spark, dir)
+            val q = Tables.embeddings(spark, dir)
+              .filter(col("vec_id") === 0).select("embedding")
+              .head().getSeq[Float](0).toArray
+            Ranks.byDistance(
+                Pq.queryIvfPq(spark, tree, q, k, np.toInt,
+                  Some(Tables.embeddings(spark, dir)), rf.toInt), k)
+              .select(col("neighbor_id"), col("rank"))
+          } else Pq.ivfpqTopkTuned(spark, dir, k)
+        served.select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
       case "graph" =>
         GraphIndex.graphTopkAt(spark, dir, k,
           graft.functions.VectorMetric.Cosine,
@@ -403,8 +422,17 @@ object Autotune {
         Ivf.annBatchNprobeOracleSql(spark, dir, k,
           nprobeOpt = Some(pick.getAs[Long]("nprobe").toInt))
       case "ivfpq" =>
+        val np = pick.getAs[Long]("nprobe")
+        val rf = pick.getAs[Long]("refine")
+        val tier = pick.getAs[String]("tier")
+        val inner =
+          if (np > 0 && rf > 0 && PqFamilyTiers.contains(tier))
+            // the pick's own operating point, replayed verbatim
+            Pq.ivfpqTopkOracleSqlImpl(spark, dir, k, opq = false,
+              npOverride = Some(np.toInt), refine = rf.toInt)
+          else Pq.ivfpqTopkTunedOracleSql(spark, dir, k)
         s"""SELECT CAST(0 AS BIGINT) AS query_id, neighbor_id, rank FROM (
-           |${Pq.ivfpqTopkTunedOracleSql(spark, dir, k)}
+           |$inner
            |) t ORDER BY rank""".stripMargin
       case "graph" =>
         GraphIndex.graphTopkAtOracleSql(spark, dir, k,
@@ -418,7 +446,7 @@ object Autotune {
     * ([[Pq.queryIvfPqTuned]]), not a report a human transcribes.
     */
   def writeAutotune(spark: SparkSession, dir: String, indexPath: String,
-                    floor: Int = 700, k: Int = 5,
+                    floor: Int = AutoFloor, k: Int = 5,
                     tierSet: Option[Set[String]] = None): Unit = {
     // fail at WRITE time, not as an empty sidecar that crashes serving
     require(Floors.contains(floor),

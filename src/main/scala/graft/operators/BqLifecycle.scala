@@ -63,10 +63,9 @@ object BqLifecycle {
              streamBatchId: Option[Long] = None,
              streamId: Option[String] = None): IndexStatus = {
     val spark = newVecs.sparkSession
-    TierLifecycle.requireMutable(spark, indexPath)
-    // replay no-op BEFORE the model load and the batch count — the
-    // shared appendStaged re-checks under the same state read it writes
-    val s0 = IndexLifecycle.status(spark, indexPath)
+    val s0 = TierLifecycle.requireMutable(spark, indexPath)
+    // replay no-op BEFORE the model load and the batch count; the ONE
+    // state read above flows into appendStaged's write
     if (streamBatchId.exists(_ <= s0.appliedBatchFor(streamId.getOrElse(""))))
       return s0
     val (m, buckets) = loadModel(spark, indexPath)
@@ -76,7 +75,7 @@ object BqLifecycle {
       TierLifecycle.bucketOf(col("id"), buckets).as("cluster_id"), col("id"),
       graft.functions.BqFunctions.bqEncode(col("vec"), m.thresholds).as("codes"))
     val next = TierLifecycle.appendStaged(spark, indexPath, staged, n,
-      streamBatchId, streamId)
+      streamBatchId, streamId, stateOpt = Some(s0))
     v.unpersist()
     next
   }
@@ -130,7 +129,7 @@ object BqLifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = currentVecs.sparkSession
-    TierLifecycle.requireMutable(spark, indexPath)
+    TierLifecycle.requireRebuildable(spark, indexPath)
     TierLifecycle.rebuild(currentVecs, indexPath, "bq", (v, buckets, tmp) => {
       val m = Bq.trainFrom(v)
       val rows = v.select(col("id"),

@@ -318,8 +318,23 @@ object IndexLifecycle {
     * lists collapse to one file, untouched lists keep their very
     * files, idempotence) is pinned in IndexLifecycleSpec.
     */
-  def indexCompact(spark: SparkSession, dir: String): DataFrame = {
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_compact")
+  def indexCompact(spark: SparkSession, dir: String): DataFrame =
+    compactDemo(spark, dir, "graft_compact",
+      (vecs, tmp) => { build(vecs, tmp, kOpt = Some(DemoK)); () },
+      (batch, tmp) => { append(batch, tmp); () })
+
+  /** The shared compaction driver body (A20 and A19c differ ONLY in
+    * which family builds/appends — the arithmetic, the read-backs and
+    * therefore the ONE oracle are structural, not by-convention):
+    * build, two appends (each lands one extra part-file in every
+    * touched bucket), compact at maxFiles=1, row-conservation
+    * read-backs before and after.
+    */
+  private[operators] def compactDemo(spark: SparkSession, dir: String,
+                                     tmpPrefix: String,
+                                     buildIdx: (DataFrame, String) => Unit,
+                                     appendIdx: (DataFrame, String) => Unit): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory(tmpPrefix)
     val tmp = tmpDir.toString
     try {
       val vecs = Tables.embeddings(spark, dir)
@@ -327,14 +342,14 @@ object IndexLifecycle {
       val n = vecs.count()
       val d1 = math.ceil(0.03 * n).toLong
       val d2 = math.ceil(0.02 * n).toLong
-      build(vecs, tmp, kOpt = Some(DemoK))
-      append(vecs.filter(col("id") < d1)
+      buildIdx(vecs, tmp)
+      appendIdx(vecs.filter(col("id") < d1)
         .select((col("id") + n).as("id"), col("vec")), tmp)
-      append(vecs.filter(col("id") < d2)
+      appendIdx(vecs.filter(col("id") < d2)
         .select((col("id") + n + d1).as("id"), col("vec")), tmp)
       def readBack: Long = spark.read.parquet(tmp).count()
       val before = readBack
-      // every list the appends touched now holds >1 part file
+      // every bucket the appends touched now holds >1 part file
       compact(spark, tmp, maxFiles = 1)
       val after = readBack
       import spark.implicits._
@@ -557,6 +572,88 @@ object IndexLifecycle {
       sys.error(s"rebuild: rename $tmp -> $live failed; last good version at $aside")
     if (!f.delete(aside, true))
       sys.error(s"rebuild: could not clean up old version $aside")
+  }
+
+  /** Make a crashed mutation whole IN PLACE — the `cluster_id`-layout
+    * twin of the graph family's rebuild reconcile, and the recovery
+    * [[checkNoHalfAppliedMutation]]'s "rebuild the index" message
+    * under-serves for STREAMED appends: a full rebuild from the
+    * primary store is sound for batch callers, but a crashed streamed
+    * append has its batch accounted in the state (watermark included)
+    * with the rows still in staging — hand-clearing the marker would
+    * lose the batch forever (the stream's replay NO-OPs against the
+    * recorded watermark). Repairs, in order:
+    *   1. `_old_cluster_id=` asides (a crash inside a delete's or
+    *      compact's swap): a MISSING live bucket means the crash hit
+    *      between the two renames and the aside IS the authoritative
+    *      content — rename it back; a present live bucket means the
+    *      replacement landed and the aside is stale — drop it.
+    *   2. `_append_tmp` (a crash inside landAppend's
+    *      stage → state-write → move-in window): when the state
+    *      counts MORE rows than the disk holds, the staged part-files
+    *      are exactly the accounted-but-unmoved batch — move them in
+    *      (file-by-file; UUID part names make a partial move-in
+    *      resumable); otherwise the staging is unaccounted (crash
+    *      before the state write) or already applied — discard it.
+    *   3. State/disk reconciliation: a delete that crashed after some
+    *      bucket swaps removed rows the state never counted
+    *      (deleteFrom writes state LAST) — re-point `size` at the
+    *      disk truth and record the discrepancy as dirt, so the
+    *      rebuild policy answers it; re-running the same delete batch
+    *      then converges (the anti-join is idempotent).
+    * Called automatically at rebuild entry (PqLifecycle.rebuild /
+    * TierLifecycle.rebuild — recovery-then-rebuild, the GraphIndex
+    * discipline); serve and append/delete keep REFUSING on the
+    * markers, the loud guard. Returns true when anything was repaired.
+    */
+  def recoverMutation(spark: SparkSession, indexPath: String): Boolean = {
+    val f = fs(spark, indexPath)
+    val root = new Path(indexPath)
+    if (!f.exists(root)) return false
+    var repaired = false
+    f.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_old_cluster_id="))
+      .foreach { st =>
+        val live = new Path(indexPath, st.getPath.getName.stripPrefix("_old_"))
+        if (f.exists(live)) {
+          if (!f.delete(st.getPath, true))
+            sys.error(s"recover: could not drop stale aside ${st.getPath}")
+        } else if (!f.rename(st.getPath, live))
+          sys.error(s"recover: could not restore aside ${st.getPath} -> $live")
+        repaired = true
+      }
+    val tmp = new Path(s"$indexPath/_append_tmp")
+    if (f.exists(tmp)) {
+      val s = status(spark, indexPath)
+      if (s.size > spark.read.parquet(indexPath).count()) {
+        f.listStatus(tmp)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("cluster_id="))
+          .foreach { d =>
+            val dst = new Path(s"$indexPath/${d.getPath.getName}")
+            if (!f.exists(dst) && !f.mkdirs(dst))
+              sys.error(s"recover: could not create list dir $dst")
+            f.listStatus(d.getPath)
+              .filter(_.getPath.getName.startsWith("part-"))
+              .foreach { file =>
+                if (!f.rename(file.getPath, new Path(dst, file.getPath.getName)))
+                  sys.error(s"recover: rename ${file.getPath} -> $dst failed")
+              }
+          }
+      }
+      if (!f.delete(tmp, true))
+        sys.error(s"recover: could not clear staging dir $tmp")
+      repaired = true
+    }
+    if (repaired) {
+      val s = status(spark, indexPath)
+      val disk = spark.read.parquet(indexPath).count()
+      if (s.size != disk)
+        writeState(spark, indexPath, s.copy(size = disk, isDirty = true,
+          dirtyCount = s.dirtyCount + math.abs(s.size - disk)))
+    }
+    repaired
   }
 
   /** Refuse to operate on an index carrying a half-applied mutation

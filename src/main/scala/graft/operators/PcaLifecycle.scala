@@ -60,7 +60,7 @@ object PcaLifecycle {
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
-    TierLifecycle.requireMutable(spark, indexPath)
+    val s0 = TierLifecycle.requireMutable(spark, indexPath)
     val (basis, dim, d, buckets) = loadModel(spark, indexPath)
     require(basis.length == dim && basis.forall(_.length == dim),
       "basis must be the full square matrix")
@@ -69,7 +69,8 @@ object PcaLifecycle {
     val staged = v.select(
       TierLifecycle.bucketOf(col("id"), buckets).as("cluster_id"), col("id"),
       slice(RotateFunctions.rotateVector(col("vec"), basis), 1, d).as("rvec"))
-    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n)
+    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n,
+      stateOpt = Some(s0))
     v.unpersist()
     next
   }
@@ -120,7 +121,7 @@ object PcaLifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = currentVecs.sparkSession
-    TierLifecycle.requireMutable(spark, indexPath)
+    TierLifecycle.requireRebuildable(spark, indexPath)
     val (_, _, d, _) = loadModel(spark, indexPath)
     TierLifecycle.rebuild(currentVecs, indexPath, "pca", (v, buckets, tmp) => {
       val m = Pca.trainFrom(v)

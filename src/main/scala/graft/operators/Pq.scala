@@ -1860,7 +1860,7 @@ object Pq {
     }
   }
 
-  private def ivfpqTopkOracleSqlImpl(spark: SparkSession, dir: String,
+  private[operators] def ivfpqTopkOracleSqlImpl(spark: SparkSession, dir: String,
                                      k: Int, opq: Boolean,
                                      npOverride: Option[Int] = None,
                                      candJoin: String = "",

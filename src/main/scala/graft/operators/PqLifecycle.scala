@@ -194,6 +194,12 @@ object PqLifecycle {
   private[graft] def rebuild(currentVecs: DataFrame, indexPath: String,
                              beforeSwap: () => Unit): IndexStatus = {
     val spark = currentVecs.sparkSession
+    // recovery-then-rebuild (the GraphIndex reconcile discipline): a
+    // crashed mutation's markers are made whole in place — an
+    // accounted-but-unmoved streamed batch lands rather than being
+    // lost behind its recorded watermark — instead of refused; serve
+    // and append/delete keep the loud refusal
+    IndexLifecycle.recoverMutation(spark, indexPath)
     val s = IndexLifecycle.status(spark, indexPath)
     require(s.isBuilt, "rebuild requires a built index (build first)")
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)

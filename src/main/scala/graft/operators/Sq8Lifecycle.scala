@@ -71,7 +71,7 @@ object Sq8Lifecycle {
     */
   def append(newVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = newVecs.sparkSession
-    TierLifecycle.requireMutable(spark, indexPath)
+    val s0 = TierLifecycle.requireMutable(spark, indexPath)
     val (m, metric, buckets) = loadModel(spark, indexPath)
     val v = Ivf.metricTransform(newVecs, metric).cache()
     val n = v.count()
@@ -79,7 +79,8 @@ object Sq8Lifecycle {
       TierLifecycle.bucketOf(col("id"), buckets).as("cluster_id"), col("id"),
       graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
         .as("codes"))
-    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n)
+    val next = TierLifecycle.appendStaged(spark, indexPath, staged, n,
+      stateOpt = Some(s0))
     v.unpersist()
     next
   }
@@ -127,7 +128,7 @@ object Sq8Lifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = currentVecs.sparkSession
-    TierLifecycle.requireMutable(spark, indexPath)
+    TierLifecycle.requireRebuildable(spark, indexPath)
     val (_, metric, _) = loadModel(spark, indexPath)
     TierLifecycle.rebuild(Ivf.metricTransform(currentVecs, metric), indexPath,
       "sq8", (v, buckets, tmp) => {

@@ -71,10 +71,17 @@ private[graft] object TierLifecycle {
   def appendStaged(spark: SparkSession, indexPath: String,
                    staged: DataFrame, n: Long,
                    streamBatchId: Option[Long] = None,
-                   streamId: Option[String] = None): IndexStatus = {
-    val s = IndexLifecycle.status(spark, indexPath)
-    require(s.isBuilt, "append requires a built index (build first)")
-    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+                   streamId: Option[String] = None,
+                   stateOpt: Option[IndexStatus] = None): IndexStatus = {
+    // stateOpt = the state the caller's requireMutable already read —
+    // the per-trigger hot path then pays ONE status read + ONE marker
+    // listing per append, matching PqLifecycle.append
+    val s = stateOpt.getOrElse {
+      val s0 = IndexLifecycle.status(spark, indexPath)
+      require(s0.isBuilt, "append requires a built index (build first)")
+      IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+      s0
+    }
     if (streamBatchId.exists(_ <= s.appliedBatchFor(streamId.getOrElse(""))))
       return s
     val grown = s.copy(isDirty = true, dirtyCount = s.dirtyCount + n,
@@ -92,11 +99,8 @@ private[graft] object TierLifecycle {
     * lifecycle's own message, not an opaque parquet path error from a
     * missing `_model`.
     */
-  def requireMutable(spark: SparkSession, indexPath: String): Unit = {
-    require(IndexLifecycle.status(spark, indexPath).isBuilt,
-      "mutation requires a built index (build first)")
-    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
-  }
+  def requireMutable(spark: SparkSession, indexPath: String): IndexStatus =
+    requirePrecondition(spark, indexPath, "mutation")
 
   /** The read-only sibling of [[requireMutable]], run by every tier
     * SERVE path before loadModel/read (the IndexLifecycle.query
@@ -106,10 +110,30 @@ private[graft] object TierLifecycle {
     * skipped this check would silently answer minus an entire bucket
     * instead of refusing loudly.
     */
-  def requireServable(spark: SparkSession, indexPath: String): Unit = {
-    require(IndexLifecycle.status(spark, indexPath).isBuilt,
-      "query requires a built index (build first)")
+  def requireServable(spark: SparkSession, indexPath: String): IndexStatus =
+    requirePrecondition(spark, indexPath, "query")
+
+  /** Recovery-then-precondition for the REBUILD path (the GraphIndex
+    * reconcile discipline): a crashed mutation's markers are made
+    * whole in place (IndexLifecycle.recoverMutation) instead of
+    * refused — rebuild is the repair operation, so it must be able to
+    * enter a damaged tree; serve and append/delete keep refusing.
+    */
+  private[operators] def requireRebuildable(spark: SparkSession,
+                                            indexPath: String): IndexStatus = {
+    IndexLifecycle.recoverMutation(spark, indexPath)
+    requirePrecondition(spark, indexPath, "rebuild")
+  }
+
+  /** One implementation of the two preconditions (returns the state it
+    * read, so callers pay ONE status read + ONE marker listing).
+    */
+  private def requirePrecondition(spark: SparkSession, indexPath: String,
+                                  verb: String): IndexStatus = {
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt, s"$verb requires a built index (build first)")
     IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+    s
   }
 
   /** Partition-pruned point delete for the modulo-bucketed layouts:
@@ -253,31 +277,10 @@ private[graft] object TierLifecycle {
     * pass. File-count collapse, idempotence, and untouched-bucket
     * byte-identity are pinned in TierLifecycleSpec.
     */
-  def tierCompact(spark: SparkSession, dir: String): DataFrame = {
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_tier_compact")
-    val tmp = tmpDir.toString
-    try {
-      val n = Tables.embeddings(spark, dir).count()
-      val vecs = Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val d1 = math.ceil(0.03 * n).toLong
-      val d2 = math.ceil(0.02 * n).toLong
-      Sq8Lifecycle.build(spark, dir, tmp)
-      Sq8Lifecycle.append(vecs.filter(col("id") < d1)
-        .select((col("id") + n).as("id"), col("vec")), tmp)
-      Sq8Lifecycle.append(vecs.filter(col("id") < d2)
-        .select((col("id") + n + d1).as("id"), col("vec")), tmp)
-      def readBack: Long = spark.read.parquet(tmp).count()
-      val before = readBack
-      IndexLifecycle.compact(spark, tmp, maxFiles = 1)
-      val after = readBack
-      import spark.implicits._
-      Seq((1, n + d1 + d2, before), (2, n + d1 + d2, after))
-        .toDF("phase", "expected_rows", "total_rows")
-        .orderBy("phase")
-        .localCheckpoint()
-    } finally graft.streaming.Streams.deleteTree(tmpDir)
-  }
+  def tierCompact(spark: SparkSession, dir: String): DataFrame =
+    IndexLifecycle.compactDemo(spark, dir, "graft_tier_compact",
+      (_, tmp) => { Sq8Lifecycle.build(spark, dir, tmp); () },
+      (batch, tmp) => { Sq8Lifecycle.append(batch, tmp); () })
 
   /** Same arithmetic as A20's oracle (same append fractions, same
     * row-conservation shape).

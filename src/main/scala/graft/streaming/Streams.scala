@@ -1138,7 +1138,36 @@ object Streams {
     * read as one 12 s blob).
     */
   private[graft] def streamIndexAppendTimed(spark: SparkSession, dir: String,
-                                            onPhase: (String, Double) => Unit): DataFrame = {
+                                            onPhase: (String, Double) => Unit): DataFrame =
+    streamAppendLifecycle(spark, dir, "graft_stream_idx", "index",
+      build = (ss, p) => graft.operators.PqLifecycle.build(ss, dir, p),
+      runSink = runIndexAppend,
+      readBack = (ss, p) => ss.read.parquet(p),
+      rebuildIdx = (_, current, p) => graft.operators.PqLifecycle.rebuild(current, p),
+      midStream = (_, _) => (),
+      onPhase = onPhase)
+
+  /** The ONE harness body behind the three continuous-ingest keys
+    * (D12 IVF-PQ / D15 graph / D17 BQ): build → 3-trigger landing-zone
+    * drain through the family's foreachBatch sink → optional
+    * mid-stream maintenance (D17's compaction — content-neutral, so
+    * the shared oracle arithmetic is untouched) → disk read-back →
+    * the fired policy's out-of-band rebuild → post-rebuild read-back,
+    * emitted as the 5-phase state table every caller verifies against
+    * [[streamIndexAppendOracleSql]]'s arithmetic. The hooks carry what
+    * is genuinely each family's: the build, the sink, the read-back
+    * frame (raw lists vs the graph's `_vectors`), the rebuild, and the
+    * maintenance step. One body = the phase arithmetic cannot drift
+    * between the three keys that all claim the same oracle.
+    */
+  private def streamAppendLifecycle(spark: SparkSession, dir: String,
+      tag: String, idxName: String,
+      build: (SparkSession, String) => graft.operators.IndexStatus,
+      runSink: (DataFrame, String) => (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path),
+      readBack: (SparkSession, String) => DataFrame,
+      rebuildIdx: (SparkSession, DataFrame, String) => graft.operators.IndexStatus,
+      midStream: (SparkSession, String) => Unit,
+      onPhase: (String, Double) => Unit): DataFrame = {
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -1146,44 +1175,42 @@ object Streams {
       r
     }
     val ss = streamingSession(spark)
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_idx")
-    val indexPath = tmpRoot.resolve("index").toString
+    val tmpRoot = java.nio.file.Files.createTempDirectory(tag)
+    val indexPath = tmpRoot.resolve(idxName).toString
     val landing = tmpRoot.resolve("landing").toString
     try {
       val n = Tables.embeddings(ss, dir).count()
       val vecs = Tables.embeddings(ss, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = timed("build") { graft.operators.PqLifecycle.build(ss, dir, indexPath) }
+      val s1 = timed("build") { build(ss, indexPath) }
       val d = math.ceil(0.2 * n).toLong
       val arrivals = vecs.filter(col("id") < d)
         .select((col("id") + n).as("id"), col("vec"))
       timed("landing_write") {
         arrivals
-          .repartition(3) // 3 landing files → 3 triggers → 3 appends
+          .repartition(3) // 3 landing files -> 3 triggers -> 3 appends
           .write.mode("overwrite").parquet(landing)
       }
       val schema = ss.read.parquet(landing).schema
       val incoming = Sources.streamDir(ss, landing, schema,
         options = Map("maxFilesPerTrigger" -> "1"))
       timed("stream_drain_3_appends") {
-        val (q, ckpt) = runIndexAppend(incoming, indexPath)
+        val (q, ckpt) = runSink(incoming, indexPath)
         try q.processAllAvailable() finally q.stop()
         deleteTree(ckpt)
       }
       val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
-      val (total, arrived) = timed("disk_read_back_1") {
-        val disk = ss.read.parquet(indexPath)
+      timed("mid_stream_maintenance") { midStream(ss, indexPath) }
+      def counts(): (Long, Long) = {
+        val disk = readBack(ss, indexPath)
         (disk.count(), disk.filter(col("id") >= n).count())
       }
-      // the drain left should_rebuild = true — fire the out-of-band
+      val (total, arrived) = timed("disk_read_back_1") { counts() }
+      // the drain left should_rebuild = true - run the out-of-band
       // rebuild on the index's current logical contents
       val s3 = timed("rebuild") {
-        graft.operators.PqLifecycle.rebuild(vecs.unionAll(arrivals), indexPath)
-      }
-      val (total2, arrived2) = timed("disk_read_back_2") {
-        val disk2 = ss.read.parquet(indexPath)
-        (disk2.count(), disk2.filter(col("id") >= n).count())
-      }
+        rebuildIdx(ss, vecs.unionAll(arrivals), indexPath) }
+      val (total2, arrived2) = timed("disk_read_back_2") { counts() }
       val thr = graft.operators.IndexLifecycle.RebuildThreshold
       import ss.implicits._
       Seq(
@@ -1262,55 +1289,19 @@ object Streams {
     * D12, so the key is oracle-checked and batch-split invariant by
     * construction; code-level pins live in StreamsSpec.
     */
-  def streamBqAppend(spark: SparkSession, dir: String): DataFrame = {
-    val ss = streamingSession(spark)
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_bq")
-    val indexPath = tmpRoot.resolve("index").toString
-    val landing = tmpRoot.resolve("landing").toString
-    try {
-      val n = Tables.embeddings(ss, dir).count()
-      val vecs = Tables.embeddings(ss, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = graft.operators.BqLifecycle.build(ss, dir, indexPath)
-      val d = math.ceil(0.2 * n).toLong
-      val arrivals = vecs.filter(col("id") < d)
-        .select((col("id") + n).as("id"), col("vec"))
-      arrivals
-        .repartition(3) // 3 landing files → 3 triggers → 3 appends
-        .write.mode("overwrite").parquet(landing)
-      val schema = ss.read.parquet(landing).schema
-      val incoming = Sources.streamDir(ss, landing, schema,
-        options = Map("maxFilesPerTrigger" -> "1"))
-      val (q, ckpt) = runBqAppend(incoming, indexPath)
-      try q.processAllAvailable() finally q.stop()
-      deleteTree(ckpt)
-      val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
+  def streamBqAppend(spark: SparkSession, dir: String): DataFrame =
+    streamAppendLifecycle(spark, dir, "graft_stream_bq", "index",
+      build = (ss, p) => graft.operators.BqLifecycle.build(ss, dir, p),
+      runSink = runBqAppend,
+      readBack = (ss, p) => ss.read.parquet(p),
+      rebuildIdx = (_, current, p) => graft.operators.BqLifecycle.rebuild(current, p),
       // mid-stream maintenance: each trigger landed one part-file per
-      // touched bucket — compact them away; the read-back below
-      // passing the oracle IS the content-neutrality proof
-      graft.operators.IndexLifecycle.compact(ss, indexPath, maxFiles = 1)
-      val disk = ss.read.parquet(indexPath)
-      val (total, arrived) = (disk.count(), disk.filter(col("id") >= n).count())
-      // the drain left should_rebuild = true — retrain on the current
-      // logical contents (corpus + arrivals)
-      val s3 = graft.operators.BqLifecycle.rebuild(
-        vecs.unionAll(arrivals), indexPath)
-      val disk2 = ss.read.parquet(indexPath)
-      val (total2, arrived2) = (disk2.count(), disk2.filter(col("id") >= n).count())
-      val thr = graft.operators.IndexLifecycle.RebuildThreshold
-      import ss.implicits._
-      Seq(
-        (1, s1.version, s1.isDirty, s1.dirtyCount, s1.size, s1.shouldRebuild(thr)),
-        (2, s2.version, s2.isDirty, s2.dirtyCount, s2.size, s2.shouldRebuild(thr)),
-        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)),
-        (4, s3.version, s3.isDirty, s3.dirtyCount, s3.size, s3.shouldRebuild(thr)),
-        (5, s3.version, s3.isDirty, arrived2, total2, s3.shouldRebuild(thr)))
-        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
-        .orderBy("phase")
-        // eager: materialize before the temp index tree is deleted
-        .localCheckpoint()
-    } finally deleteTree(tmpRoot)
-  }
+      // touched bucket - compact them away (the D10b precedent);
+      // content-neutral, so the phase-3 read-back passing the shared
+      // oracle IS the proof
+      midStream = (ss, p) =>
+        { graft.operators.IndexLifecycle.compact(ss, p, maxFiles = 1); () },
+      onPhase = (_, _) => ())
 
   /** The D12 arithmetic verbatim — the point: the BQ tier's ingest
     * face speaks the same state machine as the IVF-PQ one.
@@ -1369,58 +1360,17 @@ object Streams {
     * ~29 s blob).
     */
   private[graft] def streamGraphAppendTimed(spark: SparkSession, dir: String,
-                                            onPhase: (String, Double) => Unit): DataFrame = {
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      onPhase(name, (System.nanoTime() - t0) / 1e9)
-      r
-    }
-    val ss = streamingSession(spark)
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_graph")
-    val indexPath = tmpRoot.resolve("graph").toString
-    val landing = tmpRoot.resolve("landing").toString
-    try {
-      val n = Tables.embeddings(ss, dir).count()
-      val vecs = Tables.embeddings(ss, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val s1 = timed("build") { graft.operators.GraphIndex.build(ss, dir, indexPath) }
-      val d = math.ceil(0.2 * n).toLong
-      timed("landing_write") {
-        vecs.filter(col("id") < d)
-          .select((col("id") + n).as("id"), col("vec"))
-          .repartition(3) // 3 landing files → 3 triggers → 3 appends
-          .write.mode("overwrite").parquet(landing)
-      }
-      val schema = ss.read.parquet(landing).schema
-      val incoming = Sources.streamDir(ss, landing, schema,
-        options = Map("maxFilesPerTrigger" -> "1"))
-      timed("stream_drain_3_appends") {
-        val (q, ckpt) = runGraphAppend(incoming, indexPath)
-        try q.processAllAvailable() finally q.stop()
-        deleteTree(ckpt)
-      }
-      val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
-      def readBack(): (Long, Long) = {
-        val disk = graft.operators.GraphIndex.readVectors(ss, indexPath)
-        (disk.count(), disk.filter(col("id") >= n).count())
-      }
-      val (total, arrived) = timed("disk_read_back_1") { readBack() }
-      val s3 = timed("rebuild") { graft.operators.GraphIndex.rebuild(ss, indexPath) }
-      val (total2, arrived2) = timed("disk_read_back_2") { readBack() }
-      val thr = graft.operators.IndexLifecycle.RebuildThreshold
-      import ss.implicits._
-      Seq(
-        (1, s1.version, s1.isDirty, s1.dirtyCount, s1.size, s1.shouldRebuild(thr)),
-        (2, s2.version, s2.isDirty, s2.dirtyCount, s2.size, s2.shouldRebuild(thr)),
-        (3, s2.version, s2.isDirty, arrived, total, s2.shouldRebuild(thr)),
-        (4, s3.version, s3.isDirty, s3.dirtyCount, s3.size, s3.shouldRebuild(thr)),
-        (5, s3.version, s3.isDirty, arrived2, total2, s3.shouldRebuild(thr)))
-        .toDF("phase", "version", "is_dirty", "dirty_count", "size", "should_rebuild")
-        .orderBy("phase")
-        .localCheckpoint() // eager: materialize before the tree is deleted
-    } finally deleteTree(tmpRoot)
-  }
+                                            onPhase: (String, Double) => Unit): DataFrame =
+    streamAppendLifecycle(spark, dir, "graft_stream_graph", "graph",
+      build = (ss, p) => graft.operators.GraphIndex.build(ss, dir, p),
+      runSink = runGraphAppend,
+      // the graph's rows live under `_vectors` (edges are the root tree)
+      readBack = (ss, p) => graft.operators.GraphIndex.readVectors(ss, p),
+      // the graph rebuild re-derives from its own stored vectors - the
+      // current-contents frame is not needed
+      rebuildIdx = (ss, _, p) => graft.operators.GraphIndex.rebuild(ss, p),
+      midStream = (_, _) => (),
+      onPhase = onPhase)
 
   /** Identical arithmetic to D12's oracle — same arrival fraction,
     * same threshold, same 5 phases (the graph append counts growth the

@@ -46,7 +46,9 @@ object TierProbe {
       // every 97th id: ~100 deletes spread over ~min(100, buckets) buckets
       val del1 = spark.range(100).select((col("id") * 97L).as("id"))
       timed("delete 100 PRUNED (hint)") { Sq8Lifecycle.delete(del1, path) }
-      val del2 = spark.range(100).select((col("id") * 101L + 1L).as("id"))
+      // +1 offset: never ≡ 0 (mod 97), so the two delete sets are
+      // provably disjoint — the unpruned leg deletes 100 LIVE rows
+      val del2 = spark.range(100).select((col("id") * 97L + 1L).as("id"))
       timed("delete 100 UNPRUNED (scan)") {
         TierLifecycle.deleteUnpruned(del2, path) }
       timed("compact maxFiles=1") {

@@ -209,6 +209,84 @@ class TierLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("recoverMutation lands an accounted-but-unmoved append and restores delete asides") {
+    import graft.operators.{IndexLifecycle, Sq8Lifecycle}
+    withTree("graft_recover") { path =>
+      import spark.implicits._
+      Sq8Lifecycle.build(spark, sf, path)
+      val (m, _, buckets) = Sq8Lifecycle.loadModel(spark, path)
+      val s0 = IndexLifecycle.status(spark, path)
+      // simulate a landAppend crash AFTER the state write (batch 0 of
+      // stream "s" accounted, watermark recorded) but BEFORE the
+      // move-in: the staged row exists only under _append_tmp
+      val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val newId = 9999L
+      Seq((newId, v1.toSeq)).toDF("id", "vec")
+        .select(graft.operators.TierLifecycle.bucketOf(col("id"), buckets)
+            .as("cluster_id"), col("id"),
+          graft.functions.Sq8Functions.sq8Encode(col("vec"), m.mins, m.scales)
+            .as("codes"))
+        .repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$path/_append_tmp")
+      IndexLifecycle.writeState(spark, path,
+        s0.copy(isDirty = true, dirtyCount = s0.dirtyCount + 1,
+          size = s0.size + 1).withAppliedBatch("s", 0L))
+      // serve refuses while damaged
+      intercept[IllegalArgumentException] {
+        Sq8Lifecycle.query(spark, path, v1, 1).collect()
+      }
+      assert(IndexLifecycle.recoverMutation(spark, path),
+        "a damaged tree must report repairs")
+      // the accounted batch is now really on disk, marker gone, the
+      // watermark kept (the stream's replay still no-ops), state==disk
+      assert(spark.read.parquet(path).filter(col("id") === newId).count() == 1)
+      val s1 = IndexLifecycle.status(spark, path)
+      assert(s1.size == s0.size + 1 && s1.appliedBatchFor("s") == 0L)
+      assert(Sq8Lifecycle.query(spark, path, v1, 1).count() == 1)
+
+      // crashed delete/compact swap: aside with MISSING live bucket is
+      // the authoritative content — restored, counts intact
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = spark.read.parquet(path).count()
+      assert(fsys.rename(new org.apache.hadoop.fs.Path(s"$path/cluster_id=3"),
+        new org.apache.hadoop.fs.Path(s"$path/_old_cluster_id=3")))
+      assert(IndexLifecycle.recoverMutation(spark, path))
+      assert(spark.read.parquet(path).count() == before,
+        "the restored aside must bring the bucket's rows back")
+      // aside WITH the live bucket present = completed swap leftovers:
+      // dropped, content untouched
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_old_cluster_id=5"))
+      assert(IndexLifecycle.recoverMutation(spark, path))
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$path/_old_cluster_id=5")))
+      // a clean tree reports nothing to repair
+      assert(!IndexLifecycle.recoverMutation(spark, path))
+    }
+  }
+
+  test("rebuild enters a damaged tree (recovery-then-rebuild), serve keeps refusing") {
+    import graft.operators.{IndexLifecycle, Sq8Lifecycle}
+    withTree("graft_recover_rb") { path =>
+      import spark.implicits._
+      Sq8Lifecycle.build(spark, sf, path)
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(path, "_append_tmp"))
+      val v1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      intercept[IllegalArgumentException] {
+        Sq8Lifecycle.query(spark, path, v1, 1).collect()
+      }
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val s = Sq8Lifecycle.rebuild(vecs, path) // recovers, then rebuilds
+      assert(s.version == 2 && !s.isDirty)
+      assert(Sq8Lifecycle.query(spark, path, v1, 1)
+        .collect().head.getLong(0) == 1L)
+    }
+  }
+
   test("BQ persisted refine serves the caller's metric (cosine ≡ in-session Bq.topK)") {
     withTree("graft_bq_metric") { path =>
       BqLifecycle.build(spark, sf, path)
