@@ -144,6 +144,13 @@ object BqLifecycle {
     })
   }
 
+  /** Lazy-rebuild policy at read time (the shared
+    * TierLifecycle.rebuildIfNeeded with this tier's rebuild).
+    */
+  def rebuildIfNeeded(currentVecs: DataFrame, indexPath: String,
+                      threshold: Double = IndexLifecycle.RebuildThreshold): IndexStatus =
+    TierLifecycle.rebuildIfNeeded(currentVecs, indexPath, rebuild, threshold)
+
   /** Driver query: the shared five-phase state machine over the BQ
     * tree (TierLifecycle.fivePhase — the A18b arithmetic for phases
     * 1-4, the rebuild reset as phase 5).

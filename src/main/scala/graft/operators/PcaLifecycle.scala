@@ -137,6 +137,13 @@ object PcaLifecycle {
     })
   }
 
+  /** Lazy-rebuild policy at read time (the shared
+    * TierLifecycle.rebuildIfNeeded with this tier's rebuild).
+    */
+  def rebuildIfNeeded(currentVecs: DataFrame, indexPath: String,
+                      threshold: Double = IndexLifecycle.RebuildThreshold): IndexStatus =
+    TierLifecycle.rebuildIfNeeded(currentVecs, indexPath, rebuild, threshold)
+
   /** Driver query: the shared five-phase state machine over the PCA
     * tree (TierLifecycle.fivePhase — the A18b arithmetic for phases
     * 1-4, the rebuild reset as phase 5).

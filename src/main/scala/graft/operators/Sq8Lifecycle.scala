@@ -147,6 +147,13 @@ object Sq8Lifecycle {
       })
   }
 
+  /** Lazy-rebuild policy at read time (the shared
+    * TierLifecycle.rebuildIfNeeded with this tier's rebuild).
+    */
+  def rebuildIfNeeded(currentVecs: DataFrame, indexPath: String,
+                      threshold: Double = IndexLifecycle.RebuildThreshold): IndexStatus =
+    TierLifecycle.rebuildIfNeeded(currentVecs, indexPath, rebuild, threshold)
+
   /** Driver query: the SQ8 lifecycle state machine end-to-end as one
     * deterministic table — build, frozen-model append (sub-threshold
     * dirt), delete (crossing the threshold), an on-disk read-back

@@ -205,6 +205,19 @@ private[graft] object TierLifecycle {
     next
   }
 
+  /** The lazy-rebuild policy applied at read time (IndexLifecycle
+    * .buildIfNeeded's contract on the tier seam — the reference's
+    * serving flow, index_service.py:88-99): rebuild through the
+    * tier's own `rebuildFn` only when the dirty-ratio policy says so,
+    * otherwise return the current state untouched.
+    */
+  def rebuildIfNeeded(currentVecs: DataFrame, indexPath: String,
+                      rebuildFn: (DataFrame, String) => IndexStatus,
+                      threshold: Double = IndexLifecycle.RebuildThreshold): IndexStatus = {
+    val s = IndexLifecycle.status(currentVecs.sparkSession, indexPath)
+    if (s.shouldRebuild(threshold)) rebuildFn(currentVecs, indexPath) else s
+  }
+
   /** The five-phase driver-key body every tier lifecycle shares —
     * build, frozen-model append of ceil(0.05·n) re-keyed vectors,
     * delete of every 7th original (crossing the rebuild threshold),

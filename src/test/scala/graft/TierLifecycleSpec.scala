@@ -287,6 +287,26 @@ class TierLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuildIfNeeded: no-op below the dirty threshold, rebuilds above it") {
+    import graft.operators.Sq8Lifecycle
+    withTree("graft_rbn") { path =>
+      import spark.implicits._
+      val s1 = Sq8Lifecycle.build(spark, sf, path)
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // clean index: the policy must not fire
+      val s2 = Sq8Lifecycle.rebuildIfNeeded(vecs, path)
+      assert(s2.version == s1.version && !s2.isDirty, "clean index must be a no-op")
+      // cross the threshold (delete every 7th: ~14% > 10%) — the
+      // policy fires and the rebuild resets the state
+      Sq8Lifecycle.delete(vecs.filter(col("id") % 7 === 0).select("id"), path)
+      val current = vecs.filter(col("id") % 7 =!= 0)
+      val s3 = Sq8Lifecycle.rebuildIfNeeded(current, path)
+      assert(s3.version == s1.version + 1 && !s3.isDirty && s3.dirtyCount == 0L)
+      assert(spark.read.parquet(path).count() == current.count())
+    }
+  }
+
   test("BQ persisted refine serves the caller's metric (cosine ≡ in-session Bq.topK)") {
     withTree("graft_bq_metric") { path =>
       BqLifecycle.build(spark, sf, path)
