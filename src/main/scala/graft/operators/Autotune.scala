@@ -388,18 +388,11 @@ object Autotune {
         val rf = pick.getAs[Long]("refine")
         val tier = pick.getAs[String]("tier")
         val served =
-          if (np > 0 && rf > 0 && PqFamilyTiers.contains(tier)) {
+          if (np > 0 && rf > 0 && PqFamilyTiers.contains(tier))
             // serve at the pick's OWN measured operating point — the
             // (nprobe, refine) the family argmin priced
-            val tree = Pq.tunedTree(spark, dir)
-            val q = Tables.embeddings(spark, dir)
-              .filter(col("vec_id") === 0).select("embedding")
-              .head().getSeq[Float](0).toArray
-            Ranks.byDistance(
-                Pq.queryIvfPq(spark, tree, q, k, np.toInt,
-                  Some(Tables.embeddings(spark, dir)), rf.toInt), k)
-              .select(col("neighbor_id"), col("rank"))
-          } else Pq.ivfpqTopkTuned(spark, dir, k)
+            Pq.ivfpqTopkAt(spark, dir, k, np.toInt, rf.toInt)
+          else Pq.ivfpqTopkTuned(spark, dir, k)
         served.select(lit(0L).as("query_id"), col("neighbor_id"), col("rank"))
       case "graph" =>
         GraphIndex.graphTopkAt(spark, dir, k,

@@ -129,7 +129,7 @@ object BqLifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = currentVecs.sparkSession
-    TierLifecycle.requireRebuildable(spark, indexPath)
+    val s0 = TierLifecycle.requireRebuildable(spark, indexPath)
     TierLifecycle.rebuild(currentVecs, indexPath, "bq", (v, buckets, tmp) => {
       val m = Bq.trainFrom(v)
       val rows = v.select(col("id"),
@@ -141,7 +141,7 @@ object BqLifecycle {
         Seq((m.dim, buckets)).toDF("dim", "buckets")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       })
-    })
+    }, stateOpt = Some(s0))
   }
 
   /** Lazy-rebuild policy at read time (the shared

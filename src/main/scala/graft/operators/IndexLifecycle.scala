@@ -626,7 +626,18 @@ object IndexLifecycle {
     val tmp = new Path(s"$indexPath/_append_tmp")
     if (f.exists(tmp)) {
       val s = status(spark, indexPath)
-      if (s.size > spark.read.parquet(indexPath).count()) {
+      // EXACT-match gate, not a mere size inequality: landAppend's
+      // invariant is that the state grew by precisely the staged batch,
+      // so the staging is "the accounted-but-unmoved batch" only when
+      // state.size − disk == staged rows. A looser (>) gate could land
+      // an UNACCOUNTED batch on top of unrelated size drift (a delete
+      // that crashed after its last swap but before its state write)
+      // and the stream's replay — whose watermark was never recorded —
+      // would then land it AGAIN.
+      val stagedCount =
+        try spark.read.parquet(tmp.toString).count() catch { case _: Throwable => 0L }
+      if (stagedCount > 0 &&
+          s.size - spark.read.parquet(indexPath).count() == stagedCount) {
         f.listStatus(tmp)
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("cluster_id="))
@@ -645,6 +656,17 @@ object IndexLifecycle {
       if (!f.delete(tmp, true))
         sys.error(s"recover: could not clear staging dir $tmp")
       repaired = true
+    }
+    // stale rewrite stagings (a delete/compact that crashed before its
+    // swap started): invisible to readers and overwritten by the next
+    // run either way — dropped here so a recovered tree is clean
+    Seq("_delete_rewrite", "_compact_rewrite").foreach { d =>
+      val p = new Path(s"$indexPath/$d")
+      if (f.exists(p)) {
+        if (!f.delete(p, true))
+          sys.error(s"recover: could not drop stale staging $p")
+        repaired = true
+      }
     }
     if (repaired) {
       val s = status(spark, indexPath)

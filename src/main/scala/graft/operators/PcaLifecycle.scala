@@ -121,7 +121,7 @@ object PcaLifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = currentVecs.sparkSession
-    TierLifecycle.requireRebuildable(spark, indexPath)
+    val s0 = TierLifecycle.requireRebuildable(spark, indexPath)
     val (_, _, d, _) = loadModel(spark, indexPath)
     TierLifecycle.rebuild(currentVecs, indexPath, "pca", (v, buckets, tmp) => {
       val m = Pca.trainFrom(v)
@@ -134,7 +134,7 @@ object PcaLifecycle {
         Seq((m.dim, d, buckets)).toDF("dim", "rdim", "buckets")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       })
-    })
+    }, stateOpt = Some(s0))
   }
 
   /** Lazy-rebuild policy at read time (the shared

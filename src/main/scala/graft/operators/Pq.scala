@@ -1611,6 +1611,24 @@ object Pq {
       .select(col("neighbor_id"), col("rank"))
   }
 
+  /** [[ivfpqTopkTuned]]'s serving convention (session tuned tree,
+    * vec_id-0 query, exact refine, ranked (neighbor_id, rank)) at an
+    * EXPLICIT (nprobe, refine) — the single-query face A28's
+    * pick-true routing serves through; ONE definition so the key, the
+    * router, and the spec cannot drift on the convention.
+    */
+  def ivfpqTopkAt(spark: SparkSession, dir: String, k: Int,
+                  nprobe: Int, refine: Int): DataFrame = {
+    val tmp = tunedTree(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Ranks.byDistance(
+        queryIvfPq(spark, tmp, q, k, nprobe,
+          Some(Tables.embeddings(spark, dir)), refine), k)
+      .select(col("neighbor_id"), col("rank"))
+  }
+
   /** The recall floor ivfpq_topk_tuned serves (500 permille composed —
     * the one floor whose axis bar the sf sweep grids can meet).
     */

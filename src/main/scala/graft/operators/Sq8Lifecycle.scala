@@ -128,7 +128,7 @@ object Sq8Lifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String): IndexStatus = {
     val spark = currentVecs.sparkSession
-    TierLifecycle.requireRebuildable(spark, indexPath)
+    val s0 = TierLifecycle.requireRebuildable(spark, indexPath)
     val (_, metric, _) = loadModel(spark, indexPath)
     TierLifecycle.rebuild(Ivf.metricTransform(currentVecs, metric), indexPath,
       "sq8", (v, buckets, tmp) => {
@@ -144,7 +144,7 @@ object Sq8Lifecycle {
           Seq((m.mins.length, metric, buckets)).toDF("dim", "metric", "buckets")
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
         })
-      })
+      }, stateOpt = Some(s0))
   }
 
   /** Lazy-rebuild policy at read time (the shared

@@ -178,11 +178,17 @@ private[graft] object TierLifecycle {
     */
   def rebuild(currentVecs: DataFrame, indexPath: String, kind: String,
               trainEncode: (DataFrame, Int, String) => (DataFrame, Int, () => Unit),
-              beforeSwap: () => Unit = () => ()): IndexStatus = {
+              beforeSwap: () => Unit = () => (),
+              stateOpt: Option[IndexStatus] = None): IndexStatus = {
     val spark = currentVecs.sparkSession
-    val s = IndexLifecycle.status(spark, indexPath)
-    require(s.isBuilt, "rebuild requires a built index (build first)")
-    IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+    // stateOpt = the state the caller's requireRebuildable already
+    // read (one precondition pass per rebuild, the appendStaged shape)
+    val s = stateOpt.getOrElse {
+      val s0 = IndexLifecycle.status(spark, indexPath)
+      require(s0.isBuilt, "rebuild requires a built index (build first)")
+      IndexLifecycle.checkNoHalfAppliedMutation(spark, indexPath)
+      s0
+    }
     val fs = IndexLifecycle.fs(spark, indexPath)
     val tmp = new org.apache.hadoop.fs.Path(s"${indexPath}_rebuild_tmp")
     fs.delete(tmp, true)
@@ -209,12 +215,28 @@ private[graft] object TierLifecycle {
     * .buildIfNeeded's contract on the tier seam — the reference's
     * serving flow, index_service.py:88-99): rebuild through the
     * tier's own `rebuildFn` only when the dirty-ratio policy says so,
-    * otherwise return the current state untouched.
+    * otherwise return the current state untouched. Unlike
+    * buildIfNeeded (which can BUILD a fresh path), a tier rebuild
+    * retrains against an existing tree's metric/shape sidecars, so an
+    * unbuilt path refuses loudly with the lifecycle's message rather
+    * than tripping shouldRebuild's unbuilt arm into an opaque crash.
+    *
+    * This read-time entry is also the REPAIR point: recoverMutation
+    * runs first, so a tree damaged by a crashed mutation whose
+    * recorded dirt was sub-threshold (deleteFrom writes state LAST —
+    * a mid-swap crash records nothing) is made whole here instead of
+    * refusing serves forever while the policy sees nothing to do;
+    * the recovery's own size-drift reconciliation lands as dirt,
+    * which this very policy then answers.
     */
   def rebuildIfNeeded(currentVecs: DataFrame, indexPath: String,
                       rebuildFn: (DataFrame, String) => IndexStatus,
                       threshold: Double = IndexLifecycle.RebuildThreshold): IndexStatus = {
-    val s = IndexLifecycle.status(currentVecs.sparkSession, indexPath)
+    val spark = currentVecs.sparkSession
+    IndexLifecycle.recoverMutation(spark, indexPath)
+    val s = IndexLifecycle.status(spark, indexPath)
+    require(s.isBuilt,
+      "rebuildIfNeeded requires a built index (build the tier first)")
     if (s.shouldRebuild(threshold)) rebuildFn(currentVecs, indexPath) else s
   }
 

@@ -190,19 +190,16 @@ class AutotuneSpec extends AnyFunSuite {
           graft.functions.VectorMetric.Cosine,
           nprobeOpt = Some(pick.getAs[Long]("nprobe").toInt))
       case "ivfpq" =>
+        // pins the DISPATCH (right family, right (np, rf), right lift)
+        // against the family's own shared face; deep serving
+        // correctness is the DuckDB oracle's job
         val np = pick.getAs[Long]("nprobe")
         val rf = pick.getAs[Long]("refine")
         val tier = pick.getAs[String]("tier")
         val served =
-          if (np > 0 && rf > 0 && graft.operators.Autotune.PqFamilyTiers.contains(tier)) {
-            val q = Tables.embeddings(spark, sf)
-              .filter(col("vec_id") === 0).select("embedding")
-              .head().getSeq[Float](0).toArray
-            graft.operators.Ranks.byDistance(
-                Pq.queryIvfPq(spark, Pq.tunedTree(spark, sf), q, 5, np.toInt,
-                  Some(Tables.embeddings(spark, sf)), rf.toInt), 5)
-              .select(col("neighbor_id"), col("rank"))
-          } else Pq.ivfpqTopkTuned(spark, sf, 5)
+          if (np > 0 && rf > 0 && graft.operators.Autotune.PqFamilyTiers.contains(tier))
+            Pq.ivfpqTopkAt(spark, sf, 5, np.toInt, rf.toInt)
+          else Pq.ivfpqTopkTuned(spark, sf, 5)
         served.select(org.apache.spark.sql.functions.lit(0L).as("query_id"),
           col("neighbor_id"), col("rank"))
       case "graph" =>
