@@ -1369,7 +1369,11 @@ object Streams {
       // the graph rebuild re-derives from its own stored vectors - the
       // current-contents frame is not needed
       rebuildIdx = (ss, _, p) => graft.operators.GraphIndex.rebuild(ss, p),
-      midStream = (_, _) => (),
+      // mid-stream maintenance: each trigger accreted one part-file
+      // per touched vbucket - the D17/D10b precedent on the graph
+      // family (content-neutral; the phase-3 read-back proves it)
+      midStream = (ss, p) =>
+        { graft.operators.GraphIndex.compact(ss, p, maxFiles = 1); () },
       onPhase = onPhase)
 
   /** Identical arithmetic to D12's oracle — same arrival fraction,
