@@ -1840,7 +1840,7 @@ object Dedup {
     * DedupSpec.
     */
   def annTopkBatchNprobe(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     Ivf.annBatch(spark, dir, k, graft.functions.VectorMetric.Cosine,
       nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)))
   }
@@ -1906,7 +1906,7 @@ object Dedup {
 
   /** E37b's serving probe count: half the lists (see above). */
   private def mutualNprobe(spark: SparkSession, dir: String): Int =
-    math.max(1, Ivf.defaultK(Tables.embeddings(spark, dir).count()) / 2)
+    math.max(1, Ivf.defaultK(Tables.embeddingsCount(spark, dir)) / 2)
 
   /** Probe-only handle on [[mutualize]] (tools/MutualProbe). */
   private[graft] def mutualizeForProbe(edges: DataFrame): DataFrame =
@@ -2179,7 +2179,7 @@ object Dedup {
     val (_, t) = descentGraph(spark, dir, k, metric)
     val (_, cents) = Ivf.indexFor(spark, dir)
     val nc = cents.length
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val np = math.max(1, math.min(DescentInitNprobe, nc))
     val cap = descentCap(k)
     val cos = Ivf.pairDistSqlTemplate(metric)

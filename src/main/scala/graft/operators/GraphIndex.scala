@@ -611,13 +611,33 @@ object GraphIndex {
       val exact = Ivf.exactEdges(spark, dir, k, metric)
         .select("query_id", "neighbor_id")
       val nq = Tables.embeddingsCount(spark, dir)
-      TuneGrid.map { case (rounds, mult) =>
-        val b = beamWidth(k) * mult
-        val hits = graphTopkAt(spark, dir, k, metric, rounds, b)
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-          .count()
-        (rounds, b, hits * 1000L / (k * nq))
-      }
+      // shared substrate once, BEFORE the concurrent configs race its
+      // memo (a miss under concurrency would serialize on the build
+      // lock anyway — warming it here keeps the measurement honest)
+      refinedGraph(spark, dir, k, metric)
+      // the four configs are independent measurements over frozen
+      // shared inputs (guide §2.6: overlap independent jobs) — each
+      // config's beam chain is a sequential round loop whose tiny jobs
+      // leave most cores idle, so running the configs concurrently
+      // backfills the scheduler without changing any measured count
+      // (hits are deterministic counts, not wall-clock)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(TuneGrid.size)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = TuneGrid.map { case (rounds, mult) =>
+          scala.concurrent.Future {
+            val b = beamWidth(k) * mult
+            val hits = graphTopkAt(spark, dir, k, metric, rounds, b)
+              .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+              .count()
+            (rounds, b, hits * 1000L / (k * nq))
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     })
 
   /** Materialize one metric's tune grid (Bench line items — the

@@ -594,7 +594,7 @@ object Ivf {
     * coverage, and that probing all lists reproduces exact k-NN.
     */
   def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val (assign, _) = buildIndex(spark, dir, defaultK(n))
     assign.select(col("id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
   }
@@ -606,7 +606,7 @@ object Ivf {
     * scan really reads only the probed partitions.
     */
   def writeIndex(spark: SparkSession, dir: String, outPath: String): Array[Array[Float]] = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val (assign, centroids) = buildIndex(spark, dir, defaultK(n))
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -934,7 +934,7 @@ object Ivf {
     * probes scan far more than corpus/k vectors.
     */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val (assign, _) = buildIndex(spark, dir, defaultK(n))
     assign.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("list_size"))
@@ -954,7 +954,7 @@ object Ivf {
     * value-at-rank-over-histogram formulation as E39 (k rows, trivial).
     */
   def ivfBalanceReport(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val k = defaultK(n)
     val (assign, _) = buildIndex(spark, dir, k)
     val sizes = assign.groupBy(col("cluster_id"))
@@ -1051,7 +1051,7 @@ object Ivf {
   /** A14 oracle: per-list histogram over the replayed assignment. */
   def indexStatsOracleSql(spark: SparkSession, dir: String): String = {
     val (_, cents) = indexFor(spark, dir)
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     s"""WITH ${assignCtes(cents)}
        |SELECT CAST(cid AS INTEGER) AS cluster_id,
        |  count(*) AS list_size,

@@ -21,12 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): everything after the shortlist is bounded by
   * C per query — the candidate-pair sim table is O(N·C²) rows keyed
-  * by query_id (never a corpus×corpus product), the greedy fold is
-  * k−1 rounds of an incremental GREATEST update against the latest
-  * pick (the k-center least-update pattern in similarity space) plus
-  * a per-query bounded top-1 aggregate (map-side combinable — never a
-  * window sort over the shuffled rows), and every frame is
-  * localCheckpoint-pinned so round r never recomputes rounds < r.
+  * by query_id (never a corpus×corpus product), and the k−1 greedy
+  * rounds run INSIDE one bounded aggregate (MmrFold: cv ∪ ps shuffle
+  * once by query_id, the fold is a ≤C-candidate local loop at eval
+  * time — map-side combinable, never a window sort and never a
+  * per-round shuffle).
   * The shortlist itself rides the session exact-edge memo (probe-all
   * = the oracle contract; an nprobe shortlist composes identically).
   * Measured at 25× (tools/MmrProbe, 50k×64 clustered): the fold costs
@@ -132,71 +131,34 @@ object Mmr {
     }
   }
 
-  /** The k−1 greedy rounds at a given λ over pinned (cv, ps): the
-    * EAGER (query_id, cand, rank) selection. Every intermediate pin
-    * releases here, success or exception (the round-13 ADVICE item).
+  /** The k−1 greedy rounds at a given λ over (cv, ps): the EAGER
+    * (query_id, cand, rank) selection.
+    *
+    * Execution (round-16 optimization): the rounds used to run as a
+    * distributed loop — per round a join against the latest pick, an
+    * eager localCheckpoint and a bounded top-1 aggregate, ~2(k−1)
+    * shuffling jobs per fold. Per query the whole problem is ≤C
+    * candidates and ≤C·(C−1) pair sims, so the fold now runs inside
+    * ONE bounded aggregate ([[graft.functions.MmrFold]]): cv ∪ ps rows
+    * shuffle once by query_id and the greedy rounds are a local loop
+    * at eval time with IDENTICAL arithmetic and tie-breaking (the
+    * aggregate's scaladoc states the parity argument; MmrSpec pins
+    * equality against an independent reference fold, and the oracle
+    * generators are unchanged). Returns a localCheckpointed frame the
+    * caller unpersists — the prior contract.
     */
   private def greedyFold(cv: DataFrame, ps: DataFrame, k: Int,
-                         lambda: Double): DataFrame = {
-    // per-query argmax via the bounded top-1 aggregate (map-side
-    // combinable — a row_number window would shuffle-sort all N·C rows
-    // per round); dist = −score so ascending (dist, id) is
-    // (score DESC, id ASC), the oracle's QUALIFY ordering
-    def argmax(df: DataFrame, score: org.apache.spark.sql.Column): DataFrame =
-      df.groupBy("query_id")
-        .agg(VectorFunctions.topKByDistance(-score, col("cand"), 1).as("nn"))
-        .select(col("query_id"), col("nn")(0)("id").as("cand"))
-    // round 1: pure relevance argmax = the shortlist's rank-1 member
-    val pick1 = argmax(cv, col("simq")).localCheckpoint(true)
-    // pick frames stay pinned until `out` materializes (they feed the
-    // final union; an early unpersist would drop checkpointed blocks
-    // the union still needs); the finally releases them even when a
-    // round throws mid-fold — checkpointed blocks in this long-lived
-    // session otherwise leak until GC. ONLY frames this fold created:
-    // cv/ps are caller-owned (pairTables' "caller unpersists"
-    // contract) and mmrLambdaSweep reuses them across the whole λ
-    // grid — releasing them here only happened to work because
-    // unpersist after localCheckpoint keeps the checkpointed blocks
-    // (the round-14 ADVICE finding)
-    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](pick1)
-    // rem: remaining candidates with the running diversity penalty
-    // (max sim to the selected set), updated incrementally against
-    // the LATEST pick only — the k-center least-update in sim space
-    var rem: DataFrame = null
-    try {
-      var picks: DataFrame = pick1.withColumn("rank", lit(1))
-      var latest = pick1
-      (2 to k).foreach { r =>
-        val joined =
-          (if (rem == null) cv else rem)
-            .join(latest.withColumnRenamed("cand", "b"), "query_id")
-            .filter(col("cand") =!= col("b"))
-            .join(ps.withColumnRenamed("a", "cand"), Seq("query_id", "cand", "b"))
-        val next = (if (rem == null)
-            joined.select(col("query_id"), col("cand"), col("simq"),
-              col("simab").as("pen"))
-          else
-            joined.select(col("query_id"), col("cand"), col("simq"),
-              greatest(col("pen"), col("simab")).as("pen")))
-          .localCheckpoint(true)
-        if (rem != null) rem.unpersist()
-        rem = next
-        val pick = argmax(rem,
-            lit(lambda) * col("simq") - lit(1.0 - lambda) * col("pen"))
-          .localCheckpoint(true)
-        pinned += pick
-        latest = pick
-        picks = picks.union(pick.withColumn("rank", lit(r)))
-      }
-      picks
-        .select(col("query_id"), col("cand"),
-          col("rank").cast("int").as("rank"))
-        .localCheckpoint(true) // eager: materialized before the finally
-    } finally {
-      if (rem != null) rem.unpersist()
-      pinned.foreach(_.unpersist())
-    }
-  }
+                         lambda: Double): DataFrame =
+    cv.select(col("query_id"), col("cand"), col("simq"),
+        lit(null).cast("bigint").as("b"), lit(null).cast("double").as("simab"))
+      .unionAll(ps.select(col("query_id"), col("a").as("cand"),
+        lit(null).cast("double").as("simq"), col("b"), col("simab")))
+      .groupBy("query_id")
+      .agg(graft.functions.MmrFoldAgg.mmrFold(
+        col("cand"), col("simq"), col("b"), col("simab"), k, lambda).as("sel"))
+      .select(col("query_id"), explode(col("sel")).as("p"))
+      .select(col("query_id"), col("p.cand").as("cand"), col("p.rank").as("rank"))
+      .localCheckpoint(true)
 
   /** The exact replay: nested exact-shortlist CTE (the E6 oracle at
     * width C), the same relevance/pair-sim doubles, and k−1 unrolled

@@ -1495,7 +1495,7 @@ object Pq {
     */
   def sdcBatchQuery(spark: SparkSession, dir: String, k: Int = 5,
                     metric: Int = VectorMetric.L2, refine: Int = 1): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     sdcBatch(spark, dir, k, nprobeOpt = Some(math.max(1, Ivf.defaultK(n) / 4)),
       metric = metric, refine = refine)
   }
@@ -2114,7 +2114,7 @@ object Pq {
     val model = train(spark, dir, SubspaceCount, metric)
     val (_, cents) = Ivf.indexFor(spark, dir, metric)
     val nc = cents.length
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val np = math.max(1, Ivf.defaultK(n) / 4)
     val sd = model.subDim
     val ncode = model.codebooks(0).length

@@ -39,7 +39,7 @@ object PqLifecycle {
             opq: Boolean = false): IndexStatus = {
     val prev = IndexLifecycle.status(spark, indexPath)
     Pq.writeIvfPq(spark, dir, indexPath, m, metric, opq)
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.embeddingsCount(spark, dir)
     val dim = Pq.trainResidual(spark, dir, m, metric, opq).dim
     val next = IndexStatus("ivfpq", isBuilt = true, isDirty = false, size = n,
       embeddingDim = dim, builtAt = System.currentTimeMillis(),
@@ -287,7 +287,7 @@ object PqLifecycle {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_lc")
     val tmp = tmpDir.toString
     try {
-      val n = Tables.embeddings(spark, dir).count()
+      val n = Tables.embeddingsCount(spark, dir)
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val s1 = build(spark, dir, tmp)

@@ -257,7 +257,7 @@ private[graft] object TierLifecycle {
     val tmpDir = java.nio.file.Files.createTempDirectory(tmpPrefix)
     val tmp = tmpDir.toString
     try {
-      val n = Tables.embeddings(spark, dir).count()
+      val n = Tables.embeddingsCount(spark, dir)
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val s1 = build(tmp)

@@ -1179,7 +1179,7 @@ object Streams {
     val indexPath = tmpRoot.resolve(idxName).toString
     val landing = tmpRoot.resolve("landing").toString
     try {
-      val n = Tables.embeddings(ss, dir).count()
+      val n = Tables.embeddingsCount(ss, dir)
       val vecs = Tables.embeddings(ss, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val s1 = timed("build") { build(ss, indexPath) }

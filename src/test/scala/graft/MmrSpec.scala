@@ -112,6 +112,77 @@ class MmrSpec extends AnyFunSuite {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("MmrFold aggregate replicates the distributed rounds on hostile synthetic shortlists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    val lam = 0.7; val kk = 3
+    // q1: score tie at rank 1 (ids 1,2 share simq) -> smaller id first;
+    // q2: two candidates, k=3 -> 2 picks; q3: single pairless candidate
+    // -> 1 pick; q4: pair (31, 30) missing -> 31 leaves the fold after
+    // 30 is picked
+    val cv = Seq(
+      (1L, 1L, 0.9), (1L, 2L, 0.9), (1L, 3L, 0.5), (1L, 4L, 0.4),
+      (2L, 10L, 0.8), (2L, 11L, 0.7),
+      (3L, 20L, 0.6),
+      (4L, 30L, 0.9), (4L, 31L, 0.8), (4L, 32L, 0.1))
+      .toDF("query_id", "cand", "simq")
+    def sym(rows: Seq[(Long, Long, Long, Double)]) =
+      rows ++ rows.map { case (q, a, b, s) => (q, b, a, s) }
+    val ps = sym(Seq(
+      (1L, 1L, 2L, 0.95), (1L, 1L, 3L, 0.1), (1L, 1L, 4L, 0.2),
+      (1L, 2L, 3L, 0.3), (1L, 2L, 4L, 0.15), (1L, 3L, 4L, 0.05),
+      (2L, 10L, 11L, 0.2),
+      (4L, 30L, 32L, 0.4), (4L, 31L, 32L, 0.3)))
+      .toDF("query_id", "a", "b", "simab")
+    val got = cv.select(col("query_id"), col("cand"), col("simq"),
+        lit(null).cast("bigint").as("b"), lit(null).cast("double").as("simab"))
+      .unionAll(ps.select(col("query_id"), col("a").as("cand"),
+        lit(null).cast("double").as("simq"), col("b"), col("simab")))
+      .groupBy("query_id")
+      .agg(graft.functions.MmrFoldAgg.mmrFold(
+        col("cand"), col("simq"), col("b"), col("simab"), kk, lam).as("sel"))
+      .select(col("query_id"), explode(col("sel")).as("p"))
+      .select(col("query_id"), col("p.cand"), col("p.rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // independent reference: the pre-optimization distributed-round
+    // semantics (inner-join membership, pen = greatest fold, ties by id)
+    val cvM = Seq((1L, 1L, 0.9), (1L, 2L, 0.9), (1L, 3L, 0.5), (1L, 4L, 0.4),
+      (2L, 10L, 0.8), (2L, 11L, 0.7), (3L, 20L, 0.6),
+      (4L, 30L, 0.9), (4L, 31L, 0.8), (4L, 32L, 0.1))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3)).toMap
+    val psM = sym(Seq(
+      (1L, 1L, 2L, 0.95), (1L, 1L, 3L, 0.1), (1L, 1L, 4L, 0.2),
+      (1L, 2L, 3L, 0.3), (1L, 2L, 4L, 0.15), (1L, 3L, 4L, 0.05),
+      (2L, 10L, 11L, 0.2),
+      (4L, 30L, 32L, 0.4), (4L, 31L, 32L, 0.3)))
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    def ref(q: Long): Seq[Long] = {
+      val cands = cvM(q).sortBy(c => (-c._2, c._1))
+      var picks = Vector(cands.minBy(c => (-c._2, c._1))._1)
+      var rem = cands.filter(_._1 != picks.head)
+        .map { case (id, s) => (id, s, 0.0) }
+      var r = 2
+      while (r <= kk && rem.nonEmpty) {
+        rem = rem.flatMap { case (id, s, pen) =>
+          psM.get((q, id, picks.last)).map(p =>
+            (id, s, if (r == 2) p else math.max(pen, p)))
+        }
+        if (rem.nonEmpty) {
+          val pick = rem.minBy { case (id, s, pen) =>
+            (-(lam * s - (1.0 - lam) * pen), id) }._1
+          picks :+= pick
+          rem = rem.filter(_._1 != pick)
+        }
+        r += 1
+      }
+      picks
+    }
+    Seq(1L, 2L, 3L, 4L).foreach { q =>
+      assert(got(q) == ref(q), s"MmrFold diverged for query $q: ${got(q)} vs ${ref(q)}")
+    }
+  }
+
   test("lambda sweep: monotone trade, baseline equals the lambda=1 limit's shape") {
     val rows = Mmr.mmrLambdaSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
