@@ -831,13 +831,19 @@ object Dedup {
   def componentsFromPairs(pairs: DataFrame): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"expected 2 id columns, got ${cols.mkString(",")}")
+    // pin the raw pair list ONCE (round-16): `edges` and `nodes` both
+    // derive from it, and without the pin each derivation re-ran the
+    // whole upstream pair-generation join (the LSH verify / jaccard
+    // prefix join — the expensive half of every components memo build)
     val raw = pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
       .filter(col("a") =!= col("b"))
+      .localCheckpoint()
     var edges = raw
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
     val nodes = raw.select(col("a").as("id")).union(raw.select(col("b").as("id")))
       .distinct().localCheckpoint()
+    raw.unpersist() // both derivations materialized; the pin can go
 
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
@@ -2075,6 +2081,9 @@ object Dedup {
     locally {
         def symCap(edges: DataFrame): DataFrame = edges
           .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+          // ONE exchange (round-16): hash by src satisfies both the
+          // dedup's (src, dst) clustering and the cap aggregate's (src)
+          .repartition(col("src"))
           .dropDuplicates("src", "dst")
           .groupBy("src")
           .agg(VectorFunctions.topKByDistance(col("dist"), col("dst"), cap).as("nn"))
@@ -2104,6 +2113,7 @@ object Dedup {
             .filter(col("src") =!= col("dst"))
             .dropDuplicates("src", "dst")
           val merged = cur.union(withDist(cand))
+            .repartition(col("src")) // one exchange for dedup + top-k
             .dropDuplicates("src", "dst") // identical dists either way
             .groupBy("src")
             .agg(VectorFunctions.topKByDistance(col("dist"), col("dst"), k).as("nn"))

@@ -370,10 +370,13 @@ object GraphIndex {
     // entry: the nearest coarse list's best B per query (exact within
     // the probed list, rides the session IVF memo, excludes self) ∪
     // the query's own stored links
+    // no seed dedup (round-16): round 1 of beamRounds dedups the
+    // (beam ∪ expansion) union anyway, so a duplicate seed row can
+    // never reach scoring — the seed's own dedup paid one extra
+    // exchange + aggregate for rows the next job re-deduped
     val entry = Ivf.annBatch(spark, dir, b, metric, nprobeOpt = Some(EntryNprobe))
       .select(col("query_id"), col("neighbor_id").as("cand"))
       .union(sym.select(col("src").as("query_id"), col("dst").as("cand")))
-      .dropDuplicates("query_id", "cand")
     beamRounds(entry, sym, vecs, k, b, metric = metric, rounds = rounds)
   }
 
@@ -397,8 +400,15 @@ object GraphIndex {
     while (r < rounds) {
       val expand = beam.join(e, "cand")
         .select(col("query_id"), col("dst").as("cand"))
+      // ONE exchange per round (round-16): hash by query_id BEFORE the
+      // dedup — HashPartitioning(query_id) satisfies the dedup's
+      // ClusteredDistribution(query_id, cand) AND the top-B aggregate's
+      // ClusteredDistribution(query_id), so the round's dedup and
+      // ranking share a single shuffle instead of paying one each
+      // (plan diff: 2 Exchange → 1 per round). Same rows either way.
       val cands = beam.select("query_id", "cand").union(expand)
         .filter(col("cand") =!= col("query_id"))
+        .repartition(col("query_id"))
         .dropDuplicates("query_id", "cand")
       val scored = cands
         .join(qvecs, "query_id")
@@ -1518,6 +1528,9 @@ object GraphIndex {
     val touched = reverse.select("src").distinct()
     val recapped = edges.join(touched, Seq("src"), "left_semi")
       .union(reverse)
+      // shared exchange: hash by src serves both the dedup and the
+      // R-cap aggregate (the beamRounds round-16 shape)
+      .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .groupBy("src")
       .agg(VectorFunctions
@@ -1634,6 +1647,9 @@ object GraphIndex {
     val keptOfTouched = edges.join(touched, Seq("src"), "left_semi")
       .join(del, col("dst") === col("del_id"), "left_anti")
     val repaired = keptOfTouched.union(repairs)
+      // shared exchange: hash by src serves both the dedup and the
+      // R-cap aggregate (the beamRounds round-16 shape)
+      .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .groupBy("src")
       .agg(VectorFunctions

@@ -842,7 +842,7 @@ object Ivf {
                metric: Int = VectorMetric.L2): DataFrame = {
     val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    val nClusters = defaultK(vecs.count())
+    val nClusters = defaultK(Tables.embeddingsCount(spark, dir))
     val nprobe = nprobeOpt.getOrElse(math.max(1, nClusters / 4))
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.filter(col("id") < nQueries)
@@ -1268,7 +1268,7 @@ object Ivf {
                  nprobeOpt: Option[Int] = None): DataFrame = {
     val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    val nClusters = defaultK(vecs.count())
+    val nClusters = defaultK(Tables.embeddingsCount(spark, dir))
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
     val probes = probeSelect(queries, centroids, nprobeOpt.getOrElse(nClusters),
@@ -1289,7 +1289,7 @@ object Ivf {
                nprobeOpt: Option[Int] = None): DataFrame = {
     val vecs = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    val nClusters = defaultK(vecs.count())
+    val nClusters = defaultK(Tables.embeddingsCount(spark, dir))
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
     // L2-representation index (buildIndex default) — see ivfQuery note
@@ -1321,7 +1321,7 @@ object Ivf {
                     nprobeOpt: Option[Int] = None): DataFrame = {
     val labeled = Tables.rebalanced(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")))
-    val nClusters = defaultK(labeled.count())
+    val nClusters = defaultK(Tables.embeddingsCount(spark, dir))
     val (assign, centroids) = buildIndex(spark, dir, nClusters)
     val queries = labeled.select(col("id").as("query_id"),
       col("vec").as("qvec"), col("label").as("qlabel"))

@@ -1202,8 +1202,11 @@ object Streams {
       val s2 = graft.operators.IndexLifecycle.status(ss, indexPath)
       timed("mid_stream_maintenance") { midStream(ss, indexPath) }
       def counts(): (Long, Long) = {
+        // one scan for both: total + arrivals (count of a non-null
+        // conditional ≡ the filtered count) — was two jobs per read-back
         val disk = readBack(ss, indexPath)
-        (disk.count(), disk.filter(col("id") >= n).count())
+        val r = disk.agg(count(lit(1)), count(when(col("id") >= n, lit(1)))).head()
+        (r.getLong(0), r.getLong(1))
       }
       val (total, arrived) = timed("disk_read_back_1") { counts() }
       // the drain left should_rebuild = true - run the out-of-band
