@@ -105,6 +105,11 @@ object Bench {
     // per dir (a per-invocation cache leaks for the session — measured
     // as 264→474→691s pass degradation in the first median-of-3 run)
     "memo_jaccard_prefix" -> (() => operators.Dedup.warmJaccardPrefix(spark, dir)),
+    // the VERIFIED exact pair graph (round-16 memo): E2's key, the
+    // E13/E35 components build and E49's exact contract share it —
+    // after memo_jaccard_prefix so this line measures the candidate
+    // join + verify, not the prefix build
+    "memo_jaccard_pairs"  -> (() => { operators.Dedup.ngramJaccardPairs(spark, dir).count(); () }),
     "memo_minhash_sig"    -> (() => operators.Dedup.warmMinhashSig(spark, dir)),
     "memo_ivf_index"    -> (() => operators.Ivf.warmIndex(spark, dir)),
     // the exact cosine probe-all edge list shared by ann_topk_batch /

@@ -77,38 +77,43 @@ object BandSweep {
     import spark.implicits._
     val nExact = exactPairs.count()
 
-    // per config: bucket sizes once — raw mass from sizes (a bounded
-    // one-row aggregate; C(n,2) stays integer via div), capped bucket
-    // rows feed the pair join
-    val perConfig = BandSweep.BandGrid.map { b =>
-      val bands = Dedup.bandsOfN(sig, b)
-      val sizes = bands.groupBy("band_id", "band_hash")
-        .agg(count(lit(1)).as("bucket_n"))
-      val rawMass = sizes
-        .selectExpr("coalesce(sum((bucket_n * (bucket_n - 1)) div 2), 0L) AS m")
-        .head().getLong(0)
-      // same guard shape as E3: drop mega-buckets before the self-join
-      val capped = bands.join(
-        sizes.filter(col("bucket_n") <= Dedup.LshBucketCap),
-        Seq("band_id", "band_hash"))
-      val cand = capped.as("a")
-        .join(capped.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      (b, rawMass, cand)
-    }
-
+    // ONE tagged band table for the whole grid (round-16): the three
+    // configs used to pay one bucket-size shuffle + one sequential
+    // driver head() + one capped self-join EACH; tagging the band rows
+    // with their config turns that into one size aggregation, one
+    // masses job, and ONE self-join keyed on (bands, band_id,
+    // band_hash) — identical rows per config, a third of the jobs
+    val bandsAll = BandSweep.BandGrid
+      .map(b => Dedup.bandsOfN(sig, b).withColumn("bands", lit(b)))
+      .reduce(_.unionByName(_))
+    val sizes = bandsAll.groupBy("bands", "band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .localCheckpoint(true) // feeds the masses job AND the cap join
+    // raw mass from bucket SIZES (a bounded aggregate; C(n,2) stays
+    // integer via div) — same expression as before, grouped per config
+    val massRows = sizes.groupBy("bands")
+      .agg(expr("coalesce(sum((bucket_n * (bucket_n - 1)) div 2), 0L)").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // same guard shape as E3: drop mega-buckets before the self-join
+    val capped = bandsAll.join(
+      sizes.filter(col("bucket_n") <= Dedup.LshBucketCap),
+      Seq("bands", "band_id", "band_hash"))
     // verify ONCE over the distinct union — the expensive join-back is
     // paid one time, each grid row filters the pinned verdict table.
     // `tagged` is itself pinned eagerly: it feeds BOTH verdicts and the
-    // final aggregation, so without the checkpoint the three band
-    // self-joins (the dominant cost) would execute twice.
-    val tagged = perConfig.map { case (b, _, cand) =>
-      cand.select(lit(b).as("bands"), col("doc_a"), col("doc_b"))
-    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    // final aggregation, so without the checkpoint the band self-join
+    // (the dominant cost) would execute twice.
+    val tagged = capped.as("a")
+      .join(capped.as("b"),
+        col("a.bands") === col("b.bands") &&
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("bands", "doc_a", "doc_b")
+      .localCheckpoint(true)
+    sizes.unpersist() // both consumers materialized
     val verdicts = Dedup.verifyJaccard(
       tagged.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
       sig.select(col("doc_id"), col("g")),
@@ -116,7 +121,8 @@ object BandSweep {
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_dup"))
       .localCheckpoint(true)
 
-    val masses = perConfig.map { case (b, m, _) => (b, 128 / b, m) }
+    val masses = BandSweep.BandGrid
+      .map(b => (b, 128 / b, massRows.getOrElse(b, 0L)))
       .toDF("bands", "rows_per_band", "raw_pair_mass")
 
     // masses always carries one row per grid config, so it is the LEFT

@@ -249,6 +249,7 @@ object Dedup {
   def invalidate(dir: String): Unit = {
     shingleSets.remove(dir).foreach(_.unpersist())
     orderedPrefixMemo.remove(dir).foreach(_.unpersist())
+    jaccardPairsMemo.remove(dir).foreach(_.unpersist())
     minhashSigMemo.remove(dir).foreach(_.unpersist())
     docComponentsMemo.remove(dir).foreach(_.unpersist())
     lshComponentsMemo.remove(dir).foreach(_.unpersist())
@@ -299,7 +300,21 @@ object Dedup {
     * join fan-out, and every step is a bounded shuffle at 100 TB.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingleSetsFor(spark, dir), JaccardThreshold, memoDir = Some(dir))
+    jaccardPairsMemo.get(dir).getOrElse(synchronized {
+      jaccardPairsMemo.getOrElseUpdate(dir, {
+        // memoized VERIFIED pair graph (round-16): the E2 key, the E13
+        // components build and the E49 band sweep's exact contract all
+        // re-ran the prefix self-join + verify per consumer; the
+        // output is O(pairs) skinny, so cache the result, not the work
+        val p = jaccardPairs(shingleSetsFor(spark, dir), JaccardThreshold,
+          memoDir = Some(dir)).cache()
+        p.count()
+        p
+      })
+    })
+
+  private val jaccardPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def jaccardPairsOn(docs: DataFrame, t: Double = JaccardThreshold): DataFrame =
     jaccardPairsFromSets(hashedShingleSets(docs), t)
