@@ -49,7 +49,12 @@ object Search {
     */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val clean = trim(lower(col("text")))
-    val perDoc = Tables.documents(spark, dir).select(
+    // rebalance BEFORE the regex/scoring chain: the single-row-group
+    // test parquet pins an unsplit scan to one task, serializing the
+    // whole per-doc scoring pipeline (measured: hybrid_search_rrf ran
+    // 13 single-task stages end-to-end) — a no-op at real scale where
+    // storage provides splits (the Tables.rebalanced contract)
+    val perDoc = Tables.rebalanced(Tables.documents(spark, dir)).select(
       col("doc_id") +: size(split(clean, "\\s+")).cast("long").as("dl") +:
         QueryTerms.zipWithIndex.map { case (t, i) =>
           regexp_count(clean, lit("(?:^|\\s)" + java.util.regex.Pattern.quote(t) +
@@ -135,7 +140,8 @@ object Search {
   def vecScored(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     val clean = trim(lower(col("text")))
     val qv = FakeEmbedding.embed(VectorQueries.TextQuery, dim).toSeq
-    Tables.documents(spark, dir)
+    // rebalanced for the same single-row-group reason as bm25Scored
+    Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("doc_id"),
         graft.functions.TextFunctions.charSum(clean).as("char_sum"),
         length(clean).cast("long").as("len"),

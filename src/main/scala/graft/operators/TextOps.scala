@@ -1248,7 +1248,9 @@ object TextOps {
     */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // rebalanced: the langId/quality scoring chain is narrow CPU work
+    // that otherwise serializes on the single-row-group test scan
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
     val perDoc = qualityClassifierOn(
       langIdOn(docs, carry = Seq(col("source"), col("text"), col("n_tokens")))
