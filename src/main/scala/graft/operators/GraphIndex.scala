@@ -380,6 +380,39 @@ object GraphIndex {
     beamRounds(entry, sym, vecs, k, b, metric = metric, rounds = rounds)
   }
 
+  /** ONE beam round, un-checkpointed — the loop body of [[beamRounds]]
+    * as its own seam so tools/OptPlanProbe can dump the ROUND's
+    * physical plan (the serving keys return checkpointed frames, which
+    * hide the round shape from explain).
+    *
+    * ONE exchange per round (round-16): hash by query_id BEFORE the
+    * dedup — HashPartitioning(query_id) satisfies the dedup's
+    * ClusteredDistribution(query_id, cand) AND the top-B aggregate's
+    * ClusteredDistribution(query_id), so the round's dedup and ranking
+    * share a single shuffle instead of paying one each (plan diff:
+    * plans/r16/beam_round_{before,after}.txt — 2 Exchange → 1). Same
+    * rows either way.
+    */
+  private[graft] def beamRoundFrame(beam: DataFrame, e: DataFrame,
+                                    qvecs: DataFrame, vecs: DataFrame,
+                                    b: Int, metric: Int): DataFrame = {
+    val expand = beam.join(e, "cand")
+      .select(col("query_id"), col("dst").as("cand"))
+    val cands = beam.select("query_id", "cand").union(expand)
+      .filter(col("cand") =!= col("query_id"))
+      .repartition(col("query_id"))
+      .dropDuplicates("query_id", "cand")
+    val scored = cands
+      .join(qvecs, "query_id")
+      .join(vecs.select(col("id").as("cand"), col("cv")), "cand")
+      .select(col("query_id"), col("cand"),
+        Ivf.distCol(metric, col("qv"), col("cv")).as("dist"))
+    scored.groupBy("query_id")
+      .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), b).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("p"))
+      .select(col("query_id"), col("p.id").as("cand"), col("p.dist").as("dist"))
+  }
+
   /** The shared round loop: `beam0` (query_id, cand) expands through
     * `edges` for [[BeamRounds]] rounds, scored against `vecs`
     * ((id, cv)) on the candidate side and `qvecs` ((query_id, qv) —
@@ -398,29 +431,9 @@ object GraphIndex {
     var cur: DataFrame = null
     var r = 0
     while (r < rounds) {
-      val expand = beam.join(e, "cand")
-        .select(col("query_id"), col("dst").as("cand"))
-      // ONE exchange per round (round-16): hash by query_id BEFORE the
-      // dedup — HashPartitioning(query_id) satisfies the dedup's
-      // ClusteredDistribution(query_id, cand) AND the top-B aggregate's
-      // ClusteredDistribution(query_id), so the round's dedup and
-      // ranking share a single shuffle instead of paying one each
-      // (plan diff: 2 Exchange → 1 per round). Same rows either way.
-      val cands = beam.select("query_id", "cand").union(expand)
-        .filter(col("cand") =!= col("query_id"))
-        .repartition(col("query_id"))
-        .dropDuplicates("query_id", "cand")
-      val scored = cands
-        .join(qvecs, "query_id")
-        .join(vecs.select(col("id").as("cand"), col("cv")), "cand")
-        .select(col("query_id"), col("cand"),
-          Ivf.distCol(metric, col("qv"), col("cv")).as("dist"))
       // eager checkpoint per round: the loop otherwise re-executes the
       // whole prefix each round (the descentGraph lesson)
-      val next = scored.groupBy("query_id")
-        .agg(VectorFunctions.topKByDistance(col("dist"), col("cand"), b).as("nn"))
-        .select(col("query_id"), explode(col("nn")).as("p"))
-        .select(col("query_id"), col("p.id").as("cand"), col("p.dist").as("dist"))
+      val next = beamRoundFrame(beam, e, qvecs, vecs, b, metric)
         .localCheckpoint(true)
       // superseded rounds release their blocks promptly (the
       // descentRounds hygiene; abandoned checkpoints only go with GC)
